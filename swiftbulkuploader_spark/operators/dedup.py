@@ -1,0 +1,257 @@
+"""Deduplication operators over `documents` (SURVEY.md §2.9 X1).
+
+Four tiers, all expressed as native DataFrame plans (no Python in the hot
+path) so each scales to 100 TB:
+
+* exact        — md5 fingerprint groupBy; one narrow shuffle on the hash.
+* MinHash LSH  — word-shingles -> 32 minhashes -> 8 bands of 4 -> band-bucket
+                 self-join -> exact-Jaccard verify. The band join shuffles on
+                 (band_id, band_hash) only; candidate verification touches
+                 candidate pairs, never the n^2 cross product.
+* SimHash      — 64-bit signed-projection fingerprint via one explode +
+                 64 conditional aggregates (all codegen); near-dup pairs via
+                 16-bit chunk banding (pigeonhole: hamming<=3 pairs share a
+                 chunk) + bit_count(xor) verify.
+* n-gram Jaccard — exact Jaccard over word 5-shingle sets for LSH candidates.
+
+The exact tier is DuckDB-oracle-checked; the probabilistic tiers are
+rows-only (hash-seed specific) and pinned by unit tests on crafted corpora.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.functions.text import fingerprint, normalize_ws, shingles
+
+# ---------------------------------------------------------------------------
+# X1a — exact dedup
+# ---------------------------------------------------------------------------
+
+
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest doc_id.
+    `min(doc_id)` (not dropDuplicates) so the survivor is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("copies"))
+    )
+
+
+def x1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: totals vs distinct texts/fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_text"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_unique_fp"),
+    )
+
+
+def x1_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dup groups keyed on the normalized 40-char prefix (the
+    cheap first-pass bucketing used before pairwise verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(normalize_ws(F.lower(F.col("text"))), 1, 40)
+    return (
+        docs.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1b — MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_signature(sh: Column) -> list[Column]:
+    """32 independent minhashes of a shingle array: xxhash64 with a per-hash
+    salt, min-reduced. Empty shingle sets yield nulls (filtered upstream)."""
+    def hash_i(i: int) -> Column:
+        # single-arg lambda: a two-arg lambda would receive the array index
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    return [hash_i(i) for i in range(N_HASHES)]
+
+
+def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, shingles, sig_0..sig_31) for non-empty documents."""
+    sh = F.array_distinct(shingles(F.col("text"), k))
+    sig = _minhash_signature(F.col("sh"))
+    return (
+        docs.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", *[c.alias(f"sig_{i}") for i, c in enumerate(sig)])
+    )
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidate
+    pairs. Shuffles on (band_id, band_hash); never materializes n^2."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ])
+    exploded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Verify candidates with exact Jaccard over the shingle sets."""
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def x1_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline; pairs with Jaccard >= 0.5.
+    Rows-only check (hash-seed-specific); semantics pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs)
+    return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
+
+
+def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for every LSH candidate pair (no threshold) —
+    the similarity histogram a dedup-tuning run inspects."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=3)
+    cands = minhash_candidates(sigs)
+    return exact_jaccard(cands, sigs)
+
+
+# ---------------------------------------------------------------------------
+# X1c — SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash each (xxhash64),
+    per-bit signed vote, reassemble. One explode + one groupBy with 64
+    codegen'd conditional sums — no Python."""
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.lower(normalize_ws(F.col(text_col))), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bit_{k}")
+            for k in range(64)
+        ]
+    )
+    sim = reduce(
+        lambda acc, k: acc + F.when(F.col(f"bit_{k}") > 0, F.lit(1).cast("long") * (2 ** k if k < 63 else -(2 ** 63))).otherwise(0),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return votes.select(id_col, sim.alias("simhash"))
+
+
+def simhash_neardup(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance: band the 64-bit hash into 4
+    16-bit chunks (pigeonhole guarantees hamming<=3 pairs collide on one),
+    join on chunk equality, verify with bit_count(xor)."""
+    chunks = F.array(*[
+        F.struct(
+            F.lit(j).alias("chunk_id"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+        )
+        for j in range(4)
+    ])
+    exploded = sims.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def x1_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3). Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup(simhash(docs))
+
+
+QUERIES = {
+    "x1_exact_dedup": x1_exact_dedup,
+    "x1_dedup_stats": x1_dedup_stats,
+    "x1_prefix_dup_groups": x1_prefix_dup_groups,
+    "x1_minhash_neardup": x1_minhash_neardup,
+    "x1_ngram_jaccard": x1_ngram_jaccard,
+    "x1_simhash_neardup": x1_simhash_neardup,
+}
+
+_FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+ORACLES = {
+    "x1_exact_dedup": f"""
+        SELECT {_FP_DUCK} AS fp, min(doc_id) AS keeper_id, count(*) AS copies
+        FROM documents GROUP BY 1
+    """,
+    "x1_dedup_stats": f"""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT text) AS n_unique_text,
+               count(DISTINCT {_FP_DUCK}) AS n_unique_fp
+        FROM documents
+    """,
+    "x1_prefix_dup_groups": """
+        SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40) AS prefix,
+               count(*) AS copies, min(doc_id) AS keeper_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    # minhash / ngram / simhash: rows-only by design (seeded-hash specific)
+}

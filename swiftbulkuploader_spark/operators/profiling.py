@@ -1,0 +1,78 @@
+"""Dataset profiling operators (SURVEY.md §2.9 X6): distinct counts,
+quantiles, and their approximate scale-friendly variants.
+
+Exact versions are oracle-checked; `approx_count_distinct` (HyperLogLog++)
+and `percentile_approx` (Greenwald-Khanna) are engine-specific sketches, so
+they ship as rows-only queries — at 100 TB the approx variants are the ones
+you actually run (single pass, bounded memory, mergeable partial state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+
+
+def x6_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cardinality profile of the fact table's key columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+def x6_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of quantity/price (Spark `percentile`
+    == DuckDB `quantile_cont`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("qty_p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("qty_p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )
+
+
+def x6_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path: HLL++ distinct + GK quantile sketches (single pass,
+    mergeable, bounded memory). Rows-only check — sketch results are
+    engine-specific by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_price_p50"),
+        F.percentile_approx("l_quantity", 0.95, 10000).alias("approx_qty_p95"),
+    )
+
+
+QUERIES = {
+    "x6_distinct_profile": x6_distinct_profile,
+    "x6_quantiles": x6_quantiles,
+    "x6_approx_profile": x6_approx_profile,
+}
+
+ORACLES = {
+    "x6_distinct_profile": """
+        SELECT count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_returnflag) AS n_flags
+        FROM lineitem
+    """,
+    "x6_quantiles": """
+        SELECT round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+               round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        FROM lineitem
+    """,
+    # x6_approx_profile: rows-only by design (sketches are engine-specific)
+}

@@ -1,0 +1,191 @@
+"""Similarity search over embeddings (SURVEY.md §2.9 X2).
+
+Three tiers over the `embeddings` table (array<float>, 64-dim):
+
+* brute-force top-k    — codegen'd cosine (higher-order functions) against a
+                         constant query vector; TakeOrderedAndProject top-k.
+                         The correctness baseline; oracle-checked against
+                         DuckDB's list_cosine_similarity.
+* random-hyperplane LSH — deterministic signed-projection bucket signature;
+                         search only the query's bucket. The 100 TB path:
+                         the bucket column is computed once at ingest and
+                         the scan prunes to one bucket.
+* all-pairs LSH join   — bucket self-join + exact cosine verify for
+                         similarity-graph construction (near-dup by
+                         embedding); never materializes n^2.
+
+Hyperplanes are derived deterministically from a seed via a splitmix-style
+integer mix (no RNG state, reproducible across runs/engines) and broadcast
+as literal arrays — at 1000 executors each task evaluates them in codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.functions.vectors import cosine_similarity, dot_product
+
+DIM = 64
+N_PLANES = 16
+
+
+def _splitmix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & (2**64 - 1)
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+    return x ^ (x >> 31)
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (sum of 4 uniforms, CLT)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            acc = 0.0
+            for _ in range(4):
+                state = _splitmix(state + 1)
+                acc += (state / 2**64) - 0.5
+            row.append(acc)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit signature: bit i set iff dot(vec, plane_i) >= 0. Pure codegen."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot_product(vec, plane_col) >= 0, F.lit(2**i).cast("long")).otherwise(0)
+        sig = sig + bit
+    return sig
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise ValueError(f"query vec_id={vec_id} not found")
+    return [float(v) for v in row[0]]
+
+
+def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding. The full scan +
+    TakeOrderedAndProject is the exact baseline every ANN variant is
+    measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def x2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (posexplode + groupBy(label, pos)) then cosine of
+    each label centroid vs the global centroid — the embedding-space profile
+    report. Aggregation is positional, so it scales with rows x dim, not n^2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    label_means = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["mv"]).alias("centroid"))
+    )
+    global_mean = (
+        pos.groupBy("pos")
+        .agg(F.avg("v").alias("mv"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
+        .select(F.transform("pairs", lambda p: p["mv"]).alias("gcentroid"))
+    )
+    return (
+        label_means.crossJoin(F.broadcast(global_mean))
+        .select(
+            "label",
+            F.round(cosine_similarity(F.col("centroid"), F.col("gcentroid")), 6).alias("centroid_cos"),
+        )
+    )
+
+
+def x2_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: restrict the scan to vectors sharing the query's LSH bucket
+    (plus hamming-1 neighbor buckets for recall), then exact cosine top-10.
+    At scale the signature is a persisted partition column -> bucket pruning
+    reads a fraction of the corpus. Rows-only check (seeded LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes()
+    q = _query_vector(spark, sf_dir, 0)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0:
+            qsig |= 1 << i
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(N_PLANES)]  # multi-probe
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.withColumn("sig", lsh_signature(F.col("embedding"), planes))
+        .filter(F.col("sig").isin(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def x2_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup graph: self-join on LSH signature buckets, verify
+    with exact cosine >= 0.95. Shuffle is on the signature, candidates only.
+    Rows-only check (seeded LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes()
+    sigs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        lsh_signature(F.col("embedding"), planes).alias("sig"),
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+QUERIES = {
+    "x2_cosine_topk": x2_cosine_topk,
+    "x2_label_centroid_sim": x2_label_centroid_sim,
+    "x2_lsh_bucket_topk": x2_lsh_bucket_topk,
+    "x2_lsh_similar_pairs": x2_lsh_similar_pairs,
+}
+
+ORACLES = {
+    "x2_cosine_topk": """
+        SELECT vec_id, label,
+               round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+                   6) AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    # x2_lsh_*: rows-only by design (seeded LSH, engine-specific)
+}

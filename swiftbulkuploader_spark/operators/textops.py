@@ -1,0 +1,152 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.9 X3).
+
+Token counting, quality scoring, fingerprinting, stopword/language coverage —
+all pure Column expressions from functions/text.py, so they run at parquet
+scan speed (whole-stage codegen, no Python) over any corpus size. The
+heuristic language-ID itself (functions/text.py::detect_lang) ships as a
+rows-only query (x3_lang_id) — its tie-break CASE cascade is Spark-side by
+design; unit tests pin its semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.functions.text import (
+    LANG_MARKERS,
+    detect_lang,
+    fingerprint,
+    normalize_ws,
+    quality_score,
+    token_count,
+)
+
+
+def x3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document whitespace token count + char length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def x3_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per labeled language: doc counts, avg length, avg
+    tokens — the groupBy(lang) rollup a pretraining pipeline reports."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(token_count(F.col("text"))), 6).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def x3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length band x alpha ratio x punctuation
+    ratio) — the pretraining-data filter signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def x3_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint of normalized text (dedup key; also the
+    oracle-checkable stand-in for the rolling-hash fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def x3_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of docs whose text contains >=1 marker word of their labeled
+    language — the oracle-checkable core of the language-ID heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    cond = F.lit(False)
+    for lang, words in LANG_MARKERS.items():
+        pat = "(^|\\s)(" + "|".join(words) + ")(\\s|$)"
+        cond = F.when(F.col("lang") == lang, F.lower(F.col("text")).rlike(pat)).otherwise(cond)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(cond.cast("long")).alias("n_covered"),
+        )
+    )
+
+
+def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full heuristic language ID vs the labeled lang (rows-only check:
+    the tie-break cascade is engine-specific; pinned by unit tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", detect_lang(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES = {
+    "x3_token_stats": x3_token_stats,
+    "x3_lang_stats": x3_lang_stats,
+    "x3_quality_scores": x3_quality_scores,
+    "x3_fingerprints": x3_fingerprints,
+    "x3_stopword_coverage": x3_stopword_coverage,
+    "x3_lang_id": x3_lang_id,
+}
+
+_TOKENS_DUCK = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+
+_ORACLE_STOPWORD_CASE = " ".join(
+    "WHEN lang = '{lang}' THEN regexp_matches(lower(text), '(^|\\s)({alts})(\\s|$)')".format(
+        lang=lang, alts="|".join(words)
+    )
+    for lang, words in LANG_MARKERS.items()
+)
+
+ORACLES = {
+    "x3_token_stats": f"""
+        SELECT doc_id, length(text) AS text_len,
+               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                    THEN 0 ELSE {_TOKENS_DUCK} END AS n_tokens
+        FROM documents
+    """,
+    "x3_lang_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 6) AS avg_chars,
+               round(avg({_TOKENS_DUCK}), 6) AS avg_tokens,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "x3_quality_scores": """
+        SELECT doc_id,
+               round(
+                   (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
+                   * (0.7 * (CASE WHEN length(text) > 0
+                             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                             ELSE 0.0 END)
+                      + 0.3 * (1 - (CASE WHEN length(text) > 0
+                               THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text)
+                               ELSE 0.0 END))),
+                   6) AS quality
+        FROM documents
+    """,
+    "x3_fingerprints": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    """,
+    "x3_stopword_coverage": f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CAST((CASE {_ORACLE_STOPWORD_CASE} ELSE FALSE END) AS BIGINT)) AS BIGINT)
+                   AS n_covered
+        FROM documents GROUP BY lang
+    """,
+}
