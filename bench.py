@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is forced end-to-end with a noop sink (full compute, no driver
+collect overhead). A tiny warmup query absorbs JVM/codegen startup so the
+numbers measure the plans, not the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from swiftbulkuploader_spark.session import get_spark  # noqa: E402
+from swiftbulkuploader_spark import registry  # noqa: E402
+
+# Headline set: one per operator family (SURVEY.md §2 + §2.9 extensions).
+HEADLINE = [
+    "q1_scan_pending_sorted",   # scan+filter+sort
+    "q7_resume_anti_join",      # anti-join (resume)
+    "a7_progress_pct",          # conditional aggregate
+    "a8_rate_window",           # time-window aggregation
+    "w1_latest_attempt",        # ranking window
+    "s11_segment_plan",         # explode/sequence UDTF-shape
+    "x5_pricing_summary",       # wide aggregate
+    "x5_top_revenue_orders",    # 3-way join + top-k
+    "x5_nation_revenue",        # 6-way star join
+    "x1_exact_dedup",           # hash dedup
+    "x1_minhash_neardup",       # MinHash LSH near-dup
+    "x2_cosine_topk",           # brute-force similarity
+    "x3_token_stats",           # text analytics scan
+    "x4_json_agg",              # JSON parse + agg
+    "x6_quantiles",             # exact percentiles
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, codegen, parquet footer caches
+    registry.QUERIES["a1_total_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(2):  # best-of-2: isolates plan cost from JVM noise
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import fingerprint, normalize_ws, shingles
+from swiftbulkuploader_spark.plans.layout import spread
 
 # ---------------------------------------------------------------------------
 # X1a — exact dedup
@@ -76,25 +77,42 @@ N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def _minhash_signature(sh: Column) -> list[Column]:
-    """32 independent minhashes of a shingle array: xxhash64 with a per-hash
-    salt, min-reduced. Empty shingle sets yield nulls (filtered upstream)."""
+def _minhash_signature(hashes: Column) -> list[Column]:
+    """32 independent minhashes derived from per-shingle base hashes: each
+    shingle string is hashed ONCE (xxhash64); the i-th family re-mixes the
+    64-bit base with salt i (long-long xxhash64 — integer-only, far cheaper
+    than 32 string hashes per shingle)."""
+
     def hash_i(i: int) -> Column:
         # single-arg lambda: a two-arg lambda would receive the array index
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+        return F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
 
     return [hash_i(i) for i in range(N_HASHES)]
 
 
 def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
-    """(doc_id, shingles, sig_0..sig_31) for non-empty documents."""
+    """(doc_id, shingles, sig_0..sig_31) for non-empty documents.
+
+    `spread()` first: shingling + 32-way minhashing is compute-dense, and
+    byte-sized parquet splits (row-group-bounded) under-parallelize it.
+
+    The (sh, hs) base is `persist()`ed: CollapseProject would otherwise
+    inline the shingle/hash arrays into every sig_i expression (higher-order
+    functions run interpreted — no codegen CSE), recomputing the shingling
+    33x; and the LSH pipeline consumes the signatures three times (band
+    explode + both sides of the verify join). MEMORY_AND_DISK, so the
+    materialized base spills rather than OOMs at large scale.
+    """
     sh = F.array_distinct(shingles(F.col("text"), k))
-    sig = _minhash_signature(F.col("sh"))
-    return (
-        docs.select("doc_id", sh.alias("sh"))
+    base = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", sh.alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", *[c.alias(f"sig_{i}") for i, c in enumerate(sig)])
+        .withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        .persist()
     )
+    sig = _minhash_signature(F.col("hs"))
+    return base.select("doc_id", "sh", *[c.alias(f"sig_{i}") for i, c in enumerate(sig)])
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
@@ -168,7 +186,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """64-bit SimHash per document: explode tokens, hash each (xxhash64),
     per-bit signed vote, reassemble. One explode + one groupBy with 64
     codegen'd conditional sums — no Python."""
-    toks = docs.select(
+    toks = spread(docs.select(id_col, text_col)).select(
         id_col,
         F.explode(F.split(F.lower(normalize_ws(F.col(text_col))), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

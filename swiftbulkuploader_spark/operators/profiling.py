@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.plans.layout import spread
 
 
 def x6_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,14 +29,21 @@ def x6_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x6_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of quantity/price (Spark `percentile`
-    == DuckDB `quantile_cont`)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    == DuckDB `quantile_cont`).
+
+    One percentile state per column (array form), not one per requested
+    quantile, and `spread()` so the per-partition state build parallelizes
+    past the single-row-group scan split."""
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice"))
     return li.agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("qty_p25"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("qty_p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("qty_ps"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("price_ps"),
+    ).select(
+        F.round(F.element_at("qty_ps", 1), 6).alias("qty_p25"),
+        F.round(F.element_at("qty_ps", 2), 6).alias("qty_p50"),
+        F.round(F.element_at("qty_ps", 3), 6).alias("qty_p75"),
+        F.round(F.element_at("price_ps", 1), 6).alias("price_p50"),
+        F.round(F.element_at("price_ps", 2), 6).alias("price_p99"),
     )
 
 
