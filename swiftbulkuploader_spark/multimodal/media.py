@@ -1,0 +1,126 @@
+"""Multimodal columns: image/audio/video as opaque `binary` + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, Arrow batch shape,
+partitioning, UDF signatures. The codec layer is STUBBED (this container has
+no image/audio libraries): real formats raise NotImplementedError; a
+deterministic fake format exists so tests exercise the full distributed path
+with verifiable results.
+
+Fake format (deterministic, self-describing):
+    b"FAKEIMG:<width>x<height>:" + pixel bytes (w*h, row-major grayscale)
+
+Scale design: decode/feature-extract runs in `mapInPandas` — Arrow moves the
+binary column to Python in columnar batches, one codec init per partition,
+and the output is a narrow typed struct (never re-emit the raw bytes unless
+asked). Batch size is bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`
+so a partition of 100 MB blobs doesn't materialize at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("format", T.StringType()),     # fakeimg | png | jpeg | ...
+    T.StructField("data", T.BinaryType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def _decode_fakeimg(data: bytes) -> tuple[int, int, float]:
+    header, _, rest = data.partition(b":")
+    if header != b"FAKEIMG":
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "only the deterministic FAKEIMG format decodes"
+        )
+    dims, _, pixels = rest.partition(b":")
+    w, h = (int(v) for v in dims.split(b"x"))
+    if len(pixels) < w * h:
+        raise ValueError(f"truncated FAKEIMG: want {w * h} pixels, got {len(pixels)}")
+    body = pixels[: w * h]
+    mean = sum(body) / len(body) if body else 0.0
+    return w, h, mean
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Decode image dimensions + mean pixel via mapInPandas. Decode failures
+    are rows (decode_error), not task failures — one bad blob must not kill
+    a 100 TB job."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_bytes", "mean_pixel", "decode_error")}
+            for row in pdf.itertuples(index=False):
+                w = h = None
+                mean = None
+                err = None
+                try:
+                    w, h, mean = _decode_fakeimg(bytes(row.data))
+                except Exception as e:  # noqa: BLE001 - errors become data
+                    err = f"{type(e).__name__}: {e}"
+                out["media_id"].append(row.media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(row.data))
+                out["mean_pixel"].append(mean)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(fn, IMAGE_META_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM profile of a media table: size distribution per kind/format
+    (no Python, no decode — the triage query you run before a decode job)."""
+    return (
+        media.groupBy("kind", "format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("data")).alias("total_bytes"),
+            F.round(F.avg(F.length("data")), 2).alias("avg_bytes"),
+            F.max(F.length("data")).alias("max_bytes"),
+        )
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10, n_frames_key: str = "n_frames") -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index, from the
+    metadata map (no video decode — the plan is pure DataFrame math, the
+    decode executes later like read_segments)."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), n_frames_key).cast("int"), F.lit(0)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(((n_frames - 1) / every_n).cast("int"), F.lit(0)),
+                )
+            ).alias("sample_no"),
+        )
+        .select(
+            "media_id",
+            "sample_no",
+            (F.col("sample_no") * every_n).alias("frame_index"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""The upload stage: pending work -> object store -> attempt log
+(SURVEY.md §3.2's Spark lifecycle replacement).
+
+The reference fans out N OS processes over a shared Manager list with a lock
+(bulkupload.py:407-440); here the *only* orchestration is a DataFrame plan:
+
+    pending  = manifest LEFT ANTI JOIN successes ON id          (Q7 resume)
+    attempts = pending mapInPandas upload_batch                 (S6 sink)
+    report   = attempts groupBy(ok)                             (A9)
+
+* one ObjectStore connection per partition (vs per-call, bulkupload.py:236+)
+* bounded in-task retries emit one attempt ROW each (A4/A5) — the mutable
+  counters and the `uploaded` point-UPDATE (U2) become append-only data
+* at-least-once with idempotent keys: a task retried by Spark re-PUTs the
+  same key (same guarantee as the reference's PUT->flag gap, SURVEY.md §2.7)
+* Arrow-batched mapInPandas: rows stream through the Python worker in
+  columnar batches; file bytes never collect on the driver
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from swiftbulkuploader_spark.functions.paths import object_key
+from swiftbulkuploader_spark.sources.objectstore import StoreFactory
+
+ATTEMPTS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("try_no", T.IntegerType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def pending_work(manifest: DataFrame, attempts: DataFrame | None) -> DataFrame:
+    """Q7 — resume as a left-anti join against prior successes. With no
+    attempt log yet, everything not flagged uploaded is pending."""
+    pending = manifest.filter(~F.col("uploaded")) if "uploaded" in manifest.columns else manifest
+    if attempts is None:
+        return pending
+    successes = attempts.filter(F.col("ok")).select("id").distinct()
+    return pending.join(successes, "id", "left_anti")
+
+
+def _upload_batches(store_factory: StoreFactory, max_attempts: int, retry_sleep: float):
+    """Builds the mapInPandas function; one store per partition, reused
+    across that partition's Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        store = None
+        try:
+            for pdf in batches:
+                out = {k: [] for k in ("id", "path", "key", "ts", "try_no", "ok", "error")}
+                for row in pdf.itertuples(index=False):
+                    if store is None:
+                        store = store_factory.build()
+                    for try_no in range(1, max_attempts + 1):
+                        ts = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+                        ok, err = True, None
+                        try:
+                            with open(row.path, "rb") as fh:
+                                data = fh.read()
+                            store.put(row.key, data)
+                        except Exception as e:  # noqa: BLE001 - each failure becomes a row
+                            ok, err = False, f"{type(e).__name__}: {e}"
+                        out["id"].append(row.id)
+                        out["path"].append(row.path)
+                        out["key"].append(row.key)
+                        out["ts"].append(ts)
+                        out["try_no"].append(try_no)
+                        out["ok"].append(ok)
+                        out["error"].append(err)
+                        if ok:
+                            break
+                        if try_no < max_attempts and retry_sleep:
+                            time.sleep(retry_sleep)
+                yield pd.DataFrame(out)
+        finally:
+            if store is not None:
+                store.close()
+
+    return fn
+
+
+def upload(manifest: DataFrame, store_factory: StoreFactory,
+           prior_attempts: DataFrame | None = None, cutoff: str = "",
+           max_attempts: int = 5, retry_sleep: float = 0.0,
+           parallelism: int | None = None) -> DataFrame:
+    """Run the upload stage; returns the attempt-log DataFrame (lazy — write
+    it to the attempts table to execute).
+
+    `parallelism` repartitions the pending set: upload is IO-bound per row,
+    so width = cluster slots, independent of input file splits (the same
+    reasoning as the reference's "increase N processes", readme.md:39-42,
+    minus the manual queue).
+    """
+    pend = pending_work(manifest, prior_attempts).select(
+        "id", "path", object_key(F.col("path"), cutoff).alias("key")
+    )
+    if parallelism:
+        pend = pend.repartition(parallelism)
+    fn = _upload_batches(store_factory, max_attempts, retry_sleep)
+    return pend.mapInPandas(fn, ATTEMPTS_SCHEMA)
+
+
+def latest_status(attempts: DataFrame) -> DataFrame:
+    """W1 — latest-wins per id: the immutable replacement for the mutable
+    `uploaded` flag (bulkupload.py:253-261)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("ts").desc(), F.col("try_no").desc())
+    return (
+        attempts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "path", "key", "ts", "ok", "error")
+    )
+
+
+def report(attempts: DataFrame) -> DataFrame:
+    """A9/S10 — end-of-run reconciliation: per-outcome totals over the
+    *final* status of each id (not raw attempt rows)."""
+    return latest_status(attempts).groupBy("ok").agg(
+        F.count("*").alias("n_files"),
+    )
+
+
+def run_pipeline(spark, source_dir: str, store_factory: StoreFactory,
+                 attempts_path: str, cutoff: str = "", max_attempts: int = 5,
+                 parallelism: int | None = None) -> dict:
+    """End-to-end: ingest -> resume-filter -> upload -> append attempts ->
+    report. Returns summary counters (driver-side smalls only)."""
+    from swiftbulkuploader_spark.sources.ingest import ingest_listing
+
+    manifest = ingest_listing(spark, source_dir).filter(F.col("error").isNull())
+    try:
+        prior = spark.read.parquet(attempts_path)
+    except Exception:  # noqa: BLE001 - first run: no attempt log yet
+        prior = None
+    attempts = upload(manifest, store_factory, prior, cutoff, max_attempts,
+                      parallelism=parallelism)
+    attempts.write.mode("append").parquet(attempts_path)
+    full_log = spark.read.parquet(attempts_path)
+    rep = {r["ok"]: r["n_files"] for r in report(full_log).collect()}
+    total = manifest.count()
+    done = rep.get(True, 0)
+    return {
+        "total": total,
+        "uploaded": done,
+        "failed": rep.get(False, 0),
+        "pct_done": round(100.0 * done / total, 8) if total else 100.0,
+    }

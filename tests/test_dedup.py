@@ -1,0 +1,96 @@
+"""X1 dedup semantics on crafted corpora: exact groups, MinHash-LSH recall/
+precision on known near-dups, SimHash hamming pairs, n-gram Jaccard values.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.operators.dedup import (
+    exact_jaccard,
+    minhash_candidates,
+    minhash_signatures,
+    simhash,
+    simhash_neardup,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest while the sun slowly sets behind hills")
+NEAR = BASE.replace("slowly", "quickly")        # one-word edit: near-dup
+EXACT = BASE
+FAR = ("completely different text about database engines and distributed "
+       "query processing with columnar storage and vectorized execution "
+       "running on large clusters of commodity machines every single day")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, EXACT), (3, FAR)], "doc_id: long, text: string"
+    )
+
+
+class TestMinHash:
+    def test_signatures_shape(self, spark, corpus):
+        sigs = minhash_signatures(corpus)
+        assert sigs.count() == 4
+        assert {c for c in sigs.columns if c.startswith("sig_")} == {f"sig_{i}" for i in range(32)}
+
+    def test_exact_dup_is_found_with_jaccard_1(self, spark, corpus):
+        sigs = minhash_signatures(corpus)
+        pairs = exact_jaccard(minhash_candidates(sigs), sigs).collect()
+        by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+        assert by_pair.get((0, 2)) == 1.0
+
+    def test_near_dup_found_far_not_paired(self, spark, corpus):
+        sigs = minhash_signatures(corpus)
+        pairs = exact_jaccard(minhash_candidates(sigs), sigs).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (0, 1) in found  # one-word edit shares most shingles
+        assert not any(3 in p for p in found)  # unrelated text: no candidate
+
+    def test_jaccard_value_sane_for_near_dup(self, spark, corpus):
+        sigs = minhash_signatures(corpus)
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in exact_jaccard(minhash_candidates(sigs), sigs).collect()}
+        # one word changed in 23 -> ~5 of ~19 5-shingles differ
+        assert 0.5 < pairs[(0, 1)] < 1.0
+
+
+class TestSimHash:
+    def test_exact_dup_hamming_zero(self, spark, corpus):
+        sims = simhash(corpus)
+        vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+        assert vals[0] == vals[2]
+
+    def test_near_dup_low_hamming_far_high(self, spark, corpus):
+        sims = simhash(corpus)
+        vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+        ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+        assert ham(vals[0], vals[1]) <= 10
+        assert ham(vals[0], vals[3]) > 10
+
+    def test_neardup_pairs(self, spark, corpus):
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                 for r in simhash_neardup(simhash(corpus), max_hamming=10).collect()}
+        assert (0, 2) in pairs and pairs[(0, 2)] == 0
+        assert not any(3 in p for p in pairs)
+
+
+class TestExactDedupOps:
+    def test_fingerprint_groups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Same   Text"), (2, "same text"), (3, "other")],
+            "doc_id: long, text: string",
+        )
+        from swiftbulkuploader_spark.functions.text import fingerprint
+
+        groups = (
+            df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+            .groupBy("fp").agg(F.count("*").alias("copies"), F.min("doc_id").alias("keeper"))
+            .collect()
+        )
+        by_copies = sorted([(r["copies"], r["keeper"]) for r in groups])
+        # whitespace-normalized + lowercased: 1 and 2 collide, keeper = 1
+        assert by_copies == [(1, 3), (2, 1)]

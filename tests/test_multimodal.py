@@ -1,0 +1,65 @@
+"""Multimodal plumbing: the Spark path (schema, batches, partitioning) is
+real; codecs are stubbed (deterministic FAKEIMG + NotImplementedError rows
+for real formats).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from swiftbulkuploader_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    decode_image_meta,
+    frame_sample_plan,
+    media_stats,
+)
+
+
+def _fakeimg(w: int, h: int, fill: int = 7) -> bytes:
+    return b"FAKEIMG:" + f"{w}x{h}".encode() + b":" + bytes([fill]) * (w * h)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "fakeimg", _fakeimg(4, 3), {}),
+        (2, "image", "fakeimg", _fakeimg(2, 2, fill=10), {}),
+        (3, "image", "png", b"\x89PNG\r\n...", {}),          # real codec: stub
+        (4, "image", "fakeimg", b"FAKEIMG:9x9:short", {}),    # truncated
+        (5, "video", "fakevid", b"", {"n_frames": "25"}),
+        (6, "video", "fakevid", b"", {"n_frames": "3"}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+class TestDecode:
+    def test_fake_images_decode(self, spark, media):
+        out = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+        assert (out[1]["width"], out[1]["height"]) == (4, 3)
+        assert out[1]["mean_pixel"] == pytest.approx(7.0)
+        assert out[2]["mean_pixel"] == pytest.approx(10.0)
+        assert out[1]["decode_error"] is None
+
+    def test_real_codec_is_stubbed_not_fatal(self, spark, media):
+        out = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+        assert "NotImplementedError" in out[3]["decode_error"]
+        assert "ValueError" in out[4]["decode_error"]
+        # errors are rows; the job still returned every input
+        assert len(out) == 6
+
+    def test_binary_passthrough_lengths(self, spark, media):
+        out = {r["media_id"]: r["n_bytes"] for r in decode_image_meta(media).collect()}
+        assert out[1] == len(_fakeimg(4, 3))
+
+
+class TestStatsAndFrames:
+    def test_media_stats_jvm_only(self, spark, media):
+        rows = {(r["kind"], r["format"]): r for r in media_stats(media).collect()}
+        assert rows[("image", "fakeimg")]["n"] == 3
+        assert rows[("video", "fakevid")]["total_bytes"] == 0
+
+    def test_frame_sample_plan(self, spark, media):
+        rows = [(r["media_id"], r["frame_index"]) for r in
+                frame_sample_plan(media, every_n=10).collect()]
+        # 25 frames, every 10th -> 0,10,20; 3 frames -> 0
+        assert sorted(rows) == [(5, 0), (5, 10), (5, 20), (6, 0)]

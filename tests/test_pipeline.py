@@ -1,0 +1,138 @@
+"""End-to-end pipeline (SURVEY.md §5 item 2): ingest a synthetic tree,
+upload to the local-FS fake with injected failures, assert resume semantics
+(Q7), exactly-once-per-file success, and report reconciliation (A1/A4/A5/A9).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.plans.upload import (
+    latest_status,
+    pending_work,
+    report,
+    run_pipeline,
+    upload,
+)
+from swiftbulkuploader_spark.sources.ingest import ingest_listing
+from swiftbulkuploader_spark.sources.objectstore import LocalFSObjectStore, StoreFactory
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    """Synthetic source tree incl. the reference's adversarial cases."""
+    files = {
+        "a/one.txt": b"one",
+        "a/two.bin": b"\x00\x01\x02" * 100,
+        "a/deep/three.txt": b"three",
+        "b/it's got quotes.txt": b"quoted",
+        'b/say "hi".txt': b"double",
+        "b/文件.txt": "unicode ☃".encode("utf-8"),
+        "c/empty.dat": b"",
+        "flaky/will_fail.dat": b"flaky content",
+    }
+    for rel, data in files.items():
+        p = tmp_path / "src" / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    # symlink cycle: must not hang or duplicate
+    os.symlink(str(tmp_path / "src/a"), str(tmp_path / "src/a/deep/loop"))
+    return tmp_path, files
+
+
+class TestIngest:
+    def test_lists_every_file_once(self, spark, tree):
+        tmp_path, files = tree
+        m = ingest_listing(spark, str(tmp_path / "src"))
+        rows = m.collect()
+        good = [r for r in rows if r["error"] is None]
+        assert len(good) == len(files)
+        assert len({r["path"] for r in good}) == len(files)
+        assert len({r["id"] for r in good}) == len(files)  # xxhash64 keys unique
+        by_path = {r["path"]: r for r in good}
+        src = str(tmp_path / "src")
+        assert by_path[f"{src}/a/two.bin"]["size"] == 300
+        assert by_path[f"{src}/c/empty.dat"]["size"] == 0
+        assert not any(r["uploaded"] for r in good)
+
+    def test_unicode_and_quotes_survive(self, spark, tree):
+        tmp_path, files = tree
+        m = ingest_listing(spark, str(tmp_path / "src"))
+        paths = {r["path"] for r in m.collect()}
+        src = str(tmp_path / "src")
+        assert f"{src}/b/it's got quotes.txt" in paths
+        assert f'{src}/b/say "hi".txt' in paths
+        assert f"{src}/b/文件.txt" in paths
+
+
+class TestUploadResume:
+    def test_full_pipeline_with_failures_and_resume(self, spark, tree, tmp_path):
+        tmp_path_src, files = tree
+        store_root = str(tmp_path / "store")
+        attempts_path = str(tmp_path / "attempts")
+        src = str(tmp_path_src / "src")
+        # injected: keys containing 'will_fail' fail their first 6 attempts
+        # -> run 1 exhausts its 5 retries (A5), run 2 succeeds on try 2
+        factory = StoreFactory("localfs", root=store_root,
+                               fail_substring="will_fail", fail_times=6)
+
+        res1 = run_pipeline(spark, src, factory, attempts_path,
+                            cutoff=os.path.basename(src))
+        assert res1["total"] == len(files)
+        assert res1["uploaded"] == len(files) - 1
+        assert res1["failed"] == 1
+
+        # resume: only the failed file is retried (Q7 anti-join)
+        manifest = ingest_listing(spark, src).filter(F.col("error").isNull())
+        prior = spark.read.parquet(attempts_path)
+        pend = pending_work(manifest, prior)
+        assert [os.path.basename(r["path"]) for r in pend.collect()] == ["will_fail.dat"]
+
+        res2 = run_pipeline(spark, src, factory, attempts_path,
+                            cutoff=os.path.basename(src))
+        assert res2["uploaded"] == len(files)
+        assert res2["failed"] == 0
+        assert res2["pct_done"] == 100.0
+
+        # content integrity incl. adversarial names, via derived keys
+        store = LocalFSObjectStore(store_root)
+        for rel, data in files.items():
+            assert store.get(rel) == data, rel
+
+        # attempt log reconciles: one success row per file, failures logged
+        log = spark.read.parquet(attempts_path)
+        ok_per_id = log.filter("ok").groupBy("id").count().collect()
+        assert all(r["count"] == 1 for r in ok_per_id)  # exactly-once success
+        assert len(ok_per_id) == len(files)
+        n_failed_rows = log.filter(~F.col("ok")).count()
+        assert n_failed_rows == 6  # 5 exhausted (run 1) + 1 (run 2, try 1)
+
+    def test_latest_status_and_report(self, spark, tree, tmp_path):
+        tmp_path_src, files = tree
+        src = str(tmp_path_src / "src")
+        factory = StoreFactory("localfs", root=str(tmp_path / "store2"),
+                               fail_substring="will_fail", fail_times=6)
+        manifest = ingest_listing(spark, src).filter(F.col("error").isNull())
+        attempts = upload(manifest, factory, cutoff=os.path.basename(src))
+        attempts_rows = attempts.cache()
+        latest = latest_status(attempts_rows)
+        assert latest.count() == len(files)
+        rep = {r["ok"]: r["n_files"] for r in report(attempts_rows).collect()}
+        assert rep == {True: len(files) - 1, False: 1}
+        attempts_rows.unpersist()
+
+
+class TestStoreSafety:
+    def test_traversal_key_rejected(self, tmp_path):
+        store = LocalFSObjectStore(str(tmp_path / "s"))
+        with pytest.raises(ValueError):
+            store.put("../escape.txt", b"x")
+
+    def test_put_is_idempotent_overwrite(self, tmp_path):
+        store = LocalFSObjectStore(str(tmp_path / "s"))
+        store.put("k/a.txt", b"v1")
+        store.put("k/a.txt", b"v2")
+        assert store.get("k/a.txt") == b"v2"

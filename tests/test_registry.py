@@ -1,0 +1,41 @@
+"""Driver-contract surface: every registered query runs at sf0.001 with a
+stable schema; oracles reference only existing queries; entry() smokes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from swiftbulkuploader_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_query_runs_and_has_rows_or_schema(spark):
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, SF)
+        assert df.columns, name
+        n = df.count()
+        assert n >= 0, name
+
+
+def test_oracles_subset_of_queries():
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_entry_smoke(spark):
+    rows = entrymod.entry(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["total"] > 0
+    assert 0 <= r["pct_done"] <= 100
+
+
+def test_contract_shapes():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())

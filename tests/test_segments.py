@@ -1,0 +1,70 @@
+"""S11 segmentation: plan invariants (FIXTURES.md) + ranged-read integrity
+(`concat(segments) == content`, byte semantics — SURVEY.md §7.4 item 3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.sources.segments import read_segments, segment_plan
+
+
+def _manifest(spark, rows):
+    return spark.createDataFrame(rows, "path: string, size: long")
+
+
+class TestPlan:
+    def test_invariants(self, spark):
+        m = _manifest(spark, [("/f/a.bin", 250), ("/f/b.bin", 100), ("/f/c.bin", 1), ("/f/zero.bin", 0)])
+        plan = segment_plan(m, size=100).collect()
+        by_path = {}
+        for r in plan:
+            by_path.setdefault(r["path"], []).append(r)
+        assert [r["seg_length"] for r in sorted(by_path["/f/a.bin"], key=lambda r: r["seg_no"])] == [100, 100, 50]
+        assert [r["seg_length"] for r in by_path["/f/b.bin"]] == [100]
+        assert [r["seg_length"] for r in by_path["/f/c.bin"]] == [1]
+        assert [r["seg_length"] for r in by_path["/f/zero.bin"]] == [0]
+        for rows in by_path.values():
+            rows = sorted(rows, key=lambda r: r["seg_no"])
+            # contiguous non-overlapping offsets
+            assert rows[0]["seg_offset"] == 0
+            for prev, cur in zip(rows, rows[1:]):
+                assert cur["seg_offset"] == prev["seg_offset"] + prev["seg_length"]
+
+    def test_segment_names(self, spark):
+        m = _manifest(spark, [("/f/a.bin", 250)])
+        names = [r["seg_name"] for r in segment_plan(m, size=100).orderBy("seg_no").collect()]
+        assert names == ["a.bin-0000.txt", "a.bin-0001.txt", "a.bin-0002.txt"]
+
+    @settings(max_examples=20, deadline=None)
+    @given(size=st.integers(1, 10**9), seg=st.integers(1, 10**8))
+    def test_plan_laws(self, size, seg):
+        # pure-python mirror of the plan arithmetic
+        n = (max(size, 1) - 1) // seg + 1
+        lengths = [min(seg, size - i * seg) for i in range(n)]
+        assert sum(lengths) == size or (size == 0 and lengths == [0])
+        assert all(0 < l <= seg for l in lengths) or size == 0
+
+
+class TestRangedReads:
+    def test_concat_equals_content(self, spark, tmp_path):
+        data = bytes(range(256)) * 10  # 2560 bytes, binary (not UTF-8 safe)
+        p = tmp_path / "blob.bin"
+        p.write_bytes(data)
+        m = _manifest(spark, [(str(p), len(data))])
+        segs = read_segments(segment_plan(m, size=1000), parallelism=4).orderBy("seg_no").collect()
+        assert len(segs) == 3
+        assert b"".join(bytes(r["content"]) for r in segs) == data
+        assert all(len(bytes(r["content"])) == r["seg_length"] for r in segs)
+
+    def test_binary_files_do_not_crash(self, spark, tmp_path):
+        # the reference's text-mode read raises UnicodeDecodeError here
+        data = b"\xff\xfe\x00\x80" * 50
+        p = tmp_path / "nasty.bin"
+        p.write_bytes(data)
+        m = _manifest(spark, [(str(p), len(data))])
+        segs = read_segments(segment_plan(m, size=64)).collect()
+        assert b"".join(bytes(r["content"]) for r in sorted(segs, key=lambda r: r["seg_no"])) == data

@@ -1,0 +1,113 @@
+"""X2 similarity search on crafted embeddings: exact cosine math, LSH bucket
+recall of the true nearest neighbor, centroid profile shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from swiftbulkuploader_spark.operators.similarity import hyperplanes, lsh_signature
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+class TestVectorMath:
+    def test_dot_and_norm(self, spark):
+        df = _df(spark, [(0, [3.0, 4.0])])
+        row = df.select(
+            dot_product(F.col("embedding"), F.col("embedding")).alias("d"),
+            l2_norm(F.col("embedding")).alias("n"),
+        ).first()
+        assert row["d"] == 25.0
+        assert row["n"] == 5.0
+
+    def test_cosine_bounds_and_identity(self, spark):
+        df = _df(spark, [(0, [1.0, 2.0, 3.0]), (1, [-1.0, -2.0, -3.0])])
+        q = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+        got = {r["vec_id"]: r["c"] for r in df.select(
+            "vec_id", cosine_similarity(F.col("embedding"), q).alias("c")).collect()}
+        assert got[0] == pytest.approx(1.0)
+        assert got[1] == pytest.approx(-1.0)
+
+    def test_zero_vector_is_null_not_nan(self, spark):
+        df = _df(spark, [(0, [0.0, 0.0])])
+        q = F.array(F.lit(1.0), F.lit(0.0))
+        assert df.select(cosine_similarity(F.col("embedding"), q).alias("c")).first()["c"] is None
+
+
+class TestLSH:
+    def test_identical_vectors_same_bucket(self, spark):
+        planes = hyperplanes(n_planes=8, dim=4)
+        df = _df(spark, [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]),
+                         (2, [2.0, 4.0, 6.0, 8.0])])  # scaled: same direction
+        sigs = {r["vec_id"]: r["s"] for r in df.select(
+            "vec_id", lsh_signature(F.col("embedding"), planes).alias("s")).collect()}
+        assert sigs[0] == sigs[1] == sigs[2]
+
+    def test_opposite_vectors_differ(self, spark):
+        planes = hyperplanes(n_planes=8, dim=4)
+        df = _df(spark, [(0, [1.0, 2.0, 3.0, 4.0]), (1, [-1.0, -2.0, -3.0, -4.0])])
+        sigs = {r["vec_id"]: r["s"] for r in df.select(
+            "vec_id", lsh_signature(F.col("embedding"), planes).alias("s")).collect()}
+        # all 8 bits flip for exactly-opposite vectors
+        assert sigs[0] ^ sigs[1] == (1 << 8) - 1
+
+    def test_hyperplanes_deterministic(self):
+        assert hyperplanes(4, 8, seed=7) == hyperplanes(4, 8, seed=7)
+        assert hyperplanes(4, 8, seed=7) != hyperplanes(4, 8, seed=8)
+
+
+class TestOnTestdata:
+    def test_bucket_topk_consistent_with_exact(self, spark):
+        """The driver embeddings are isotropic random vectors (measured:
+        same-label mean cos ~ 0), so *no* ANN index can have good recall
+        there — the honest guarantees are self-recall and consistency:
+        whatever the probed buckets contain must score and rank exactly as
+        brute force does."""
+        from swiftbulkuploader_spark.operators.similarity import (
+            x2_cosine_topk,
+            x2_lsh_bucket_topk,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["vec_id"]: r["cos_sim"] for r in x2_cosine_topk(spark, sf).collect()}
+        ann_rows = x2_lsh_bucket_topk(spark, sf).collect()
+        ann = {r["vec_id"]: r["cos_sim"] for r in ann_rows}
+        assert 0 in ann and ann[0] == pytest.approx(1.0)  # query self-recall
+        # scores agree with brute force wherever the sets overlap
+        for vid in set(ann) & set(exact):
+            assert ann[vid] == exact[vid]
+        # returned in descending score order
+        scores = [r["cos_sim"] for r in ann_rows]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_lsh_recall_on_clustered_data(self, spark):
+        """On data with actual cluster structure (near-duplicate vectors),
+        single-bucket LSH recalls the near-dups of the query."""
+        import math
+        import random
+
+        rnd = random.Random(7)
+        base = [rnd.gauss(0, 1) for _ in range(64)]
+        rows = []
+        for i in range(5):  # 5 near-copies of base (tiny perturbation)
+            rows.append((i, [v + rnd.gauss(0, 0.01) for v in base]))
+        for i in range(5, 105):  # 100 unrelated vectors
+            rows.append((i, [rnd.gauss(0, 1) for _ in range(64)]))
+        df = _df(spark, rows)
+        planes = hyperplanes()
+        sigs = {r["vec_id"]: r["s"] for r in df.select(
+            "vec_id", lsh_signature(F.col("embedding"), planes).alias("s")).collect()}
+        # near-copies land within hamming-1 of the query's bucket (one plane
+        # has margin ~0.035 < noise): exactly the radius multiprobe covers
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert max(ham(sigs[0], sigs[i]) for i in range(5)) <= 1
+        # and the bucket is selective: <10% of the unrelated vectors join it
+        colliders = [i for i in range(5, 105) if ham(sigs[i], sigs[0]) <= 1]
+        assert len(colliders) < 10

@@ -1,0 +1,71 @@
+"""Observability (S9/A7/A8): observe() counters, progress format, batch and
+Structured-Streaming rate windows.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from swiftbulkuploader_spark.plans.upload import ATTEMPTS_SCHEMA
+from swiftbulkuploader_spark.streaming.progress import (
+    observed,
+    progress_line,
+    rate_over_window,
+    stream_rate,
+)
+
+
+def _attempts(spark, rows):
+    return spark.createDataFrame(rows, ATTEMPTS_SCHEMA)
+
+
+def _ts(s: int):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+ROWS = [
+    (1, "/a", "a", _ts(0), 1, True, None),
+    (2, "/b", "b", _ts(1), 1, True, None),
+    (3, "/c", "c", _ts(2), 1, False, "boom"),
+    (3, "/c", "c", _ts(3), 2, True, None),
+    (4, "/d", "d", _ts(7), 1, True, None),
+]
+
+
+class TestObserve:
+    def test_counters_from_job_side_effect(self, spark):
+        df, obs = observed(_attempts(spark, ROWS))
+        df.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got == {"n_attempts": 5, "n_ok": 4, "n_failed": 1}
+
+    def test_progress_line_format(self):
+        # the reference's 8-decimal % (bulkupload.py:323-331)
+        assert progress_line(1, 3) == "1/3 files uploaded. 33.33333333%"
+        assert progress_line(0, 0) == "0/0 files uploaded. 100.00000000%"
+
+
+class TestRateWindows:
+    def test_batch_window_counts(self, spark):
+        out = {r["window_start"].second: (r["n_ok"], r["rate_per_s"])
+               for r in rate_over_window(_attempts(spark, ROWS), "5 seconds").collect()}
+        assert out[0] == (3, 0.6)   # 3 successes in [0,5)
+        assert out[5] == (1, 0.2)   # 1 success in [5,10)
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        """availableNow streaming over the same attempts produces the same
+        windows as the batch aggregation (exactly-once, checkpointed)."""
+        attempts_dir = str(tmp_path / "attempts")
+        _attempts(spark, ROWS).write.parquet(attempts_dir)
+        q = (
+            stream_rate(spark, attempts_dir, window="5 seconds")
+            .writeStream.format("memory").queryName("rates")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {r["window_start"].second: (r["n_ok"], r["rate_per_s"])
+               for r in spark.sql("SELECT * FROM rates").collect()}
+        assert got == {0: (3, 0.6), 5: (1, 0.2)}

@@ -1,0 +1,78 @@
+"""X3 text primitives: token counts, language ID, quality bounds, shingles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.functions.text import (
+    bpe_ish_token_count,
+    detect_lang,
+    fingerprint,
+    quality_score,
+    shingles,
+    token_count,
+)
+
+
+def _apply(spark, fn, text, *args):
+    return spark.createDataFrame([(text,)], "t: string").select(
+        fn(F.col("t"), *args).alias("v")
+    ).first()["v"]
+
+
+class TestTokens:
+    @pytest.mark.parametrize("text,n", [
+        ("a b c", 3),
+        ("  a   b  ", 2),
+        ("", 0),
+        ("   ", 0),
+        ("one", 1),
+        ("a\tb\nc d", 4),
+    ])
+    def test_token_count(self, spark, text, n):
+        assert _apply(spark, token_count, text) == n
+
+    def test_bpe_ish_splits_words_numbers_punct(self, spark):
+        # 'hello' ',' 'world' '42' '!' — letters, digits, and punct split
+        assert _apply(spark, bpe_ish_token_count, "hello, world42!") == 5
+
+
+class TestLangAndQuality:
+    @pytest.mark.parametrize("text,lang", [
+        ("the cat and the dog is here", "en"),
+        ("el perro de la casa que ladra", "es"),
+        ("le chat est dans la maison les jours", "fr"),
+        ("der hund und die katze das ist gut", "de"),
+        ("我 是 的 在 了", "zh"),
+    ])
+    def test_detect_lang(self, spark, text, lang):
+        assert _apply(spark, detect_lang, text) == lang
+
+    def test_no_markers_is_und(self, spark):
+        assert _apply(spark, detect_lang, "zzz qqq xxx") == "und"
+
+    def test_quality_in_unit_interval(self, spark):
+        for text in ["x" * 100, "!!!???...", "normal prose with words " * 5, ""]:
+            q = _apply(spark, quality_score, text)
+            assert 0.0 <= q <= 1.0
+
+    def test_clean_prose_beats_punct_soup(self, spark):
+        clean = _apply(spark, quality_score, "a sensible english sentence with actual words " * 3)
+        soup = _apply(spark, quality_score, "!!! ??? @@@ ### $$$ %%% ^^^ &&& *** " * 3)
+        assert clean > soup
+
+
+class TestShinglesFingerprint:
+    def test_shingles_count_and_content(self, spark):
+        out = _apply(spark, shingles, "a b c d e f", 5)
+        assert out == ["a b c d e", "b c d e f"]
+
+    def test_short_text_single_shingle(self, spark):
+        assert _apply(spark, shingles, "a b", 5) == ["a b"]
+
+    def test_fingerprint_normalizes(self, spark):
+        a = _apply(spark, fingerprint, "Hello   World")
+        b = _apply(spark, fingerprint, "hello world")
+        c = _apply(spark, fingerprint, "hello worlds")
+        assert a == b != c
