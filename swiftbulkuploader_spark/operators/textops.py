@@ -29,8 +29,8 @@ def x3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.length("text").alias("text_len"),
-        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
 
 

@@ -17,14 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 from swiftbulkuploader_spark.operators import (
     dedup,
     jsonops,
+    misc_surface,
     pipeline_queries,
     profiling,
+    sessions,
     similarity,
     star,
     textops,
 )
 
-_MODULES = (pipeline_queries, star, textops, jsonops, profiling, dedup, similarity)
+_MODULES = (
+    pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
+    sessions, misc_surface,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
