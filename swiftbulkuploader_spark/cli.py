@@ -1,0 +1,151 @@
+"""CLI entry points — parity with the reference's two commands (SURVEY.md §3).
+
+    python -m swiftbulkuploader_spark.cli prepare <directory> <manifest_path>
+        == `python prepareupload.py <dir> <table>` (prepareupload.py:63-104):
+        walk the tree, write the manifest (Parquet instead of MySQL),
+        print the indexed/failed counts.
+
+    python -m swiftbulkuploader_spark.cli upload <manifest_path> <store_root>
+           <attempts_path> [--cutoff C] [--parallelism N] [--max-attempts K]
+        == `python bulkupload.py <container> <table> <N> [cutoff]`
+        (bulkupload.py:390-458): resume-filter, upload, append the attempt
+        log, print the report. `--parallelism` replaces the reference's
+        worker-process count (readme.md:39-42).
+
+    python -m swiftbulkuploader_spark.cli status <manifest_path> <attempts_path>
+        == the progress/report files (bulkupload.py:290-338): progress line,
+        per-outcome totals, uploads/sec windows.
+
+Environment validation (bulkupload.py:127-161 / F10) happens in `_store_from_env`:
+unset variables produce one aggregated error message, not `sys.exit` per var.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from swiftbulkuploader_spark.session import get_spark
+
+    s = get_spark("swiftbulkuploader-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _store_factory(store_root: str):
+    """localfs root, or swift: URL driven by OS_* env vars (the reference's
+    required-variable list, bulkupload.py:18-32)."""
+    from swiftbulkuploader_spark.sources.objectstore import StoreFactory
+
+    if store_root.startswith("swift:"):
+        required = ["OS_AUTH_URL", "OS_USERNAME", "OS_PASSWORD"]
+        missing = [v for v in required if not os.environ.get(v)]
+        if missing:
+            raise SystemExit(f"missing required environment variables: {', '.join(missing)}")
+        return StoreFactory(
+            "swift",
+            auth_url=os.environ["OS_AUTH_URL"],
+            username=os.environ["OS_USERNAME"],
+            password=os.environ["OS_PASSWORD"],
+            container=store_root.split(":", 1)[1],
+            tenant=os.environ.get("OS_TENANT_NAME"),
+        )
+    return StoreFactory("localfs", root=store_root)
+
+
+def cmd_prepare(args) -> int:
+    from swiftbulkuploader_spark.sources.ingest import ingest_listing, write_manifest
+
+    spark = _spark()
+    manifest = ingest_listing(spark, args.directory).cache()
+    n_ok = manifest.filter(F.col("error").isNull()).count()
+    n_err = manifest.filter(F.col("error").isNotNull()).count()
+    write_manifest(manifest, args.manifest_path)
+    print(f"{n_ok} files indexed into {args.manifest_path}. {n_err} failed.")
+    return 0 if n_err == 0 else 1
+
+
+def cmd_upload(args) -> int:
+    from swiftbulkuploader_spark.plans.upload import report, upload
+    from swiftbulkuploader_spark.streaming.progress import progress_line
+
+    spark = _spark()
+    manifest = spark.read.parquet(args.manifest_path).filter(F.col("error").isNull())
+    try:
+        prior = spark.read.parquet(args.attempts_path)
+    except Exception:  # noqa: BLE001 - first run
+        prior = None
+    attempts = upload(
+        manifest,
+        _store_factory(args.store_root),
+        prior_attempts=prior,
+        cutoff=args.cutoff,
+        max_attempts=args.max_attempts,
+        parallelism=args.parallelism,
+    )
+    attempts.write.mode("append").parquet(args.attempts_path)
+    full = spark.read.parquet(args.attempts_path)
+    rep = {r["ok"]: r["n_files"] for r in report(full).collect()}
+    total = manifest.count()
+    done = rep.get(True, 0)
+    print(progress_line(done, total))
+    print(f"uploaded={done} failed={rep.get(False, 0)} total={total}")
+    return 0 if rep.get(False, 0) == 0 else 1
+
+
+def cmd_status(args) -> int:
+    from swiftbulkuploader_spark.plans.upload import latest_status
+    from swiftbulkuploader_spark.streaming.progress import progress_line, rate_over_window
+
+    spark = _spark()
+    manifest = spark.read.parquet(args.manifest_path).filter(F.col("error").isNull())
+    total = manifest.count()
+    try:
+        attempts = spark.read.parquet(args.attempts_path)
+    except Exception:  # noqa: BLE001
+        print(progress_line(0, total))
+        return 0
+    latest = latest_status(attempts).cache()
+    done = latest.filter("ok").count()
+    failed = latest.filter(~F.col("ok")).count()
+    print(progress_line(done, total))
+    print(f"uploaded={done} failed={failed} pending={total - done}")
+    for r in rate_over_window(attempts).orderBy("window_start").tail(5):
+        print(f"  {r['window_start']}  {r['n_ok']} ok  {r['rate_per_s']}/s")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="swiftbulkuploader_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    prep = sub.add_parser("prepare", help="index a directory tree into a manifest")
+    prep.add_argument("directory")
+    prep.add_argument("manifest_path")
+    prep.set_defaults(fn=cmd_prepare)
+
+    up = sub.add_parser("upload", help="upload pending manifest entries")
+    up.add_argument("manifest_path")
+    up.add_argument("store_root", help="local dir, or swift:<container>")
+    up.add_argument("attempts_path")
+    up.add_argument("--cutoff", default="", help="path component to truncate through")
+    up.add_argument("--parallelism", type=int, default=None)
+    up.add_argument("--max-attempts", type=int, default=5)
+    up.set_defaults(fn=cmd_upload)
+
+    st = sub.add_parser("status", help="progress / report")
+    st.add_argument("manifest_path")
+    st.add_argument("attempts_path")
+    st.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -169,11 +169,73 @@ def x2_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure Column expression: array of
+    (cos, cid) structs, array_max picks the best (struct ordering compares
+    fields left-to-right). At ingest time this becomes a partition column."""
+    scored = F.array(*[
+        F.struct(
+            F.coalesce(cosine_similarity(vec, F.array(*[F.lit(v) for v in c])), F.lit(-2.0)).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_max(scored)["cid"]
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic coarse quantizer: the first N_CENTROIDS vectors by id
+    (a k-means init; at scale you'd refine with pyspark.ml KMeans — the
+    query path is identical either way)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(v) for v in r[0]] for r in rows]
+
+
+def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid,
+    probe the N_PROBE centroids closest to the query, exact cosine inside
+    the probed clusters only. At scale the cluster id is a persisted
+    partition column -> partition pruning reads ~N_PROBE/N_CENTROIDS of the
+    corpus. Rows-only check (quantizer-specific)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else -2.0
+
+    probe = sorted(range(len(cents)), key=lambda i: -_cos(q, cents[i]))[:N_PROBE]
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.withColumn("cluster", assign_ivf_cluster(F.col("embedding").cast("array<double>"), cents))
+        .filter(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     "x2_cosine_topk": x2_cosine_topk,
     "x2_label_centroid_sim": x2_label_centroid_sim,
     "x2_lsh_bucket_topk": x2_lsh_bucket_topk,
     "x2_lsh_similar_pairs": x2_lsh_similar_pairs,
+    "x2_ivf_topk": x2_ivf_topk,
 }
 
 ORACLES = {

@@ -1,0 +1,56 @@
+"""CLI lifecycle parity (SURVEY.md §3): prepare -> upload -> status, driven
+through the argparse entry point exactly as a user would.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from swiftbulkuploader_spark.cli import main
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    for name, data in [("a/x.txt", b"X"), ("a/y.txt", b"YY"), ("b/z.txt", b"ZZZ")]:
+        p = src / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    return src
+
+
+def test_prepare_upload_status_roundtrip(spark, tree, tmp_path, capsys):
+    manifest = str(tmp_path / "manifest")
+    attempts = str(tmp_path / "attempts")
+    bucket = str(tmp_path / "bucket")
+
+    rc = main(["prepare", str(tree), manifest])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "3 files indexed" in out
+
+    rc = main(["upload", manifest, bucket, attempts, "--cutoff", "src"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "3/3 files uploaded. 100.00000000%" in out
+
+    # files landed under cutoff-derived keys
+    assert (pathlib.Path(bucket) / "a/x.txt").read_bytes() == b"X"
+    assert (pathlib.Path(bucket) / "b/z.txt").read_bytes() == b"ZZZ"
+
+    rc = main(["status", manifest, attempts])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "uploaded=3 failed=0 pending=0" in out
+
+
+def test_status_before_any_upload(spark, tree, tmp_path, capsys):
+    manifest = str(tmp_path / "manifest")
+    main(["prepare", str(tree), manifest])
+    capsys.readouterr()
+    rc = main(["status", manifest, str(tmp_path / "missing-attempts")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "0/3 files uploaded. 0.00000000%" in out

@@ -111,3 +111,22 @@ class TestOnTestdata:
         # and the bucket is selective: <10% of the unrelated vectors join it
         colliders = [i for i in range(5, 105) if ham(sigs[i], sigs[0]) <= 1]
         assert len(colliders) < 10
+
+
+class TestIVF:
+    def test_ivf_topk_consistent_and_self_recalled(self, spark):
+        from swiftbulkuploader_spark.operators.similarity import (
+            x2_cosine_topk,
+            x2_ivf_topk,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["vec_id"]: r["cos_sim"] for r in x2_cosine_topk(spark, sf).collect()}
+        rows = x2_ivf_topk(spark, sf).collect()
+        ann = {r["vec_id"]: r["cos_sim"] for r in rows}
+        assert ann[0] == pytest.approx(1.0)  # query's own cluster is probed
+        for vid in set(ann) & set(exact):
+            assert ann[vid] == exact[vid]     # scores agree with brute force
+        scores = [r["cos_sim"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) == 10                # probed clusters hold >=10 vecs
