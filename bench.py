@@ -41,6 +41,35 @@ HEADLINE = [
 ]
 
 
+def _bench_pipeline(spark, n_files: int = 2000) -> tuple[float, float]:
+    """ingest -> key-transform -> fake-ObjectStore upload -> report over a
+    synthetic tree (BASELINE.md's pipeline workload; uploads/s is the
+    reference's own headline metric, bulkupload.py:330)."""
+    import shutil
+    import tempfile
+
+    from swiftbulkuploader_spark.plans.upload import run_pipeline
+    from swiftbulkuploader_spark.sources.objectstore import StoreFactory
+
+    root = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        src = os.path.join(root, "src")
+        for i in range(n_files):
+            d = os.path.join(src, f"d{i % 50:02d}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"f{i:05d}.bin"), "wb") as fh:
+                fh.write(os.urandom(256))
+        factory = StoreFactory("localfs", root=os.path.join(root, "bucket"))
+        t0 = time.time()
+        res = run_pipeline(spark, src, factory, os.path.join(root, "attempts"),
+                           cutoff="src", parallelism=32)
+        dt = time.time() - t0
+        assert res["uploaded"] == n_files, res
+        return round(dt, 3), round(n_files / dt, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -59,6 +88,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    pipe_sec, pipe_rate = _bench_pipeline(spark)
+    timings["pipeline_upload_2k_files"] = pipe_sec
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(json.dumps({
@@ -66,6 +98,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "uploads_per_sec": pipe_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

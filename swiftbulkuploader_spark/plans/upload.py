@@ -126,6 +126,22 @@ def latest_status(attempts: DataFrame) -> DataFrame:
     )
 
 
+def apply_attempts(manifest: DataFrame, attempts: DataFrame) -> DataFrame:
+    """Materialize the mutable view: manifest with `uploaded` derived from
+    the attempt log (U2's `UPDATE ... SET uploaded=1` as a batch join —
+    the engine's MERGE INTO; run it when compacting the manifest table).
+
+    max(ok) per id instead of latest-wins: once any attempt succeeded the
+    file is uploaded, regardless of later failed re-attempts."""
+    status = attempts.groupBy("id").agg(F.max(F.col("ok").cast("int")).alias("_ok"))
+    return (
+        manifest.drop("uploaded")
+        .join(status, "id", "left")
+        .withColumn("uploaded", F.coalesce(F.col("_ok") == 1, F.lit(False)))
+        .drop("_ok")
+    )
+
+
 def report(attempts: DataFrame) -> DataFrame:
     """A9/S10 — end-of-run reconciliation: per-outcome totals over the
     *final* status of each id (not raw attempt rows)."""
@@ -141,7 +157,9 @@ def run_pipeline(spark, source_dir: str, store_factory: StoreFactory,
     report. Returns summary counters (driver-side smalls only)."""
     from swiftbulkuploader_spark.sources.ingest import ingest_listing
 
-    manifest = ingest_listing(spark, source_dir).filter(F.col("error").isNull())
+    # cache: the manifest feeds the upload AND the final count — without it
+    # every action re-executes the distributed walk
+    manifest = ingest_listing(spark, source_dir).filter(F.col("error").isNull()).cache()
     try:
         prior = spark.read.parquet(attempts_path)
     except Exception:  # noqa: BLE001 - first run: no attempt log yet
@@ -152,6 +170,7 @@ def run_pipeline(spark, source_dir: str, store_factory: StoreFactory,
     full_log = spark.read.parquet(attempts_path)
     rep = {r["ok"]: r["n_files"] for r in report(full_log).collect()}
     total = manifest.count()
+    manifest.unpersist()
     done = rep.get(True, 0)
     return {
         "total": total,

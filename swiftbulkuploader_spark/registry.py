@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from swiftbulkuploader_spark.operators import (
+    analytics_extra,
     dedup,
     jsonops,
     misc_surface,
@@ -28,7 +29,7 @@ from swiftbulkuploader_spark.operators import (
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
-    sessions, misc_surface,
+    sessions, misc_surface, analytics_extra,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -1,0 +1,102 @@
+"""Plan-quality regression guards: the scale properties (.explain output)
+that make these queries viable at 100 TB must not silently regress.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark import registry
+from swiftbulkuploader_spark.plans.skew import salted_agg, salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPlanShape:
+    def test_filter_pushed_to_parquet(self, spark):
+        plan = _plan(registry.QUERIES["q1_scan_pending_sorted"](spark, SF))
+        assert "EqualTo(o_orderstatus,O)" in plan  # PushedFilters reached the scan
+
+    def test_projection_prunes_scan(self, spark):
+        plan = _plan(registry.QUERIES["x3_token_stats"](spark, SF))
+        # only doc_id + text read, not the whole documents schema
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    def test_topk_avoids_full_sort(self, spark):
+        plan = _plan(registry.QUERIES["x5_top_revenue_orders"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_dims_broadcast_in_star_join(self, spark):
+        plan = _plan(registry.QUERIES["x5_nation_revenue"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("SortMergeJoin") == 0  # every join side small/broadcast here
+
+    def test_anti_join_resume_is_a_join_not_a_collect(self, spark):
+        plan = _plan(registry.QUERIES["q7_resume_anti_join"](spark, SF))
+        assert "LeftAnti" in plan
+
+    def test_agg_is_partial_plus_final(self, spark):
+        plan = _plan(registry.QUERIES["a9_report"](spark, SF))
+        assert plan.count("HashAggregate") >= 2  # map-side combine present
+
+
+class TestSkewHelpers:
+    def test_salted_agg_matches_plain(self, spark):
+        df = spark.createDataFrame(
+            [("en", float(i)) for i in range(100)] + [("de", 1.0), ("fr", 2.0)],
+            "lang: string, x: double",
+        )
+        got = {
+            r["lang"]: (r["n"], r["s"])
+            for r in salted_agg(
+                df, "lang", 8,
+                {"n": F.count(F.lit(1)), "s": F.sum("x")},
+                {"n": F.sum("n"), "s": F.sum("s")},
+            ).collect()
+        }
+        assert got["en"] == (100, sum(range(100)))
+        assert got["de"] == (1, 1.0)
+        assert got["fr"] == (1, 2.0)
+
+    def test_salted_join_matches_plain_join(self, spark):
+        fact = spark.createDataFrame(
+            [(1, i) for i in range(50)] + [(2, 99)], "k: int, v: int"
+        )
+        dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k: int, name: string")
+        salted = salted_join(fact, dim, "k", n_salts=4).select("k", "v", "name")
+        plain = fact.join(dim, "k").select("k", "v", "name")
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+class TestApplyAttempts:
+    def test_merge_derives_uploaded_flag(self, spark):
+        import datetime
+
+        from swiftbulkuploader_spark.plans.upload import ATTEMPTS_SCHEMA, apply_attempts
+
+        manifest = spark.createDataFrame(
+            [(1, "/a", 10, None, False, None), (2, "/b", 20, None, False, None),
+             (3, "/c", 30, None, False, None)],
+            "id: long, path: string, size: long, mtime: timestamp, uploaded: boolean, error: string",
+        )
+        ts = datetime.datetime(2024, 1, 1)
+        attempts = spark.createDataFrame(
+            [(1, "/a", "a", ts, 1, True, None),
+             (2, "/b", "b", ts, 1, False, "x"),
+             (2, "/b", "b", ts, 2, True, None),
+             (2, "/b", "b", ts, 3, False, "late retry failed")],
+            ATTEMPTS_SCHEMA,
+        )
+        got = {r["id"]: r["uploaded"] for r in apply_attempts(manifest, attempts).collect()}
+        assert got == {1: True, 2: True, 3: False}  # any success wins; no attempts -> False
