@@ -25,3 +25,21 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parallelism)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   sort_by: str | None = None, mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    The co-location contract: two tables bucketed on the same key with the
+    same bucket count join WITHOUT a shuffle (SortMergeJoin reads bucket i
+    against bucket i). At 100 TB this converts the fact-fact join
+    (orders-lineitem, manifest-attempts) from the dominant network cost to
+    a local merge — pay the shuffle once at ingest, never per query.
+    Bucketing metadata lives in the session catalog (saveAsTable), which is
+    what makes Catalyst trust the layout; a plain parquet write loses it.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

@@ -100,3 +100,38 @@ class TestApplyAttempts:
         )
         got = {r["id"]: r["uploaded"] for r in apply_attempts(manifest, attempts).collect()}
         assert got == {1: True, 2: True, 3: False}  # any success wins; no attempts -> False
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """Co-located join contract: same key, same bucket count -> no
+        Exchange in the join plan (the pay-once-at-ingest scale lever)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from swiftbulkuploader_spark.catalog import load_table
+        from swiftbulkuploader_spark.plans.layout import write_bucketed
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        try:
+            orders = load_table(spark, SF, "orders")
+            lineitem = load_table(spark, SF, "lineitem")
+            write_bucketed(orders, "b_orders", "o_orderkey", 8)
+            write_bucketed(lineitem, "b_lineitem", "l_orderkey", 8)
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).select("o_orderkey", "l_linenumber", "o_totalprice")
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucket layout replaces the shuffle
+            # and it actually computes the right thing
+            n = joined.count()
+            assert n == lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
