@@ -55,6 +55,25 @@ def x1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy: within each 40-char-prefix bucket keep the HIGHEST
+    QUALITY doc (longest n_chars, doc_id tiebreak) — the survivor-selection
+    shape pretraining dedup actually uses (vs min-id). max_by is a single
+    aggregate; no self-join, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(normalize_ws(F.lower(F.col("text"))), 1, 40)
+    # max_by with a struct: bigger n_chars wins, smaller doc_id breaks ties
+    return (
+        docs.select("doc_id", "n_chars", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("keeper_id"),
+            F.max("n_chars").alias("keeper_chars"),
+            F.count("*").alias("bucket_size"),
+        )
+    )
+
+
 def x1_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact dup groups keyed on the normalized 40-char prefix (the
     cheap first-pass bucketing used before pairwise verification)."""
@@ -247,6 +266,7 @@ def x1_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x1_dedup_stats": x1_dedup_stats,
+    "x1_dedup_keep_best": x1_dedup_keep_best,
     "x1_prefix_dup_groups": x1_prefix_dup_groups,
     "x1_minhash_neardup": x1_minhash_neardup,
     "x1_ngram_jaccard": x1_ngram_jaccard,
@@ -265,6 +285,18 @@ ORACLES = {
                count(DISTINCT text) AS n_unique_text,
                count(DISTINCT {_FP_DUCK}) AS n_unique_fp
         FROM documents
+    """,
+    "x1_dedup_keep_best": """
+        SELECT prefix, keeper_id, keeper_chars, bucket_size FROM (
+            SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40) AS prefix,
+                   doc_id AS keeper_id,
+                   max(n_chars) OVER (PARTITION BY substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)) AS keeper_chars,
+                   count(*) OVER (PARTITION BY substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)) AS bucket_size,
+                   row_number() OVER (
+                       PARTITION BY substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
     """,
     "x1_prefix_dup_groups": """
         SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40) AS prefix,

@@ -238,7 +238,30 @@ QUERIES = {
     "x2_ivf_topk": x2_ivf_topk,
 }
 
+_CENTROID_DUCK = """
+    WITH pos AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), expanded AS (
+        SELECT label, pos, emb[pos] AS v FROM pos
+    ), label_means AS (
+        SELECT label, pos, avg(v) AS mv FROM expanded GROUP BY label, pos
+    ), global_means AS (
+        SELECT pos, avg(v) AS mv FROM expanded GROUP BY pos
+    ), dots AS (
+        SELECT l.label,
+               sum(l.mv * g.mv) AS dot,
+               sqrt(sum(l.mv * l.mv)) AS nl,
+               sqrt(sum(g.mv * g.mv)) AS ng
+        FROM label_means l JOIN global_means g USING (pos)
+        GROUP BY l.label
+    )
+    SELECT label, round(dot / (nl * ng), 6) AS centroid_cos FROM dots
+"""
+
 ORACLES = {
+    "x2_label_centroid_sim": _CENTROID_DUCK,
     "x2_cosine_topk": """
         SELECT vec_id, label,
                round(list_cosine_similarity(

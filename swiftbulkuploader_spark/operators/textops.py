@@ -82,8 +82,8 @@ def x3_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full heuristic language ID vs the labeled lang (rows-only check:
-    the tie-break cascade is engine-specific; pinned by unit tests)."""
+    """Full heuristic language ID vs the labeled lang — confusion counts.
+    Oracle mirrors the marker scoring and declaration-order tie-break."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("lang", detect_lang(F.col("text")).alias("pred"))
@@ -92,8 +92,34 @@ def x3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-prep pipeline as ONE declarative plan:
+    quality/language filter -> exact dedup (keep lowest doc_id, carrying the
+    survivor's attributes via min_by) -> per-source profile. Catalyst fuses
+    the filter into the scan; the dedup and profile are two narrow shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        "lang",
+    ).filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    dedup = enriched.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.expr("min_by(source, doc_id)").alias("source"),
+        F.expr("min_by(n_tokens, doc_id)").alias("n_tokens"),
+    )
+    return dedup.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
 QUERIES = {
     "x3_token_stats": x3_token_stats,
+    "x3_corpus_prep": x3_corpus_prep,
     "x3_lang_stats": x3_lang_stats,
     "x3_quality_scores": x3_quality_scores,
     "x3_fingerprints": x3_fingerprints,
@@ -102,6 +128,27 @@ QUERIES = {
 }
 
 _TOKENS_DUCK = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+
+# full lang-ID oracle: per-language marker-hit scores, argmax with the same
+# tie-break as functions/text.py::detect_lang (declaration order wins)
+_SCORE_EXPRS = ",\n               ".join(
+    "("
+    + " + ".join(
+        f"CAST(regexp_matches(lower(text), '(^|\\s){w}(\\s|$)') AS INT)"
+        for w in words
+    )
+    + f") AS s_{lang}"
+    for lang, words in LANG_MARKERS.items()
+)
+_MX = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+_PRED_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_MX} AND {_MX} > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
 
 _ORACLE_STOPWORD_CASE = " ".join(
     "WHEN lang = '{lang}' THEN regexp_matches(lower(text), '(^|\\s)({alts})(\\s|$)')".format(
@@ -148,5 +195,42 @@ ORACLES = {
                CAST(sum(CAST((CASE {_ORACLE_STOPWORD_CASE} ELSE FALSE END) AS BIGINT)) AS BIGINT)
                    AS n_covered
         FROM documents GROUP BY lang
+    """,
+    "x3_lang_id": f"""
+        SELECT lang, {_PRED_CASE} AS pred, count(*) AS n
+        FROM (
+            SELECT lang,
+               {_SCORE_EXPRS}
+            FROM documents
+        )
+        GROUP BY lang, pred
+    """,
+    "x3_corpus_prep": """
+        WITH enriched AS (
+            SELECT doc_id, source,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                   CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+                        ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
+                   round(
+                       (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
+                       * (0.7 * (CASE WHEN length(text) > 0
+                                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                                 ELSE 0.0 END)
+                          + 0.3 * (1 - (CASE WHEN length(text) > 0
+                                   THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text)
+                                   ELSE 0.0 END))),
+                       6) AS quality
+            FROM documents
+            WHERE lang = 'en'
+        ), dedup AS (
+            SELECT fp, min(doc_id) AS keeper_id,
+                   arg_min(source, doc_id) AS source,
+                   arg_min(n_tokens, doc_id) AS n_tokens
+            FROM enriched
+            WHERE quality >= 0.5
+            GROUP BY fp
+        )
+        SELECT source, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens
+        FROM dedup GROUP BY source
     """,
 }
