@@ -1,0 +1,80 @@
+"""Connected components over the near-dup pair graph — dedup clustering.
+
+MinHash/SimHash emit PAIRS; dedup needs CLUSTERS (transitive closure: if
+A~B and B~C, {A,B,C} dedup together and one canonical doc survives).
+
+Algorithm: distributed min-label propagation. Every node starts labeled
+with itself; each round every node takes the minimum label among itself and
+its neighbors; converged when no label changes. Each round is one shuffle
+join + one aggregation, fully distributed — no driver-side union-find, which
+is the difference between deduping 10^5 and 10^9 documents.
+
+Round count is O(graph diameter). Near-dup clusters are dense (diameter 2-3
+in practice), so propagation converges in a handful of rounds; for
+adversarially long chains the alternating large-star/small-star algorithm
+(Kiveris et al., SoCC'14) gets O(log n) rounds at the cost of a trickier
+invariant — the labels table and loop below are the place to swap it in.
+
+Two Spark essentials for ANY iterative DataFrame algorithm, both applied
+here:
+* `localCheckpoint(eager=True)` per round — truncates lineage; without it
+  each round's plan embeds all previous rounds and planning time explodes
+  exponentially.
+* convergence via a cheap aggregate (sum of label changes), not a
+  DataFrame diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges (a: long, b: long) -> (node: long, component: long), where
+    component = min node id in the connected component."""
+    e = edges.selectExpr("a", "b").filter(F.col("a") != F.col("b"))
+    sym = e.union(e.selectExpr("b AS a", "a AS b")).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # each node's best neighbor label this round
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Near-dup pairs -> (doc_id, cluster_id, is_survivor): transitive
+    closure + keep the minimum id per cluster."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )

@@ -1,0 +1,83 @@
+"""Grouped-map Pandas UDF surface (`applyInPandas`) — the custom-operator
+escape hatch for semantics built-ins can't express (SURVEY.md §2.8).
+
+The showcase operator: per-label z-score normalization of embedding norms.
+Chosen deliberately because it IS SQL-expressible (mean/std window), so the
+Arrow path gets a DuckDB oracle — proving the grouped-map plumbing is
+numerically faithful, not just "runs".
+
+Scale shape: groupBy(label).applyInPandas ships each group to one Python
+worker as Arrow batches. Fine when groups are bounded (labels, languages,
+shards); for unbounded/skewed groups pre-split with a salt column first —
+see plans/skew.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from swiftbulkuploader_spark.catalog import load_table
+
+NORM_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("label", T.IntegerType()),
+    T.StructField("norm", T.DoubleType()),
+    T.StructField("z", T.DoubleType()),
+])
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # norms arrive pre-rounded (identical on both oracle sides); z rounded
+    # to 4dp absorbs pandas-pairwise vs SQL-sequential accumulation drift
+    mu = pdf["norm"].mean()
+    # population std (ddof=0) — matches SQL stddev_pop on both engines
+    sd = pdf["norm"].std(ddof=0)
+    z = (pdf["norm"] - mu) / sd if sd > 0 else pdf["norm"] * 0.0
+    return pd.DataFrame({
+        "vec_id": pdf["vec_id"],
+        "label": pdf["label"],
+        "norm": pdf["norm"],
+        "z": z.round(4),
+    })
+
+
+def x2_norm_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label z-score of embedding L2 norms via applyInPandas; the norm
+    itself is computed JVM-side (higher-order aggregate) so only the scalar
+    crosses into Python."""
+    from swiftbulkuploader_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("norm"),
+    )
+    return norms.groupBy("label").applyInPandas(_zscore_group, NORM_SCHEMA)
+
+
+QUERIES = {
+    "x2_norm_zscore": x2_norm_zscore,
+}
+
+ORACLES = {
+    "x2_norm_zscore": """
+        WITH norms AS (
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 6) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id, label, norm,
+               round(CASE WHEN stddev_pop(norm) OVER (PARTITION BY label) > 0
+                          THEN (norm - avg(norm) OVER (PARTITION BY label))
+                               / stddev_pop(norm) OVER (PARTITION BY label)
+                          ELSE 0.0 END, 4) AS z
+        FROM norms
+    """,
+}

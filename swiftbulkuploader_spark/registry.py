@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from swiftbulkuploader_spark.operators import (
     analytics_extra,
     dedup,
+    grouped_map,
     jsonops,
     misc_surface,
+    ml_lsh,
     pipeline_queries,
     profiling,
     sessions,
@@ -29,7 +31,7 @@ from swiftbulkuploader_spark.operators import (
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
-    sessions, misc_surface, analytics_extra,
+    sessions, misc_surface, analytics_extra, grouped_map, ml_lsh,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -1,0 +1,79 @@
+"""Connected components / dedup clustering: crafted graphs with known
+components, including chains that require transitive closure across rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from swiftbulkuploader_spark.operators.components import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a: long, b: long")
+
+
+def _components(spark, pairs):
+    rows = connected_components(_edges(spark, pairs)).collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(v) for v in out.values()}
+
+
+class TestConnectedComponents:
+    def test_two_triangles(self, spark):
+        comps = _components(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)])
+        assert comps == {frozenset({1, 2, 3}), frozenset({10, 11, 12})}
+
+    def test_long_chain_closes_transitively(self, spark):
+        # 0-1-2-...-9: one component; requires multiple star rounds
+        comps = _components(spark, [(i, i + 1) for i in range(9)])
+        assert comps == {frozenset(range(10))}
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        comps = _components(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+        assert comps == {frozenset({1, 2, 3})}
+
+    def test_star_graph(self, spark):
+        comps = _components(spark, [(100, i) for i in range(5)])
+        assert comps == {frozenset({0, 1, 2, 3, 4, 100})}
+
+
+class TestDedupClusters:
+    def test_survivor_is_min_id(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, 9), (9, 7), (20, 21)], "doc_a: long, doc_b: long"
+        )
+        rows = {r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+                for r in dedup_clusters(pairs).collect()}
+        assert rows[5] == (5, True)
+        assert rows[9] == (5, False)
+        assert rows[7] == (5, False)
+        assert rows[20] == (20, True)
+        assert rows[21] == (20, False)
+
+    def test_end_to_end_with_minhash(self, spark):
+        """Compose: corpus -> minhash pairs -> clusters."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            exact_jaccard,
+            minhash_candidates,
+            minhash_signatures,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        docs = spark.createDataFrame(
+            [(0, base), (1, base), (2, base.replace("sigma", "SIGMA")),
+             (3, "utterly unrelated words nothing shared here at all twelve "
+                 "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+                 "twenty twentyone twentytwo twentythree twentyfour twentyfive")],
+            "doc_id: long, text: string",
+        )
+        sigs = minhash_signatures(docs)
+        pairs = exact_jaccard(minhash_candidates(sigs), sigs).filter("jaccard >= 0.5")
+        rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+        assert rows[0]["cluster_id"] == 0 and rows[0]["is_survivor"]
+        assert rows[1]["cluster_id"] == 0 and not rows[1]["is_survivor"]
+        assert rows[2]["cluster_id"] == 0 and not rows[2]["is_survivor"]
+        assert 3 not in rows  # no near-dup pair -> not in any cluster

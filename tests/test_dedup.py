@@ -94,3 +94,26 @@ class TestExactDedupOps:
         by_copies = sorted([(r["copies"], r["keeper"]) for r in groups])
         # whitespace-normalized + lowercased: 1 and 2 collide, keeper = 1
         assert by_copies == [(1, 3), (2, 1)]
+
+
+class TestMlLshParity:
+    def test_ml_minhash_finds_near_dup(self, spark, corpus):
+        from swiftbulkuploader_spark.operators.ml_lsh import ml_minhash_pairs
+
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in ml_minhash_pairs(corpus, threshold=0.6).collect()}
+        assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+        assert (0, 1) in pairs                            # near dup
+        assert not any(3 in p for p in pairs)             # unrelated
+
+    def test_ml_brp_pairs_identical_vectors(self, spark):
+        from swiftbulkuploader_spark.operators.ml_lsh import ml_brp_pairs
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+             (2, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id: long, embedding: array<float>",
+        )
+        pairs = {(r["vec_a"], r["vec_b"]): r["euclidean"]
+                 for r in ml_brp_pairs(emb, threshold=0.5).collect()}
+        assert pairs == {(0, 1): 0.0}
