@@ -61,8 +61,10 @@ def _bench_pipeline(spark, n_files: int = 2000) -> tuple[float, float]:
                 fh.write(os.urandom(256))
         factory = StoreFactory("localfs", root=os.path.join(root, "bucket"))
         t0 = time.time()
+        # width 16: enough slots for 2k tiny files; wider just spawns more
+        # Python workers than the work amortizes
         res = run_pipeline(spark, src, factory, os.path.join(root, "attempts"),
-                           cutoff="src", parallelism=32)
+                           cutoff="src", parallelism=16)
         dt = time.time() - t0
         assert res["uploaded"] == n_files, res
         return round(dt, 3), round(n_files / dt, 1)

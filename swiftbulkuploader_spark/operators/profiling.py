@@ -33,8 +33,11 @@ def x6_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One percentile state per column (array form), not one per requested
     quantile, and `spread()` so the per-partition state build parallelizes
-    past the single-row-group scan split."""
-    li = spread(load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice"))
+    past the single-row-group scan split. Width 8, not full parallelism:
+    exact-percentile partial state is a value->count map over near-unique
+    doubles, so the final single-threaded merge cost grows with partition
+    count — 8 measured fastest (0.99s vs 1.44s@1 / 1.10s@32 at sf0.1)."""
+    li = spread(load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice"), 8)
     return li.agg(
         F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("qty_ps"),
         F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("price_ps"),

@@ -135,3 +135,29 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestPartitionedWrites:
+    def test_partition_pruning_on_attempt_log(self, spark, tmp_path):
+        """Attempt log written partitioned by outcome: reading one outcome
+        prunes the other's files entirely (PartitionFilters, not a scan)."""
+        import datetime
+        import io
+        from contextlib import redirect_stdout
+
+        from swiftbulkuploader_spark.plans.upload import ATTEMPTS_SCHEMA
+
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [(i, f"/f{i}", f"f{i}", ts, 1, i % 3 != 0, None) for i in range(30)]
+        df = spark.createDataFrame(rows, ATTEMPTS_SCHEMA)
+        path = str(tmp_path / "attempts_part")
+        df.write.partitionBy("ok").parquet(path)
+
+        failed = spark.read.parquet(path).filter(F.col("ok") == False)  # noqa: E712
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            failed.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        assert "isnotnull(ok" in plan or "(ok" in plan
+        assert failed.count() == 10
