@@ -1,0 +1,70 @@
+"""Source/sink format coverage beyond parquet (SURVEY.md §2.1).
+
+The reference reads exactly one source (the filesystem) and one table
+(MySQL). An engine replacing it meets data where it lives: explicit-schema
+readers/writers for CSV, JSON-lines, ORC and Parquet with consistent
+null/date handling, plus the JDBC wiring documented (no database in this
+environment to test against).
+
+Explicit schemas everywhere: `inferSchema` double-scans the data and guesses
+types per-run — at 100 TB both are unacceptable. Schema objects are the
+catalog contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        # header for interop; explicit timestamp format so round-trips are
+        # lossless at second granularity
+        w = w.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    df_out = w
+    df_out.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -> DataFrame:
+    """Read with an EXPLICIT schema — never inferSchema (double scan +
+    per-run type drift)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
+    r = spark.read.format(fmt).schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    return r.load(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, *,
+              partition_column: str | None = None, num_partitions: int = 8,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              **options) -> DataFrame:
+    """JDBC source — the reference's MySQL manifest, were it still external
+    (olrcdb.py:9-29). Partitioned reads (`partitionColumn` + bounds) are
+    mandatory at scale: without them the whole table streams through one
+    task. Untested here (no database in the container); wiring per the
+    public DataFrameReader.jdbc contract."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC reads need lower_bound and upper_bound")
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
