@@ -23,6 +23,7 @@ from swiftbulkuploader_spark.operators import (
     ml_lsh,
     pipeline_queries,
     profiling,
+    range_join,
     sessions,
     similarity,
     star,
@@ -31,7 +32,7 @@ from swiftbulkuploader_spark.operators import (
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
-    sessions, misc_surface, analytics_extra, grouped_map, ml_lsh,
+    sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

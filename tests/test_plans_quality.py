@@ -161,3 +161,39 @@ class TestPartitionedWrites:
         assert "PartitionFilters" in plan
         assert "isnotnull(ok" in plan or "(ok" in plan
         assert failed.count() == 10
+
+
+class TestRangeJoin:
+    def test_bucketed_range_join_is_equi_join_not_bnlj(self, spark):
+        """The bucketed rewrite must plan as a hash/merge equi-join; a naive
+        range predicate would degenerate to BroadcastNestedLoopJoin."""
+        import io
+        from contextlib import redirect_stdout
+
+        df = registry.QUERIES["x7_error_burst"](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+    def test_range_join_counts_small_case(self, spark):
+        import datetime
+
+        from swiftbulkuploader_spark.operators.range_join import range_join_counts
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 7, "error", 0.0, "{}"),
+            (2, t0 + datetime.timedelta(minutes=3), 7, "click", 0.0, "{}"),   # within
+            (3, t0 + datetime.timedelta(minutes=6), 7, "click", 0.0, "{}"),   # outside
+            (4, t0 + datetime.timedelta(minutes=1), 8, "click", 0.0, "{}"),   # other user
+            (5, t0 + datetime.timedelta(minutes=4, seconds=59), 7, "view", 0.0, "{}"),  # within
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+        )
+        got = {r["anchor_id"]: r["n_nearby"]
+               for r in range_join_counts(events, F.col("event_type") == "error").collect()}
+        assert got == {1: 2}
