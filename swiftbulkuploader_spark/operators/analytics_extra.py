@@ -114,7 +114,38 @@ def x2_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering: each customer's sorted
+    order keys (collect_list is unordered by contract — sort_array pins it;
+    the unsorted form is NOT reproducible and never oracle-checkable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def x_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics suite: coalesce / nullif / least-greatest / null-safe
+    comparisons, exercised over a column made sparse with nullif."""
+    events = load_table(spark, sf_dir, "events")
+    sparse = F.nullif(F.round("value", 0), F.lit(100.0))  # ~1% become null
+    return events.select(
+        "event_id",
+        sparse.alias("sparse_value"),
+        F.coalesce(sparse, F.lit(-1.0)).alias("filled"),
+        (sparse.eqNullSafe(F.lit(42.0))).alias("is_42_nullsafe"),
+        F.greatest(sparse, F.col("value")).alias("greatest_v"),
+        F.isnull(sparse).cast("boolean").alias("was_nulled"),
+    )
+
+
 QUERIES = {
+    "x5_order_lists": x5_order_lists,
+    "x_null_handling": x_null_handling,
     "x5_cube_status_priority": x5_cube_status_priority,
     "x5_pivot_status": x5_pivot_status,
     "x5_above_avg_orders": x5_above_avg_orders,
@@ -125,6 +156,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x5_order_lists": """
+        SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+               count(*) AS n
+        FROM orders GROUP BY o_custkey
+    """,
+    "x_null_handling": """
+        SELECT event_id,
+               nullif(round(value, 0), 100.0) AS sparse_value,
+               coalesce(nullif(round(value, 0), 100.0), -1.0) AS filled,
+               (nullif(round(value, 0), 100.0) IS NOT DISTINCT FROM 42.0) AS is_42_nullsafe,
+               greatest(nullif(round(value, 0), 100.0), value) AS greatest_v,
+               (nullif(round(value, 0), 100.0) IS NULL) AS was_nulled
+        FROM events
+    """,
     "x5_cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                round(sum(o_totalprice), 2) AS total

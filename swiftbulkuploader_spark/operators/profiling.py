@@ -63,9 +63,42 @@ def x6_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (quantity quartiles by return flag) —
+    grouped aggregate state, partial+final merge per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 6).alias("q25"),
+            F.round(F.element_at("ps", 2), 6).alias("q50"),
+            F.round(F.element_at("ps", 3), 6).alias("q75"),
+            "n",
+        )
+    )
+
+
+def x6_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample: last hex digit of md5(text) == '7'.
+    Unlike TABLESAMPLE/rand(seed) (engine-specific RNG), a content-hash
+    sample is reproducible across engines and runs — the property a
+    train/eval split actually needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.substring(F.md5("text"), 32, 1) == "7").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 QUERIES = {
     "x6_distinct_profile": x6_distinct_profile,
     "x6_quantiles": x6_quantiles,
+    "x6_group_quantiles": x6_group_quantiles,
+    "x6_deterministic_sample": x6_deterministic_sample,
     "x6_approx_profile": x6_approx_profile,
 }
 
@@ -84,6 +117,18 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
                round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem
+    """,
+    "x6_group_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+               round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "x6_deterministic_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(md5(text), 32, 1) = '7'
     """,
     # x6_approx_profile: rows-only by design (sketches are engine-specific)
 }

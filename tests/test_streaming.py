@@ -69,3 +69,32 @@ class TestRateWindows:
         got = {r["window_start"].second: (r["n_ok"], r["rate_per_s"])
                for r in spark.sql("SELECT * FROM rates").collect()}
         assert got == {0: (3, 0.6), 5: (1, 0.2)}
+
+
+class TestStreamStaticJoin:
+    def test_attempt_stream_enriched_with_manifest_dim(self, spark, tmp_path):
+        """Stream-static join: the attempt stream enriched with the (static)
+        manifest — per-micro-batch hash join against the dim, no state."""
+        import pyspark.sql.functions as F
+
+        manifest = spark.createDataFrame(
+            [(1, "/a", 100), (2, "/b", 2000), (3, "/c", 30)],
+            "id: long, path: string, size: long",
+        )
+        attempts_dir = str(tmp_path / "att")
+        _attempts(spark, ROWS).write.parquet(attempts_dir)
+        stream = spark.readStream.schema(ATTEMPTS_SCHEMA).parquet(attempts_dir)
+        enriched = stream.join(F.broadcast(manifest.withColumnRenamed("path", "mpath")), "id")
+        q = (
+            enriched.select("id", "ok", "size")
+            .writeStream.format("memory").queryName("enriched")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT * FROM enriched").collect()
+        assert len(got) == 4  # id=4 has no manifest row -> dropped by inner join
+        assert {r["id"] for r in got} == {1, 2, 3}
+        assert all(r["size"] in (100, 2000, 30) for r in got)
