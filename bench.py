@@ -38,6 +38,11 @@ HEADLINE = [
     "x3_token_stats",           # text analytics scan
     "x4_json_agg",              # JSON parse + agg
     "x6_quantiles",             # exact percentiles
+    "x7_sessionize",            # gap sessionization (lag+cumsum windows)
+    "x7_error_burst",           # bucketed range join
+    "x2_norm_zscore",           # applyInPandas grouped map
+    "x5_cube_status_priority",  # grouping sets
+    "x1_dedup_keep_best",       # max_by survivor selection
 ]
 
 

@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
-from swiftbulkuploader_spark.functions.text import normalize_ws
 from swiftbulkuploader_spark.plans.layout import spread
 
 SEED = 42

@@ -120,19 +120,23 @@ def x2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES_TOPK = 8  # bucket-search planes: sized so buckets hold ~n/2^planes
+                   # vectors; 16 planes over 2k vectors would isolate everything
+
+
 def x2_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: restrict the scan to vectors sharing the query's LSH bucket
     (plus hamming-1 neighbor buckets for recall), then exact cosine top-10.
     At scale the signature is a persisted partition column -> bucket pruning
     reads a fraction of the corpus. Rows-only check (seeded LSH)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = hyperplanes()
+    planes = hyperplanes(N_PLANES_TOPK)
     q = _query_vector(spark, sf_dir, 0)
     qsig = 0
     for i, plane in enumerate(planes):
         if sum(a * b for a, b in zip(q, plane)) >= 0:
             qsig |= 1 << i
-    probe = [qsig] + [qsig ^ (1 << i) for i in range(N_PLANES)]  # multi-probe
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(N_PLANES_TOPK)]  # multi-probe
     qcol = F.array(*[F.lit(v) for v in q])
     return (
         emb.withColumn("sig", lsh_signature(F.col("embedding"), planes))
@@ -147,9 +151,12 @@ def x2_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x2_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup graph: self-join on LSH signature buckets, verify
-    with exact cosine >= 0.95. Shuffle is on the signature, candidates only.
-    Rows-only check (seeded LSH)."""
+    """Embedding similarity graph: self-join on LSH signature buckets, score
+    every candidate pair with exact cosine. Shuffle is on the signature;
+    only same-bucket candidates are scored, never n^2. Consumers threshold
+    downstream (e.g. >= 0.95 for near-dup removal) — emitting the scored
+    candidates keeps the operator meaningful on corpora with no near-dups,
+    like the driver's isotropic embeddings. Rows-only check (seeded LSH)."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = hyperplanes()
     sigs = emb.select(
@@ -165,7 +172,6 @@ def x2_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.vec_id").alias("vec_b"),
             F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.95)
     )
 
 
