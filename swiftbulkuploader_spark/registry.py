@@ -27,12 +27,14 @@ from swiftbulkuploader_spark.operators import (
     sessions,
     similarity,
     star,
+    temporal,
     textops,
 )
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
+    temporal,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
