@@ -126,6 +126,81 @@ def latest_status(attempts: DataFrame) -> DataFrame:
     )
 
 
+def upload_segmented(manifest: DataFrame, store_factory: StoreFactory,
+                     segment_size: int | None = None, cutoff: str = "",
+                     parallelism: int | None = None) -> DataFrame:
+    """Multi-part upload for oversized files — the wiring the reference's
+    SEGMENT_SIZE (bulkupload.py:12) never got (SURVEY.md §3.3).
+
+    Files larger than `segment_size` become one task PER SEGMENT: the
+    segment plan (explode/sequence) joins into the upload stage, each task
+    ranged-reads only its slice and PUTs `key/part-NNNN`; files at or under
+    the threshold upload whole under their plain key. A 10 GB file is 100
+    parallel 100 MB tasks instead of one straggler — and no task ever holds
+    more than one segment in memory.
+
+    Returns an attempt log with one row per object PUT (whole file or part).
+    """
+    from swiftbulkuploader_spark.sources.segments import DEFAULT_SEGMENT_SIZE, segment_plan
+
+    if segment_size is None:
+        segment_size = DEFAULT_SEGMENT_SIZE
+
+    keyed = manifest.select(
+        "id", "path", "size", object_key(F.col("path"), cutoff).alias("base_key")
+    )
+    small = keyed.filter(F.col("size") <= segment_size).select(
+        "id", "path",
+        F.col("base_key").alias("key"),
+        F.lit(0).alias("seg_offset").cast("long"),
+        F.col("size").alias("seg_length"),
+    )
+    big = keyed.filter(F.col("size") > segment_size)
+    big_plan = (
+        segment_plan(big.select("path", "size"), segment_size)
+        .join(big.select("id", "path", "base_key"), "path")
+        .select(
+            "id", "path",
+            F.format_string("%s/part-%04d", F.col("base_key"), F.col("seg_no")).alias("key"),
+            "seg_offset", "seg_length",
+        )
+    )
+    work = small.unionByName(big_plan)
+    if parallelism:
+        work = work.repartition(parallelism)
+
+    def fn(batches):
+        store = None
+        try:
+            for pdf in batches:
+                out = {k: [] for k in ("id", "path", "key", "ts", "try_no", "ok", "error")}
+                for row in pdf.itertuples(index=False):
+                    if store is None:
+                        store = store_factory.build()
+                    ts = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+                    ok, err = True, None
+                    try:
+                        with open(row.path, "rb") as fh:
+                            fh.seek(row.seg_offset)
+                            data = fh.read(row.seg_length)
+                        store.put(row.key, data)
+                    except Exception as e:  # noqa: BLE001 - failures become rows
+                        ok, err = False, f"{type(e).__name__}: {e}"
+                    out["id"].append(row.id)
+                    out["path"].append(row.path)
+                    out["key"].append(row.key)
+                    out["ts"].append(ts)
+                    out["try_no"].append(1)
+                    out["ok"].append(ok)
+                    out["error"].append(err)
+                yield pd.DataFrame(out)
+        finally:
+            if store is not None:
+                store.close()
+
+    return work.mapInPandas(fn, ATTEMPTS_SCHEMA)
+
+
 def apply_attempts(manifest: DataFrame, attempts: DataFrame) -> DataFrame:
     """Materialize the mutable view: manifest with `uploaded` derived from
     the attempt log (U2's `UPDATE ... SET uploaded=1` as a batch join —

@@ -68,3 +68,40 @@ class TestRangedReads:
         m = _manifest(spark, [(str(p), len(data))])
         segs = read_segments(segment_plan(m, size=64)).collect()
         assert b"".join(bytes(r["content"]) for r in sorted(segs, key=lambda r: r["seg_no"])) == data
+
+
+class TestSegmentedUpload:
+    def test_big_files_multipart_small_files_whole(self, spark, tmp_path):
+        from swiftbulkuploader_spark.plans.upload import upload_segmented
+        from swiftbulkuploader_spark.sources.ingest import ingest_listing
+        from swiftbulkuploader_spark.sources.objectstore import LocalFSObjectStore, StoreFactory
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "src"
+        src.mkdir()
+        big = bytes(range(256)) * 40      # 10240 bytes -> 3 parts @ 4096
+        small = b"tiny"
+        (src / "big.bin").write_bytes(big)
+        (src / "small.bin").write_bytes(small)
+
+        manifest = ingest_listing(spark, str(src)).filter(F.col("error").isNull())
+        factory = StoreFactory("localfs", root=str(tmp_path / "bucket"))
+        attempts = upload_segmented(manifest, factory, segment_size=4096,
+                                    cutoff="src").cache()
+
+        rows = attempts.collect()
+        assert all(r["ok"] for r in rows)
+        keys = sorted(r["key"] for r in rows)
+        assert keys == [
+            "big.bin/part-0000", "big.bin/part-0001", "big.bin/part-0002",
+            "small.bin",
+        ]
+        store = LocalFSObjectStore(str(tmp_path / "bucket"))
+        reassembled = b"".join(
+            store.get(f"big.bin/part-{i:04d}") for i in range(3)
+        )
+        assert reassembled == big
+        assert store.get("small.bin") == small
+        # part sizes: full, full, remainder
+        assert [len(store.get(k)) for k in keys[:3]] == [4096, 4096, 2048]
+        attempts.unpersist()
