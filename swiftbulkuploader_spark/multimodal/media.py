@@ -86,6 +86,60 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(fn, IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def _decode_fakeaud(data: bytes) -> tuple[int, int, float]:
+    """Fake audio format: b"FAKEAUD:<rate>:" + 8-bit samples (centered 128)."""
+    header, _, rest = data.partition(b":")
+    if header != b"FAKEAUD":
+        raise NotImplementedError(
+            "real audio codecs are not available in this environment; "
+            "only the deterministic FAKEAUD format decodes"
+        )
+    rate_b, _, samples = rest.partition(b":")
+    rate = int(rate_b)
+    if rate <= 0:
+        raise ValueError(f"bad sample rate {rate}")
+    n = len(samples)
+    rms = (sum((s - 128) ** 2 for s in samples) / n) ** 0.5 if n else 0.0
+    return rate, n, rms
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """Audio metadata + RMS level via mapInPandas; same errors-as-rows
+    contract as the image path."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples", "duration_s", "rms", "decode_error")}
+            for row in pdf.itertuples(index=False):
+                rate = n = None
+                dur = rms = None
+                err = None
+                try:
+                    rate, n, rms = _decode_fakeaud(bytes(row.data))
+                    dur = n / rate
+                except Exception as e:  # noqa: BLE001 - errors become data
+                    err = f"{type(e).__name__}: {e}"
+                out["media_id"].append(row.media_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM profile of a media table: size distribution per kind/format
     (no Python, no decode — the triage query you run before a decode job)."""

@@ -63,3 +63,23 @@ class TestStatsAndFrames:
                 frame_sample_plan(media, every_n=10).collect()]
         # 25 frames, every 10th -> 0,10,20; 3 frames -> 0
         assert sorted(rows) == [(5, 0), (5, 10), (5, 20), (6, 0)]
+
+
+class TestAudio:
+    def test_fake_audio_decodes(self, spark):
+        from swiftbulkuploader_spark.multimodal.media import decode_audio_meta
+
+        rows = [
+            (10, "audio", "fakeaud", b"FAKEAUD:16000:" + bytes([128] * 32000), {}),  # 2s silence
+            (11, "audio", "fakeaud", b"FAKEAUD:8000:" + bytes([128 + 10] * 8000), {}),  # 1s, rms 10
+            (12, "audio", "mp3", b"\xff\xfbreal-mp3-bytes", {}),
+            (13, "audio", "fakeaud", b"FAKEAUD:0:", {}),  # bad rate
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+        assert out[10]["duration_s"] == pytest.approx(2.0)
+        assert out[10]["rms"] == pytest.approx(0.0)
+        assert out[11]["duration_s"] == pytest.approx(1.0)
+        assert out[11]["rms"] == pytest.approx(10.0)
+        assert "NotImplementedError" in out[12]["decode_error"]
+        assert "ValueError" in out[13]["decode_error"]
