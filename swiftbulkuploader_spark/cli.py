@@ -98,6 +98,25 @@ def cmd_upload(args) -> int:
     return 0 if rep.get(False, 0) == 0 else 1
 
 
+def cmd_recrawl(args) -> int:
+    """Incremental re-crawl: walk the tree again, diff against the stored
+    manifest, replace it, and print the delta (added/modified feed the next
+    `upload` run via the resume anti-join; removed are reported)."""
+    from swiftbulkuploader_spark.plans.maintenance import manifest_delta
+    from swiftbulkuploader_spark.sources.ingest import ingest_listing, write_manifest
+
+    spark = _spark()
+    old = spark.read.parquet(args.manifest_path).filter(F.col("error").isNull())
+    new = ingest_listing(spark, args.directory).filter(F.col("error").isNull()).cache()
+    delta = manifest_delta(old, new).cache()
+    counts = {r["change"]: r["n"] for r in
+              delta.groupBy("change").agg(F.count("*").alias("n")).collect()}
+    write_manifest(new, args.manifest_path)
+    print(f"added={counts.get('added', 0)} modified={counts.get('modified', 0)} "
+          f"removed={counts.get('removed', 0)}")
+    return 0
+
+
 def cmd_status(args) -> int:
     from swiftbulkuploader_spark.plans.upload import latest_status
     from swiftbulkuploader_spark.streaming.progress import progress_line, rate_over_window
@@ -142,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("manifest_path")
     st.add_argument("attempts_path")
     st.set_defaults(fn=cmd_status)
+
+    rc = sub.add_parser("recrawl", help="incremental re-index: diff + replace manifest")
+    rc.add_argument("directory")
+    rc.add_argument("manifest_path")
+    rc.set_defaults(fn=cmd_recrawl)
 
     args = p.parse_args(argv)
     return args.fn(args)
