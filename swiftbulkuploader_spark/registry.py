@@ -28,13 +28,14 @@ from swiftbulkuploader_spark.operators import (
     similarity,
     star,
     temporal,
+    tpch_like,
     textops,
 )
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
-    temporal,
+    temporal, tpch_like,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
