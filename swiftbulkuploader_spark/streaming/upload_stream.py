@@ -62,3 +62,32 @@ def stream_upload(spark: SparkSession, manifest_dir: str, store_factory: StoreFa
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
+                         key: str, window_minutes: int = 5,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: pair each left event with right events of
+    the same key within ±window (the streaming twin of the batch bucketed
+    range join, operators/range_join.py).
+
+    Both sides watermarked — Spark buffers right rows only until the
+    watermark passes their join window, so state is bounded by (rate x
+    window), not stream history. Append output: a pair emits exactly once,
+    when both sides are present and the watermark closes the match window.
+    """
+    from pyspark.sql import functions as F
+
+    lt = left_stream.withWatermark("ts", watermark).alias("l")
+    rt = right_stream.withWatermark("ts", watermark).alias("r")
+    w = F.expr(f"r.ts BETWEEN l.ts - INTERVAL {window_minutes} MINUTES "
+               f"AND l.ts + INTERVAL {window_minutes} MINUTES")
+    return lt.join(
+        rt, (F.col(f"l.{key}") == F.col(f"r.{key}")) & w, "inner"
+    ).select(
+        F.col("l.event_id").alias("anchor_id"),
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("anchor_ts"),
+        F.col("r.event_id").alias("other_id"),
+        F.col("r.ts").alias("other_ts"),
+    )

@@ -54,3 +54,53 @@ def test_incremental_manifests_upload_once(spark, tmp_path):
     log = spark.read.parquet(attempts)
     per_key = {r["key"]: r["count"] for r in log.filter("ok").groupBy("key").count().collect()}
     assert per_key == {"a/one.txt": 1, "a/two.txt": 1, "b/three.txt": 1}
+
+
+class TestStreamIntervalJoin:
+    def test_matches_batch_range_join(self, spark, tmp_path):
+        """The stream-stream interval join finds the same (anchor, other)
+        pairs as the batch bucketed range join on identical data."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from swiftbulkuploader_spark.operators.range_join import range_join_counts
+        from swiftbulkuploader_spark.streaming.upload_stream import stream_interval_join
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 7, "error", 0.0, "{}"),
+            (2, t0 + datetime.timedelta(minutes=3), 7, "click", 0.0, "{}"),
+            (3, t0 + datetime.timedelta(minutes=6), 7, "click", 0.0, "{}"),
+            (4, t0 + datetime.timedelta(minutes=1), 8, "click", 0.0, "{}"),
+            (5, t0 + datetime.timedelta(minutes=4), 7, "view", 0.0, "{}"),
+            (6, t0 + datetime.timedelta(minutes=30), 8, "error", 0.0, "{}"),
+        ]
+        schema = "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+        batch_df = spark.createDataFrame(rows, schema)
+        src = str(tmp_path / "events")
+        batch_df.write.parquet(src)
+
+        # readStream.schema takes DDL form (no colons)
+        ddl = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        stream = spark.readStream.schema(ddl).parquet(src)
+        joined = stream_interval_join(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") != "error"),
+            key="user_id", window_minutes=5,
+        )
+        q = (
+            joined.writeStream.format("memory").queryName("sjoin")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        pairs = {(r["anchor_id"], r["other_id"])
+                 for r in spark.sql("SELECT * FROM sjoin").collect()}
+        assert pairs == {(1, 2), (1, 5)}  # anchor 1: within-window same-user
+        # batch twin agrees on counts
+        batch = {r["anchor_id"]: r["n_nearby"]
+                 for r in range_join_counts(batch_df, F.col("event_type") == "error").collect()}
+        assert batch == {1: 2, 6: 0}
