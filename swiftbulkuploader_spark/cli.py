@@ -71,7 +71,7 @@ def cmd_prepare(args) -> int:
 
 
 def cmd_upload(args) -> int:
-    from swiftbulkuploader_spark.plans.upload import report, upload
+    from swiftbulkuploader_spark.plans.upload import report, upload, upload_segmented
     from swiftbulkuploader_spark.streaming.progress import progress_line
 
     spark = _spark()
@@ -80,14 +80,24 @@ def cmd_upload(args) -> int:
         prior = spark.read.parquet(args.attempts_path)
     except Exception:  # noqa: BLE001 - first run
         prior = None
-    attempts = upload(
-        manifest,
-        _store_factory(args.store_root),
-        prior_attempts=prior,
-        cutoff=args.cutoff,
-        max_attempts=args.max_attempts,
-        parallelism=args.parallelism,
-    )
+    if args.segment_size:
+        attempts = upload_segmented(
+            manifest,
+            _store_factory(args.store_root),
+            segment_size=args.segment_size,
+            cutoff=args.cutoff,
+            parallelism=args.parallelism,
+            prior_attempts=prior,  # per-part resume
+        )
+    else:
+        attempts = upload(
+            manifest,
+            _store_factory(args.store_root),
+            prior_attempts=prior,
+            cutoff=args.cutoff,
+            max_attempts=args.max_attempts,
+            parallelism=args.parallelism,
+        )
     attempts.write.mode("append").parquet(args.attempts_path)
     full = spark.read.parquet(args.attempts_path)
     rep = {r["ok"]: r["n_files"] for r in report(full).collect()}
@@ -155,6 +165,9 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--cutoff", default="", help="path component to truncate through")
     up.add_argument("--parallelism", type=int, default=None)
     up.add_argument("--max-attempts", type=int, default=5)
+    up.add_argument("--segment-size", type=int, default=0,
+                    help="multi-part upload threshold in bytes (0 = whole files; "
+                         "the reference's SEGMENT_SIZE was 100 MB)")
     up.set_defaults(fn=cmd_upload)
 
     st = sub.add_parser("status", help="progress / report")

@@ -128,7 +128,8 @@ def latest_status(attempts: DataFrame) -> DataFrame:
 
 def upload_segmented(manifest: DataFrame, store_factory: StoreFactory,
                      segment_size: int | None = None, cutoff: str = "",
-                     parallelism: int | None = None) -> DataFrame:
+                     parallelism: int | None = None,
+                     prior_attempts: DataFrame | None = None) -> DataFrame:
     """Multi-part upload for oversized files — the wiring the reference's
     SEGMENT_SIZE (bulkupload.py:12) never got (SURVEY.md §3.3).
 
@@ -166,6 +167,12 @@ def upload_segmented(manifest: DataFrame, store_factory: StoreFactory,
         )
     )
     work = small.unionByName(big_plan)
+    if prior_attempts is not None:
+        # per-PART resume: a file with 99 of 100 parts uploaded retries only
+        # the missing part (file-level anti-join would wrongly skip it —
+        # one successful part row would mark the whole id done)
+        done_keys = prior_attempts.filter(F.col("ok")).select("key").distinct()
+        work = work.join(done_keys, "key", "left_anti")
     if parallelism:
         work = work.repartition(parallelism)
 

@@ -136,3 +136,42 @@ class TestStoreSafety:
         store.put("k/a.txt", b"v1")
         store.put("k/a.txt", b"v2")
         assert store.get("k/a.txt") == b"v2"
+
+
+class TestBackoff:
+    def test_capped_backoff_raises_after_max_attempts(self, monkeypatch):
+        """SURVEY §7.4 item 9: the reference retries auth forever with
+        linearly growing sleeps (bulkupload.py:94-107); ours is capped."""
+        import time as _time
+
+        from swiftbulkuploader_spark.sources.objectstore import connect_with_backoff
+
+        sleeps: list[float] = []
+        monkeypatch.setattr(_time, "sleep", lambda s: sleeps.append(s))
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            raise OSError("auth down")
+
+        with pytest.raises(ConnectionError, match="after 4 attempts"):
+            connect_with_backoff(flaky, max_attempts=4, base_sleep=0.5)
+        assert calls["n"] == 4
+        assert sleeps == [0.5, 1.0, 2.0, 4.0]  # exponential, not linear
+
+    def test_backoff_returns_first_success(self, monkeypatch):
+        import time as _time
+
+        from swiftbulkuploader_spark.sources.objectstore import connect_with_backoff
+
+        monkeypatch.setattr(_time, "sleep", lambda s: None)
+        attempts = {"n": 0}
+
+        def eventually():
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise OSError("not yet")
+            return "conn"
+
+        assert connect_with_backoff(eventually) == "conn"
+        assert attempts["n"] == 3

@@ -105,3 +105,31 @@ class TestSegmentedUpload:
         # part sizes: full, full, remainder
         assert [len(store.get(k)) for k in keys[:3]] == [4096, 4096, 2048]
         attempts.unpersist()
+
+    def test_per_part_resume(self, spark, tmp_path):
+        """Resume retries only missing/failed parts, not whole files."""
+        from swiftbulkuploader_spark.plans.upload import upload_segmented
+        from swiftbulkuploader_spark.sources.ingest import ingest_listing
+        from swiftbulkuploader_spark.sources.objectstore import LocalFSObjectStore, StoreFactory
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "src2"
+        src.mkdir()
+        (src / "big.bin").write_bytes(bytes(range(256)) * 48)  # 12288 -> 3 parts @ 4096
+        manifest = ingest_listing(spark, str(src)).filter(F.col("error").isNull())
+        bucket = str(tmp_path / "bucket2")
+        # run 1: part-0001 fails (injected), others succeed
+        f1 = StoreFactory("localfs", root=bucket, fail_substring="part-0001", fail_times=1)
+        att1 = upload_segmented(manifest, f1, segment_size=4096, cutoff="src2")
+        att1.write.parquet(str(tmp_path / "att"))
+        prior = spark.read.parquet(str(tmp_path / "att"))
+        assert prior.filter("ok").count() == 2
+        # run 2 with per-part resume: exactly ONE attempt row, for part-0001
+        f2 = StoreFactory("localfs", root=bucket)
+        att2 = upload_segmented(manifest, f2, segment_size=4096, cutoff="src2",
+                                prior_attempts=prior).collect()
+        assert [r["key"] for r in att2] == ["big.bin/part-0001"]
+        assert att2[0]["ok"]
+        store = LocalFSObjectStore(bucket)
+        data = b"".join(store.get(f"big.bin/part-{i:04d}") for i in range(3))
+        assert data == bytes(range(256)) * 48
