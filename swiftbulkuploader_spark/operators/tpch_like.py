@@ -118,12 +118,11 @@ def x5_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "idle" = no high-value order (every customer has SOME order in this
     # data, so bare no-orders would be vacuously empty)
     big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
-    )
+    # the scalar subquery evaluates driver-side to a literal — exactly what
+    # Spark's ScalarSubquery node does, without the 1-row BNLJ in the plan
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
         .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 17, 2).alias("bucket"))
         .agg(

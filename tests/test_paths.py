@@ -100,3 +100,37 @@ def test_strip_leading_slash_law(path):
 
     out = re.sub("^/", "", path)  # mirror of the Column expression
     assert not out.startswith("/") or path.startswith("//")
+
+
+class TestPropertiesOnSpark:
+    """Property-style laws driven through the ACTUAL Column expressions,
+    batched into one DataFrame pass (hypothesis-per-example would pay a
+    Spark job each)."""
+
+    def test_object_key_laws_on_adversarial_batch(self, spark):
+        import random
+
+        rnd = random.Random(99)
+        pieces = ["data", "v1.2+x", "it's", 'say "hi"', "文件", "café",
+                  "a b", "x" * 50, "-", "_", "0", "dir.with.dots"]
+        paths = []
+        for i in range(200):
+            depth = rnd.randint(1, 6)
+            paths.append("/" + "/".join(rnd.choice(pieces) for _ in range(depth)))
+        cutoff = "data"
+        df = spark.createDataFrame([(p,) for p in paths], "p: string")
+        rows = df.select(
+            "p",
+            object_key(F.col("p"), cutoff).alias("key"),
+            object_key(F.col("p")).alias("key_nocut"),
+            path_basename(F.col("p")).alias("base"),
+        ).collect()
+        for r in rows:
+            # law 1: keys never start with '/'
+            assert not r["key"].startswith("/"), r["p"]
+            # law 2: no cutoff -> key is exactly the path minus ONE slash
+            assert r["key_nocut"] == r["p"][1:], r["p"]
+            # law 3: key is always a suffix of the original path
+            assert r["p"].endswith(r["key"]) or r["key"] == r["p"][1:], r["p"]
+            # law 4: basename is the final component
+            assert r["base"] == r["p"].rsplit("/", 1)[-1], r["p"]
