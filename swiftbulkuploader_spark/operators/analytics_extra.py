@@ -71,6 +71,24 @@ def w3_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window suite: first/last/nth order values and lag/lead deltas
+    per customer — completes the window-function family (W1 row_number,
+    W2 running sums, W3 ranks)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice", 1).over(w) - F.col("o_totalprice"), 2).alias("delta_next"),
+    )
+
+
 def x3_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function coverage over customer names: case, substring, pad,
     replace, split, edit distance to a constant."""
@@ -144,6 +162,7 @@ def x_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "w5_value_windows": w5_value_windows,
     "x5_order_lists": x5_order_lists,
     "x_null_handling": x_null_handling,
     "x5_cube_status_priority": x5_cube_status_priority,
@@ -156,6 +175,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w5_value_windows": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER wfull AS first_price,
+               last_value(o_totalprice) OVER wfull AS last_price,
+               nth_value(o_totalprice, 2) OVER wfull AS second_price,
+               round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+               round(lead(o_totalprice, 1) OVER w - o_totalprice, 2) AS delta_next
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+               wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
     "x5_order_lists": """
         SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
                count(*) AS n
