@@ -94,10 +94,24 @@ def fingerprint(text: Column) -> Column:
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles of normalized text as an array<string> (for MinHash /
     Jaccard near-dup). Documents shorter than k words yield the whole text
-    as a single shingle."""
+    as a single shingle.
+
+    Implementation note: built by zip_with-ing k shifted slices of the token
+    array, NOT by indexing the array inside a transform() lambda. Interpreted
+    higher-order functions re-evaluate captured subexpressions per element
+    (no CSE), so `transform(idx, i -> slice(split(text), i, k))` re-splits
+    the whole document for every position — O(n^2), ~50 s for one 100 KB
+    doc. The zip form evaluates each slice once: linear."""
     toks = F.split(F.lower(normalize_ws(text)), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
+    m = F.greatest(n - (k - 1), F.lit(1))  # number of shingles
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        # zip the running prefix with the j-shifted tokens; slice is padded
+        # via least() so short docs still produce their single shingle
+        shifted = F.slice(toks, 1 + j, m)
+        out = F.zip_with(
+            out, shifted,
+            lambda acc, t: F.when(t.isNotNull(), F.concat(acc, F.lit(" "), t)).otherwise(acc),
+        )
+    return out

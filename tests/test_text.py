@@ -76,3 +76,43 @@ class TestShinglesFingerprint:
         b = _apply(spark, fingerprint, "hello world")
         c = _apply(spark, fingerprint, "hello worlds")
         assert a == b != c
+
+
+class TestLongDocuments:
+    def test_text_ops_on_100kb_docs(self, spark):
+        """The driver docs are <1 KB; real corpora aren't. Token counting,
+        quality, fingerprint, shingles and minhash must handle 100 KB+
+        documents without regex blowup or OOM."""
+        import time
+
+        from swiftbulkuploader_spark.operators.dedup import (
+            exact_jaccard,
+            minhash_candidates,
+            minhash_signatures,
+        )
+
+        words = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+                 "eiusmod tempor incididunt ut labore et dolore magna aliqua").split()
+        long_text = " ".join(words[i % len(words)] for i in range(15000))  # ~100KB
+        docs = spark.createDataFrame(
+            [(0, long_text), (1, long_text + " suffix"), (2, "short doc")],
+            "doc_id: long, text: string",
+        )
+        t0 = time.time()
+        stats = docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("toks"),
+            quality_score(F.col("text")).alias("q"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+        sigs = minhash_signatures(docs)
+        pairs = exact_jaccard(minhash_candidates(sigs), sigs).collect()
+        dt = time.time() - t0
+        by_id = {r["doc_id"]: r for r in stats}
+        assert by_id[0]["toks"] == 15000
+        assert 0 <= by_id[0]["q"] <= 1
+        assert by_id[0]["fp"] != by_id[1]["fp"]
+        # the two long docs differ by one trailing word: near-dup
+        found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+        assert found.get((0, 1), 0) > 0.9
+        assert dt < 60, f"long-doc path too slow: {dt:.1f}s"
