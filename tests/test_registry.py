@@ -39,3 +39,14 @@ def test_contract_shapes():
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_approx_profile_within_tolerance(spark):
+    """The HLL++/GK sketches are rows-only (engine-specific), but they must
+    land near the exact answers — pin the tolerance."""
+    approx = registry.QUERIES["x6_approx_profile"](spark, SF).first()
+    exact = registry.QUERIES["x6_distinct_profile"](spark, SF).first()
+    assert abs(approx["approx_orders"] - exact["n_orders"]) / exact["n_orders"] < 0.05
+    assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05
+    quant = registry.QUERIES["x6_quantiles"](spark, SF).first()
+    assert abs(approx["approx_price_p50"] - quant["price_p50"]) / quant["price_p50"] < 0.05
