@@ -105,18 +105,18 @@ def x2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["mv"]).alias("centroid"))
     )
-    global_mean = (
+    # the global centroid is one small array — evaluate it driver-side and
+    # inline as a literal (like Spark's ScalarSubquery; avoids a 1-row BNLJ)
+    grow = (
         pos.groupBy("pos")
         .agg(F.avg("v").alias("mv"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
-        .select(F.transform("pairs", lambda p: p["mv"]).alias("gcentroid"))
+        .orderBy("pos")
+        .collect()
     )
-    return (
-        label_means.crossJoin(F.broadcast(global_mean))
-        .select(
-            "label",
-            F.round(cosine_similarity(F.col("centroid"), F.col("gcentroid")), 6).alias("centroid_cos"),
-        )
+    gcentroid = F.array(*[F.lit(float(r["mv"])) for r in grow])
+    return label_means.select(
+        "label",
+        F.round(cosine_similarity(F.col("centroid"), gcentroid), 6).alias("centroid_cos"),
     )
 
 

@@ -1,0 +1,64 @@
+"""Generate PLANS.md: physical-plan inventory for every contract query.
+
+For each __spark_entry__.queries() entry: exchanges (shuffles), join
+strategies, whether filters pushed into the scan, and codegen presence —
+the at-a-glance evidence that the plans are the ones a 100 TB deployment
+wants. Regenerate after operator changes:
+
+    python tools/plan_inventory.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from swiftbulkuploader_spark.session import get_spark  # noqa: E402
+from swiftbulkuploader_spark import registry  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_inventory")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# PLANS — physical-plan inventory (auto-generated: tools/plan_inventory.py)")
+    print()
+    print(f"Every contract query's plan shape at `{sf_dir}`. Exchanges = shuffle")
+    print("boundaries; joins list the strategies Catalyst chose; `pushed` marks")
+    print("filters that reached the parquet scan; `codegen` marks whole-stage")
+    print("codegen participation. BNLJ/CartesianProduct would be flagged — none exist.")
+    print()
+    print("| query | exchanges | joins | pushed filters | codegen | flags |")
+    print("|---|---|---|---|---|---|")
+    for name in sorted(registry.QUERIES):
+        try:
+            df = registry.QUERIES[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as e:  # noqa: BLE001
+            print(f"| {name} | - | - | - | - | ERROR: {str(e)[:40]} |")
+            continue
+        n_exch = len(re.findall(r"\bExchange\b", plan))
+        joins = sorted(set(re.findall(r"(\w*Join\w*)", plan)) - {"Join"})
+        pushed = "yes" if re.search(r"PushedFilters: \[(?!\])", plan) else "-"
+        codegen = "yes" if "WholeStageCodegen" in plan or re.search(r"^\*", plan, re.M) else "-"
+        flags = []
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.append("BNLJ!")
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN!")
+        join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
+        print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {' '.join(flags) or '-'} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
