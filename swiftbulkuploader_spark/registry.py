@@ -28,14 +28,15 @@ from swiftbulkuploader_spark.operators import (
     similarity,
     star,
     temporal,
-    tpch_like,
     textops,
+    timeseries,
+    tpch_like,
 )
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
-    temporal, tpch_like,
+    temporal, tpch_like, timeseries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
