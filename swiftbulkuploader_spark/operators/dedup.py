@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import fingerprint, normalize_ws, shingles
+from swiftbulkuploader_spark.functions.vectors import cosine_similarity
 from swiftbulkuploader_spark.plans.layout import spread
 
 # ---------------------------------------------------------------------------
@@ -263,8 +264,39 @@ def x1_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup(simhash(docs))
 
 
+def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs inside a blocking key
+    (vec_id div 50 — in production an LSH/IVF bucket, see x2_lsh_similar_pairs
+    for that variant), verified by exact cosine >= 0.35 on the ROUNDED value
+    so both engines threshold bit-identical inputs. The self-join is
+    per-block (O(sum block^2), never global n^2) and the block key is the
+    shuffle key — at 100 TB blocks come from LSH buckets and the plan is
+    unchanged. DuckDB oracle: list_cosine_similarity over DOUBLE[].
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / F.lit(50)).cast("long").alias("block"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    l, r = emb.alias("l"), emb.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
+    "x1_embedding_neardup": x1_embedding_neardup,
     "x1_dedup_stats": x1_dedup_stats,
     "x1_dedup_keep_best": x1_dedup_keep_best,
     "x1_prefix_dup_groups": x1_prefix_dup_groups,
@@ -304,4 +336,15 @@ ORACLES = {
         FROM documents GROUP BY 1 HAVING count(*) > 1
     """,
     # minhash / ngram / simhash: rows-only by design (seeded-hash specific)
+    "x1_embedding_neardup": """
+        WITH e AS (
+            SELECT vec_id, vec_id // 50 AS block,
+                   CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+        FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
+    """,
 }

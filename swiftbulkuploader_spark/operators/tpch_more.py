@@ -1,0 +1,549 @@
+"""Remaining classic OLAP query shapes (TPC-H Q2/Q6-Q9/Q11/Q12/Q14/Q15/Q17/
+Q19-Q21 analogues, adapted to the driver schema).
+
+With tpch_like.py (Q4/Q10/Q13/Q16/Q18/Q22) and star.py (Q1/Q3/Q5) this
+completes all 22 canonical TPC-H shapes a migrating analytics user runs —
+re-expressed on the driver's slimmer schema (no partsupp table, no
+shipmode/commitdate columns; the partsupp-based queries use lineitem as the
+supply-activity relation, which preserves the *plan shape*: the point of Q2
+is the per-group argmin, of Q11 the HAVING-vs-global-scalar, of Q20 the
+semi-join chain).
+
+Determinism rules (same as the rest of the suite, memory-hard-won):
+* every float aggregate is round(...,2..6)-ed identically in Spark and SQL;
+* ratios divide ALREADY-ROUNDED numerators/denominators so both engines
+  divide bit-identical inputs;
+* LIMIT boundaries are ordered by exact (integer/string) keys, never by a
+  bare float;
+* scalar subqueries evaluate driver-side to a literal (Spark's own
+  ScalarSubquery strategy) — no 1-row BNLJ in the plan.
+
+Scale notes: dims (part/supplier/nation/region) are broadcast; every fact-
+fact shuffle is on the join/group key; window argmin (Q2) partitions by
+p_partkey which is high-cardinality and unskewed.
+
+Reference parity: the reference repo has no OLAP surface (it is an uploader;
+SURVEY.md §2.9 X5 'north star' extension) — these queries define the
+analytics engine the task brief asks to graft on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def x5_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — per-group argmin with attribution: for each small STANDARD
+    part, the supplier observed offering the lowest unit price. The
+    correlated MIN subquery decorrelates to a row_number window; ties break
+    on suppkey so the pick is total-ordered.
+
+    unit_cost is discretized with floor(x*1e4 + 0.5) — pure IEEE ops that
+    both engines compute bit-identically — because round(ep/qty, 4) hits
+    exact decimal half-boundaries systematically (2dp price / small int)
+    and Spark (decimal-string HALF_UP) and DuckDB (binary) disagree there."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    costs = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_brand", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 10000 / F.col("l_quantity") + 0.5)
+        .cast("long").alias("unit_cost_e4"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost_e4").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_cost_e4")
+    )
+
+
+def x5_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — pure scan-filter-agg (the predicate-pushdown benchmark):
+    forecast revenue change from discount elimination."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def x5_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — bidirectional nation-pair trade volume by ship year.
+    Supplier and customer nation dims broadcast; the only big shuffles are
+    the two fact joins on their keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+def x5_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — market share: NATION_7's slice of ASIA-customer ECONOMY
+    revenue per order year. The share divides the two ALREADY-ROUNDED sums
+    so both engines divide bit-identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = _revenue()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0)), 2).alias("nation_rev"),
+            F.round(F.sum(vol), 2).alias("total_rev"),
+        )
+        .select(
+            "yr", "nation_rev", "total_rev",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def x5_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — profit by supplier nation and order year over PROMO parts.
+    No partsupp table, so unit cost is modeled as 60% of p_retailprice (the
+    plan shape — multi-dim join + per-row arithmetic + two-key agg — is the
+    point).
+
+    Profit is reported in whole dollars via floor(sum + 0.5) (pure IEEE):
+    the amount terms live on a 4-decimal grid (2dp price x 2dp discount,
+    0.6 x 1dp retail), so group sums land ON round()'s half-boundaries and
+    Spark/DuckDB round() disagree there (observed at sf0.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.floor(F.sum(amount) + 0.5).cast("long").alias("profit"))
+    )
+
+
+def x5_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — HAVING against a global scalar: parts whose NATION_3
+    supply revenue exceeds 3x the MEAN part revenue. TPC-H's fixed fraction
+    (0.0001/SF) can't hold across SFs in one query — per-part share shrinks
+    ~1/n_parts — so the threshold is expressed scale-free. The scalar
+    (3*total/n) evaluates driver-side to a literal (ScalarSubquery
+    strategy).
+
+    Boundary discipline: a grid-aligned total times a decimal fraction can
+    land EXACTLY on a part's cent-grid value (observed: total*0.0005 ==
+    part 420's 53647.93), making raw `>` flip with engine summation order.
+    Dividing by n_parts de-aligns the threshold from the grid, and the
+    (1+1e-11) guard band (>> 1e-13 engine eps, << 1e-4 grid spacing)
+    excludes any exact-tie part in BOTH engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    base = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    per_part = base.groupBy("l_partkey").agg(F.sum(_revenue()).alias("raw_value"))
+    total, n = per_part.agg(F.sum("raw_value"), F.count("*")).first()
+    thr = 3.0 * total / n * (1.0 + 1e-11)
+    return (
+        per_part.filter(F.col("raw_value") > F.lit(thr))
+        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+    )
+
+
+def x5_q12_late_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — conditional counts after a fact-fact join: late shipments
+    (>45 days after order) split into critical vs non-critical priority, per
+    order year. Counts are exact, so no float discipline needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 45)
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.count_if(critical).alias("critical_late"),
+            F.count_if(~critical).alias("other_late"),
+        )
+    )
+
+
+def x5_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue share per 1996 ship month. Share divides
+    rounded sums (bit-identical inputs in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = _revenue()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 2).alias("promo_rev"),
+            F.round(F.sum(vol), 2).alias("total_rev"),
+        )
+        .select(
+            "ship_month", "promo_rev", "total_rev",
+            F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4).alias("promo_pct"),
+        )
+    )
+
+
+def x5_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — supplier(s) hitting the max quarterly revenue. The max is
+    taken over ROUNDED per-supplier revenue and inlined as a driver literal,
+    so the equality filter compares identical doubles in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_revenue()), 2).alias("total_rev"))
+    max_rev = rev.agg(F.max("total_rev")).first()[0]
+    return (
+        rev.filter(F.col("total_rev") == F.lit(max_rev))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def x5_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — correlated per-part average decorrelated to a window:
+    Brand#3 lineitems below half their part's mean quantity. Quantities are
+    integer-valued doubles, so the mean (exact sum / exact count) is
+    bit-identical across engines and the < comparison is safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def x5_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs over brand/size/quantity bands. Catalyst keeps
+    the disjunction as one predicate after the broadcast join (and can push
+    the common l_quantity bound to the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+def x5_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — semi-join chain: suppliers who moved >350 units of PROMO
+    parts in 1996, with nation attribution. Quantity sums are exact
+    integers, so the HAVING threshold is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    movers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 350)
+    )
+    return (
+        movers.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def x5_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — EXISTS + NOT EXISTS over sibling rows, decorrelated to one
+    grouped pass per order: finished orders with >=2 suppliers where exactly
+    one shipped very late (>90 days); blame count per that supplier. The
+    LIMIT boundary orders by (count, name) — both exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "x5_q2_min_cost_supplier": x5_q2_min_cost_supplier,
+    "x5_q6_revenue_delta": x5_q6_revenue_delta,
+    "x5_q7_volume_shipping": x5_q7_volume_shipping,
+    "x5_q8_market_share": x5_q8_market_share,
+    "x5_q9_product_profit": x5_q9_product_profit,
+    "x5_q11_important_parts": x5_q11_important_parts,
+    "x5_q12_late_priority_by_year": x5_q12_late_priority_by_year,
+    "x5_q14_promo_share": x5_q14_promo_share,
+    "x5_q15_top_supplier": x5_q15_top_supplier,
+    "x5_q17_small_quantity_revenue": x5_q17_small_quantity_revenue,
+    "x5_q19_disjunctive_revenue": x5_q19_disjunctive_revenue,
+    "x5_q20_volume_suppliers": x5_q20_volume_suppliers,
+    "x5_q21_waiting_suppliers": x5_q21_waiting_suppliers,
+}
+
+ORACLES = {
+    "x5_q2_min_cost_supplier": """
+        WITH costs AS (
+            SELECT p_partkey, p_brand, l_suppkey,
+                   CAST(floor(l_extendedprice * 10000 / l_quantity + 0.5) AS BIGINT)
+                       AS unit_cost_e4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'STANDARD' AND p_size <= 10
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_partkey ORDER BY unit_cost_e4 ASC, l_suppkey ASC) AS rn
+            FROM costs
+        )
+        SELECT p_partkey, p_brand, s_name, unit_cost_e4
+        FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rn = 1
+    """,
+    "x5_q6_revenue_delta": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.05
+          AND l_quantity < 24
+    """,
+    "x5_q7_volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS yr,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "x5_q8_market_share": """
+        SELECT yr, nation_rev, total_rev,
+               round(nation_rev / total_rev, 6) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS yr,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_7'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS nation_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        )
+    """,
+    "x5_q9_product_profit": """
+        SELECT n_name AS nation, year(o_orderdate) AS yr,
+               CAST(floor(sum(l_extendedprice * (1 - l_discount)
+                              - 0.6 * p_retailprice * l_quantity) + 0.5) AS BIGINT)
+                   AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1, 2
+    """,
+    "x5_q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS raw_value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 3
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(raw_value, 2) AS part_value
+        FROM per_part
+        WHERE raw_value > (SELECT 3.0 * sum(raw_value) / count(*) FROM per_part)
+                          * (1.0 + 1e-11)
+    """,
+    "x5_q12_late_priority_by_year": """
+        SELECT year(o_orderdate) AS yr,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS critical_late,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS other_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+        GROUP BY 1
+    """,
+    "x5_q14_promo_share": """
+        SELECT ship_month, promo_rev, total_rev,
+               round(100.0 * promo_rev / total_rev, 4) AS promo_pct
+        FROM (
+            SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+                   round(sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        )
+    """,
+    "x5_q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "x5_q17_small_quantity_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM (
+            SELECT l_extendedprice, l_quantity,
+                   avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        )
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "x5_q19_disjunctive_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "x5_q20_volume_suppliers": """
+        SELECT s_suppkey, s_name, n_name AS nation
+        FROM (
+            SELECT l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 350
+        )
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "x5_q21_waiting_suppliers": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                       THEN l_suppkey END) AS n_late,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN l_suppkey END) AS late_supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey
+        )
+        SELECT s_name, numwait FROM (
+            SELECT late_supp, count(*) AS numwait
+            FROM per_order
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY late_supp
+        )
+        JOIN supplier ON late_supp = s_suppkey
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 10
+    """,
+}

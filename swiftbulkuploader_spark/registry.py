@@ -31,12 +31,13 @@ from swiftbulkuploader_spark.operators import (
     textops,
     timeseries,
     tpch_like,
+    tpch_more,
 )
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
-    temporal, tpch_like, timeseries,
+    temporal, tpch_like, tpch_more, timeseries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
