@@ -1,0 +1,164 @@
+"""Array higher-order functions, map columns, and inverted-index search.
+
+The reference has no array/map surface at all (SURVEY.md §2.6: "no array/map/
+json functions exist"); a training-data pipeline lives on them — token
+arrays, metadata maps, posting lists. Everything here is a pure Column
+expression (whole-stage codegen, no Python) and DuckDB-oracled.
+
+Lambda discipline (see functions/text.py): HOF lambda bodies touch ONLY
+lambda variables — interpreted lambdas re-evaluate captured subexpressions
+per element, which turns linear scans quadratic (the O(n^2) shingle bug).
+
+Scale notes:
+* x3_array_hof_suite / x4_map_ops are single codegen'd projections — scan-
+  bound, embarrassingly parallel at any size.
+* x3_doc_frequency / x3_tfidf_search explode tokens once and aggregate:
+  shuffle volume is (doc_id, term) pairs, partial-aggregated map-side; the
+  100 TB form partitions the posting list by term (uniform by hashing).
+* tf-idf joins a tiny per-term df table — broadcast by construction (the
+  query vocabulary is bounded), so the fact side never re-shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.functions.text import normalize_ws
+
+# Fixed query vocabulary for the search shapes: static, so the df-side of the
+# tf-idf join is bounded and broadcastable regardless of corpus size.
+SEARCH_TERMS = ("data", "scan", "join")
+
+
+def _tokens(text: F.Column) -> F.Column:
+    """Whitespace tokens of normalized text (matches textops' tokenizer)."""
+    return F.split(normalize_ws(text), " ")
+
+
+def x3_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOF coverage over token arrays: filter, aggregate, transform,
+    sort/distinct/slice, min — per-document token profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    first3 = F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("long").alias("n_long_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("total_token_chars"),
+        F.array_min(toks).alias("min_token"),
+        F.transform(first3, lambda t: F.concat_ws(":", t, F.length(t).cast("string"))).alias("first3_tagged"),
+    )
+
+
+def x4_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column ops over event props: parse once to map<string,int>, then
+    key lookup / cardinality / sorted key list (vs repeated get_json_object,
+    which re-parses the JSON per extraction)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.element_at(m, "k").cast("long").alias("k_value"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+def x3_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics (the inverted-index build): for every token
+    seen in >= 10 documents, its document frequency and total term count.
+    One explode + one partial-aggregated shuffle on term."""
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return (
+        posting.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+def x3_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored keyword search: docs containing ALL query terms, ranked by
+    tf-idf (sum over terms of tf * ln(N/df)).
+
+    Spark shape = the scalable inverted-index probe: explode -> per-(doc,term)
+    tf -> broadcast-join the (tiny, bounded-vocabulary) df table -> aggregate.
+    N is a driver literal (metadata-only count) so no 1-row join appears.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet row-count metadata; no scan
+    terms = list(SEARCH_TERMS)
+
+    posting = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = posting.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))), 6).alias("score"),
+        )
+        .filter(F.col("n_terms_hit") == len(terms))
+        .select("doc_id", "score")
+    )
+    return scored
+
+
+QUERIES = {
+    "x3_array_hof_suite": x3_array_hof_suite,
+    "x4_map_ops": x4_map_ops,
+    "x3_doc_frequency": x3_doc_frequency,
+    "x3_tfidf_search": x3_tfidf_search,
+}
+
+_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+ORACLES = {
+    "x3_array_hof_suite": f"""
+        SELECT doc_id,
+               CAST(len(list_filter({_TOKS}, t -> length(t) > 6)) AS BIGINT) AS n_long_tokens,
+               CAST(coalesce(list_sum(list_transform({_TOKS}, t -> length(t))), 0) AS BIGINT) AS total_token_chars,
+               list_min({_TOKS}) AS min_token,
+               list_transform(list_sort(list_distinct({_TOKS}))[1:3],
+                              t -> concat(t, ':', CAST(length(t) AS VARCHAR))) AS first3_tagged
+        FROM documents
+    """,
+    "x4_map_ops": """
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k_value,
+               CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+               list_sort(json_keys(props)) AS keys_sorted
+        FROM events
+    """,
+    "x3_doc_frequency": f"""
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY term HAVING count(DISTINCT doc_id) >= 10
+    """,
+    "x3_tfidf_search": f"""
+        WITH posting AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM posting WHERE term IN ({_TERMS_SQL})
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id,
+               round(sum(tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        GROUP BY doc_id
+        HAVING count(*) = {len(SEARCH_TERMS)}
+    """,
+}

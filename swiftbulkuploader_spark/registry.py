@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from swiftbulkuploader_spark.operators import (
     analytics_extra,
+    arrays_maps,
     dedup,
     grouped_map,
     jsonops,
@@ -32,12 +33,13 @@ from swiftbulkuploader_spark.operators import (
     timeseries,
     tpch_like,
     tpch_more,
+    windows_extra,
 )
 
 _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
-    temporal, tpch_like, tpch_more, timeseries,
+    temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -50,6 +50,25 @@ class TestPlanShape:
         plan = _plan(registry.QUERIES["a9_report"](spark, SF))
         assert plan.count("HashAggregate") >= 2  # map-side combine present
 
+    def test_tfidf_df_table_is_broadcast(self, spark):
+        # the per-term document-frequency table is bounded by the query
+        # vocabulary -> must broadcast; a shuffle join here would re-exchange
+        # the whole posting list at 100 TB
+        plan = _plan(registry.QUERIES["x3_tfidf_search"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_time_range_frame_is_single_window_exchange(self, spark):
+        # RANGE frame = one shuffle on user_id, sort within partitions;
+        # more exchanges would mean the frame re-partitions per aggregate
+        plan = _plan(registry.QUERIES["w7_time_range_frame"](spark, SF))
+        assert plan.count("Exchange") <= 2  # hashpartition + AQE read at most
+
+    def test_array_hof_suite_stays_codegen_projection(self, spark):
+        # no shuffle at all: a per-row projection over the scan
+        plan = _plan(registry.QUERIES["x3_array_hof_suite"](spark, SF))
+        assert "Exchange" not in plan
+
 
 class TestSkewHelpers:
     def test_salted_agg_matches_plain(self, spark):
