@@ -1,0 +1,106 @@
+"""Scalar-function suites: BPE-ish tokenization, date arithmetic, try_* safe
+evaluation.
+
+Rounds out the engine's scalar surface beyond the reference's F1-F10
+(SURVEY.md §2.6 — string/path/timestamp only): sub-word token estimation for
+training-data budgeting, the date math every reporting query leans on, and
+ANSI-safe error handling (`try_*`), all as codegen'd Column expressions with
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.functions.text import bpe_ish_token_count, token_count
+
+
+def x3_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish vs whitespace token counts per document, and the
+    chars-per-token ratio (the compression-rate proxy used for token-budget
+    estimation over a training corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = bpe_ish_token_count(F.col("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.round(F.length("text") / F.nullif(bpe, F.lit(0)), 6).alias("chars_per_token"),
+    )
+
+
+def x5_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-math suite over order dates: offsets, day diffs to an anchor,
+    month-end, quarter, day-of-week."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.add_months(F.col("o_orderdate"), 2).alias("plus_2mo"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+         .cast("long").alias("days_since_95"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        F.quarter(F.col("o_orderdate")).cast("long").alias("qtr"),
+        F.dayofweek(F.col("o_orderdate")).cast("long").alias("dow"),
+    )
+
+
+def x_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe evaluation: try_divide / try_cast / try_element_at return
+    NULL instead of raising — the semantics that let one malformed row not
+    kill a 100 TB job. (The reference's analogue is its quote-fallback
+    retry, olrcdb.py:59-67 — per-row exception handling; here failure is a
+    value, not control flow.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.try_divide(F.col("n_chars"), F.col("doc_id") % 5).alias("chars_per_bucket"),
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
+        F.try_element_at(toks, F.lit(100000)).alias("token_100k"),
+        F.try_element_at(toks, F.lit(1)).alias("token_1"),
+    )
+
+
+QUERIES = {
+    "x3_bpe_token_stats": x3_bpe_token_stats,
+    "x5_date_arithmetic": x5_date_arithmetic,
+    "x_try_functions": x_try_functions,
+}
+
+_BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))"
+_WS = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+
+ORACLES = {
+    "x3_bpe_token_stats": f"""
+        SELECT doc_id,
+               CAST({_BPE} AS BIGINT) AS n_bpe_tokens,
+               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                    THEN 0 ELSE CAST({_WS} AS BIGINT) END AS n_ws_tokens,
+               round(length(text) / nullif({_BPE}, 0), 6) AS chars_per_token
+        FROM documents
+    """,
+    "x5_date_arithmetic": """
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+               CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+               date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+               last_day(o_orderdate) AS month_end,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        FROM orders
+    """,
+    "x_try_functions": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS chars_per_bucket,
+               TRY_CAST(lang AS INTEGER) AS lang_as_int,
+               TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_roundtrip,
+               string_split(text, ' ')[100000] AS token_100k,
+               string_split(text, ' ')[1] AS token_1
+        FROM documents
+    """,
+}

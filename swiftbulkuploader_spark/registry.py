@@ -25,6 +25,7 @@ from swiftbulkuploader_spark.operators import (
     pipeline_queries,
     profiling,
     range_join,
+    scalar_suites,
     sessions,
     similarity,
     star,
@@ -40,6 +41,7 @@ _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
+    scalar_suites,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
