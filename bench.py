@@ -43,6 +43,8 @@ HEADLINE = [
     "x2_norm_zscore",           # applyInPandas grouped map
     "x5_cube_status_priority",  # grouping sets
     "x1_dedup_keep_best",       # max_by survivor selection
+    "w7_time_range_frame",      # time RANGE-frame moving aggregate
+    "x3_tfidf_search",          # inverted-index probe + broadcast df join
 ]
 
 

@@ -65,8 +65,51 @@ def x7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_rollup(events: DataFrame, ts: str = "ts", value: str = "value") -> DataFrame:
+    """The base continuous aggregate: per (event_type, hour) count / sum —
+    chosen so every coarser resolution derives from THIS table alone
+    (sums of sums), never from the raw events again."""
+    return (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col(ts)).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(value, 2)).alias("total_value"),
+        )
+    )
+
+
+def x7_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: daily aggregates computed
+    FROM the hourly rollup (not from raw events) — the re-aggregation
+    pattern that makes 100 TB dashboards cheap: the raw table is touched
+    once per hour-partition, every coarser view reads rollup rows
+    (∝ types x hours, independent of event count). avg is derived as
+    sum/count, which re-aggregates exactly; a stored avg would not."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = hourly_rollup(events)
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "hour").alias("day")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.col("total_value"),
+            F.round(F.col("total_value") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+
+
 QUERIES = {
     "x7_gap_fill": x7_gap_fill,
+    "x7_multi_rollup": x7_multi_rollup,
 }
 
 ORACLES = {
@@ -89,5 +132,18 @@ ORACLES = {
                    PARTITION BY s.user_id ORDER BY s.bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
         FROM spine s LEFT JOIN bucketed b USING (user_id, bucket)
+    """,
+    "x7_multi_rollup": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, sum(round(value, 2)) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(sum(total_value), 2) AS total_value,
+               round(round(sum(total_value), 2) / sum(n_events), 6) AS avg_value
+        FROM hourly GROUP BY 1, 2
     """,
 }
