@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.plans.layout import spread
@@ -94,7 +95,36 @@ def x6_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch profiling (Apache DataSketches HLL): one sketch of
+    distinct order keys per return flag, then the GLOBAL cardinality from
+    `hll_union_agg` over the per-group sketches — without re-reading data.
+
+    This re-aggregation property is the whole point at 100 TB: per-partition
+    (per-day, per-source) sketches are built once at ingest and any rollup
+    (weekly, global, cross-source) is a cheap union of kilobyte sketches.
+    `approx_count_distinct` answers one question; a stored sketch answers
+    every future grouping of it. Rows-only: sketch internals are
+    engine-specific (no DuckDB equivalent); tests pin the estimates against
+    exact counts and the union against a directly-built global sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # global = union over the (3-row) per-group sketch table: a window over
+    # the whole frame, not a re-scan of lineitem and not a 1-row join
+    wall = Window.partitionBy(F.lit(1))
+    return per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("est_orders"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wall)).alias("est_orders_global"),
+    )
+
+
 QUERIES = {
+    "x6_hll_mergeable": x6_hll_mergeable,
     "x6_distinct_profile": x6_distinct_profile,
     "x6_quantiles": x6_quantiles,
     "x6_group_quantiles": x6_group_quantiles,

@@ -50,3 +50,30 @@ def test_approx_profile_within_tolerance(spark):
     assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05
     quant = registry.QUERIES["x6_quantiles"](spark, SF).first()
     assert abs(approx["approx_price_p50"] - quant["price_p50"]) / quant["price_p50"] < 0.05
+
+
+def test_hll_mergeable_union_matches_exact(spark):
+    """DataSketches HLL: per-group estimates near exact, and the union of
+    per-group sketches lands near the exact GLOBAL distinct count — the
+    re-aggregation property that makes stored sketches useful."""
+    from pyspark.sql import functions as F
+
+    from swiftbulkuploader_spark.catalog import load_table
+
+    rows = registry.QUERIES["x6_hll_mergeable"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    exact_per_flag = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n")).collect()
+    }
+    exact_global = li.agg(F.countDistinct("l_orderkey")).first()[0]
+    assert len(rows) == 3
+    globals_seen = set()
+    for r in rows:
+        exact = exact_per_flag[r["l_returnflag"]]
+        assert abs(r["est_orders"] - exact) / exact < 0.05
+        globals_seen.add(r["est_orders_global"])
+    assert len(globals_seen) == 1  # every row reports the same union
+    (g,) = globals_seen
+    assert abs(g - exact_global) / exact_global < 0.05
