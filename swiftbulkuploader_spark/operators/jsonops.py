@@ -43,9 +43,56 @@ def x4_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x4_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema semi-structured access via the VARIANT type (Spark 4):
+    `parse_json` once into a variant, then typed path extraction with
+    `variant_get` / null-safe `try_variant_get`.
+
+    Variant is the scale answer when the JSON schema is NOT known up front
+    (from_json needs one): a binary-encoded document, parsed once at ingest,
+    with per-path typed access and no re-parse per extraction."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_is_null"),
+        F.is_variant_null(F.variant_get(v, "$.k", "variant")).alias("k_is_json_null"),
+        F.try_variant_get(v, "$.k", "string").alias("k_as_string"),
+    )
+
+
+def x4_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a map from parsed JSON, then
+    transform_values / map_filter / transform_keys — plus str_to_map on a
+    synthesized k=v string (the log-line shape). All codegen'd."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,long>")
+    kv = F.concat(F.lit("type="), F.col("event_type"), F.lit(",id="),
+                  F.col("event_id").cast("string"))
+    parsed = F.str_to_map(kv, F.lit(","), F.lit("="))
+    # maps are serialized with to_json for the oracle compare (DuckDB's
+    # client has no canonical MAP text form); the HOFs themselves run on
+    # real map values
+    return events.select(
+        "event_id",
+        # doubled values, then keep only entries >= 100
+        F.to_json(
+            F.map_filter(
+                F.transform_values(m, lambda k, v: v * 2), lambda k, v: v >= 100
+            )
+        ).alias("doubled_big"),
+        F.to_json(F.transform_keys(m, lambda k, v: F.upper(k))).alias("upper_keys"),
+        F.element_at(parsed, "type").alias("type_from_kv"),
+        F.element_at(parsed, "id").cast("long").alias("id_from_kv"),
+    )
+
+
 QUERIES = {
     "x4_json_extract": x4_json_extract,
     "x4_json_agg": x4_json_agg,
+    "x4_variant_ops": x4_variant_ops,
+    "x4_map_hof": x4_map_hof,
 }
 
 ORACLES = {
@@ -60,5 +107,23 @@ ORACLES = {
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
+    """,
+    "x4_variant_ops": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(NULL AS BIGINT) AS missing_is_null,
+               coalesce(json_type(props, '$.k') = 'NULL', false) AS k_is_json_null,
+               json_extract_string(props, '$.k') AS k_as_string
+        FROM events
+    """,
+    "x4_map_hof": """
+        SELECT event_id,
+               CASE WHEN 2 * CAST(props->>'k' AS BIGINT) >= 100
+                    THEN CAST(json_object('k', 2 * CAST(props->>'k' AS BIGINT)) AS VARCHAR)
+                    ELSE '{}' END AS doubled_big,
+               CAST(json_object('K', CAST(props->>'k' AS BIGINT)) AS VARCHAR) AS upper_keys,
+               event_type AS type_from_kv,
+               event_id AS id_from_kv
+        FROM events
     """,
 }
