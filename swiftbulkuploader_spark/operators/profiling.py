@@ -123,8 +123,44 @@ def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/eval split: within every language,
+    route docs by content hash — ~8/16 train, ~2/16 eval, rest held out.
+    Content-hash routing (vs rand(seed)) is reproducible across engines,
+    runs, AND cluster sizes — repartitioning cannot move a doc between
+    splits. Per-lang counts verify the stratification."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 32, 1), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 10, "eval").otherwise("holdout")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def x5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() indicators: distinguishes "NULL because
+    subtotal row" from "NULL in the data" — required for correct rollup
+    consumption (the cube/rollup family's missing piece)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 QUERIES = {
     "x6_hll_mergeable": x6_hll_mergeable,
+    "x6_stratified_split": x6_stratified_split,
+    "x5_grouping_id": x5_grouping_id,
     "x6_distinct_profile": x6_distinct_profile,
     "x6_quantiles": x6_quantiles,
     "x6_group_quantiles": x6_group_quantiles,
@@ -133,6 +169,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x6_stratified_split": """
+        SELECT lang,
+               CASE WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 8
+                    THEN 'train'
+                    WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 10
+                    THEN 'eval'
+                    ELSE 'holdout' END AS split,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """,
+    "x5_grouping_id": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
     "x6_distinct_profile": """
         SELECT count(DISTINCT l_orderkey) AS n_orders,
                count(DISTINCT l_partkey) AS n_parts,
