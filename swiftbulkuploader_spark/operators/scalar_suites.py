@@ -65,7 +65,24 @@ def x_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 collated strings): case-
+    insensitive equality and containment via UTF8_LCASE collation vs binary
+    comparison — collation pushes case logic into the comparison operator
+    itself (sort keys, joins, group keys), instead of wrapping every
+    expression in lower()."""
+    cust = load_table(spark, sf_dir, "customer")
+    ci = lambda c: F.collate(c, "UTF8_LCASE")  # noqa: E731
+    return cust.select(
+        "c_custkey",
+        (ci(F.upper("c_name")) == ci(F.col("c_name"))).alias("ci_eq"),
+        (F.upper("c_name") == F.col("c_name")).alias("bin_eq"),
+        F.contains(ci(F.col("c_name")), F.lit("CUSTOMER")).alias("ci_contains"),
+    )
+
+
 QUERIES = {
+    "x3_collation_suite": x3_collation_suite,
     "x3_bpe_token_stats": x3_bpe_token_stats,
     "x5_date_arithmetic": x5_date_arithmetic,
     "x_try_functions": x_try_functions,
@@ -75,6 +92,13 @@ _BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))"
 _WS = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
 
 ORACLES = {
+    "x3_collation_suite": """
+        SELECT c_custkey,
+               (upper(c_name) COLLATE NOCASE = c_name COLLATE NOCASE) AS ci_eq,
+               (upper(c_name) = c_name) AS bin_eq,
+               (c_name ILIKE '%CUSTOMER%') AS ci_contains
+        FROM customer
+    """,
     "x3_bpe_token_stats": f"""
         SELECT doc_id,
                CAST({_BPE} AS BIGINT) AS n_bpe_tokens,

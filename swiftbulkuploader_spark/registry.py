@@ -34,6 +34,7 @@ from swiftbulkuploader_spark.operators import (
     timeseries,
     tpch_like,
     tpch_more,
+    udtf_ops,
     windows_extra,
 )
 
@@ -41,7 +42,7 @@ _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
-    scalar_suites,
+    scalar_suites, udtf_ops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
