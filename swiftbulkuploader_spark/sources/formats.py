@@ -42,6 +42,30 @@ def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -
     return r.load(path)
 
 
+def read_evolved(spark: SparkSession, path: str,
+                 schema: T.StructType | None = None) -> DataFrame:
+    """Read a parquet dataset whose files were written under DIFFERENT
+    schema versions (columns added over time — the normal life of a
+    long-lived attempt log or manifest).
+
+    Two supported contracts:
+    * `schema` given (preferred at scale): the CURRENT catalog schema is
+      projected onto every file; missing columns read as null. No footer
+      pre-scan at all — planning cost independent of file count.
+    * `schema=None`: `mergeSchema` unions the per-file footers — a
+      planning-time footer scan of every file; acceptable for ad-hoc
+      exploration, not for a 100 TB production read (which is why the
+      catalog schema is the default path everywhere else in this engine).
+
+    Renames and type changes are NOT schema evolution (they are new
+    columns / new tables); additive-only is the contract, same as
+    parquet's own.
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, *,
               partition_column: str | None = None, num_partitions: int = 8,
               lower_bound: int | None = None, upper_bound: int | None = None,

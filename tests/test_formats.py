@@ -41,6 +41,30 @@ def test_round_trip(spark, tmp_path, fmt):
     assert got == want, fmt
 
 
+def test_schema_evolution_additive(spark, tmp_path):
+    """Files written before a column existed read as null under the current
+    catalog schema — both via explicit projection (no footer scan) and via
+    mergeSchema (exploratory path)."""
+    from pyspark.sql import types as T
+
+    from swiftbulkuploader_spark.sources.formats import read_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id: long, path: string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(2, "b", 99)], "id: long, path: string, size: long") \
+        .write.mode("append").parquet(path)
+
+    current = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ])
+    for df in (read_evolved(spark, path, current), read_evolved(spark, path)):
+        rows = {r["id"]: (r["path"], r["size"]) for r in df.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 99)}
+
+
 def test_bad_format_rejected(spark, tmp_path):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError):
