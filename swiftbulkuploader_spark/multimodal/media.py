@@ -86,6 +86,96 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(fn, IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("data", T.BinaryType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("histogram", T.ArrayType(T.DoubleType())),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def resize_image(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """Downsample every image so max(w, h) <= max_side (nearest-neighbor),
+    re-encoded in the same FAKEIMG container: binary in -> binary out, the
+    real resize dataflow (schema, Arrow batches, per-row error capture) with
+    a deterministic stand-in for the codec. A real PIL/libvips resize slots
+    into `_resize_fakeimg` without touching the Spark plumbing."""
+
+    def _resize_fakeimg(data: bytes) -> tuple[int, int, bytes]:
+        import numpy as np
+
+        w, h, _ = _decode_fakeimg(data)
+        # parse from the LEFT (pixel bytes may themselves contain b":")
+        pixels = data.partition(b":")[2].partition(b":")[2][: w * h]
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+        scale = max(1, (max(w, h) + max_side - 1) // max_side)
+        small = arr[::scale, ::scale]  # nearest-neighbor
+        nh, nw = small.shape
+        out = b"FAKEIMG:%dx%d:" % (nw, nh) + small.tobytes()
+        return nw, nh, out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "data", "decode_error")}
+            for row in pdf.itertuples(index=False):
+                nw = nh = None
+                blob = None
+                err = None
+                try:
+                    nw, nh, blob = _resize_fakeimg(bytes(row.data))
+                except Exception as e:  # noqa: BLE001 - errors become data
+                    err = f"{type(e).__name__}: {e}"
+                out["media_id"].append(row.media_id)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["data"].append(blob)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def extract_image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-image grayscale histogram (`n_bins` buckets, L1-normalized) as
+    `array<double>` — the feature-extraction dataflow that feeds the
+    embedding-similarity operators (x2_*): binary column in, vector column
+    out, vectorized inside each Arrow batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "histogram", "decode_error")}
+            for row in pdf.itertuples(index=False):
+                hist = None
+                err = None
+                try:
+                    data = bytes(row.data)
+                    w, h, _ = _decode_fakeimg(data)
+                    pixels = np.frombuffer(
+                        data.partition(b":")[2].partition(b":")[2][: w * h],
+                        dtype=np.uint8,
+                    )
+                    counts = np.bincount(pixels >> (8 - n_bins.bit_length() + 1),
+                                         minlength=n_bins)[:n_bins]
+                    hist = (counts / max(1, pixels.size)).astype(float).tolist()
+                except Exception as e:  # noqa: BLE001 - errors become data
+                    err = f"{type(e).__name__}: {e}"
+                out["media_id"].append(row.media_id)
+                out["histogram"].append(hist)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(fn, FEATURES_SCHEMA)
+
+
 AUDIO_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),

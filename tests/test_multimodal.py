@@ -10,8 +10,10 @@ import pytest
 from swiftbulkuploader_spark.multimodal.media import (
     MEDIA_SCHEMA,
     decode_image_meta,
+    extract_image_features,
     frame_sample_plan,
     media_stats,
+    resize_image,
 )
 
 
@@ -50,6 +52,41 @@ class TestDecode:
     def test_binary_passthrough_lengths(self, spark, media):
         out = {r["media_id"]: r["n_bytes"] for r in decode_image_meta(media).collect()}
         assert out[1] == len(_fakeimg(4, 3))
+
+
+class TestResizeAndFeatures:
+    def test_resize_bounds_and_roundtrip(self, spark, media):
+        out = {r["media_id"]: r for r in resize_image(media, max_side=2).collect()}
+        # 4x3 -> scale 2 -> 2x2; already-small 2x2 unchanged
+        assert (out[1]["width"], out[1]["height"]) == (2, 2)
+        assert (out[2]["width"], out[2]["height"]) == (2, 2)
+        # output is valid FAKEIMG: re-decoding it works and fill survives
+        redecoded = {
+            r["media_id"]: r
+            for r in decode_image_meta(
+                spark.createDataFrame(
+                    [(1, "image", "fakeimg", out[1]["data"], {})], MEDIA_SCHEMA
+                )
+            ).collect()
+        }
+        assert redecoded[1]["mean_pixel"] == pytest.approx(7.0)
+        assert "NotImplementedError" in out[3]["decode_error"]
+
+    def test_resize_handles_colon_pixels(self, spark):
+        # pixel value 0x3a == b":" — parsing must not split on pixel bytes
+        img = b"FAKEIMG:2x2:" + bytes([0x3A] * 4)
+        df = spark.createDataFrame([(9, "image", "fakeimg", img, {})], MEDIA_SCHEMA)
+        (row,) = resize_image(df, max_side=2).collect()
+        assert row["decode_error"] is None
+        assert (row["width"], row["height"]) == (2, 2)
+
+    def test_histogram_features(self, spark, media):
+        out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+        # fill=7 -> bin 0 (7 >> 5 == 0); normalized mass all in one bin
+        assert out[1]["histogram"][0] == pytest.approx(1.0)
+        assert sum(out[1]["histogram"]) == pytest.approx(1.0)
+        assert len(out[1]["histogram"]) == 8
+        assert out[3]["histogram"] is None and out[3]["decode_error"]
 
 
 class TestStatsAndFrames:
