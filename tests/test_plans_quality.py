@@ -70,6 +70,44 @@ class TestPlanShape:
         assert "Exchange" not in plan
 
 
+class TestAQESkewJoin:
+    def test_skewed_partition_is_split_at_runtime(self, spark):
+        """AQE's skew-join split (the runtime complement to the salting
+        helpers): a 90%-one-key join must show SortMergeJoin(skew=true) in
+        the final adaptive plan — the skewed partition was split across
+        tasks instead of serializing one straggler."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            left = spark.range(200_000).select(
+                F.when(F.col("id") % 10 == 0, F.col("id") % 100)
+                .otherwise(0).alias("k"),
+                F.col("id").alias("v"),
+            )
+            right = spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            )
+            j = left.join(right, "k")
+            # drive execution through THIS plan object: AQE finalizes (and
+            # annotates skew) only on the executed AdaptiveSparkPlan
+            pe = j._jdf.queryExecution().executedPlan()
+            pe.execute().count()
+            assert "skew=true" in pe.toString()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestSkewHelpers:
     def test_salted_agg_matches_plain(self, spark):
         df = spark.createDataFrame(
