@@ -1,0 +1,109 @@
+"""Scaling-curve probe: run representative operator shapes at N and 10N
+synthesized rows and report the wall-clock ratio. A shape whose ratio is
+~10x is linear (scales out by adding executors); super-linear ratios flag
+an operator that would NOT survive a 100x scale-up.
+
+Synthesized via spark.range (no parquet dependency) with hash-mixed
+columns, so the probe measures the operator, not the scan.
+
+Usage: python tools/scaling_probe.py [base_n]   # default 1_000_000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from swiftbulkuploader_spark.session import get_spark
+
+
+def _events(spark, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.abs(F.xxhash64("id")) % 5000).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+        ).alias("ts"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 1000 / 10.0).alias("value"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 200_000).alias("text_key"),
+    )
+
+
+def shape_range_window(df):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return df.select(F.sum("value").over(w).alias("s"))
+
+
+def shape_dedup(df):
+    return df.groupBy(F.md5(F.col("text_key").cast("string")).alias("h")) \
+             .agg(F.min("event_id").alias("keep"))
+
+
+def shape_join_agg(df):
+    dim = df.sparkSession.range(5000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("seg")
+    )
+    return (
+        df.join(F.broadcast(dim), "user_id")
+        .groupBy("seg").agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+    )
+
+
+def shape_sessionize(df):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+    brk = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return df.select(
+        "user_id", "event_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+
+
+SHAPES = {
+    "range_window_1h": shape_range_window,
+    "exact_dedup": shape_dedup,
+    "broadcast_join_agg": shape_join_agg,
+    "sessionize": shape_sessionize,
+}
+
+
+def main() -> None:
+    base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup
+    _events(spark, 10_000).agg(F.count("*")).collect()
+
+    out = {}
+    for name, shape in SHAPES.items():
+        times = []
+        for n in (base_n, base_n * 10):
+            df = shape(_events(spark, n))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times.append(best)
+        out[name] = {
+            "sec_1x": round(times[0], 3),
+            "sec_10x": round(times[1], 3),
+            "ratio": round(times[1] / times[0], 2),
+        }
+    print(json.dumps({"base_n": base_n, "shapes": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
