@@ -74,7 +74,14 @@ def _bench_pipeline(spark, n_files: int = 2000) -> tuple[float, float]:
                            cutoff="src", parallelism=16)
         dt = time.time() - t0
         assert res["uploaded"] == n_files, res
-        return round(dt, 3), round(n_files / dt, 1)
+        # resume fast-path: a re-run with everything uploaded must do no
+        # uploads (the reference's `WHERE uploaded=0` re-run, readme.md:42)
+        t1 = time.time()
+        res2 = run_pipeline(spark, src, factory, os.path.join(root, "attempts"),
+                            cutoff="src", parallelism=16)
+        resume_dt = time.time() - t1
+        assert res2["uploaded"] == n_files and res2["failed"] == 0, res2
+        return round(dt, 3), round(n_files / dt, 1), round(resume_dt, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -97,8 +104,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    pipe_sec, pipe_rate = _bench_pipeline(spark)
+    pipe_sec, pipe_rate, resume_sec = _bench_pipeline(spark)
     timings["pipeline_upload_2k_files"] = pipe_sec
+    timings["pipeline_resume_noop"] = resume_sec
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

@@ -149,6 +149,34 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Corpus profile over a documents-shaped parquet table: size, token
+    budget (whitespace + BPE-ish), language mix, exact-dup rate — the
+    one-command pre-training triage the extension operators exist for."""
+    from swiftbulkuploader_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    spark = _spark()
+    docs = spark.read.parquet(args.documents_path)
+    profile = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    ).first()
+    dup_pct = 100.0 * (1 - profile["n_unique"] / profile["n_docs"]) if profile["n_docs"] else 0.0
+    print(f"docs={profile['n_docs']} chars={profile['n_chars']} "
+          f"ws_tokens={profile['ws_tokens']} bpe_tokens={profile['bpe_tokens']} "
+          f"exact_dup_pct={dup_pct:.2f}")
+    for r in (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc()).collect()):
+        print(f"  lang={r['lang']} n={r['n']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="swiftbulkuploader_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -179,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("directory")
     rc.add_argument("manifest_path")
     rc.set_defaults(fn=cmd_recrawl)
+
+    an = sub.add_parser("analyze", help="corpus profile: tokens, langs, dup rate")
+    an.add_argument("documents_path")
+    an.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

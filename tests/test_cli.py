@@ -54,3 +54,12 @@ def test_status_before_any_upload(spark, tree, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "0/3 files uploaded. 0.00000000%" in out
+
+
+def test_analyze_corpus_profile(spark, capsys):
+    rc = main(["analyze", "/root/testdata/sf0.001/documents.parquet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "docs=500 " in out
+    assert "exact_dup_pct=" in out
+    assert "lang=en" in out
