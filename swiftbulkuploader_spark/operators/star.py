@@ -124,7 +124,37 @@ def x5_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (both-sides-may-be-missing):
+    high-value customers vs recent big orders, classifying each key as
+    matched / customer-only / order-only. Completes the join-type family
+    (inner/broadcast, left, semi, anti, cross elsewhere).
+
+    At scale a full outer cannot broadcast either side (both preserve
+    unmatched rows) — it is always a co-partitioned shuffle join; the
+    classification column is how a 100 TB reconciliation reports drift
+    without materializing three separate joins."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    ).select("c_custkey", "c_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("key"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+         .when(F.col("o_custkey").isNull(), "customer_only")
+         .otherwise("matched").alias("side"),
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+    )
+
+
 QUERIES = {
+    "x5_full_outer_recon": x5_full_outer_recon,
     "x5_pricing_summary": x5_pricing_summary,
     "x5_top_revenue_orders": x5_top_revenue_orders,
     "x5_nation_revenue": x5_nation_revenue,
@@ -134,6 +164,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x5_full_outer_recon": """
+        WITH c AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+        ), o AS (
+            SELECT o_custkey, count(*) AS n_big
+            FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS key,
+               CASE WHEN c_custkey IS NULL THEN 'order_only'
+                    WHEN o_custkey IS NULL THEN 'customer_only'
+                    ELSE 'matched' END AS side,
+               coalesce(n_big, 0) AS n_big
+        FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
     "x5_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -69,9 +69,31 @@ def w7_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w8_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST window ordering over a sparse
+    column. Engines disagree on the default (Spark: nulls smallest;
+    DuckDB: NULLS LAST) — portable ordered computation must always state
+    it; this query pins both directions with a deterministic tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_id") % 7 == 0, F.col("value"))  # ~14% null
+    w_last = Window.partitionBy("user_id").orderBy(
+        sparse.asc_nulls_last(), F.col("event_id").asc()
+    )
+    w_first = Window.partitionBy("user_id").orderBy(
+        sparse.desc_nulls_first(), F.col("event_id").asc()
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_last).cast("long").alias("rn_nulls_last"),
+        F.row_number().over(w_first).cast("long").alias("rn_nulls_first"),
+    )
+
+
 QUERIES = {
     "w6_distribution_windows": w6_distribution_windows,
     "w7_time_range_frame": w7_time_range_frame,
+    "w8_null_ordering": w8_null_ordering,
 }
 
 ORACLES = {
@@ -90,5 +112,17 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "w8_null_ordering": """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY (CASE WHEN event_id % 7 = 0 THEN value END)
+                            ASC NULLS LAST, event_id ASC) AS BIGINT) AS rn_nulls_last,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY (CASE WHEN event_id % 7 = 0 THEN value END)
+                            DESC NULLS FIRST, event_id ASC) AS BIGINT) AS rn_nulls_first
+        FROM events
     """,
 }

@@ -42,6 +42,30 @@ def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -
     return r.load(path)
 
 
+def read_tolerant(spark: SparkSession, path: str, fmt: str,
+                  schema: T.StructType) -> DataFrame:
+    """Read semi-structured text data (json/csv) with malformed rows
+    captured as DATA instead of killing the job: PERMISSIVE mode routes
+    each unparseable line into a `_corrupt_record` column (good rows have
+    it null). The row-level counterpart of the try_* expression suite and
+    of the upload stage's errors-as-rows policy — at 100 TB one bad line
+    in a billion must quarantine, not crash. Filter `_corrupt_record IS
+    NOT NULL` into a quarantine table; the reverse is the clean feed."""
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"tolerant reads are for json/csv, got {fmt!r}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    r = (
+        spark.read.format(fmt).schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
+
+
 def read_evolved(spark: SparkSession, path: str,
                  schema: T.StructType | None = None) -> DataFrame:
     """Read a parquet dataset whose files were written under DIFFERENT

@@ -65,6 +65,32 @@ def test_schema_evolution_additive(spark, tmp_path):
         assert rows == {1: ("a", None), 2: ("b", 99)}
 
 
+def test_tolerant_read_quarantines_corrupt_rows(spark, tmp_path):
+    """One malformed line must become a quarantine ROW, not a job failure;
+    clean rows parse normally alongside it."""
+    from pyspark.sql import types as T
+
+    from swiftbulkuploader_spark.sources.formats import read_tolerant
+
+    path = tmp_path / "raw.json"
+    path.write_text(
+        '{"id": 1, "path": "/a"}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 3, "path": "/c"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("path", T.StringType()),
+    ])
+    df = read_tolerant(spark, str(path), "json", schema).cache()
+    clean = df.filter("_corrupt_record IS NULL")
+    quarantined = df.filter("_corrupt_record IS NOT NULL")
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    assert quarantined.count() == 1
+    assert "NOT JSON" in quarantined.first()["_corrupt_record"]
+    df.unpersist()
+
+
 def test_bad_format_rejected(spark, tmp_path):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError):
