@@ -81,7 +81,40 @@ def x3_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function family beyond extract/replace: regexp_like (predicate),
+    regexp_count (occurrences), regexp_substr (first match),
+    regexp_instr (1-based position) — over document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    vowel_word = r"\b[aeiou][a-z]+"
+    return docs.select(
+        "doc_id",
+        F.regexp_like("text", F.lit(r"data")).alias("has_data"),
+        F.regexp_count("text", F.lit(vowel_word)).cast("long").alias("n_vowel_words"),
+        F.regexp_substr("text", F.lit(vowel_word)).alias("first_vowel_word"),
+        F.regexp_instr("text", F.lit(r"spark")).cast("long").alias("spark_pos"),
+    )
+
+
+def x6_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates per user: AND/OR/XOR over event ids plus total
+    set-bit count — the flag-mask rollup shape (permission masks, feature
+    flags) that runs entirely in the partial-aggregate combiner."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.bit_and("event_id").alias("mask_and"),
+            F.bit_or("event_id").alias("mask_or"),
+            F.bit_xor("event_id").alias("mask_xor"),
+            F.sum(F.bit_count("event_id")).alias("total_bits"),
+        )
+    )
+
+
 QUERIES = {
+    "x3_regex_suite": x3_regex_suite,
+    "x6_bit_aggregates": x6_bit_aggregates,
     "x3_collation_suite": x3_collation_suite,
     "x3_bpe_token_stats": x3_bpe_token_stats,
     "x5_date_arithmetic": x5_date_arithmetic,
@@ -92,6 +125,25 @@ _BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))"
 _WS = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
 
 ORACLES = {
+    "x3_regex_suite": r"""
+        SELECT doc_id,
+               regexp_matches(text, 'data') AS has_data,
+               CAST(len(regexp_extract_all(text, '\b[aeiou][a-z]+')) AS BIGINT) AS n_vowel_words,
+               CASE WHEN regexp_matches(text, '\b[aeiou][a-z]+')
+                    THEN regexp_extract(text, '\b[aeiou][a-z]+')
+                    ELSE NULL END AS first_vowel_word,
+               CAST(CASE WHEN strpos(text, 'spark') > 0
+                         THEN strpos(text, 'spark') ELSE 0 END AS BIGINT) AS spark_pos
+        FROM documents
+    """,
+    "x6_bit_aggregates": """
+        SELECT user_id,
+               bit_and(event_id) AS mask_and,
+               bit_or(event_id) AS mask_or,
+               bit_xor(event_id) AS mask_xor,
+               CAST(sum(bit_count(event_id)) AS BIGINT) AS total_bits
+        FROM events GROUP BY user_id
+    """,
     "x3_collation_suite": """
         SELECT c_custkey,
                (upper(c_name) COLLATE NOCASE = c_name COLLATE NOCASE) AS ci_eq,

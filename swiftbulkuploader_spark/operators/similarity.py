@@ -236,7 +236,44 @@ def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN join: 8 query vectors x the rest of the corpus, top-5
+    neighbors per query — the many-to-many retrieval shape (each training
+    example fetches its nearest references).
+
+    Spark shape: broadcast the (bounded) query side into a nested-loop
+    join, score codegen-side, rank per query. The corpus never re-shuffles
+    and the cross-product is |corpus| x |queries| with queries bounded —
+    the only cross join this engine allows (cf. the IVF/LSH variants for
+    unbounded query sets). Ranking is on the ROUNDED similarity plus
+    vec_id so the order is engine-exact."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("emb"), F.col("q_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 QUERIES = {
+    "x2_knn_join": x2_knn_join,
     "x2_cosine_topk": x2_cosine_topk,
     "x2_label_centroid_sim": x2_label_centroid_sim,
     "x2_lsh_bucket_topk": x2_lsh_bucket_topk,
@@ -267,6 +304,24 @@ _CENTROID_DUCK = """
 """
 
 ORACLES = {
+    "x2_knn_join": """
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 8
+        ), c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id >= 8
+        ), s AS (
+            SELECT q_id, vec_id,
+                   round(list_cosine_similarity(e, qe), 6) AS cos_sim
+            FROM c CROSS JOIN q
+        )
+        SELECT q_id, vec_id, cos_sim, rn FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC
+            ) AS BIGINT) AS rn FROM s
+        ) WHERE rn <= 5
+    """,
     "x2_label_centroid_sim": _CENTROID_DUCK,
     "x2_cosine_topk": """
         SELECT vec_id, label,
