@@ -66,7 +66,8 @@ def stream_upload(spark: SparkSession, manifest_dir: str, store_factory: StoreFa
 
 def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
                          key: str, window_minutes: int = 5,
-                         watermark: str = "10 minutes") -> DataFrame:
+                         watermark: str = "10 minutes",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream interval join: pair each left event with right events of
     the same key within ±window (the streaming twin of the batch bucketed
     range join, operators/range_join.py).
@@ -75,15 +76,22 @@ def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
     watermark passes their join window, so state is bounded by (rate x
     window), not stream history. Append output: a pair emits exactly once,
     when both sides are present and the watermark closes the match window.
+
+    `how="left_outer"`: an anchor with NO match emits once, null-padded,
+    when the watermark proves no match can still arrive — the streaming
+    "did anything correlate?" question (an upload attempt with no
+    success-ack inside the window) that an inner join silently drops.
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
     lt = left_stream.withWatermark("ts", watermark).alias("l")
     rt = right_stream.withWatermark("ts", watermark).alias("r")
     w = F.expr(f"r.ts BETWEEN l.ts - INTERVAL {window_minutes} MINUTES "
                f"AND l.ts + INTERVAL {window_minutes} MINUTES")
     return lt.join(
-        rt, (F.col(f"l.{key}") == F.col(f"r.{key}")) & w, "inner"
+        rt, (F.col(f"l.{key}") == F.col(f"r.{key}")) & w, how
     ).select(
         F.col("l.event_id").alias("anchor_id"),
         F.col(f"l.{key}").alias(key),

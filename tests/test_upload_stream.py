@@ -104,3 +104,72 @@ class TestStreamIntervalJoin:
         batch = {r["anchor_id"]: r["n_nearby"]
                  for r in range_join_counts(batch_df, F.col("event_type") == "error").collect()}
         assert batch == {1: 2, 6: 0}
+
+    def test_left_outer_emits_unmatched_after_watermark(self, spark, tmp_path):
+        """left_outer: an anchor with no correlated event emits null-padded
+        once the watermark proves no match can arrive; matched anchors emit
+        pairs as in the inner join."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from swiftbulkuploader_spark.streaming.upload_stream import stream_interval_join
+
+        import time
+
+        t0 = datetime.datetime(2024, 1, 1)
+        schema = "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+        src = str(tmp_path / "events")
+        # batch 1: the anchors; batch 2: a far-future watermark driver — the
+        # unmatched anchor's null row can only emit once a LATER batch's
+        # watermark proves no match can still arrive
+        batches = [
+            [
+                (1, t0, 7, "error", 0.0, "{}"),                                # matched
+                (2, t0 + datetime.timedelta(minutes=3), 7, "click", 0.0, "{}"),
+                (6, t0 + datetime.timedelta(minutes=30), 8, "error", 0.0, "{}"),  # no match
+            ],
+            # watermark drivers on BOTH sides: the global watermark is the
+            # MIN across the two stream inputs, so a click-only driver
+            # leaves the error-side watermark (and anchor-6's state) frozen
+            [
+                (9, t0 + datetime.timedelta(hours=3), 9, "click", 0.0, "{}"),
+                (11, t0 + datetime.timedelta(hours=3), 10, "error", 0.0, "{}"),
+            ],
+            # third batch: the null row emits one batch AFTER the watermark
+            # advanced past the anchor's window (same one-batch lag as
+            # test_watermark_semantics)
+            [
+                (10, t0 + datetime.timedelta(hours=4), 9, "click", 0.0, "{}"),
+                (12, t0 + datetime.timedelta(hours=4), 10, "error", 0.0, "{}"),
+            ],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            time.sleep(1.1)
+        ddl = schema.replace(":", "")
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        joined = stream_interval_join(
+            stream.filter(F.col("event_type") == "error"),
+            stream.filter(F.col("event_type") != "error"),
+            key="user_id", window_minutes=5, how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("memory").queryName("sjoin_outer")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["anchor_id"], r["other_id"])
+               for r in spark.table("sjoin_outer").collect()}
+        # anchors 1 and 6 are settled (watermark far past their windows):
+        # 1 matched, 6 emitted null-padded exactly once; later driver
+        # anchors (11/12) may or may not have settled — ignore them
+        settled = {p for p in got if p[0] in (1, 6)}
+        assert settled == {(1, 2), (6, None)}
