@@ -117,7 +117,37 @@ def x7_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build from a change log: per user, each *change* of
+    event_type opens a validity interval [valid_from, valid_to) closed by
+    the next change (null = current). The warehouse dimension-history shape:
+    change-capture (lag + filter) then interval stitching (lead) — two
+    window passes over ONE shuffle on the key (same partitioning, Catalyst
+    reuses the exchange)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
 QUERIES = {
+    "x7_scd2_history": x7_scd2_history,
     "x7_asof_join": x7_asof_join,
     "w4_topk_per_group": w4_topk_per_group,
     "x5_unpivot_measures": x5_unpivot_measures,
@@ -125,6 +155,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x7_scd2_history": """
+        WITH changed AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+            SELECT user_id, event_id, ts, event_type
+            FROM changed
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (lead(ts) OVER w2 IS NULL) AS is_current,
+               CAST(row_number() OVER w2 AS BIGINT) AS version
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "x7_asof_join": """
         SELECT e.event_id, e.user_id,
                round(s.value, 2) AS prev_value,
