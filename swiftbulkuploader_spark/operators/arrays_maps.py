@@ -113,7 +113,51 @@ def x3_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+def x3_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra per document: union/intersect/except of the token
+    set against a fixed probe vocabulary, plus overlap predicate — the
+    vocabulary-membership shape (stopword coverage, blocklist hits) as
+    codegen'd array ops instead of an explode+join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    probe = F.array(*[F.lit(t) for t in ("data", "scan", "join", "zzz")])
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_intersect(toks, probe)).alias("hits"),
+        F.size(F.array_except(probe, toks)).cast("long").alias("n_missing"),
+        F.size(F.array_union(toks, probe)).cast("long").alias("n_union"),
+        F.arrays_overlap(toks, probe).alias("any_hit"),
+    )
+
+
+def x3_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram frequency profile per language (the classic lang-ID
+    feature table): bigrams from each doc's first 64 chars, aggregated to
+    (lang, bigram) counts, kept where count >= 50.
+
+    The bigram build is transform over an index sequence reading substrings
+    of a BOUNDED prefix — per-element cost is constant, so no O(n^2) HOF
+    trap (see functions/text.py); the aggregation is one partial-agg
+    shuffle on (lang, bigram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # sequence(1, 0) would step BACKWARD ([1, 0]), so guard the <2-char case
+    grams = F.expr(
+        "CASE WHEN length(substring(text, 1, 64)) >= 2 THEN "
+        "transform(sequence(1, length(substring(text, 1, 64)) - 1), "
+        "i -> substring(substring(text, 1, 64), i, 2)) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select("lang", F.explode(grams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
 QUERIES = {
+    "x3_array_set_ops": x3_array_set_ops,
+    "x3_char_ngrams": x3_char_ngrams,
     "x3_array_hof_suite": x3_array_hof_suite,
     "x4_map_ops": x4_map_ops,
     "x3_doc_frequency": x3_doc_frequency,
@@ -124,6 +168,33 @@ _TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 _TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
 
 ORACLES = {
+    "x3_array_set_ops": f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks,
+                   ['data', 'scan', 'join', 'zzz'] AS probe
+            FROM documents
+        )
+        SELECT doc_id,
+               list_sort(list_intersect(toks, probe)) AS hits,
+               CAST(len(list_filter(probe, p -> NOT list_contains(toks, p))) AS BIGINT) AS n_missing,
+               CAST(len(list_distinct(list_concat(toks, probe))) AS BIGINT) AS n_union,
+               len(list_intersect(toks, probe)) > 0 AS any_hit
+        FROM t
+    """,
+    "x3_char_ngrams": """
+        WITH grams AS (
+            SELECT lang,
+                   substr(substr(text, 1, 64), ord, 2) AS bigram
+            FROM (
+                SELECT lang, text,
+                       unnest(generate_series(1, greatest(length(substr(text, 1, 64)) - 1, 1))) AS ord
+                FROM documents
+                WHERE length(substr(text, 1, 64)) >= 2
+            )
+        )
+        SELECT lang, bigram, count(*) AS n
+        FROM grams GROUP BY lang, bigram HAVING count(*) >= 50
+    """,
     "x3_array_hof_suite": f"""
         SELECT doc_id,
                CAST(len(list_filter({_TOKS}, t -> length(t) > 6)) AS BIGINT) AS n_long_tokens,

@@ -123,6 +123,24 @@ def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() (= continuous p50) and discrete percentiles (percentile
+    within ties to an ACTUAL data value, no interpolation) per return flag —
+    the disc/cont distinction matters for integer-coded columns where an
+    interpolated 2.5 is not a value the column can take."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("qty_median"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+             .alias("qty_p50_disc"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+             .alias("qty_p90_disc"),
+        )
+    )
+
+
 def x6_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified train/eval split: within every language,
     route docs by content hash — ~8/16 train, ~2/16 eval, rest held out.
@@ -159,6 +177,7 @@ def x5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "x6_hll_mergeable": x6_hll_mergeable,
+    "x6_median_disc": x6_median_disc,
     "x6_stratified_split": x6_stratified_split,
     "x5_grouping_id": x5_grouping_id,
     "x6_distinct_profile": x6_distinct_profile,
@@ -169,6 +188,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x6_median_disc": """
+        SELECT l_returnflag,
+               round(median(l_quantity), 6) AS qty_median,
+               quantile_disc(l_quantity, 0.5) AS qty_p50_disc,
+               quantile_disc(l_quantity, 0.9) AS qty_p90_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "x6_stratified_split": """
         SELECT lang,
                CASE WHEN strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 < 8

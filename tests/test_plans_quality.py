@@ -69,6 +69,23 @@ class TestPlanShape:
         plan = _plan(registry.QUERIES["x3_array_hof_suite"](spark, SF))
         assert "Exchange" not in plan
 
+    def test_join_hints_steer_strategy(self, spark):
+        # the escape hatch when stats mislead Catalyst: hints must actually
+        # flip the physical strategy (e.g. shuffle_hash avoids the sort of
+        # an SMJ for a one-off join where sorting dominates)
+        from swiftbulkuploader_spark.catalog import load_table
+
+        orders = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem")
+        smj = li.hint("merge").join(
+            orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+        )
+        shj = li.hint("shuffle_hash").join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        assert "SortMergeJoin" in _plan(smj)
+        assert "ShuffledHashJoin" in _plan(shj)
+
 
 class TestAQESkewJoin:
     def test_skewed_partition_is_split_at_runtime(self, spark):
