@@ -46,6 +46,25 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-first dedup: hash AFTER lowercasing + whitespace
+    normalization, so case/spacing variants of the same content collapse
+    (the standard pre-dedup canonicalization a raw-byte hash misses).
+    Reports groups where canonicalization found MORE copies than the raw
+    hash would."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        docs.select("doc_id", canon.alias("canon_fp"), F.md5("text").alias("raw_fp"))
+        .groupBy("canon_fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("copies"),
+            F.countDistinct("raw_fp").alias("raw_variants"),
+        )
+    )
+
+
 def x1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication profile: totals vs distinct texts/fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
@@ -296,6 +315,7 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
+    "x1_normalized_dedup": x1_normalized_dedup,
     "x1_embedding_neardup": x1_embedding_neardup,
     "x1_dedup_stats": x1_dedup_stats,
     "x1_dedup_keep_best": x1_dedup_keep_best,
@@ -310,6 +330,13 @@ _FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 ORACLES = {
     "x1_exact_dedup": f"""
         SELECT {_FP_DUCK} AS fp, min(doc_id) AS keeper_id, count(*) AS copies
+        FROM documents GROUP BY 1
+    """,
+    "x1_normalized_dedup": r"""
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS canon_fp,
+               min(doc_id) AS keeper_id,
+               count(*) AS copies,
+               count(DISTINCT md5(text)) AS raw_variants
         FROM documents GROUP BY 1
     """,
     "x1_dedup_stats": f"""

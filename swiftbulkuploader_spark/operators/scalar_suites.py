@@ -112,7 +112,26 @@ def x6_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation: several differently-conditioned
+    aggregates in ONE pass over orders (vs one scan per condition, or the
+    CASE-WHEN encoding of the same thing — FILTER states intent and lets
+    the combiner skip non-matching rows)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_fa")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_value,
+               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 200000), 6) AS avg_big
+        FROM _orders_fa
+        GROUP BY o_orderpriority
+    """)
+
+
 QUERIES = {
+    "x5_filtered_aggs": x5_filtered_aggs,
     "x3_regex_suite": x3_regex_suite,
     "x6_bit_aggregates": x6_bit_aggregates,
     "x3_collation_suite": x3_collation_suite,
@@ -125,6 +144,15 @@ _BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))"
 _WS = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
 
 ORACLES = {
+    "x5_filtered_aggs": """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_value,
+               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 200000), 6) AS avg_big
+        FROM orders GROUP BY o_orderpriority
+    """,
     "x3_regex_suite": r"""
         SELECT doc_id,
                regexp_matches(text, 'data') AS has_data,
