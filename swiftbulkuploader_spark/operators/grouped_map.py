@@ -61,11 +61,68 @@ def x2_norm_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.groupBy("label").applyInPandas(_zscore_group, NORM_SCHEMA)
 
 
+def _zscore_group_arrow(table):
+    """Arrow-native twin of _zscore_group: pyarrow.Table in/out, zero pandas
+    conversion — the Spark 4 `applyInArrow` path (less memory, no
+    pandas-specific type coercions on the boundary)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    norm = table.column("norm")
+    mu = pc.mean(norm)
+    # two-pass population variance (mean of squared deviations): the
+    # E[x^2]-mean^2 form catastrophically cancels for unit-norm values
+    dev = pc.subtract(norm, mu)
+    var = pc.mean(pc.multiply(dev, dev))
+    sd = pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0)))
+    if sd.as_py() and sd.as_py() > 0:
+        z = pc.divide(pc.subtract(norm, mu), sd)
+    else:
+        z = pc.multiply(norm, pa.scalar(0.0))
+    z = pc.round(z, ndigits=4)
+    return pa.table({
+        "vec_id": table.column("vec_id"),
+        "label": table.column("label"),
+        "norm": norm,
+        "z": z,
+    })
+
+
+def x2_norm_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-label z-score, via `applyInArrow` — identical semantics to
+    x2_norm_zscore (same DuckDB oracle), different ferry: grouped data
+    stays in Arrow end-to-end."""
+    from swiftbulkuploader_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("norm"),
+    )
+    return norms.groupBy("label").applyInArrow(_zscore_group_arrow, NORM_SCHEMA)
+
+
 QUERIES = {
     "x2_norm_zscore": x2_norm_zscore,
+    "x2_norm_zscore_arrow": x2_norm_zscore_arrow,
 }
 
 ORACLES = {
+    # same semantics, same oracle text, two ferry implementations
+    "x2_norm_zscore_arrow": """
+        WITH norms AS (
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 6) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id, label, norm,
+               round(CASE WHEN stddev_pop(norm) OVER (PARTITION BY label) > 0
+                          THEN (norm - avg(norm) OVER (PARTITION BY label))
+                               / stddev_pop(norm) OVER (PARTITION BY label)
+                          ELSE 0.0 END, 4) AS z
+        FROM norms
+    """,
     "x2_norm_zscore": """
         WITH norms AS (
             SELECT vec_id, label,
