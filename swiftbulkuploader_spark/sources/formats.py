@@ -25,8 +25,14 @@ def write_table(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> 
     w = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         # header for interop; explicit timestamp format so round-trips are
-        # lossless at second granularity
-        w = w.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        # lossless at second granularity; the writer TRIMS field whitespace
+        # by default (ignore*WhiteSpace=true) — disable for lossless values
+        w = (
+            w.option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        )
     df_out = w
     df_out.save(path)
 
@@ -38,7 +44,17 @@ def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -
         raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
     r = spark.read.format(fmt).schema(schema)
     if fmt == "csv":
-        r = r.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        r = (
+            r.option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            # multiLine: quoted fields may contain record separators — without
+            # it a value with an embedded newline silently corrupts into two
+            # rows (found by the adversarial round-trip property test).
+            # Costs splittability: a multiLine csv file is one task; that is
+            # the price of newline-bearing data in csv — parquet is the
+            # scale format, csv the interchange one.
+            .option("multiLine", "true")
+        )
     return r.load(path)
 
 

@@ -41,6 +41,56 @@ def test_round_trip(spark, tmp_path, fmt):
     assert got == want, fmt
 
 
+def test_adversarial_string_round_trip(spark, tmp_path):
+    """Batched adversarial round-trip (property-style, one Spark pass per
+    format): strings with commas, both quote styles, newlines, tabs,
+    backslashes, unicode — the reference's own pain points
+    (prepareupload.py:39-44) — must survive csv and json exactly."""
+    import random
+
+    rnd = random.Random(1234)
+    pieces = [
+        "plain", "comma,inside", 'quote"double', "quote'single", "both'\"",
+        "new\nline", "tab\tchar", "back\\slash", "文件名", "café",
+        " lead", "trail ", "", "x" * 200, "\\n literal", '"""', ",,,",
+    ]
+    rows = []
+    for i in range(200):
+        s = "".join(rnd.choice(pieces) for _ in range(rnd.randint(1, 4)))
+        rows.append((i, s))
+    schema_t = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema_t)
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"adv_{fmt}")
+        write_table(df, path, fmt)
+        back = read_table(spark, path, fmt, schema_t)
+        got = {r["id"]: r["s"] for r in back.collect()}
+        want = dict(rows)
+        # empty string: csv cannot distinguish "" from null (both unquoted
+        # empty field) — normalize that one case, assert the rest exact
+        if fmt == "csv":
+            want = {k: (v if v != "" else None) for k, v in want.items()}
+            got = {k: (v if v != "" else None) for k, v in got.items()}
+        assert got == want, fmt
+
+
+def test_binary_column_round_trip(spark, tmp_path):
+    """BinaryType survives parquet exactly (the media-column contract)."""
+    rows = [(1, b"\x00\x01\xff:COLON:"), (2, b""), (3, None)]
+    schema_t = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+    ])
+    path = str(tmp_path / "bin")
+    spark.createDataFrame(rows, schema_t).write.parquet(path)
+    got = {r["id"]: (bytes(r["data"]) if r["data"] is not None else None)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: b"\x00\x01\xff:COLON:", 2: b"", 3: None}
+
+
 def test_schema_evolution_additive(spark, tmp_path):
     """Files written before a column existed read as null under the current
     catalog schema — both via explicit projection (no footer scan) and via
