@@ -63,6 +63,16 @@ class TestZOrder:
         both = {"x": (0, SIDE // 16 - 1), "y": (0, SIDE // 16 - 1)}
         assert minmax_prunable_fraction(zo, both) >= zo_skip
 
+    def test_zorder_key_is_bijective(self, spark):
+        # interleaving must never collide: distinct (x, y) -> distinct z
+        df = _grid(spark)
+        n = df.select("x", "y").distinct().count()
+        nz = (
+            df.select(zorder_key(F.col("x"), F.col("y")).alias("z"))
+            .distinct().count()
+        )
+        assert n == nz
+
     def test_zordered_data_roundtrips(self, spark, tmp_path):
         df = _grid(spark)
         path = str(tmp_path / "z")
