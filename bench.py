@@ -48,7 +48,7 @@ HEADLINE = [
 ]
 
 
-def _bench_pipeline(spark, n_files: int = 2000) -> tuple[float, float]:
+def _bench_pipeline(spark, n_files: int = 2000) -> tuple[float, float, float]:
     """ingest -> key-transform -> fake-ObjectStore upload -> report over a
     synthetic tree (BASELINE.md's pipeline workload; uploads/s is the
     reference's own headline metric, bulkupload.py:330)."""

@@ -159,7 +159,9 @@ def cmd_analyze(args) -> int:
     )
 
     spark = _spark()
-    docs = spark.read.parquet(args.documents_path)
+    # cache: the profile aggregate and the lang groupBy are two actions
+    # over the same (md5/token-counted) scan
+    docs = spark.read.parquet(args.documents_path).cache()
     profile = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),
@@ -174,6 +176,7 @@ def cmd_analyze(args) -> int:
     for r in (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
               .orderBy(F.col("n").desc()).collect()):
         print(f"  lang={r['lang']} n={r['n']}")
+    docs.unpersist()
     return 0
 
 

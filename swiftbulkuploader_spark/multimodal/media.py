@@ -163,8 +163,10 @@ def extract_image_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
                         data.partition(b":")[2].partition(b":")[2][: w * h],
                         dtype=np.uint8,
                     )
-                    counts = np.bincount(pixels >> (8 - n_bins.bit_length() + 1),
-                                         minlength=n_bins)[:n_bins]
+                    # bucket by division (not bit shift): exact for ANY
+                    # n_bins, every pixel lands in [0, n_bins)
+                    buckets = pixels.astype(np.int32) * n_bins // 256
+                    counts = np.bincount(buckets, minlength=n_bins)[:n_bins]
                     hist = (counts / max(1, pixels.size)).astype(float).tolist()
                 except Exception as e:  # noqa: BLE001 - errors become data
                     err = f"{type(e).__name__}: {e}"

@@ -134,15 +134,15 @@ def x7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("event_type") != F.col("prev_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # same window spec for both passes — one definition, one exchange
     fmt = "yyyy-MM-dd HH:mm:ss"
     return changed.select(
         "user_id",
         "event_type",
         F.date_format("ts", fmt).alias("valid_from"),
-        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
-        F.row_number().over(w2).cast("long").alias("version"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
     )
 
 

@@ -75,7 +75,7 @@ def w8_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB: NULLS LAST) — portable ordered computation must always state
     it; this query pins both directions with a deterministic tiebreak."""
     events = load_table(spark, sf_dir, "events")
-    sparse = F.when(F.col("event_id") % 7 == 0, F.col("value"))  # ~14% null
+    sparse = F.when(F.col("event_id") % 7 == 0, F.col("value"))  # non-null ~1/7, null ~6/7
     w_last = Window.partitionBy("user_id").orderBy(
         sparse.asc_nulls_last(), F.col("event_id").asc()
     )

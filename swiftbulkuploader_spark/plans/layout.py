@@ -104,7 +104,9 @@ def minmax_prunable_fraction(path: str, bounds: dict[str, tuple]) -> float:
             row = meta.row_group(rg)
             for col, (lo, hi) in bounds.items():
                 st = row.column(names.index(col)).statistics
-                if st is not None and (st.min > hi or st.max < lo):
+                # has_min_max guard: stats can exist without min/max (all-null
+                # chunks, truncated binary stats) — treat as unprunable
+                if st is not None and st.has_min_max and (st.min > hi or st.max < lo):
                     skipped += 1
                     break
     return skipped / total if total else 0.0

@@ -78,7 +78,14 @@ def read_tolerant(spark: SparkSession, path: str, fmt: str,
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
     if fmt == "csv":
-        r = r.option("header", "true")
+        # same parse options as read_table — otherwise rows write_table
+        # produced (quoted newlines, 6-digit-fraction timestamps) would be
+        # FALSELY quarantined as corrupt
+        r = (
+            r.option("header", "true")
+            .option("multiLine", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        )
     return r.load(path)
 
 

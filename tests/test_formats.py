@@ -141,6 +141,28 @@ def test_tolerant_read_quarantines_corrupt_rows(spark, tmp_path):
     df.unpersist()
 
 
+def test_tolerant_read_accepts_what_write_table_wrote(spark, tmp_path):
+    """Well-formed rows from write_table (incl. embedded newlines) must NOT
+    be quarantined by the tolerant csv reader."""
+    from pyspark.sql import types as T
+
+    from swiftbulkuploader_spark.sources.formats import read_tolerant
+
+    schema_t = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ])
+    df = spark.createDataFrame([(1, "line one\nline two"), (2, "plain")], schema_t)
+    path = str(tmp_path / "clean_csv")
+    write_table(df, path, "csv")
+    back = read_tolerant(spark, path, "csv", schema_t).cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    assert {r["id"]: r["s"] for r in back.collect()} == {
+        1: "line one\nline two", 2: "plain"
+    }
+    back.unpersist()
+
+
 def test_bad_format_rejected(spark, tmp_path):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError):

@@ -80,6 +80,17 @@ class TestResizeAndFeatures:
         assert row["decode_error"] is None
         assert (row["width"], row["height"]) == (2, 2)
 
+    def test_histogram_non_power_of_two_bins(self, spark):
+        # bucket-by-division must cover the full 0-255 range for any n_bins:
+        # pixel 255 lands in the LAST of 3 bins, and mass still sums to 1
+        img = b"FAKEIMG:2x2:" + bytes([0, 100, 200, 255])
+        df = spark.createDataFrame([(1, "image", "fakeimg", img, {})], MEDIA_SCHEMA)
+        (row,) = extract_image_features(df, n_bins=3).collect()
+        hist = row["histogram"]
+        assert len(hist) == 3
+        assert sum(hist) == pytest.approx(1.0)
+        assert hist[2] > 0  # 200 and 255 both land in the top bin
+
     def test_histogram_features(self, spark, media):
         out = {r["media_id"]: r for r in extract_image_features(media).collect()}
         # fill=7 -> bin 0 (7 >> 5 == 0); normalized mass all in one bin

@@ -1,5 +1,6 @@
 """Continuous aggregate: streamed rollup == batch rollup over the same
-events, including buckets that span micro-batches.
+events, including buckets that span micro-batches; replay of a micro-batch
+(foreachBatch's at-least-once window) must not double count.
 """
 
 from __future__ import annotations
@@ -10,7 +11,12 @@ import os
 from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.operators.timeseries import hourly_rollup
-from swiftbulkuploader_spark.streaming.rollup_stream import stream_hourly_rollup
+from swiftbulkuploader_spark.streaming.rollup_stream import (
+    _merge_batch,
+    compact,
+    read_rollup,
+    stream_hourly_rollup,
+)
 
 SCHEMA = "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
 
@@ -32,47 +38,76 @@ BATCH2 = [
 ]
 
 
+def _rollup_dict(df):
+    return {
+        (r["event_type"], r["hour"]): (r["n_events"], r["total_value"])
+        for r in df.collect()
+    }
+
+
 class TestContinuousAggregate:
     def test_streamed_rollup_equals_batch(self, spark, tmp_path):
         src = str(tmp_path / "events")
         spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
         spark.createDataFrame(BATCH2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
-        rollup = str(tmp_path / "rollup")
+        delta = str(tmp_path / "rollup_delta")
         stream = (
             spark.readStream.schema(SCHEMA.replace(":", ""))
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = stream_hourly_rollup(stream, rollup, str(tmp_path / "cp"))
+        q = stream_hourly_rollup(stream, delta, str(tmp_path / "cp"))
         q.awaitTermination(120)
 
-        got = {
-            (r["event_type"], r["hour"]): (r["n_events"], r["total_value"])
-            for r in spark.read.parquet(rollup).collect()
-        }
-        batch = hourly_rollup(spark.createDataFrame(BATCH1 + BATCH2, SCHEMA))
-        expected = {
-            (r["event_type"], r["hour"]): (r["n_events"], r["total_value"])
-            for r in batch.collect()
-        }
+        got = _rollup_dict(read_rollup(spark, delta))
+        expected = _rollup_dict(hourly_rollup(spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)))
         assert got == expected
         # cross-batch bucket really accumulated (2 events in b1 + 1 in b2)
         assert got[("view", _ts(1, 10))][0] == 3
-        # day-partitioned layout on disk (partition pruning surface)
-        assert any(d.startswith("day=") for d in os.listdir(rollup))
+        # per-batch partitions on disk (the exactly-once unit)
+        assert any(d.startswith("batch_id=") for d in os.listdir(delta))
+
+    def test_batch_replay_does_not_double_count(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-delivering the SAME batch_id
+        (crash between write and checkpoint commit) must be a no-op."""
+        delta = str(tmp_path / "delta")
+        fn = _merge_batch(delta)
+        b1 = spark.createDataFrame(BATCH1, SCHEMA)
+        fn(b1, 0)
+        once = _rollup_dict(read_rollup(spark, delta))
+        fn(b1, 0)  # replay
+        assert _rollup_dict(read_rollup(spark, delta)) == once
+        # a genuinely new batch still accumulates
+        fn(spark.createDataFrame(BATCH2, SCHEMA), 1)
+        final = _rollup_dict(read_rollup(spark, delta))
+        assert final == _rollup_dict(
+            hourly_rollup(spark.createDataFrame(BATCH1 + BATCH2, SCHEMA))
+        )
 
     def test_restart_is_idempotent(self, spark, tmp_path):
         src = str(tmp_path / "events")
         spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-        rollup = str(tmp_path / "rollup")
+        delta = str(tmp_path / "delta")
         cp = str(tmp_path / "cp")
 
         for _ in range(2):  # second run: checkpoint says nothing new
             stream = spark.readStream.schema(SCHEMA.replace(":", "")).parquet(src)
-            q = stream_hourly_rollup(stream, rollup, cp)
+            q = stream_hourly_rollup(stream, delta, cp)
             q.awaitTermination(120)
 
-        got = spark.read.parquet(rollup)
+        got = read_rollup(spark, delta)
         assert got.count() == 2  # (view,10h) and (click,11h)
         assert got.agg(F.sum("n_events")).first()[0] == 3
+
+    def test_compact_preserves_rollup(self, spark, tmp_path):
+        delta = str(tmp_path / "delta")
+        fn = _merge_batch(delta)
+        fn(spark.createDataFrame(BATCH1, SCHEMA), 0)
+        fn(spark.createDataFrame(BATCH2, SCHEMA), 1)
+        before = _rollup_dict(read_rollup(spark, delta))
+        compacted = str(tmp_path / "compacted")
+        compact(spark, delta, compacted)
+        assert _rollup_dict(read_rollup(spark, compacted)) == before
+        # one baseline partition remains
+        assert os.listdir(compacted + "/batch_id=-1")
