@@ -141,6 +141,37 @@ def x6_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup specialize:
+    exactly the (status), (priority), and () grand-total groupings, no
+    cross combinations (half the aggregate rows a CUBE would compute)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+def x5_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: the distinct priorities seen per order
+    status as one sorted comma-joined string. collect_set is unordered by
+    contract — array_sort pins it (same determinism rule as
+    x5_order_lists); DuckDB's string_agg(DISTINCT ... ORDER BY) is the
+    direct equivalent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
 def x6_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified train/eval split: within every language,
     route docs by content hash — ~8/16 train, ~2/16 eval, rest held out.
@@ -178,6 +209,8 @@ def x5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "x6_hll_mergeable": x6_hll_mergeable,
     "x6_median_disc": x6_median_disc,
+    "x5_grouping_sets": x5_grouping_sets,
+    "x5_string_agg": x5_string_agg,
     "x6_stratified_split": x6_stratified_split,
     "x5_grouping_id": x5_grouping_id,
     "x6_distinct_profile": x6_distinct_profile,
@@ -188,6 +221,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x5_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "x5_string_agg": """
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities,
+               count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders GROUP BY o_orderstatus
+    """,
     "x6_median_disc": """
         SELECT l_returnflag,
                round(median(l_quantity), 6) AS qty_median,
