@@ -117,7 +117,32 @@ def x3_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrubbing: mask URL / email / long-number spans with typed
+    placeholder tokens before training use — a codegen'd regexp_replace
+    cascade (single projection pass, no Python). Reports the redacted text
+    plus how many spans each rule hit."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = r"https?://\S+"
+    email = r"[\w.+-]+@[\w-]+\.[\w.]+"
+    longnum = r"\d{6,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", url, "<URL>"), email, "<EMAIL>"
+        ),
+        longnum, "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        F.regexp_count("text", F.lit(url)).cast("long").alias("n_urls"),
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(longnum)).cast("long").alias("n_longnums"),
+    )
+
+
 QUERIES = {
+    "x3_redact": x3_redact,
     "x3_token_stats": x3_token_stats,
     "x3_corpus_prep": x3_corpus_prep,
     "x3_lang_stats": x3_lang_stats,
@@ -158,6 +183,18 @@ _ORACLE_STOPWORD_CASE = " ".join(
 )
 
 ORACLES = {
+    "x3_redact": r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                       '[\w.+-]+@[\w-]+\.[\w.]+', '<EMAIL>', 'g'),
+                   '\d{6,}', '<NUM>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_longnums
+        FROM documents
+    """,
     "x3_token_stats": f"""
         SELECT doc_id, length(text) AS text_len,
                CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
