@@ -19,6 +19,7 @@ from swiftbulkuploader_spark.operators import (
     arrays_maps,
     dedup,
     grouped_map,
+    hierarchy,
     jsonops,
     misc_surface,
     ml_lsh,
@@ -29,6 +30,7 @@ from swiftbulkuploader_spark.operators import (
     sessions,
     similarity,
     star,
+    stats_inference,
     temporal,
     textops,
     timeseries,
@@ -42,7 +44,7 @@ _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
-    scalar_suites, udtf_ops,
+    scalar_suites, udtf_ops, stats_inference, hierarchy,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -1,0 +1,56 @@
+"""Semantic pins for the inference aggregates and the recursive hierarchy
+(the oracle proves engine parity; these prove the *numbers mean what the
+docstrings claim*)."""
+
+from __future__ import annotations
+
+from swiftbulkuploader_spark.operators.hierarchy import x8_recursive_hierarchy
+from swiftbulkuploader_spark.operators.stats_inference import (
+    x6_regression_stats,
+    x6_top_frequent,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_regression_stats_sane(spark):
+    rows = {r["l_returnflag"]: r for r in x6_regression_stats(spark, SF).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    for r in rows.values():
+        # driver data draws price independent of quantity: near-zero fit,
+        # but the algebraic identities must hold regardless of the data
+        assert 0.0 <= r["r2"] <= 1.0
+        assert abs(r["corr_yx"]) < 0.2
+        # r2 == corr^2 for simple OLS (both rounded to 6 dp)
+        assert abs(r["r2"] - r["corr_yx"] ** 2) < 1e-5
+        # slope == covar / var(x) (reconstruct from the reported pieces)
+        assert abs(r["slope"] - r["covar_yx"] / r["sd_qty"] ** 2) < 1e-3
+        assert r["n"] > 0
+
+
+def test_top_frequent_is_exact_in_small_domain(spark):
+    import duckdb
+
+    got = {(r["brand"], r["cnt"]) for r in x6_top_frequent(spark, SF).collect()}
+    exact = set(
+        duckdb.sql(
+            f"SELECT p_brand, count(*) FROM '{SF}/part.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == exact
+
+
+def test_hierarchy_invariants(spark):
+    rows = x8_recursive_hierarchy(spark, SF).collect()
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    # every customer appears exactly once (the trie covers all keys >= 1)
+    assert len(rows) == n_customers
+    assert len({r["custkey"] for r in rows}) == n_customers
+    for r in rows:
+        parts = r["path"].split("/")
+        assert r["depth"] == len(parts) - 1
+        assert int(parts[0]) == r["root"]
+        assert int(parts[-1]) == r["custkey"]
+        # each path step is the decimal-trie parent of the next
+        for parent, child in zip(parts, parts[1:]):
+            assert int(child) // 10 == int(parent)
