@@ -35,6 +35,7 @@ from swiftbulkuploader_spark.operators import (
     textops,
     timeseries,
     tpch_like,
+    training_prep,
     tpch_more,
     udtf_ops,
     windows_extra,
@@ -44,7 +45,7 @@ _MODULES = (
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
-    scalar_suites, udtf_ops, stats_inference, hierarchy,
+    scalar_suites, udtf_ops, stats_inference, hierarchy, training_prep,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

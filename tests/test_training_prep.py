@@ -1,0 +1,78 @@
+"""Semantic pins for sequence packing and int8 quantization — the oracle
+proves cross-engine parity; these prove the operators do what a training
+pipeline needs them to do."""
+
+from __future__ import annotations
+
+import pytest
+
+from swiftbulkuploader_spark.functions.text import token_count
+from swiftbulkuploader_spark.operators.training_prep import (
+    TOKEN_BUDGET,
+    x2_quantized_codes,
+    x3_pack_sequences,
+)
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_packing_reconciles_and_orders(spark):
+    chunks = x3_pack_sequences(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {
+        r["lang"]: (r["n"], r["toks"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("toks"),
+        )
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for c in chunks:
+        by_lang.setdefault(c["lang"], []).append(c)
+    assert set(by_lang) == set(totals)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        # every document lands in exactly one chunk; token mass conserved
+        assert sum(r["n_docs"] for r in rows) == totals[lang][0]
+        assert sum(r["chunk_tokens"] for r in rows) == totals[lang][1]
+        # chunks start at 0 and doc spans never overlap across chunks
+        assert rows[0]["chunk_id"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        # non-final chunks hold at least a full budget minus the straddle
+        # slack (a doc is attributed to the chunk its FIRST token lands in),
+        # i.e. cumulative tokens reach the next chunk boundary
+        cum = 0
+        for r in rows[:-1]:
+            cum += r["chunk_tokens"]
+            assert cum >= (r["chunk_id"] + 1) * TOKEN_BUDGET
+
+
+def test_quantized_codes_hit_full_scale(spark):
+    rows = x2_quantized_codes(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert len(rows) == emb.count()
+    dims = {r["n_dims"] for r in rows}
+    assert len(dims) == 1  # uniform dimensionality
+    for r in rows:
+        # symmetric scaling maps the max-|x| coordinate to exactly +/-127
+        assert r["max_q"] == 127 or r["min_q"] == -127
+        assert -127 <= r["min_q"] <= r["max_q"] <= 127
+        assert r["l1_q"] >= abs(r["sum_q"])
+
+
+def test_quantization_reconstruction_error_bounded(spark):
+    """|x - code*scale| <= scale/2 per coordinate — the defining property of
+    round-to-nearest quantization, checked in plain Python on a sample."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20).collect()
+    for row in emb:
+        v = [float(x) for x in row["embedding"]]
+        scale = max(abs(x) for x in v) / 127.0
+        if scale == 0:
+            pytest.skip("degenerate zero vector in fixture")
+        for x in v:
+            code = round(x / scale)
+            assert abs(x - code * scale) <= scale / 2 + 1e-12
