@@ -206,7 +206,50 @@ def x5_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HIST_BINS = 20
+
+
+def x6_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals with data-driven bounds: one
+    pass for min/max, broadcast the 1-row bounds to every partition (a
+    broadcast join, not a driver round-trip), then a groupBy over the
+    computed bin. Bin edges are identical IEEE doubles on both engines, so
+    the binning — including boundary values — is hash-exact. Empty bins are
+    absent (observed-bins semantics). At 100 TB the bounds pass is the part
+    you replace with approx quantile bounds; the binning pass is unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("vmin"), F.max("o_totalprice").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(N_HIST_BINS))
+    binned = orders.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("vmin")) / width),
+            F.lit(N_HIST_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col("vmin"),
+        width.alias("w"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.first("vmin").alias("vmin"),
+            F.first("w").alias("w"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("vmin") + F.col("bin") * F.col("w"), 6).alias("lo"),
+            F.round(F.col("vmin") + (F.col("bin") + 1) * F.col("w"), 6).alias("hi"),
+            "cnt",
+        )
+    )
+
+
 QUERIES = {
+    "x6_equiwidth_histogram": x6_equiwidth_histogram,
     "x6_hll_mergeable": x6_hll_mergeable,
     "x6_median_disc": x6_median_disc,
     "x5_grouping_sets": x5_grouping_sets,
@@ -221,6 +264,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x6_equiwidth_histogram": """
+        WITH b AS (
+            SELECT min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+            FROM orders
+        ), binned AS (
+            SELECT CAST(least(floor((o_totalprice - vmin)
+                                    / ((vmax - vmin) / 20.0)), 19) AS BIGINT) AS bin,
+                   vmin, (vmax - vmin) / 20.0 AS w
+            FROM orders CROSS JOIN b
+        )
+        SELECT bin,
+               round(min(vmin) + bin * min(w), 6) AS lo,
+               round(min(vmin) + (bin + 1) * min(w), 6) AS hi,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY bin
+    """,
     "x5_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n, round(sum(o_totalprice), 2) AS total
