@@ -222,6 +222,8 @@ def x6_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("vmin"), F.max("o_totalprice").alias("vmax")
     )
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(N_HIST_BINS))
+    # scalar broadcast: a BroadcastNestedLoop join against a 1-row build
+    # side is O(n) — it is the plan you want for attaching global constants
     binned = orders.join(F.broadcast(bounds)).select(
         F.least(
             F.floor((F.col("o_totalprice") - F.col("vmin")) / width),
