@@ -161,7 +161,29 @@ def x_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (Spark 4 JOIN LATERAL): per nation,
+    the top-2 customers by account balance — the 'for each outer row, run
+    this parameterized subquery' shape. Catalyst decorrelates it into a
+    ranked window join rather than executing the subquery per row, which is
+    what keeps it viable when the outer side is large; deterministic
+    tie-break on (acctbal DESC, name)."""
+    from swiftbulkuploader_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, t.c_name,
+               round(t.c_acctbal, 2) AS acctbal
+        FROM nation n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+    """)
+
+
 QUERIES = {
+    "x5_lateral_topn": x5_lateral_topn,
     "w5_value_windows": w5_value_windows,
     "x5_order_lists": x5_order_lists,
     "x_null_handling": x_null_handling,
@@ -175,6 +197,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x5_lateral_topn": """
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+    """,
     "w5_value_windows": """
         SELECT o_custkey, o_orderkey,
                first_value(o_totalprice) OVER wfull AS first_price,
