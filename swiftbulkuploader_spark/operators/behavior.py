@@ -1,0 +1,193 @@
+"""Behavioral / monitoring analytics over the event stream: cohort
+retention, funnel progression, and distribution-drift metrics.
+
+North-star extensions (SURVEY.md §2.9): the reference's only "behavior"
+signal is its uploads-per-second gauge (bulkupload.py:363-387); these are
+the standard set a pipeline owner layers on an event log, each expressed as
+one or two shuffles over the keyed stream:
+
+* **Cohort retention** — two aggregations (first-touch per user, distinct
+  user-week activity) joined on the user key; the matrix is
+  O(cohorts x offsets), tiny regardless of input scale.
+* **Funnel** — staged conditional minima: each stage is an aggregation of
+  the next event type filtered to AFTER the previous stage's timestamp,
+  chained by equi-joins on user_id. Stage k's input shrinks monotonically,
+  and every join key is the same (user_id) so AQE can reuse the exchange.
+* **Drift (chi-square + PSI)** — two-sample categorical comparison, split
+  at the data-driven time midpoint (epoch-microsecond integer math, exact
+  on both engines; the midpoint is a 1-row scalar broadcast, same pattern
+  as the histogram bounds). Output is a single row of test statistics —
+  the thing a scheduled data-quality job alerts on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+
+
+def x7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    first event; each cell counts distinct cohort members active k weeks
+    later."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorted = firsts.select(
+        "user_id", F.date_trunc("week", "first_ts").cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(cohorted, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def x7_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a stage
+    only with an event strictly AFTER their previous stage's timestamp.
+    Returns one row of stage reach counts."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        nxt = events.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").alias("_t")
+        )
+        return (
+            nxt.join(prev, "user_id")
+            .filter(F.col("_t") > F.col(prev_ts))
+            .groupBy("user_id", prev_ts)
+            .agg(F.min("_t").alias(out_ts))
+        )
+
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = stage("click", views, "t_view", "t_click")
+    purchases = stage("purchase", clicks, "t_click", "t_purchase")
+    return (
+        views.agg(F.countDistinct("user_id").alias("n_viewed"))
+        .crossJoin(clicks.agg(F.countDistinct("user_id").alias("n_clicked")))
+        .crossJoin(purchases.agg(F.countDistinct("user_id").alias("n_purchased")))
+    )
+
+
+def x6_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift of event_type between the first and second half of
+    the stream (split at the epoch-microsecond midpoint): two-sample
+    chi-square statistic, PSI, and degrees of freedom, one output row."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    bounds = events.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us")
+    )
+    halves = events.join(F.broadcast(bounds)).select(
+        "event_type", (F.col("us") < F.col("mid_us")).alias("is_a")
+    )
+    per_cat = halves.groupBy("event_type").agg(
+        F.sum(F.col("is_a").cast("long")).alias("a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("b"),
+    )
+    tot = per_cat.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb"), F.count("*").alias("k")
+    )
+    j = per_cat.join(F.broadcast(tot))
+    ea = (F.col("a") + F.col("b")) * F.col("na") / (F.col("na") + F.col("nb"))
+    eb = (F.col("a") + F.col("b")) * F.col("nb") / (F.col("na") + F.col("nb"))
+    pa = F.col("a") / F.col("na")
+    pb = F.col("b") / F.col("nb")
+    return j.agg(
+        F.round(
+            F.sum(
+                F.pow(F.col("a") - ea, 2) / ea + F.pow(F.col("b") - eb, 2) / eb
+            ),
+            6,
+        ).alias("chi2"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        (F.first("k") - 1).cast("int").alias("dof"),
+    )
+
+
+QUERIES = {
+    "x7_cohort_retention": x7_cohort_retention,
+    "x7_funnel_steps": x7_funnel_steps,
+    "x6_drift_metrics": x6_drift_metrics,
+}
+
+ORACLES = {
+    "x7_cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+                   AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "x7_funnel_steps": """
+        WITH views AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), clicks AS (
+            SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+            FROM events e JOIN views v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id, v.t_view
+        ), purchases AS (
+            SELECT e.user_id, c.t_click, min(e.ts) AS t_purchase
+            FROM events e JOIN clicks c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id, c.t_click
+        )
+        SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM views) AS n_viewed,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM clicks) AS n_clicked,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM purchases) AS n_purchased
+    """,
+    "x6_drift_metrics": """
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) AS us FROM events
+        ), bounds AS (
+            SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid_us FROM e
+        ), halves AS (
+            SELECT event_type, us < mid_us AS is_a FROM e CROSS JOIN bounds
+        ), per_cat AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+            FROM halves GROUP BY event_type
+        ), tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+                   count(*) AS k
+            FROM per_cat
+        )
+        SELECT round(sum(
+                   pow(a - (a + b) * na / (na + nb), 2) / ((a + b) * na / (na + nb))
+                 + pow(b - (a + b) * nb / (na + nb), 2) / ((a + b) * nb / (na + nb))
+               ), 6) AS chi2,
+               round(sum((CAST(a AS DOUBLE) / na - CAST(b AS DOUBLE) / nb)
+                         * ln((CAST(a AS DOUBLE) / na) / (CAST(b AS DOUBLE) / nb))), 6)
+                   AS psi,
+               CAST(min(k) - 1 AS INT) AS dof
+        FROM per_cat CROSS JOIN tot
+    """,
+}

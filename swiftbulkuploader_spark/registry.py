@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from swiftbulkuploader_spark.operators import (
     analytics_extra,
     arrays_maps,
+    behavior,
     dedup,
     fuzzy_join,
     grouped_map,
@@ -47,7 +48,7 @@ _MODULES = (
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
     scalar_suites, udtf_ops, stats_inference, hierarchy, training_prep,
-    fuzzy_join,
+    fuzzy_join, behavior,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
