@@ -90,13 +90,44 @@ def w8_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w9_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median over a sliding 10-row frame per user (ROWS frame,
+    ordered on integer microseconds + id for a total order). An aggregate
+    most engines only offer as a full-group scalar, run windowed — the
+    robust-smoothing shape for sensor/metric streams. Inputs rounded to 2dp
+    first so the interpolated midpoint is the same IEEE double on both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    v2 = F.round("value", 2)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.percentile(v2, F.lit(0.5)).over(w), 6).alias("med_10"),
+    )
+
+
 QUERIES = {
     "w6_distribution_windows": w6_distribution_windows,
     "w7_time_range_frame": w7_time_range_frame,
     "w8_null_ordering": w8_null_ordering,
+    "w9_sliding_median": w9_sliding_median,
 }
 
 ORACLES = {
+    "w9_sliding_median": """
+        SELECT user_id, event_id,
+               round(quantile_cont(round(value, 2), 0.5) OVER w, 6) AS med_10
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) ASC, event_id ASC
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
     "w6_distribution_windows": """
         SELECT o_custkey, o_orderkey,
                percent_rank() OVER w AS pct_rank,

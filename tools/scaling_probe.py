@@ -6,7 +6,9 @@ an operator that would NOT survive a 100x scale-up.
 Synthesized via spark.range (no parquet dependency) with hash-mixed
 columns, so the probe measures the operator, not the scan.
 
-Usage: python tools/scaling_probe.py [base_n]   # default 1_000_000
+Usage: python tools/scaling_probe.py [base_n] [shape ...]
+(default base_n 1_000_000; default all shapes — name shapes to subset, so a
+full-suite run can be split across invocations within a CI time budget)
 """
 
 from __future__ import annotations
@@ -70,23 +72,65 @@ def shape_sessionize(df):
     )
 
 
+def shape_quantize_hof(df):
+    # int8 quantization over a synthesized 32-dim vector (training_prep.py
+    # shape): per-row HOF chain transform -> array_max -> zip_with ->
+    # aggregate, scale bound outside the lambda
+    v = F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 1000) / 500.0 - 1.0,
+    )
+    base = df.select("event_id", v.alias("v"))
+    scale = F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    codes = F.zip_with(
+        "v", F.array_repeat(scale, F.size("v")),
+        lambda x, s: F.round(x / s).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return base.select(
+        F.aggregate(codes, zero, lambda acc, x: acc + x).alias("sum_q")
+    )
+
+
+def shape_pack_cumsum(df):
+    # sequence-packing shape (training_prep.py): per-shard ordered exclusive
+    # cumsum -> integer-div chunk id -> groupBy chunk
+    shard = (F.col("text_key") % 64).alias("shard")
+    toks = df.select(shard, "event_id", (F.col("value") * 10).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk = F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / 2048).alias("chunk")
+    return (
+        toks.select("shard", chunk, "n")
+        .groupBy("shard", "chunk")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("toks"))
+    )
+
+
 SHAPES = {
     "range_window_1h": shape_range_window,
     "exact_dedup": shape_dedup,
     "broadcast_join_agg": shape_join_agg,
     "sessionize": shape_sessionize,
+    "quantize_hof_32d": shape_quantize_hof,
+    "pack_cumsum": shape_pack_cumsum,
 }
 
 
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    wanted = sys.argv[2:]
+    shapes = {k: v for k, v in SHAPES.items() if not wanted or k in wanted}
     spark = get_spark("scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup
     _events(spark, 10_000).agg(F.count("*")).collect()
 
     out = {}
-    for name, shape in SHAPES.items():
+    for name, shape in shapes.items():
         times = []
         for n in (base_n, base_n * 10):
             df = shape(_events(spark, n))
