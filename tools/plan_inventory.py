@@ -26,7 +26,12 @@ from swiftbulkuploader_spark import registry  # noqa: E402
 # nested-loop join (1-row global aggregates, fixed small query batches) —
 # O(n * k) with k constant by construction, not a quadratic accident; the
 # bound is documented in each query's docstring
-BOUNDED_BNLJ_OK = {"x6_equiwidth_histogram", "x2_knn_join"}
+BOUNDED_BNLJ_OK = {
+    "x6_equiwidth_histogram",  # 1-row min/max bounds
+    "x2_knn_join",             # fixed 8-vector query batch
+    "x6_drift_metrics",        # 1-row midpoint + 1-row totals
+    "x7_funnel_steps",         # three 1-row stage counters cross-joined
+}
 
 
 def main() -> None:
