@@ -88,16 +88,30 @@ def x7_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x6_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift of event_type between the first and second half of
     the stream (split at the epoch-microsecond midpoint): two-sample
-    chi-square statistic, PSI, and degrees of freedom, one output row."""
+    chi-square statistic, PSI, and degrees of freedom, one output row.
+
+    The midpoint is floor((min+max)/2) on BOTH engines (Spark cast
+    truncates but DuckDB CAST rounds half-to-even — integer floor sidesteps
+    the divergence). PSI uses Laplace-smoothed proportions
+    (a+0.5)/(na+k/2): a category present in only one half — the strongest
+    drift signal — contributes a large finite term instead of ln(0), which
+    DuckDB raises on and Spark silently nulls out."""
     events = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
     bounds = events.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us")
+        F.floor((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("mid_us")
     )
     halves = events.join(F.broadcast(bounds)).select(
         "event_type", (F.col("us") < F.col("mid_us")).alias("is_a")
     )
+    return drift_from_halves(halves)
+
+
+def drift_from_halves(halves: DataFrame) -> DataFrame:
+    """chi2/PSI/dof from a (event_type, is_a) frame — split policy factored
+    out so degenerate splits (one-sided categories, empty halves) are unit
+    testable independent of the midpoint rule."""
     per_cat = halves.groupBy("event_type").agg(
         F.sum(F.col("is_a").cast("long")).alias("a"),
         F.sum((~F.col("is_a")).cast("long")).alias("b"),
@@ -108,12 +122,14 @@ def x6_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per_cat.join(F.broadcast(tot))
     ea = (F.col("a") + F.col("b")) * F.col("na") / (F.col("na") + F.col("nb"))
     eb = (F.col("a") + F.col("b")) * F.col("nb") / (F.col("na") + F.col("nb"))
-    pa = F.col("a") / F.col("na")
-    pb = F.col("b") / F.col("nb")
+    # Laplace-smoothed proportions: finite, nonzero even for one-sided cats
+    pa = (F.col("a") + 0.5) / (F.col("na") + F.col("k") / 2)
+    pb = (F.col("b") + 0.5) / (F.col("nb") + F.col("k") / 2)
     return j.agg(
         F.round(
             F.sum(
-                F.pow(F.col("a") - ea, 2) / ea + F.pow(F.col("b") - eb, 2) / eb
+                F.pow(F.col("a") - ea, 2) / F.nullif(ea, F.lit(0.0))
+                + F.pow(F.col("b") - eb, 2) / F.nullif(eb, F.lit(0.0))
             ),
             6,
         ).alias("chi2"),
@@ -167,7 +183,7 @@ ORACLES = {
         WITH e AS (
             SELECT event_type, epoch_us(ts) AS us FROM events
         ), bounds AS (
-            SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid_us FROM e
+            SELECT (min(us) + max(us)) // 2 AS mid_us FROM e
         ), halves AS (
             SELECT event_type, us < mid_us AS is_a FROM e CROSS JOIN bounds
         ), per_cat AS (
@@ -181,12 +197,14 @@ ORACLES = {
             FROM per_cat
         )
         SELECT round(sum(
-                   pow(a - (a + b) * na / (na + nb), 2) / ((a + b) * na / (na + nb))
-                 + pow(b - (a + b) * nb / (na + nb), 2) / ((a + b) * nb / (na + nb))
+                   pow(a - (a + b) * na / (na + nb), 2)
+                       / nullif((a + b) * na / (na + nb), 0)
+                 + pow(b - (a + b) * nb / (na + nb), 2)
+                       / nullif((a + b) * nb / (na + nb), 0)
                ), 6) AS chi2,
-               round(sum((CAST(a AS DOUBLE) / na - CAST(b AS DOUBLE) / nb)
-                         * ln((CAST(a AS DOUBLE) / na) / (CAST(b AS DOUBLE) / nb))), 6)
-                   AS psi,
+               round(sum(((a + 0.5) / (na + k / 2) - (b + 0.5) / (nb + k / 2))
+                         * ln(((a + 0.5) / (na + k / 2))
+                              / ((b + 0.5) / (nb + k / 2)))), 6) AS psi,
                CAST(min(k) - 1 AS INT) AS dof
         FROM per_cat CROSS JOIN tot
     """,

@@ -224,10 +224,18 @@ def x6_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(N_HIST_BINS))
     # scalar broadcast: a BroadcastNestedLoop join against a 1-row build
     # side is O(n) — it is the plan you want for attaching global constants
+    # nullif guards the degenerate vmax == vmin input (width 0): ANSI Spark
+    # would raise DIVIDE_BY_ZERO; instead everything lands in bin 0
     binned = orders.join(F.broadcast(bounds)).select(
         F.least(
-            F.floor((F.col("o_totalprice") - F.col("vmin")) / width),
-            F.lit(N_HIST_BINS - 1),
+            F.coalesce(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("vmin"))
+                    / F.nullif(width, F.lit(0.0))
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(N_HIST_BINS - 1).cast("long"),
         )
         .cast("long")
         .alias("bin"),
@@ -271,8 +279,9 @@ ORACLES = {
             SELECT min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
             FROM orders
         ), binned AS (
-            SELECT CAST(least(floor((o_totalprice - vmin)
-                                    / ((vmax - vmin) / 20.0)), 19) AS BIGINT) AS bin,
+            SELECT CAST(least(coalesce(floor((o_totalprice - vmin)
+                                    / nullif((vmax - vmin) / 20.0, 0)), 0), 19)
+                        AS BIGINT) AS bin,
                    vmin, (vmax - vmin) / 20.0 AS w
             FROM orders CROSS JOIN b
         )

@@ -141,7 +141,9 @@ QUERIES = {
 }
 
 _BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))"
-_WS = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+from swiftbulkuploader_spark.operators.oracle_fragments import (  # noqa: E402
+    TOKENS_DUCK_BARE as _WS,
+)
 
 ORACLES = {
     "x5_filtered_aggs": """

@@ -152,7 +152,10 @@ QUERIES = {
     "x3_lang_id": x3_lang_id,
 }
 
-_TOKENS_DUCK = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
+from swiftbulkuploader_spark.operators.oracle_fragments import (  # noqa: E402
+    TOKENS_DUCK,
+    TOKENS_DUCK_BARE as _TOKENS_DUCK,
+)
 
 # full lang-ID oracle: per-language marker-hit scores, argmax with the same
 # tie-break as functions/text.py::detect_lang (declaration order wins)
@@ -246,8 +249,7 @@ ORACLES = {
         WITH enriched AS (
             SELECT doc_id, source,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-                   CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-                        ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
+                   """ + TOKENS_DUCK + """ AS n_tokens,
                    round(
                        (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
                        * (0.7 * (CASE WHEN length(text) > 0

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import token_count
+from swiftbulkuploader_spark.operators.oracle_fragments import TOKENS_DUCK
 
 TOKEN_BUDGET = 2048
 
@@ -99,14 +100,11 @@ QUERIES = {
     "x2_quantized_codes": x2_quantized_codes,
 }
 
-_TOKENS = "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))"
-
 ORACLES = {
     "x3_pack_sequences": f"""
         WITH t AS (
             SELECT lang, doc_id,
-                   CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
-                             THEN 0 ELSE {_TOKENS} END AS BIGINT) AS n_tokens
+                   CAST({TOKENS_DUCK} AS BIGINT) AS n_tokens
             FROM documents
         ), placed AS (
             SELECT lang, doc_id, n_tokens,

@@ -1,0 +1,76 @@
+"""Semantic pins for the behavioral analytics operators, including the
+degenerate-input cases the oracle data never hits (one-sided categories,
+constant columns)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.operators.behavior import (
+    drift_from_halves,
+    x7_cohort_retention,
+    x7_funnel_steps,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_monotone(spark):
+    r = x7_funnel_steps(spark, SF).first()
+    assert r["n_viewed"] >= r["n_clicked"] >= r["n_purchased"] > 0
+
+
+def test_cohort_offsets_nonnegative_and_week_zero_full(spark):
+    rows = x7_cohort_retention(spark, SF).collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # every user is active in their own first week: offset-0 cells must
+    # cover all users of that cohort (the retention matrix's 100% column)
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for offsets in by_cohort.values():
+        assert offsets[0] == max(offsets.values())
+
+
+def test_drift_one_sided_category_is_finite(spark):
+    """A category present in only one half — the 'new event type appeared'
+    signal — must yield a large but FINITE smoothed PSI, not null/error
+    (unsmoothed PSI is ln(0)-undefined; DuckDB raises on it)."""
+    halves = spark.createDataFrame(
+        [("old", True)] * 50 + [("old", False)] * 40 + [("new", False)] * 10,
+        "event_type: string, is_a: boolean",
+    )
+    r = drift_from_halves(halves).first()
+    assert r["psi"] is not None and math.isfinite(r["psi"])
+    assert r["psi"] > 0.1  # strong drift, strongly flagged
+    assert r["chi2"] is not None and r["chi2"] > 0
+    assert r["dof"] == 1
+
+
+def test_drift_identical_halves_near_zero(spark):
+    halves = spark.createDataFrame(
+        [("x", True), ("x", False), ("y", True), ("y", False)] * 25,
+        "event_type: string, is_a: boolean",
+    )
+    r = drift_from_halves(halves).first()
+    assert abs(r["psi"]) < 1e-9
+    assert abs(r["chi2"]) < 1e-9
+
+
+def test_histogram_degenerate_constant_column(spark):
+    """vmax == vmin (width 0) must not divide-by-zero under ANSI mode:
+    everything lands in bin 0."""
+    from swiftbulkuploader_spark.operators.profiling import x6_equiwidth_histogram
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, 1, "O", 42.0, None, "P") for i in range(10)],
+            "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+            "o_totalprice: double, o_orderdate: timestamp, o_orderpriority: string",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        rows = x6_equiwidth_histogram(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] == 0 and rows[0]["cnt"] == 10

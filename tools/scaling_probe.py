@@ -123,6 +123,11 @@ SHAPES = {
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     wanted = sys.argv[2:]
+    unknown = set(wanted) - set(SHAPES)
+    if unknown:
+        raise SystemExit(
+            f"unknown shape(s): {sorted(unknown)}; known: {sorted(SHAPES)}"
+        )
     shapes = {k: v for k, v in SHAPES.items() if not wanted or k in wanted}
     spark = get_spark("scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
