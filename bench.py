@@ -45,6 +45,12 @@ HEADLINE = [
     "x1_dedup_keep_best",       # max_by survivor selection
     "w7_time_range_frame",      # time RANGE-frame moving aggregate
     "x3_tfidf_search",          # inverted-index probe + broadcast df join
+    "x6_regression_stats",      # algebraic regression aggregates
+    "x3_pack_sequences",        # sequence packing (window cumsum)
+    "x2_quantized_codes",       # int8 quantization HOF chain
+    "x1_fuzzy_name_pairs",      # blocked fuzzy join
+    "x8_recursive_hierarchy",   # recursive CTE traversal
+    "x6_drift_metrics",         # chi-square/PSI drift monitor
 ]
 
 
