@@ -1,0 +1,85 @@
+"""Driver-contract entry for the multimodal pipeline (SURVEY.md §2.9):
+decode -> resize -> feature-extract over binary media columns.
+
+The media table is synthesized DETERMINISTICALLY from `documents` (FAKEIMG
+containers whose pixel bytes come from sha2 of the text, dimensions from
+doc_id), so the full mapInPandas dataflow — Arrow binary ferry, per-row
+error capture, binary-in/binary-out resize, histogram features — runs as a
+normal contract query with a stable row count and schema. Rows-only by
+design: the codec is Python-side (stubbed per environment constraints), not
+SQL-expressible; the building blocks are value-pinned by
+tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.multimodal.media import (
+    decode_image_meta,
+    extract_image_features,
+    resize_image,
+)
+
+
+def synth_media(docs: DataFrame, limit: int = 200) -> DataFrame:
+    """documents -> deterministic FAKEIMG media frame (media_id, kind,
+    format, data, meta). Pixels = sha2(text) bytes tiled to w*h; dims vary
+    with doc_id so resize paths (landscape/portrait/no-op) all occur."""
+    w = (F.col("doc_id") % 5 + 4).cast("int")   # 4..8
+    h = (F.col("doc_id") % 4 + 3).cast("int")   # 3..6
+    hex_needed = (w * h * 2).cast("int")
+    pixel_hex = F.substring(
+        F.repeat(F.sha2(F.col("text"), 256), 8), 1, 64 * 8 * 2
+    )
+    payload = F.concat(
+        F.encode(F.concat_ws("", F.lit("FAKEIMG:"), w, F.lit("x"), h, F.lit(":")), "utf-8"),
+        F.unhex(F.expr("substring(pixel_hex, 1, hex_needed)")),
+    )
+    return (
+        docs.orderBy("doc_id")
+        .limit(limit)
+        .withColumn("pixel_hex", pixel_hex)
+        .withColumn("hex_needed", hex_needed)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("fakeimg").alias("format"),
+            payload.alias("data"),
+            F.create_map(F.lit("source"), F.lit("synth")).alias("meta"),
+        )
+    )
+
+
+def x9_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> resize(max_side=4) -> re-decode -> 4-bin histogram over the
+    synthesized corpus; one row per image with original and resized dims,
+    mean pixel, and the feature vector's mass (1.0 for any decodable image).
+    """
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    meta = decode_image_meta(media).select(
+        "media_id", "width", "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+    resized_meta = decode_image_meta(resize_image(media, max_side=4)).select(
+        "media_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+    )
+    feats = extract_image_features(media, n_bins=4).select(
+        "media_id",
+        F.size("histogram").alias("n_bins"),
+        F.round(F.aggregate("histogram", F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("feat_mass"),
+    )
+    return (
+        meta.join(resized_meta, "media_id")
+        .join(feats, "media_id")
+        .orderBy("media_id")
+    )
+
+
+QUERIES = {"x9_media_pipeline": x9_media_pipeline}
+ORACLES: dict[str, str] = {}

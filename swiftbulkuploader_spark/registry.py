@@ -23,6 +23,7 @@ from swiftbulkuploader_spark.operators import (
     grouped_map,
     hierarchy,
     jsonops,
+    media_queries,
     misc_surface,
     ml_lsh,
     pipeline_queries,
@@ -48,7 +49,7 @@ _MODULES = (
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
     scalar_suites, udtf_ops, stats_inference, hierarchy, training_prep,
-    fuzzy_join, behavior,
+    fuzzy_join, behavior, media_queries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

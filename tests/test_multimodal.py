@@ -131,3 +131,19 @@ class TestAudio:
         assert out[11]["rms"] == pytest.approx(10.0)
         assert "NotImplementedError" in out[12]["decode_error"]
         assert "ValueError" in out[13]["decode_error"]
+
+
+class TestMediaContractQuery:
+    def test_x9_media_pipeline_end_to_end(self, spark):
+        """The contract query drives decode -> resize -> features over the
+        synthesized corpus: stable count, valid dims, unit feature mass."""
+        from swiftbulkuploader_spark.operators.media_queries import x9_media_pipeline
+
+        rows = x9_media_pipeline(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 200
+        for r in rows:
+            assert 4 <= r["width"] <= 8 and 3 <= r["height"] <= 6
+            assert max(r["r_width"], r["r_height"]) <= 4  # resized bound
+            assert 0.0 <= r["mean_pixel"] <= 255.0
+            assert r["n_bins"] == 4
+            assert abs(r["feat_mass"] - 1.0) < 1e-6
