@@ -57,6 +57,59 @@ def x3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def x3_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: top-token share,
+    distinct-token ratio, top-bigram share — the signals that catch
+    boilerplate/spam/gibberish a length-and-alpha quality score misses.
+
+    Shape: two explode->count pipelines (unigram, bigram) joined on doc_id.
+    The (doc_id, token) shuffle is map-side combined, so network carries one
+    row per distinct token per doc, not one per occurrence. Bigrams are
+    built with zip_with over shifted slices (lambda touches only lambda
+    vars — no captured-expression re-evaluation). Docs with <2 tokens have
+    NULL top_bigram_share (no bigrams exist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_ws(F.col("text"))
+    toks = docs.select("doc_id", F.split(norm, " ").alias("t")).filter(
+        F.length(F.trim(norm)) > 0
+    )
+    uni = toks.select("doc_id", F.explode("t").alias("tok"))
+    ustat = (
+        uni.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.max("count").alias("top_tok"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    n = F.size("t")
+    bg = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bstat = (
+        toks.filter(n > 1)
+        .select("doc_id", F.explode(bg).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"), F.max("count").alias("top_big"))
+    )
+    return (
+        ustat.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias("top_token_share"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            F.round(F.col("top_big") / F.col("n_bigrams"), 6).alias("top_bigram_share"),
+        )
+    )
+
+
 def x3_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5 fingerprint of normalized text (dedup key; also the
     oracle-checkable stand-in for the rolling-hash fingerprint)."""
@@ -148,6 +201,7 @@ QUERIES = {
     "x3_lang_stats": x3_lang_stats,
     "x3_quality_scores": x3_quality_scores,
     "x3_fingerprints": x3_fingerprints,
+    "x3_repetition_stats": x3_repetition_stats,
     "x3_stopword_coverage": x3_stopword_coverage,
     "x3_lang_id": x3_lang_id,
 }
@@ -224,6 +278,39 @@ ORACLES = {
                                ELSE 0.0 END))),
                    6) AS quality
         FROM documents
+    """,
+    "x3_repetition_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+            WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+        ), percnt AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, tok
+        ), ustat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   max(c) AS top_tok, count(*) AS n_distinct
+            FROM percnt GROUP BY doc_id
+        ), bcnt AS (
+            SELECT doc_id, bg, count(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM toks WHERE len(t) > 1
+            )
+            GROUP BY doc_id, bg
+        ), bstat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_big
+            FROM bcnt GROUP BY doc_id
+        )
+        SELECT u.doc_id, u.n_tokens,
+               round(CAST(u.top_tok AS DOUBLE) / u.n_tokens, 6) AS top_token_share,
+               round(CAST(u.n_distinct AS DOUBLE) / u.n_tokens, 6) AS distinct_ratio,
+               round(CAST(b.top_big AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_share
+        FROM ustat u LEFT JOIN bstat b USING (doc_id)
     """,
     "x3_fingerprints": """
         SELECT doc_id,
