@@ -35,6 +35,38 @@ from swiftbulkuploader_spark.plans.layout import spread
 # ---------------------------------------------------------------------------
 
 
+def x1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: directional 5-shingle containment of a
+    small probe set (docs 0-7, standing in for a benchmark/eval suite)
+    against the rest of the corpus — the decontamination pass an LLM
+    pipeline runs before training.
+
+    Containment (|probe ∩ doc| / |probe|), not Jaccard: a short eval item
+    fully embedded in a long training doc has low Jaccard but containment
+    1.0 — exactly the case that must be caught. The probe side is bounded
+    (8 rows) and broadcast, so the scan is one pass over the corpus; at
+    real scale the probe set is thousands of rows — still broadcastable —
+    or flipped into an inverted shingle index for millions. Per probe:
+    docs flagged at >=0.5 containment and the max containment seen."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(shingles(F.col("text")))
+    probes = (
+        docs.filter(F.col("doc_id") < 8)
+        .select(F.col("doc_id").alias("probe_id"), sh.alias("p_sh"))
+        .withColumn("p_n", F.size("p_sh"))
+    )
+    corpus = docs.filter(F.col("doc_id") >= 8).select("doc_id", sh.alias("d_sh"))
+    pairs = corpus.join(F.broadcast(probes)).select(
+        "probe_id",
+        "doc_id",
+        (F.size(F.array_intersect("d_sh", "p_sh")) / F.col("p_n")).alias("cont"),
+    )
+    return pairs.groupBy("probe_id").agg(
+        F.sum((F.col("cont") >= 0.5).cast("long")).alias("n_flagged"),
+        F.round(F.max("cont"), 6).alias("max_containment"),
+    )
+
+
 def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content fingerprint, keep the smallest doc_id.
     `min(doc_id)` (not dropDuplicates) so the survivor is deterministic."""
@@ -315,6 +347,7 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
+    "x1_contamination": x1_contamination,
     "x1_normalized_dedup": x1_normalized_dedup,
     "x1_embedding_neardup": x1_embedding_neardup,
     "x1_dedup_stats": x1_dedup_stats,
@@ -328,6 +361,34 @@ QUERIES = {
 _FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 ORACLES = {
+    # DuckDB mirror of functions/text.py::shingles (k=5, lowercased,
+    # whole-text shingle for short docs) + list_intersect containment
+    "x1_contamination": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 1)),
+                       i -> array_to_string(t[i:least(i + 4, len(t))], ' ')
+                   )) AS s
+            FROM (
+                SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+                FROM documents
+            )
+        ), probes AS (
+            SELECT doc_id AS probe_id, s AS p_sh, len(s) AS p_n
+            FROM sh WHERE doc_id < 8
+        ), pairs AS (
+            SELECT probe_id, doc_id,
+                   CAST(len(list_intersect(c.s, p.p_sh)) AS DOUBLE) / p.p_n AS cont
+            FROM sh c CROSS JOIN probes p
+            WHERE c.doc_id >= 8
+        )
+        SELECT probe_id,
+               CAST(sum(CASE WHEN cont >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               round(max(cont), 6) AS max_containment
+        FROM pairs GROUP BY probe_id
+    """,
     "x1_exact_dedup": f"""
         SELECT {_FP_DUCK} AS fp, min(doc_id) AS keeper_id, count(*) AS copies
         FROM documents GROUP BY 1

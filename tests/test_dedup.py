@@ -117,3 +117,26 @@ class TestMlLshParity:
         pairs = {(r["vec_a"], r["vec_b"]): r["euclidean"]
                  for r in ml_brp_pairs(emb, threshold=0.5).collect()}
         assert pairs == {(0, 1): 0.0}
+
+
+class TestContamination:
+    def test_embedded_eval_item_flags_full_containment(self, spark, tmp_path):
+        """A short probe fully embedded in a long training doc must score
+        containment 1.0 (the case Jaccard misses), an unrelated doc ~0."""
+        from swiftbulkuploader_spark.operators.dedup import x1_contamination
+
+        probe = "the quick brown fox jumps over the lazy dog tonight"
+        long_doc = ("prologue words here " * 5) + probe + (" epilogue trailing text" * 5)
+        other = "completely different vocabulary about spark shuffles and parquet"
+        rows = [(i, probe if i < 8 else "", "en", "s", 1) for i in range(8)]
+        rows[1] = (1, "another probe entirely with its own words", "en", "s", 1)
+        rows += [(8, long_doc, "en", "s", 1), (9, other, "en", "s", 1)]
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["probe_id"]: r for r in x1_contamination(spark, str(tmp_path)).collect()}
+        assert got[0]["max_containment"] == 1.0  # embedded verbatim
+        assert got[0]["n_flagged"] >= 1
+        assert got[1]["max_containment"] < 0.5  # distinct probe not flagged
+        assert got[1]["n_flagged"] == 0
