@@ -51,6 +51,16 @@ HEADLINE = [
     "x1_fuzzy_name_pairs",      # blocked fuzzy join
     "x8_recursive_hierarchy",   # recursive CTE traversal
     "x6_drift_metrics",         # chi-square/PSI drift monitor
+    "x1_contamination",         # broadcast shingle-containment scan
+    "x1_contamination_indexed", # inverted-shingle-index contamination
+    "x1_dup_clusters",          # near-dup pairs -> connected components
+    "x3_repetition_stats",      # n-gram repetition profile
+    "x9_media_pipeline",        # binary decode->resize->histogram (Arrow)
+    "x6_stratified_split",      # deterministic stratified train/val/test
+    "x7_asof_join",             # as-of (nearest-prior) temporal join
+    "x5_q9_product_profit",     # 6-table profit star join
+    "x6_quantiles_approx",      # GK sketch twin of x6_quantiles
+    "x2_norm_zscore_native",    # window z-score (JVM twin of grouped-map)
 ]
 
 
@@ -100,15 +110,19 @@ def main() -> None:
     # warmup: JVM, codegen, parquet footer caches
     registry.QUERIES["a1_total_count"](spark, sf_dir).collect()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: isolates plan cost from JVM noise
+        # median of n>=3: single-run ±30% JVM/GC swings masqueraded as
+        # regressions in earlier rounds; the median is attributable
+        samples = []
+        for _ in range(reps):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     pipe_sec, pipe_rate, resume_sec = _bench_pipeline(spark)
     timings["pipeline_upload_2k_files"] = pipe_sec

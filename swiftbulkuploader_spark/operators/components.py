@@ -78,3 +78,45 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_survivor"),
     )
+
+
+def x1_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Contract query: MinHash near-dup pairs -> connected components ->
+    per-cluster summary (cluster_id = min doc_id, member count, survivor).
+
+    The full dedup story end-to-end: LSH banding emits PAIRS, label
+    propagation closes them transitively into CLUSTERS, and one survivor
+    per cluster is kept — what a pretraining dedup pass actually deletes
+    against. Rows-only check (the pair set is hash-seed-specific); the
+    closure semantics are pinned by tests/test_components.py on crafted
+    corpora with known chain structure."""
+    from swiftbulkuploader_spark.catalog import load_table
+    from swiftbulkuploader_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_candidates,
+        minhash_signatures,
+        screen_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = screen_candidates(minhash_candidates(sigs), sigs, min_est=0.25)
+    pairs = exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES = {
+    "x1_dup_clusters": x1_dup_clusters,
+}
+
+# rows-only by design: the pair graph depends on seeded xxhash64 minhashes,
+# which DuckDB cannot reproduce; closure correctness is unit-pinned instead.
+ORACLES: dict[str, str] = {}

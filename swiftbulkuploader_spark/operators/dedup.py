@@ -67,6 +67,65 @@ def x1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan via an INVERTED SHINGLE INDEX — the scale path for
+    probe sets too large to broadcast (millions of eval items).
+
+    Same semantics and oracle as ``x1_contamination``; different plan:
+    instead of broadcasting whole probe shingle ARRAYS and intersecting
+    per (probe, doc) pair, both sides explode to (shingle-hash, id) postings
+    and equi-join on the 8-byte hash — a plain shuffled hash join whose keys
+    distribute uniformly (xxhash64), so no side needs to fit in memory and
+    skew is bounded by shingle document-frequency, not probe count. The
+    per-(probe, doc) match count IS the intersection size (both sides
+    distinct), and probes with zero hits anywhere re-enter via a left join
+    so the aggregate matches the broadcast form row-for-row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(shingles(F.col("text")))
+    probes = (
+        docs.filter(F.col("doc_id") < 8)
+        .select(F.col("doc_id").alias("probe_id"), sh.alias("p_sh"))
+        .withColumn("p_n", F.size("p_sh"))
+    )
+    # posting lists: (shingle-hash, id). 64-bit xxhash64 stands in for the
+    # shingle string (collision odds ~2^-64 per pair — far below the row
+    # error budget); the join shuffle carries 16 B/posting, not the string.
+    probe_idx = probes.select(
+        "probe_id", "p_n", F.explode("p_sh").alias("s")
+    ).select("probe_id", "p_n", F.xxhash64("s").alias("sh_hash"))
+    corpus_idx = (
+        docs.filter(F.col("doc_id") >= 8)
+        .select("doc_id", F.explode(sh).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("sh_hash"))
+    )
+    hits = (
+        corpus_idx.join(probe_idx, "sh_hash")
+        .groupBy("probe_id", "p_n", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .select(
+            "probe_id",
+            (F.col("n_match") / F.col("p_n")).alias("cont"),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum((F.col("cont") >= 0.5).cast("long")).alias("n_flagged"),
+            F.round(F.max("cont"), 6).alias("max_containment"),
+        )
+    )
+    # probes whose shingles hit nothing still report (0, 0.0), matching the
+    # broadcast form's max-over-all-pairs semantics
+    return (
+        probes.select("probe_id")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+        )
+    )
+
+
 def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content fingerprint, keep the smallest doc_id.
     `min(doc_id)` (not dropDuplicates) so the survivor is deterministic."""
@@ -230,12 +289,52 @@ def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
+def screen_candidates(pairs: DataFrame, sigs: DataFrame, min_est: float) -> DataFrame:
+    """Signature-screen candidate pairs BEFORE the exact-Jaccard verify.
+
+    Estimated Jaccard = fraction of the 32 already-computed minhashes that
+    agree (the MinHash estimator itself). The screen join ships only the
+    fixed-width signature columns (32 x 8 B per side) — never the variable-
+    length shingle arrays — so the verify path's shuffle is bounded by
+    candidate count, not document length. Only pairs with estimate >=
+    ``min_est`` proceed to the exact set-intersection verify.
+
+    ``min_est`` must sit safely below the final exact threshold: with 32
+    hashes the estimator's sigma at J=0.5 is sqrt(.5*.5/32) ~= 0.088, so a
+    screen at threshold - 3*sigma keeps P(drop a true positive) < 1e-3 per
+    pair while pruning the (far more numerous) low-similarity band
+    collisions before their shingle sets are ever shuffled.
+    """
+    sig_cols = [f"sig_{i}" for i in range(N_HASHES)]
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(c).alias(f"b_{c}") for c in sig_cols])
+    agree = reduce(
+        lambda acc, c: acc + (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int"),
+        sig_cols,
+        F.lit(0),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (agree / F.lit(N_HASHES)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est)
+        .select("doc_a", "doc_b")
+    )
+
+
 def x1_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline; pairs with Jaccard >= 0.5.
+
+    Verify is two-stage: a fixed-width signature screen (est >= 0.25 ~=
+    threshold - 3*sigma) prunes low-similarity band collisions, then exact
+    Jaccard runs only on survivors — the shingle arrays are shuffled for
+    screened pairs only, never for every band collision.
     Rows-only check (hash-seed-specific); semantics pinned in tests."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
-    cands = minhash_candidates(sigs)
+    cands = screen_candidates(minhash_candidates(sigs), sigs, min_est=0.25)
     return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
 
 
@@ -348,6 +447,7 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "x1_exact_dedup": x1_exact_dedup,
     "x1_contamination": x1_contamination,
+    "x1_contamination_indexed": x1_contamination_indexed,
     "x1_normalized_dedup": x1_normalized_dedup,
     "x1_embedding_neardup": x1_embedding_neardup,
     "x1_dedup_stats": x1_dedup_stats,
@@ -389,6 +489,9 @@ ORACLES = {
                round(max(cont), 6) AS max_containment
         FROM pairs GROUP BY probe_id
     """,
+    # identical semantics to x1_contamination, inverted-index plan — the
+    # oracle is shared verbatim (Python appends it below after the dict
+    # literal so the text stays single-sourced)
     "x1_exact_dedup": f"""
         SELECT {_FP_DUCK} AS fp, min(doc_id) AS keeper_id, count(*) AS copies
         FROM documents GROUP BY 1
@@ -436,3 +539,6 @@ ORACLES = {
         WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
     """,
 }
+
+# the indexed variant answers the same question — one oracle text, two plans
+ORACLES["x1_contamination_indexed"] = ORACLES["x1_contamination"]

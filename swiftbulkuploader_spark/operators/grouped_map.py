@@ -102,13 +102,52 @@ def x2_norm_zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.groupBy("label").applyInArrow(_zscore_group_arrow, NORM_SCHEMA)
 
 
+def x2_norm_zscore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommended-at-scale plan for the same z-score: pure window
+    aggregates (`avg/stddev_pop over (partition by label)`) — no Python
+    worker, no Arrow ferry, whole plan stays in codegen. The applyInPandas/
+    applyInArrow twins above demonstrate the grouped-map API against the
+    SAME oracle; this is the variant to deploy when the semantics fit
+    built-ins (they do here)."""
+    from pyspark.sql import Window
+
+    from swiftbulkuploader_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("norm"),
+    )
+    w = Window.partitionBy("label")
+    mu = F.avg("norm").over(w)
+    sd = F.stddev_pop("norm").over(w)
+    z = F.when(sd > 0, (F.col("norm") - mu) / sd).otherwise(F.lit(0.0))
+    return norms.select("vec_id", "label", "norm", F.round(z, 4).alias("z"))
+
+
 QUERIES = {
     "x2_norm_zscore": x2_norm_zscore,
     "x2_norm_zscore_arrow": x2_norm_zscore_arrow,
+    "x2_norm_zscore_native": x2_norm_zscore_native,
 }
 
 ORACLES = {
-    # same semantics, same oracle text, two ferry implementations
+    # same semantics, same oracle text, three implementations (pandas ferry,
+    # arrow ferry, native window)
+    "x2_norm_zscore_native": """
+        WITH norms AS (
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 6) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id, label, norm,
+               round(CASE WHEN stddev_pop(norm) OVER (PARTITION BY label) > 0
+                          THEN (norm - avg(norm) OVER (PARTITION BY label))
+                               / stddev_pop(norm) OVER (PARTITION BY label)
+                          ELSE 0.0 END, 4) AS z
+        FROM norms
+    """,
     "x2_norm_zscore_arrow": """
         WITH norms AS (
             SELECT vec_id, label,

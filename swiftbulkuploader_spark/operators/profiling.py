@@ -51,6 +51,27 @@ def x6_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`x6_quantiles` with the same output schema on the 100 TB-safe path:
+    GK `percentile_approx` sketches (single pass, bounded memory, mergeable
+    partials) instead of exact sort-based percentile state. Benchmarked
+    side-by-side with the exact form so the headline shows what swapping in
+    the scale plan costs/saves. Rows-only (sketch output is
+    engine-specific); accuracy vs exact is pinned by a tolerance test."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    acc = 10000
+    return li.agg(
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), acc).alias("qty_ps"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), acc).alias("price_ps"),
+    ).select(
+        F.round(F.element_at("qty_ps", 1), 6).alias("qty_p25"),
+        F.round(F.element_at("qty_ps", 2), 6).alias("qty_p50"),
+        F.round(F.element_at("qty_ps", 3), 6).alias("qty_p75"),
+        F.round(F.element_at("price_ps", 1), 6).alias("price_p50"),
+        F.round(F.element_at("price_ps", 2), 6).alias("price_p99"),
+    )
+
+
 def x6_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path: HLL++ distinct + GK quantile sketches (single pass,
     mergeable, bounded memory). Rows-only check — sketch results are
@@ -268,6 +289,7 @@ QUERIES = {
     "x5_grouping_id": x5_grouping_id,
     "x6_distinct_profile": x6_distinct_profile,
     "x6_quantiles": x6_quantiles,
+    "x6_quantiles_approx": x6_quantiles_approx,
     "x6_group_quantiles": x6_group_quantiles,
     "x6_deterministic_sample": x6_deterministic_sample,
     "x6_approx_profile": x6_approx_profile,

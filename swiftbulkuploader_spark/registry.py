@@ -18,6 +18,7 @@ from swiftbulkuploader_spark.operators import (
     analytics_extra,
     arrays_maps,
     behavior,
+    components,
     dedup,
     fuzzy_join,
     grouped_map,
@@ -49,7 +50,7 @@ _MODULES = (
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
     scalar_suites, udtf_ops, stats_inference, hierarchy, training_prep,
-    fuzzy_join, behavior, media_queries,
+    fuzzy_join, behavior, media_queries, components,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -5,6 +5,7 @@ components, including chains that require transitive closure across rounds.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.operators.components import connected_components, dedup_clusters
 
@@ -77,3 +78,27 @@ class TestDedupClusters:
         assert rows[1]["cluster_id"] == 0 and not rows[1]["is_survivor"]
         assert rows[2]["cluster_id"] == 0 and not rows[2]["is_survivor"]
         assert 3 not in rows  # no near-dup pair -> not in any cluster
+
+
+class TestDupClustersContract:
+    def test_x1_dup_clusters_chain(self, spark, tmp_path):
+        """Contract query end-to-end: A~B and B~C near-dups must land in ONE
+        cluster of size 3 with the min doc_id as survivor."""
+        from swiftbulkuploader_spark.operators.components import x1_dup_clusters
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+        # suffix-append variants: J(a,b)~0.95, J(b,c)~0.95 — high enough that
+        # 8x4 banding catches them deterministically (P(miss) < 1e-6)
+        a, b, c = base, base + " omega1", base + " omega1 omega2"
+        far = ("unrelated corpus text about distributed query engines and "
+               "columnar parquet storage with vectorized readers running daily")
+        df = spark.createDataFrame(
+            [(10, a), (11, b), (12, c), (13, far)],
+            "doc_id: long, text: string",
+        ).withColumns({"lang": F.lit("en"), "source": F.lit("s"), "n_chars": F.length("text")})
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        rows = {r["cluster_id"]: r for r in x1_dup_clusters(spark, str(tmp_path)).collect()}
+        assert 10 in rows
+        assert rows[10]["cluster_size"] == 3 and rows[10]["survivor_id"] == 10
+        assert all(cid == 10 for cid in rows)  # far doc joins no cluster

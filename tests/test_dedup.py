@@ -140,3 +140,57 @@ class TestContamination:
         assert got[0]["n_flagged"] >= 1
         assert got[1]["max_containment"] < 0.5  # distinct probe not flagged
         assert got[1]["n_flagged"] == 0
+
+
+class TestScreenedVerify:
+    """The signature screen (screen_candidates) must not change WHICH pairs
+    the threshold-filtered pipeline emits — it only prunes the shingle-array
+    shuffle down to plausible candidates."""
+
+    def test_screen_keeps_true_pairs(self, spark, corpus):
+        from swiftbulkuploader_spark.operators.dedup import screen_candidates
+
+        sigs = minhash_signatures(corpus)
+        cands = minhash_candidates(sigs)
+        screened = screen_candidates(cands, sigs, min_est=0.25)
+        full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5).collect()}
+        kept = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in exact_jaccard(screened, sigs).filter(F.col("jaccard") >= 0.5).collect()}
+        assert kept == full and (0, 2) in kept  # exact dup survives the screen
+
+    def test_screen_drops_low_similarity(self, spark, corpus):
+        from swiftbulkuploader_spark.operators.dedup import screen_candidates
+
+        sigs = minhash_signatures(corpus)
+        # a fabricated candidate pair between unrelated docs (0, 3): the
+        # screen must reject it without ever touching shingle arrays
+        fake = spark.createDataFrame([(0, 3)], "doc_a: long, doc_b: long")
+        assert screen_candidates(fake, sigs, min_est=0.25).count() == 0
+
+
+class TestContaminationIndexed:
+    def test_indexed_matches_broadcast_form(self, spark, tmp_path):
+        """Inverted-index plan == broadcast plan, including a probe with
+        ZERO hits anywhere (must still report (0, 0.0), not vanish)."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            x1_contamination,
+            x1_contamination_indexed,
+        )
+
+        probe = "the quick brown fox jumps over the lazy dog tonight"
+        long_doc = ("prologue words here " * 5) + probe + (" epilogue trailing text" * 5)
+        rows = [(i, probe if i == 0 else f"zero hit probe variant {i} xyzzy{i}", "en", "s", 1)
+                for i in range(8)]
+        rows += [(8, long_doc, "en", "s", 1),
+                 (9, "completely different vocabulary about spark shuffles", "en", "s", 1)]
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        bc = sorted(tuple(r) for r in x1_contamination(spark, str(tmp_path)).collect())
+        ix = sorted(tuple(r) for r in x1_contamination_indexed(spark, str(tmp_path)).collect())
+        assert bc == ix
+        by_probe = {t[0]: t for t in ix}
+        assert by_probe[0][2] == 1.0       # embedded probe: containment 1.0
+        assert by_probe[3] == (3, 0, 0.0)  # zero-hit probe still present

@@ -77,3 +77,15 @@ def test_hll_mergeable_union_matches_exact(spark):
     assert len(globals_seen) == 1  # every row reports the same union
     (g,) = globals_seen
     assert abs(g - exact_global) / exact_global < 0.05
+
+
+def test_quantiles_approx_matches_exact_schema_and_values(spark):
+    """x6_quantiles_approx is the scale-path twin of x6_quantiles: identical
+    column names (so a caller can swap plans without schema churn) and GK
+    values within 2% of the exact interpolated percentiles."""
+    exact = registry.QUERIES["x6_quantiles"](spark, SF)
+    approx = registry.QUERIES["x6_quantiles_approx"](spark, SF)
+    assert approx.columns == exact.columns
+    e, a = exact.first(), approx.first()
+    for col in exact.columns:
+        assert abs(a[col] - e[col]) / abs(e[col]) < 0.02, col
