@@ -31,6 +31,8 @@ BOUNDED_BNLJ_OK = {
     "x2_knn_join",             # fixed 8-vector query batch
     "x6_drift_metrics",        # 1-row midpoint + 1-row totals
     "x7_funnel_steps",         # three 1-row stage counters cross-joined
+    "x1_contamination",        # bounded broadcast probe set (8 rows); the
+                               # unbounded-probe plan is x1_contamination_indexed
 }
 
 
