@@ -61,6 +61,8 @@ HEADLINE = [
     "x5_q9_product_profit",     # 6-table profit star join
     "x6_quantiles_approx",      # GK sketch twin of x6_quantiles
     "x2_norm_zscore_native",    # window z-score (JVM twin of grouped-map)
+    "x6_source_mixing",         # temperature-weighted source sampling
+    "x6_global_shuffle",        # deterministic shuffle + shard assignment
 ]
 
 

@@ -95,9 +95,77 @@ def x2_quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5          # sampling temperature: p^alpha flattens the source mix
+MIX_TOKEN_BUDGET = 10**6  # training-token budget the mix is computed against
+
+
+def x6_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing — the sampling-weight computation a
+    pretraining run does over its corpus manifest (cf. the multilingual
+    p^alpha sampling of XLM-R/mT5): per source, token mass -> raw share ->
+    alpha-tempered mixing weight -> target tokens and implied epochs for a
+    fixed training budget.
+
+    Scale shape: one partial+final aggregate over the corpus reduces to
+    n_sources rows; the normalizing sum runs as a window over that tiny
+    aggregate (never over raw rows), so the whole computation after the scan
+    is O(n_sources). Low-resource sources get epochs > 1 (upsampled),
+    high-resource < 1 — the monotone flattening alpha=0.5 promises."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    raw_share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    tempered = F.pow(raw_share, F.lit(MIX_ALPHA))
+    mix_w = tempered / F.sum(tempered).over(w_all)
+    target = F.round(mix_w * F.lit(MIX_TOKEN_BUDGET)).cast("long")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(mix_w, 6).alias("mix_weight"),
+        target.alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 4).alias("epochs"),
+    )
+
+
+N_SHARDS = 8
+
+
+def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data ordering:
+    every document gets a pseudo-random but reproducible key (md5 of
+    seed:doc_id), a shard from the key's top 32 bits, and its position
+    within the shard ordered by key.
+
+    This is the scalable formulation of "shuffle the corpus": shard
+    assignment is row-local (hash mod — no global sort anywhere), and the
+    position window sorts only WITHIN each shard, so the plan is one
+    shuffle on shard_id + a per-shard sort — exactly what a 1000-executor
+    writer wants (one output file per shard, ordered). The md5 key makes
+    Spark and DuckDB agree byte-for-byte, unlike engine-seeded rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+             % F.lit(N_SHARDS)).cast("int")
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key")
+    return (
+        keyed.withColumn("shard_id", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shuffle_key", "shard_id", "pos")
+    )
+
+
 QUERIES = {
     "x3_pack_sequences": x3_pack_sequences,
     "x2_quantized_codes": x2_quantized_codes,
+    "x6_source_mixing": x6_source_mixing,
+    "x6_global_shuffle": x6_global_shuffle,
 }
 
 ORACLES = {
@@ -142,3 +210,42 @@ ORACLES = {
         FROM q
     """,
 }
+
+ORACLES["x6_source_mixing"] = f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CAST({TOKENS_DUCK} AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), shares AS (
+        SELECT *,
+               CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS raw_share,
+               pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), {MIX_ALPHA})
+                   AS tempered
+        FROM per_src
+    ), weights AS (
+        SELECT *, tempered / sum(tempered) OVER () AS mix_w FROM shares
+    )
+    SELECT source, n_docs, n_tokens,
+           round(raw_share, 6) AS raw_share,
+           round(mix_w, 6) AS mix_weight,
+           CAST(round(mix_w * {MIX_TOKEN_BUDGET}) AS BIGINT) AS target_tokens,
+           round(CAST(round(mix_w * {MIX_TOKEN_BUDGET}) AS BIGINT) / n_tokens, 4)
+               AS epochs
+    FROM weights
+"""
+
+ORACLES["x6_global_shuffle"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    ), sharded AS (
+        SELECT doc_id, shuffle_key,
+               CAST(CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT)
+                    % {N_SHARDS} AS INT) AS shard_id
+        FROM keyed
+    )
+    SELECT doc_id, shuffle_key, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key)
+                AS INT) AS pos
+    FROM sharded
+"""

@@ -76,3 +76,62 @@ def test_quantization_reconstruction_error_bounded(spark):
         for x in v:
             code = round(x / scale)
             assert abs(x - code * scale) <= scale / 2 + 1e-12
+
+
+class TestSourceMixing:
+    def test_alpha_flattens_mix(self, spark):
+        """alpha=0.5 tempering must flatten the source distribution: every
+        low-resource source's mix weight >= its raw share, the largest
+        source's <=, and weights sum to 1."""
+        from swiftbulkuploader_spark.operators.training_prep import x6_source_mixing
+
+        rows = x6_source_mixing(spark, "/root/testdata/sf0.001").collect()
+        assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+        mean_share = 1.0 / len(rows)
+        for r in rows:
+            if r["raw_share"] < mean_share:
+                assert r["mix_weight"] >= r["raw_share"], r["source"]
+            if r["raw_share"] > mean_share:
+                assert r["mix_weight"] <= r["raw_share"], r["source"]
+
+    def test_budget_conserved(self, spark):
+        from swiftbulkuploader_spark.operators.training_prep import (
+            MIX_TOKEN_BUDGET,
+            x6_source_mixing,
+        )
+
+        rows = x6_source_mixing(spark, "/root/testdata/sf0.001").collect()
+        total_target = sum(r["target_tokens"] for r in rows)
+        # rounding each source independently: off by at most n_sources/2
+        assert abs(total_target - MIX_TOKEN_BUDGET) <= len(rows)
+
+
+class TestGlobalShuffle:
+    def test_deterministic_permutation(self, spark):
+        """Every doc appears exactly once; positions within each shard are
+        1..shard_size with no gaps; two runs agree exactly."""
+        from swiftbulkuploader_spark.operators.training_prep import x6_global_shuffle
+
+        sf = "/root/testdata/sf0.001"
+        a = {r["doc_id"]: (r["shard_id"], r["pos"]) for r in x6_global_shuffle(spark, sf).collect()}
+        b = {r["doc_id"]: (r["shard_id"], r["pos"]) for r in x6_global_shuffle(spark, sf).collect()}
+        assert a == b and len(a) == 500
+        by_shard: dict[int, list[int]] = {}
+        for shard, pos in a.values():
+            by_shard.setdefault(shard, []).append(pos)
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    def test_shards_balanced(self, spark):
+        """Hash-mod sharding: no shard more than 2x the ideal size."""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            N_SHARDS,
+            x6_global_shuffle,
+        )
+
+        rows = x6_global_shuffle(spark, "/root/testdata/sf0.001").collect()
+        counts: dict[int, int] = {}
+        for r in rows:
+            counts[r["shard_id"]] = counts.get(r["shard_id"], 0) + 1
+        assert len(counts) == N_SHARDS
+        assert max(counts.values()) < 2 * (len(rows) / N_SHARDS)
