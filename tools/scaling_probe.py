@@ -110,6 +110,59 @@ def shape_pack_cumsum(df):
     )
 
 
+def shape_shuffle_shard(df):
+    # global-shuffle shape (training_prep.py::x6_global_shuffle): row-local
+    # md5 key + hash-mod shard -> per-shard position window. One shuffle on
+    # shard, sort within shard — ratio ~10x means the global permutation
+    # never pays for a global sort.
+    key = F.md5(F.col("event_id").cast("string"))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 64).alias("shard")
+    keyed = df.select("event_id", key.alias("k"), shard)
+    w = Window.partitionBy("shard").orderBy("k")
+    return keyed.select("event_id", "shard", F.row_number().over(w).alias("pos"))
+
+
+def shape_inverted_index_join(df):
+    # contamination-indexed shape (dedup.py::x1_contamination_indexed):
+    # posting-list equi-join on an 8-byte hash + two-level aggregation.
+    # Corpus side scales with n (16 postings/doc); probe side fixed (the
+    # eval set). Ratio ~10x = the scan side dominates, as designed.
+    spark = df.sparkSession
+    corpus = df.select(
+        F.col("event_id").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+    ).select("doc_id", (F.abs(F.xxhash64("doc_id", "i")) % 1_000_000).alias("h"))
+    probes = spark.range(10_000).select(
+        (F.col("id") % 500).alias("probe_id"),
+        (F.abs(F.xxhash64("id")) % 1_000_000).alias("h"),
+    )
+    return (
+        corpus.join(probes, "h")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .groupBy("probe_id")
+        .agg(F.max("n_match").alias("best"))
+    )
+
+
+def shape_label_prop_round(df):
+    # one connected-components round (components.py): symmetric edge join to
+    # labels + min-label aggregate. Per-round cost must stay linear in edge
+    # count; round COUNT is bounded by cluster diameter, not data size.
+    edges = df.select(
+        (F.col("event_id") % 500_000).alias("a"),
+        (F.abs(F.xxhash64("event_id")) % 500_000).alias("b"),
+    )
+    # one label row per NODE (distinct), mirroring components.py exactly —
+    # labels without distinct would fan the join out quadratically per key
+    labels = edges.select(F.col("a").alias("b"), F.col("a").alias("label")).distinct()
+    return (
+        edges.join(labels, "b")
+        .groupBy("a")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+
+
 SHAPES = {
     "range_window_1h": shape_range_window,
     "exact_dedup": shape_dedup,
@@ -117,6 +170,9 @@ SHAPES = {
     "sessionize": shape_sessionize,
     "quantize_hof_32d": shape_quantize_hof,
     "pack_cumsum": shape_pack_cumsum,
+    "shuffle_shard": shape_shuffle_shard,
+    "inverted_index_join": shape_inverted_index_join,
+    "label_prop_round": shape_label_prop_round,
 }
 
 
