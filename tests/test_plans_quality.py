@@ -271,3 +271,54 @@ class TestRangeJoin:
         got = {r["anchor_id"]: r["n_nearby"]
                for r in range_join_counts(events, F.col("event_type") == "error").collect()}
         assert got == {1: 2}
+
+
+class TestRound3PlanShapes:
+    def test_contamination_indexed_is_equi_join_no_bnlj(self, spark):
+        """The inverted-index contamination must be a plain equi-join on the
+        posting hash — never a nested-loop over the corpus."""
+        plan = _plan(registry.QUERIES["x1_contamination_indexed"](spark, SF))
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+            or ("BroadcastHashJoin" in plan)
+
+    def test_minhash_verify_screens_before_shingle_join(self, spark):
+        """The signature screen's est_jaccard filter must sit in the plan, and
+        the screen join itself must project signature columns — evidence the
+        fixed-width screen runs before any shingle-array join."""
+        plan = _plan(registry.QUERIES["x1_minhash_neardup"](spark, SF))
+        # Catalyst inlines the est_jaccard alias into the Filter; the screen's
+        # threshold constant and its renamed signature columns are the
+        # surviving evidence
+        assert ">= 0.25" in plan
+        assert "a_sig_0" in plan and "b_sig_31" in plan
+
+    def test_zscore_native_has_no_python_stage(self, spark):
+        """The native window z-score must stay JVM-side end-to-end (its
+        grouped-map twins deliberately do not)."""
+        plan = _plan(registry.QUERIES["x2_norm_zscore_native"](spark, SF))
+        for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas",
+                       "FlatMapGroupsInArrow", "BatchEvalPython"):
+            assert marker not in plan, marker
+        assert "Window" in plan
+        pandas_plan = _plan(registry.QUERIES["x2_norm_zscore"](spark, SF))
+        assert "FlatMapGroupsInPandas" in pandas_plan  # the twin really ferries
+
+    def test_global_shuffle_sorts_per_shard_not_globally(self, spark):
+        """One hash exchange on shard_id; no range partitioning (which would
+        be a global sort) anywhere."""
+        plan = _plan(registry.QUERIES["x6_global_shuffle"](spark, SF))
+        assert "rangepartitioning" not in plan.lower()
+        assert "hashpartitioning(shard_id" in plan
+        # exactly one exchange node: formatted output names each node twice
+        # (tree line + detail header)
+        assert plan.count("(4) Exchange") == 2 or plan.count("Exchange") == 2
+
+    def test_source_mixing_windows_run_over_aggregate(self, spark):
+        """The normalizing windows must consume the n_sources-row aggregate:
+        exactly one partial+final agg pair below the window, and the window's
+        exchange moves SinglePartition (a handful of rows), not raw docs."""
+        plan = _plan(registry.QUERIES["x6_source_mixing"](spark, SF))
+        assert "HashAggregate" in plan
+        assert "SinglePartition" in plan
