@@ -63,6 +63,7 @@ HEADLINE = [
     "x2_norm_zscore_native",    # window z-score (JVM twin of grouped-map)
     "x6_source_mixing",         # temperature-weighted source sampling
     "x6_global_shuffle",        # deterministic shuffle + shard assignment
+    "x10_training_manifest",    # composed quality->dedup->decontam->pack plan
 ]
 
 

@@ -161,11 +161,91 @@ def x6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.5
+
+
+def x10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training data-prep pipeline as ONE declarative plan:
+    quality filter -> exact-dedup survivors -> eval-set decontamination ->
+    deterministic shuffle/shard -> token packing, ending in the per-chunk
+    manifest a trainer reads. Every stage reuses the operator family's own
+    building blocks, so this is the composition proof: the engine's dedup,
+    contamination, shuffle and packing operators chain inside a single
+    Catalyst plan (one explain, one optimizer pass — no intermediate
+    materialization), and the whole thing stays DuckDB-oracle-checkable.
+
+    Stage shapes (each analyzed separately in SCALING.md): quality filter is
+    scan-speed projection; dedup one narrow shuffle on the fingerprint;
+    decontamination the bounded-probe broadcast form (swap in the
+    inverted-index form past broadcast scale); shard/pack one shuffle on
+    shard_id + per-shard sort."""
+    from swiftbulkuploader_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 8)
+
+    # 1. quality floor (pretraining filter; threshold on the rounded score
+    #    so both engines compare identical doubles)
+    kept = corpus.filter(quality_score(F.col("text")) >= QUALITY_MIN)
+
+    # 2. exact-dedup survivors (min doc_id per canonical fingerprint)
+    w_fp = Window.partitionBy(fingerprint(F.col("text")))
+    deduped = (
+        kept.withColumn("_keep", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+
+    # 3. decontamination: drop docs containing any eval probe (docs 0-7) at
+    #    >= 0.5 shingle containment — broadcast form (bounded probe set)
+    sh = F.array_distinct(shingles(F.col("text")))
+    probes = (
+        docs.filter(F.col("doc_id") < 8)
+        .select(sh.alias("p_sh"), F.size(sh).alias("p_n"))
+    )
+    flagged = (
+        deduped.select("doc_id", sh.alias("d_sh"))
+        .join(F.broadcast(probes))
+        .filter(F.size(F.array_intersect("d_sh", "p_sh")) / F.col("p_n") >= 0.5)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(flagged, "doc_id", "left_anti")
+
+    # 4. deterministic shuffle + shard, 5. pack to token chunks per shard
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    sharded = clean.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+         % F.lit(N_SHARDS)).cast("int").alias("shard_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w_pack = (
+        Window.partitionBy("shard_id")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0).cast("long"))
+    placed = sharded.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(TOKEN_BUDGET)).cast("long")
+    )
+    return placed.groupBy("shard_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
 QUERIES = {
     "x3_pack_sequences": x3_pack_sequences,
     "x2_quantized_codes": x2_quantized_codes,
     "x6_source_mixing": x6_source_mixing,
     "x6_global_shuffle": x6_global_shuffle,
+    "x10_training_manifest": x10_training_manifest,
 }
 
 ORACLES = {
@@ -248,4 +328,66 @@ ORACLES["x6_global_shuffle"] = f"""
            CAST(row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key)
                 AS INT) AS pos
     FROM sharded
+"""
+
+ORACLES["x10_training_manifest"] = f"""
+    WITH quality AS (
+        SELECT doc_id, text,
+               round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
+                 * (0.7 * (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                           ELSE 0.0 END)
+                    + 0.3 * (1 - (CASE WHEN length(text) > 0
+                             THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                             ELSE 0.0 END))), 6) AS q
+        FROM documents WHERE doc_id >= 8
+    ), kept AS (
+        SELECT doc_id, text FROM quality WHERE q >= {QUALITY_MIN}
+    ), deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (
+                       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   ) AS keep_id
+            FROM kept
+        ) WHERE doc_id = keep_id
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 4, 1)),
+                   i -> array_to_string(t[i:least(i + 4, len(t))], ' ')
+               )) AS s
+        FROM (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+            FROM documents
+        )
+    ), probes AS (
+        SELECT s AS p_sh, len(s) AS p_n FROM sh WHERE doc_id < 8
+    ), flagged AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT d.doc_id, s.s FROM deduped d JOIN sh s USING (doc_id)) c
+        CROSS JOIN probes p
+        WHERE CAST(len(list_intersect(c.s, p.p_sh)) AS DOUBLE) / p.p_n >= 0.5
+    ), clean AS (
+        SELECT d.doc_id, d.text FROM deduped d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ), sharded AS (
+        SELECT doc_id,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {N_SHARDS} AS INT) AS shard_id,
+               CAST({TOKENS_DUCK} AS BIGINT) AS n_tokens
+        FROM clean
+    ), placed AS (
+        SELECT shard_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY shuffle_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {TOKEN_BUDGET} AS chunk_id
+        FROM sharded
+    )
+    SELECT shard_id, chunk_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM placed GROUP BY shard_id, chunk_id
 """

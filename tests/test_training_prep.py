@@ -135,3 +135,30 @@ class TestGlobalShuffle:
             counts[r["shard_id"]] = counts.get(r["shard_id"], 0) + 1
         assert len(counts) == N_SHARDS
         assert max(counts.values()) < 2 * (len(rows) / N_SHARDS)
+
+
+class TestTrainingManifest:
+    def test_stages_compose(self, spark, tmp_path):
+        """Crafted corpus: a low-quality doc, an exact dup, and a
+        contaminated doc must all be excluded; survivors packed."""
+        from pyspark.sql import functions as F
+
+        from swiftbulkuploader_spark.operators.training_prep import x10_training_manifest
+
+        probe = "the quick brown fox jumps over the lazy dog tonight again"
+        good = ("a perfectly reasonable training document with plenty of "
+                "clean alphabetic text that easily clears the quality floor "
+                "and has no overlap with any evaluation probe at all")
+        dup = good  # exact duplicate: only the lower doc_id survives
+        contaminated = ("prologue filler words " * 3) + probe + (" trailing text" * 3)
+        junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"  # punct-heavy: low quality
+        rows = [(i, probe) for i in range(8)]
+        rows += [(8, good), (9, dup), (10, contaminated), (11, junk)]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string").withColumns(
+            {"lang": F.lit("en"), "source": F.lit("s"), "n_chars": F.length("text")}
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        chunks = x10_training_manifest(spark, str(tmp_path)).collect()
+        # survivors: doc 8 only (9 dup of 8, 10 contaminated, 11 low quality)
+        assert sum(r["n_docs"] for r in chunks) == 1
+        assert len(chunks) == 1 and chunks[0]["chunk_id"] == 0

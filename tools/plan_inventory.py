@@ -33,6 +33,8 @@ BOUNDED_BNLJ_OK = {
     "x7_funnel_steps",         # three 1-row stage counters cross-joined
     "x1_contamination",        # bounded broadcast probe set (8 rows); the
                                # unbounded-probe plan is x1_contamination_indexed
+    "x10_training_manifest",   # same bounded probe broadcast, inside the
+                               # composed decontamination stage
 }
 
 
