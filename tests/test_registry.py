@@ -89,3 +89,25 @@ def test_quantiles_approx_matches_exact_schema_and_values(spark):
     e, a = exact.first(), approx.first()
     for col in exact.columns:
         assert abs(a[col] - e[col]) / abs(e[col]) < 0.02, col
+
+
+def test_queries_survive_hostile_session_conf(spark):
+    """The driver builds its own session; the engine must not depend on our
+    tuned conf. Flip timezone + ANSI mode to hostile values, run the most
+    conf-sensitive queries (timestamp windows, as-of join, formatting,
+    division), and pin results identical to the clean-session run —
+    catalog._ensure_session_defaults is the mechanism under test."""
+    sensitive = ["a8_rate_window", "w2_running_total", "x7_asof_join",
+                 "f6_f8_report_formatting", "a7_progress_pct"]
+    baseline = {n: registry.QUERIES[n](spark, SF).collect() for n in sensitive}
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for n in sensitive:
+            hostile = registry.QUERIES[n](spark, SF).collect()
+            assert sorted(map(tuple, hostile)) == sorted(map(tuple, baseline[n])), n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
