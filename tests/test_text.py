@@ -116,3 +116,69 @@ class TestLongDocuments:
         found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
         assert found.get((0, 1), 0) > 0.9
         assert dt < 60, f"long-doc path too slow: {dt:.1f}s"
+
+
+class TestTextPrimitiveProperties:
+    """Seeded randomized cross-check of the Column-expression text primitives
+    against straight-line Python reimplementations — one Spark job for the
+    whole example batch, so the property sweep stays fast."""
+
+    def _cases(self):
+        import random
+
+        rng = random.Random(20260813)
+        words = ["the", "Fox", "JUMPS", "über", "naïve", "123", "a", "",
+                 "punct!", "semi;colon", "tab\tsep", "new\nline", "ñ", "中文"]
+        cases = ["", " ", "\t\n ", "word", "  leading", "trailing  ",
+                 "a  b   c", " nbsp"]
+        for _ in range(80):
+            n = rng.randint(1, 12)
+            sep = rng.choice([" ", "  ", " \t ", "\n"])
+            cases.append(sep.join(rng.choice(words) for _ in range(n)))
+        return cases
+
+    @staticmethod
+    def _py_norm(s: str) -> str:
+        import re
+
+        # Java/RE2 \s is ASCII-only ([ \t\n\x0b\f\r]); Python's \s also
+        # matches U+00A0 etc. The engine (and its DuckDB oracles) use the
+        # Java/RE2 semantic, so the reference must too.
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", s).strip(" \t\n\x0b\f\r")
+
+    def test_token_count_matches_python(self, spark):
+        from swiftbulkuploader_spark.functions.text import token_count
+
+        cases = self._cases()
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i: long, text: string")
+        got = {r["i"]: r["n"] for r in df.select("i", token_count(F.col("text")).alias("n")).collect()}
+        for i, c in enumerate(cases):
+            norm = self._py_norm(c)
+            expect = 0 if not norm else len(norm.split(" "))
+            assert got[i] == expect, (c, got[i], expect)
+
+    def test_fingerprint_matches_python(self, spark):
+        import hashlib
+
+        from swiftbulkuploader_spark.functions.text import fingerprint
+
+        cases = self._cases()
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i: long, text: string")
+        got = {r["i"]: r["fp"] for r in df.select("i", fingerprint(F.col("text")).alias("fp")).collect()}
+        for i, c in enumerate(cases):
+            expect = hashlib.md5(self._py_norm(c).lower().encode("utf-8")).hexdigest()
+            assert got[i] == expect, c
+
+    def test_shingles_match_python(self, spark):
+        from swiftbulkuploader_spark.functions.text import shingles
+
+        cases = [c for c in self._cases() if self._py_norm(c)]
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i: long, text: string")
+        got = {r["i"]: r["sh"] for r in df.select("i", shingles(F.col("text")).alias("sh")).collect()}
+        for i, c in enumerate(cases):
+            toks = self._py_norm(c).lower().split(" ")
+            if len(toks) <= 5:
+                expect = [" ".join(toks)]
+            else:
+                expect = [" ".join(toks[j:j + 5]) for j in range(len(toks) - 4)]
+            assert got[i] == expect, (c, got[i], expect)
