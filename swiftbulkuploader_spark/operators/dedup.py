@@ -301,8 +301,8 @@ def screen_candidates(pairs: DataFrame, sigs: DataFrame, min_est: float) -> Data
 
     ``min_est`` must sit safely below the final exact threshold: with 32
     hashes the estimator's sigma at J=0.5 is sqrt(.5*.5/32) ~= 0.088, so a
-    screen at threshold - 3*sigma keeps P(drop a true positive) < 1e-3 per
-    pair while pruning the (far more numerous) low-similarity band
+    screen at threshold - 3*sigma keeps P(drop a true positive) ~1e-3 per
+    pair (binomial P(X<=7 | n=32, p=.5) = 0.00105, falling fast above J=0.5) while pruning the (far more numerous) low-similarity band
     collisions before their shingle sets are ever shuffled.
     """
     sig_cols = [f"sig_{i}" for i in range(N_HASHES)]
