@@ -114,10 +114,12 @@ def x1_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # probes whose shingles hit nothing still report (0, 0.0), matching the
-    # broadcast form's max-over-all-pairs semantics
+    # broadcast form's max-over-all-pairs semantics. hits has <= n_probes
+    # rows post-aggregation — broadcast it so the backfill join never
+    # becomes a sort-merge over two exchanges
     return (
         probes.select("probe_id")
-        .join(hits, "probe_id", "left")
+        .join(F.broadcast(hits), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
