@@ -214,7 +214,10 @@ def x10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = deduped.join(flagged, "doc_id", "left_anti")
+    # flagged is the contaminated subset — rare by construction (eval-probe
+    # hits), so broadcast the anti-join build side instead of shuffling the
+    # whole deduped corpus into a sort-merge
+    clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
 
     # 4. deterministic shuffle + shard, 5. pack to token chunks per shard
     key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
