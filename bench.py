@@ -64,6 +64,7 @@ HEADLINE = [
     "x6_source_mixing",         # temperature-weighted source sampling
     "x6_global_shuffle",        # deterministic shuffle + shard assignment
     "x10_training_manifest",    # composed quality->dedup->decontam->pack plan
+    "x2_hybrid_search",         # lexical+vector RRF fusion (RAG retrieval)
 ]
 
 

@@ -272,6 +272,70 @@ def x2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60        # the standard reciprocal-rank-fusion damping constant
+HYBRID_POOL = 50  # per-ranking candidate pool fused (bounds all windows)
+
+
+def x2_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving shape: a lexical ranking (distinct-
+    token overlap with the query doc) and a vector ranking (embedding
+    cosine) fused by Reciprocal Rank Fusion, rrf = Σ 1/(K + rank).
+
+    Scale shape: each ranking is a full scan + TakeOrderedAndProject top-50
+    (no global sort ever materializes); rank assignment and the full-outer
+    fusion then touch only the two 50-row pools, so every window in the
+    plan is bounded by HYBRID_POOL regardless of corpus size. Ranks are
+    assigned over ROUNDED scores with doc_id tiebreak, so both engines rank
+    identical values. Query = doc/vec 0 (1-row bounded collects, the
+    _query_vector pattern)."""
+    from pyspark.sql import Window
+
+    from swiftbulkuploader_spark.functions.text import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.array_distinct(F.split(F.lower(normalize_ws(F.col("text"))), " "))
+    qrow = docs.filter(F.col("doc_id") == 0).select(toks.alias("t")).first()
+    if qrow is None:
+        raise ValueError("query doc_id=0 not found")
+    qtok = F.array(*[F.lit(t) for t in qrow["t"]])
+    qvec = F.array(*[F.lit(v) for v in _query_vector(spark, sf_dir, 0)])
+
+    lex_pool = (
+        docs.filter(F.col("doc_id") >= 1)
+        .select("doc_id", F.size(F.array_intersect(toks, qtok)).alias("lex_score"))
+        .orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_POOL)
+    )
+    w_lex = Window.orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
+    lex = lex_pool.withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+
+    vec_pool = (
+        emb.filter(F.col("vec_id") >= 1)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qvec), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_POOL)
+    )
+    w_vec = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    vec = vec_pool.withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
+
+    rrf = (
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", F.round(rrf, 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     "x2_knn_join": x2_knn_join,
     "x2_cosine_topk": x2_cosine_topk,
@@ -279,6 +343,7 @@ QUERIES = {
     "x2_lsh_bucket_topk": x2_lsh_bucket_topk,
     "x2_lsh_similar_pairs": x2_lsh_similar_pairs,
     "x2_ivf_topk": x2_ivf_topk,
+    "x2_hybrid_search": x2_hybrid_search,
 }
 
 _CENTROID_DUCK = """
@@ -335,3 +400,42 @@ ORACLES = {
     """,
     # x2_lsh_*: rows-only by design (seeded LSH, engine-specific)
 }
+
+ORACLES["x2_hybrid_search"] = f"""
+    WITH qt AS (
+        SELECT list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+        FROM documents WHERE doc_id = 0
+    ), lex_scored AS (
+        SELECT d.doc_id,
+               CAST(len(list_intersect(d.toks, qt.t)) AS INT) AS lex_score
+        FROM (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS toks
+            FROM documents WHERE doc_id >= 1
+        ) d CROSS JOIN qt
+    ), lex AS (
+        SELECT doc_id, lex_score,
+               CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        FROM lex_scored
+        QUALIFY lex_rank <= {HYBRID_POOL}
+    ), vec_scored AS (
+        SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+        FROM embeddings WHERE vec_id >= 1
+    ), vec AS (
+        SELECT doc_id, cos_sim,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
+        FROM vec_scored
+        QUALIFY vec_rank <= {HYBRID_POOL}
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank,
+           v.vec_rank AS vec_rank,
+           round(COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+"""

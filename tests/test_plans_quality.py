@@ -322,3 +322,10 @@ class TestRound3PlanShapes:
         plan = _plan(registry.QUERIES["x6_source_mixing"](spark, SF))
         assert "HashAggregate" in plan
         assert "SinglePartition" in plan
+
+    def test_hybrid_search_pools_are_topk_not_global_sort(self, spark):
+        """Each ranking must end in TakeOrderedAndProject (bounded pool);
+        the fusion join runs over the two pools with no extra exchange."""
+        plan = _plan(registry.QUERIES["x2_hybrid_search"](spark, SF))
+        assert plan.count("TakeOrderedAndProject") >= 2
+        assert "rangepartitioning" not in plan.lower()

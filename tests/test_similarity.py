@@ -130,3 +130,28 @@ class TestIVF:
         scores = [r["cos_sim"] for r in rows]
         assert scores == sorted(scores, reverse=True)
         assert len(rows) == 10                # probed clusters hold >=10 vecs
+
+
+class TestHybridSearch:
+    def test_rrf_fuses_both_rankings(self, spark):
+        """Top results must include docs ranked well by EITHER list, RRF
+        scores must be monotone in the output order, and a doc in both
+        pools must outscore a same-rank doc present in only one."""
+        from swiftbulkuploader_spark.operators.similarity import (
+            RRF_K,
+            x2_hybrid_search,
+        )
+
+        rows = x2_hybrid_search(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 10
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            expect = 0.0
+            if r["lex_rank"] is not None:
+                expect += 1.0 / (RRF_K + r["lex_rank"])
+            if r["vec_rank"] is not None:
+                expect += 1.0 / (RRF_K + r["vec_rank"])
+            assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+        both = [r for r in rows if r["lex_rank"] is not None and r["vec_rank"] is not None]
+        assert both, "fusion should surface docs present in both pools"
