@@ -65,6 +65,7 @@ HEADLINE = [
     "x6_global_shuffle",        # deterministic shuffle + shard assignment
     "x10_training_manifest",    # composed quality->dedup->decontam->pack plan
     "x2_hybrid_search",         # lexical+vector RRF fusion (RAG retrieval)
+    "x3_chunk_documents",       # overlapping-window RAG chunking
 ]
 
 

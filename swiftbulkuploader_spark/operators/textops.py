@@ -194,7 +194,56 @@ def x3_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 64   # RAG chunk window (tokens)
+CHUNK_S = 48   # stride (16-token overlap between consecutive chunks)
+
+
+def x3_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: split each document into overlapping
+    token windows (window 64, stride 48) — the chunk-then-embed prep that
+    feeds a vector index, as opposed to x3_pack_sequences which packs WHOLE
+    documents into training rows.
+
+    Per chunk: stable id (md5 of doc:idx), token span, token count, and the
+    chunk-text fingerprint (dedupable downstream). One explode over a
+    per-row sequence — chunk count is derived row-locally, so the plan is a
+    single projection+generate over the scan: embarrassingly parallel, no
+    shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    base = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "n_chunks",
+            F.greatest(
+                F.lit(1),
+                F.ceil((F.col("n") - F.lit(CHUNK_W)) / F.lit(CHUNK_S)) + 1,
+            ).cast("int"),
+        )
+    )
+    chunked = base.select(
+        "doc_id", "t", "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_S + 1, CHUNK_W).alias("ct"),
+    )
+    chunk_text = F.array_join("ct", " ")
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("chunk_idx").cast("string"))).alias("chunk_id"),
+        F.size("ct").cast("long").alias("n_chunk_tokens"),
+        F.md5(chunk_text).alias("chunk_fp"),
+    )
+
+
 QUERIES = {
+    "x3_chunk_documents": x3_chunk_documents,
     "x3_redact": x3_redact,
     "x3_token_stats": x3_token_stats,
     "x3_corpus_prep": x3_corpus_prep,
@@ -360,3 +409,26 @@ ORACLES = {
         FROM dedup GROUP BY source
     """,
 }
+
+ORACLES["x3_chunk_documents"] = f"""
+    WITH base AS (
+        SELECT doc_id, t, len(t) AS n,
+               CAST(greatest(1, CAST(ceil((len(t) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1) AS INT) AS n_chunks
+        FROM (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+            FROM documents
+        )
+        WHERE len(t) > 0
+    ), chunked AS (
+        SELECT doc_id, i AS chunk_idx,
+               t[i * {CHUNK_S} + 1 : least(i * {CHUNK_S} + {CHUNK_W}, n)] AS ct
+        FROM base, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)) AS chunk_id,
+           CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(ct, ' ')) AS chunk_fp
+    FROM chunked
+"""

@@ -182,3 +182,35 @@ class TestTextPrimitiveProperties:
             else:
                 expect = [" ".join(toks[j:j + 5]) for j in range(len(toks) - 4)]
             assert got[i] == expect, (c, got[i], expect)
+
+
+class TestChunkDocuments:
+    def test_overlap_and_coverage_invariants(self, spark, tmp_path):
+        """Chunks cover every token; consecutive chunks overlap by W-S
+        tokens; short docs produce exactly one full-doc chunk."""
+        from swiftbulkuploader_spark.operators.textops import (
+            CHUNK_S,
+            CHUNK_W,
+            x3_chunk_documents,
+        )
+
+        long_text = " ".join(f"w{i}" for i in range(150))   # 150 tokens
+        exact = " ".join(f"w{i}" for i in range(CHUNK_W))   # exactly one window
+        short = "just a few tokens"
+        df = spark.createDataFrame(
+            [(1, long_text), (2, exact), (3, short)], "doc_id: long, text: string"
+        ).withColumns({"lang": F.lit("en"), "source": F.lit("s"), "n_chars": F.length("text")})
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        rows = sorted(
+            ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"]) for r in
+             x3_chunk_documents(spark, str(tmp_path)).collect())
+        )
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for d, i, n in rows:
+            by_doc.setdefault(d, []).append((i, n))
+        # 150 tokens, W=64, S=48 -> ceil((150-64)/48)+1 = 3 chunks
+        assert [n for _, n in by_doc[1]] == [64, 64, 150 - 2 * CHUNK_S]
+        # coverage: last chunk starts at 2*S and reaches token 150
+        assert 2 * CHUNK_S + by_doc[1][-1][1] == 150
+        assert by_doc[2] == [(0, CHUNK_W)]
+        assert by_doc[3] == [(0, 4)]
