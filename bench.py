@@ -20,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from swiftbulkuploader_spark.session import get_spark  # noqa: E402
 from swiftbulkuploader_spark import registry  # noqa: E402
+from swiftbulkuploader_spark.operators.profiling import approx_quantiles_sketch  # noqa: E402
+
+# The registered x6_quantiles_approx became a tolerance-check that computes
+# exact AND sketch percentiles (round 4); timing it would fake a regression
+# in the r1->rN bench timeline. Keep timing the pure GK sketch under the
+# same headline key so exact-vs-sketch cost stays an apples comparison.
+BENCH_OVERRIDES = {"x6_quantiles_approx": approx_quantiles_sketch}
 
 # Headline set: one per operator family (SURVEY.md §2 + §2.9 extensions).
 HEADLINE = [
@@ -115,10 +122,12 @@ def main() -> None:
     # warmup: JVM, codegen, parquet footer caches
     registry.QUERIES["a1_total_count"](spark, sf_dir).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # clamp: reps < 1 would either crash (0) or silently degrade the
+    # documented median-of-n>=3 headline to a single noisy sample
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
+        fn = BENCH_OVERRIDES.get(name, registry.QUERIES.get(name))
         # median of n>=3: single-run ±30% JVM/GC swings masqueraded as
         # regressions in earlier rounds; the median is attributable
         samples = []

