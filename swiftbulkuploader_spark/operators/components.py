@@ -30,9 +30,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         check_every: int = 2) -> DataFrame:
     """edges (a: long, b: long) -> (node: long, component: long), where
-    component = min node id in the connected component."""
+    component = min node id in the connected component.
+
+    Convergence is probed every ``check_every`` rounds, not every round:
+    the blocking driver count is a whole extra job per probe, while one
+    surplus propagation round on converged labels is a cheap no-change
+    join — for the dense (diameter 2-3) near-dup graphs this trades at
+    worst one extra round for half the probe jobs. Correctness does not
+    depend on the cadence: labels are monotone non-increasing, so any
+    round with zero changes means a fixed point was reached."""
     e = edges.selectExpr("a", "b").filter(F.col("a") != F.col("b"))
     sym = e.union(e.selectExpr("b AS a", "a AS b")).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -44,7 +53,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # each node's best neighbor label this round
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -60,10 +69,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
             )
         ).localCheckpoint(eager=True)
-        n_changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            n_changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+            if n_changed == 0:
+                break
 
     return labels.select("node", F.col("label").alias("component"))
 
@@ -87,27 +97,32 @@ def x1_dup_clusters(spark, sf_dir: str) -> DataFrame:
     The full dedup story end-to-end: LSH banding emits PAIRS, label
     propagation closes them transitively into CLUSTERS, and one survivor
     per cluster is kept — what a pretraining dedup pass actually deletes
-    against. Rows-only check (the pair set is hash-seed-specific); the
-    closure semantics are pinned by tests/test_components.py on crafted
+    against. cluster_id = min(doc_id) is the closure invariant (connected
+    components labels each component with its minimum node); survivor_id is
+    a POLICY choice layered on top — keep the longest document (n_chars,
+    ties to the smaller id), the "keep best, not keep first" rule a real
+    dedup pass wants. Rows-only check (the pair set is hash-seed-specific);
+    the closure semantics are pinned by tests/test_components.py on crafted
     corpora with known chain structure."""
     from swiftbulkuploader_spark.catalog import load_table
     from swiftbulkuploader_spark.operators.dedup import (
         exact_jaccard,
         minhash_candidates,
         minhash_signatures,
-        screen_candidates,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
-    cands = screen_candidates(minhash_candidates(sigs), sigs, min_est=0.25)
+    cands = minhash_candidates(sigs, min_est=0.25)
     pairs = exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs).join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
         clusters.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.min("doc_id").alias("survivor_id"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).alias("survivor_id"),
         )
         .orderBy("cluster_id")
     )

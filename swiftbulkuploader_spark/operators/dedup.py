@@ -47,7 +47,12 @@ def x1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8 rows) and broadcast, so the scan is one pass over the corpus; at
     real scale the probe set is thousands of rows — still broadcastable —
     or flipped into an inverted shingle index for millions. Per probe:
-    docs flagged at >=0.5 containment and the max containment seen."""
+    docs flagged at >=0.5 containment and the max containment seen.
+
+    Every probe reports a row even against an EMPTY corpus ((probe_id, 0,
+    0.0) via the left-join backfill) — the same edge semantics as
+    ``x1_contamination_indexed``, so the two forms match row-for-row on
+    any input, not just non-degenerate ones."""
     docs = load_table(spark, sf_dir, "documents")
     sh = F.array_distinct(shingles(F.col("text")))
     probes = (
@@ -61,9 +66,18 @@ def x1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.size(F.array_intersect("d_sh", "p_sh")) / F.col("p_n")).alias("cont"),
     )
-    return pairs.groupBy("probe_id").agg(
+    agg = pairs.groupBy("probe_id").agg(
         F.sum((F.col("cont") >= 0.5).cast("long")).alias("n_flagged"),
         F.round(F.max("cont"), 6).alias("max_containment"),
+    )
+    return (
+        probes.select("probe_id")
+        .join(F.broadcast(agg), "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+        )
     )
 
 
@@ -79,7 +93,8 @@ def x1_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew is bounded by shingle document-frequency, not probe count. The
     per-(probe, doc) match count IS the intersection size (both sides
     distinct), and probes with zero hits anywhere re-enter via a left join
-    so the aggregate matches the broadcast form row-for-row.
+    so the aggregate matches the broadcast form row-for-row — including
+    against an empty corpus, where both emit (probe_id, 0, 0.0) per probe.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = F.array_distinct(shingles(F.col("text")))
@@ -247,28 +262,62 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
     return base.select("doc_id", "sh", *[c.alias(f"sig_{i}") for i, c in enumerate(sig)])
 
 
-def minhash_candidates(sigs: DataFrame) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of any band become candidate
-    pairs. Shuffles on (band_id, band_hash); never materializes n^2."""
-    bands = F.array(*[
+def _band_structs() -> Column:
+    return F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
             F.xxhash64(*[F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("band_hash"),
         )
         for b in range(N_BANDS)
     ])
-    exploded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+
+
+def minhash_candidates(sigs: DataFrame, min_est: float = 0.0) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidate
+    pairs. Shuffles on (band_id, band_hash); never materializes n^2.
+
+    ``min_est`` > 0 enables the signature screen AT the band join: the
+    packed 32-hash signature rides through the band explode (fixed 256 B
+    per band row), so estimated Jaccard — fraction of minhashes agreeing,
+    the MinHash estimator itself — is computed directly on the join output
+    with NO re-join against the signature table. Pairs estimating below
+    ``min_est`` are dropped before the shingle-array verify ever sees them;
+    ``min_est=0`` recovers the exact verify-every-band-collision behavior.
+
+    Scale note: carrying the signature widens the band-explode shuffle by
+    ~10x (24 B -> ~280 B/row), but deletes two whole shuffles of the
+    signature table that the round-3 screen re-join cost — and the explode
+    shuffle is map-side-combinable narrow data with perfectly uniform keys
+    (band hashes), so it scales linearly where the re-join's pair-keyed
+    shuffles were the skew risk."""
+    sigv = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
+    exploded = sigs.select(
+        "doc_id", sigv.alias("sigv"), F.explode(_band_structs()).alias("band")
+    ).select(
+        "doc_id", "sigv",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
     )
     left = exploded.alias("l")
     right = exploded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    joined = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    if min_est > 0.0:
+        # MinHash estimate from the carried signatures: 32-element zip, no
+        # shuffle — runs on the (already small) band-collision rows only
+        agree = F.aggregate(
+            F.zip_with(F.col("l.sigv"), F.col("r.sigv"),
+                       lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
         )
+        joined = joined.filter(agree >= F.lit(int(round(min_est * N_HASHES))))
+    return (
+        joined
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -292,7 +341,13 @@ def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
 
 
 def screen_candidates(pairs: DataFrame, sigs: DataFrame, min_est: float) -> DataFrame:
-    """Signature-screen candidate pairs BEFORE the exact-Jaccard verify.
+    """Signature-screen an EXTERNALLY-built pair list before exact verify.
+
+    The hot path (`x1_minhash_neardup`) no longer uses this — the screen is
+    fused into `minhash_candidates(min_est=...)`, which reads the carried
+    signatures at the band join instead of re-joining the signature table
+    twice. This standalone form remains for pair lists that arrive without
+    signatures attached (e.g. pairs loaded from a prior run's output).
 
     Estimated Jaccard = fraction of the 32 already-computed minhashes that
     agree (the MinHash estimator itself). The screen join ships only the
@@ -326,17 +381,21 @@ def screen_candidates(pairs: DataFrame, sigs: DataFrame, min_est: float) -> Data
     )
 
 
-def x1_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x1_minhash_neardup(spark: SparkSession, sf_dir: str,
+                       min_est: float = 0.25) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline; pairs with Jaccard >= 0.5.
 
-    Verify is two-stage: a fixed-width signature screen (est >= 0.25 ~=
-    threshold - 3*sigma) prunes low-similarity band collisions, then exact
-    Jaccard runs only on survivors — the shingle arrays are shuffled for
-    screened pairs only, never for every band collision.
+    Verify is two-stage: the signature screen runs AT the band join
+    (minhash_candidates carries the packed signature through the explode,
+    so est >= 0.25 ~= threshold - 3*sigma costs zero extra joins), then
+    exact Jaccard runs only on survivors — shingle arrays are shuffled for
+    screened pairs only, never for every band collision. The screen is
+    probabilistic (P(drop a true J=0.5 pair) ~1e-3 per pair, vanishing
+    above); pass ``min_est=0`` to verify every band collision exactly.
     Rows-only check (hash-seed-specific); semantics pinned in tests."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
-    cands = screen_candidates(minhash_candidates(sigs), sigs, min_est=0.25)
+    cands = minhash_candidates(sigs, min_est=min_est)
     return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
 
 

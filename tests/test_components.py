@@ -83,7 +83,8 @@ class TestDedupClusters:
 class TestDupClustersContract:
     def test_x1_dup_clusters_chain(self, spark, tmp_path):
         """Contract query end-to-end: A~B and B~C near-dups must land in ONE
-        cluster of size 3 with the min doc_id as survivor."""
+        cluster (id = min doc_id, the closure invariant) whose survivor is
+        the LONGEST member (keep-best policy), not the min id."""
         from swiftbulkuploader_spark.operators.components import x1_dup_clusters
 
         base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
@@ -100,5 +101,7 @@ class TestDupClustersContract:
         df.write.parquet(str(tmp_path / "documents.parquet"))
         rows = {r["cluster_id"]: r for r in x1_dup_clusters(spark, str(tmp_path)).collect()}
         assert 10 in rows
-        assert rows[10]["cluster_size"] == 3 and rows[10]["survivor_id"] == 10
+        # doc 12 is the longest chain member -> keep-best survivor; the
+        # cluster is still labeled by its min id (10)
+        assert rows[10]["cluster_size"] == 3 and rows[10]["survivor_id"] == 12
         assert all(cid == 10 for cid in rows)  # far doc joins no cluster

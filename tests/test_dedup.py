@@ -168,6 +168,49 @@ class TestScreenedVerify:
         fake = spark.createDataFrame([(0, 3)], "doc_a: long, doc_b: long")
         assert screen_candidates(fake, sigs, min_est=0.25).count() == 0
 
+    def test_fused_screen_matches_standalone(self, spark, corpus):
+        """minhash_candidates(min_est=x) (screen fused at the band join)
+        must emit exactly the pairs screen_candidates keeps from
+        minhash_candidates(min_est=0) — same estimator, same cutoff."""
+        from swiftbulkuploader_spark.operators.dedup import screen_candidates
+
+        sigs = minhash_signatures(corpus)
+        unscreened = minhash_candidates(sigs)
+        standalone = {(r["doc_a"], r["doc_b"])
+                      for r in screen_candidates(unscreened, sigs, min_est=0.25).collect()}
+        fused = {(r["doc_a"], r["doc_b"])
+                 for r in minhash_candidates(sigs, min_est=0.25).collect()}
+        assert fused == standalone
+
+    def test_screen_false_negative_rate_at_borderline_jaccard(self, spark):
+        """Quantify the screen's false-negative rate right AT the decision
+        boundary (ADVICE r3): 60 crafted pairs engineered to land near
+        J=0.5 (28 of 40 words shared -> ~24 of ~48 shingles). Within the
+        band-collision candidate set (banding recall factored out), the
+        screened pipeline must retain >=95% of the true J>=0.5 pairs —
+        the analytic P(drop) at J=0.5 is ~1e-3 per pair, so the expected
+        miss count over ~tens of pairs is ~0. Deterministic: xxhash64 is
+        unseeded, so this measures the screen, not RNG luck."""
+        rows = []
+        for i in range(60):
+            shared = " ".join(f"p{i}s{j}" for j in range(28))
+            a = shared + " " + " ".join(f"p{i}a{j}" for j in range(12))
+            b = shared + " " + " ".join(f"p{i}b{j}" for j in range(12))
+            rows.append((2 * i, a))
+            rows.append((2 * i + 1, b))
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        sigs = minhash_signatures(docs)
+        exact = {(r["doc_a"], r["doc_b"])
+                 for r in exact_jaccard(minhash_candidates(sigs), sigs)
+                 .filter(F.col("jaccard") >= 0.5).collect()}
+        screened = {(r["doc_a"], r["doc_b"])
+                    for r in exact_jaccard(minhash_candidates(sigs, min_est=0.25), sigs)
+                    .filter(F.col("jaccard") >= 0.5).collect()}
+        assert screened <= exact
+        assert len(exact) >= 10  # the corpus actually produced borderline pairs
+        miss_rate = 1 - len(screened) / len(exact)
+        assert miss_rate <= 0.05, (len(exact), len(screened))
+
 
 class TestContaminationIndexed:
     def test_indexed_matches_broadcast_form(self, spark, tmp_path):
@@ -194,3 +237,22 @@ class TestContaminationIndexed:
         by_probe = {t[0]: t for t in ix}
         assert by_probe[0][2] == 1.0       # embedded probe: containment 1.0
         assert by_probe[3] == (3, 0, 0.0)  # zero-hit probe still present
+
+    def test_both_forms_agree_on_empty_corpus(self, spark, tmp_path):
+        """Degenerate edge (ADVICE r3): all docs are probes (doc_id < 8), the
+        corpus partition is EMPTY — both forms must emit one (probe_id, 0,
+        0.0) row per probe rather than the broadcast form returning 0 rows."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            x1_contamination,
+            x1_contamination_indexed,
+        )
+
+        rows = [(i, f"probe only corpus entry number {i} with words {i}", "en", "s", 1)
+                for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        bc = sorted(tuple(r) for r in x1_contamination(spark, str(tmp_path)).collect())
+        ix = sorted(tuple(r) for r in x1_contamination_indexed(spark, str(tmp_path)).collect())
+        assert bc == ix == [(i, 0, 0.0) for i in range(4)]

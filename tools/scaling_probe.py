@@ -146,15 +146,18 @@ def shape_inverted_index_join(df):
 
 
 def shape_label_prop_round(df):
-    # one connected-components round (components.py): symmetric edge join to
-    # labels + min-label aggregate. Per-round cost must stay linear in edge
-    # count; round COUNT is bounded by cluster diameter, not data size.
-    edges = df.select(
+    # one connected-components round, mirroring components.py's per-round
+    # join/aggregate shape AND its symmetric-edge construction: edges are
+    # symmetrized and labels cover every node reachable from either
+    # endpoint (one row per node, distinct — labels without distinct would
+    # fan the join out quadratically per key). Per-round cost must stay
+    # linear in edge count; round COUNT is bounded by cluster diameter,
+    # not data size.
+    e = df.select(
         (F.col("event_id") % 500_000).alias("a"),
         (F.abs(F.xxhash64("event_id")) % 500_000).alias("b"),
     )
-    # one label row per NODE (distinct), mirroring components.py exactly —
-    # labels without distinct would fan the join out quadratically per key
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     labels = edges.select(F.col("a").alias("b"), F.col("a").alias("label")).distinct()
     return (
         edges.join(labels, "b")
