@@ -81,5 +81,60 @@ def x9_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"x9_media_pipeline": x9_media_pipeline}
-ORACLES: dict[str, str] = {}
+def x9_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC slice of the media pipeline, oracle-checked: per
+    image, the header dims, byte count, mean pixel, and post-resize dims —
+    all produced by the real mapInPandas decode/resize path (Arrow binary
+    ferry, Python codec), then hash-compared against DuckDB recomputing the
+    same values from first principles (sha256 hex -> byte values, the
+    nearest-neighbor stride arithmetic). This pins the Python codec math
+    itself to the oracle, not just the plumbing; only the histogram
+    features remain rows-only (x9_media_pipeline)."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    meta = decode_image_meta(media).select(
+        "media_id", "width", "height", "n_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+    resized_meta = decode_image_meta(resize_image(media, max_side=4)).select(
+        "media_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+    )
+    return meta.join(resized_meta, "media_id")
+
+
+QUERIES = {
+    "x9_media_pipeline": x9_media_pipeline,
+    "x9_media_meta": x9_media_meta,
+}
+
+# x9_media_pipeline stays rows-only (Python-side histogram features); the
+# metadata slice is fully deterministic byte math, reproduced here from the
+# raw documents table: pixels are sha256(text) hex tiled to w*h bytes, dims
+# are doc_id arithmetic, resize is numpy's arr[::scale] stride (length
+# ceil(d/scale) with scale = ceil(max(w,h)/4)).
+ORACLES: dict[str, str] = {
+    "x9_media_meta": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 5 + 4 AS INT) AS width,
+                   CAST(doc_id % 4 + 3 AS INT) AS height,
+                   repeat(sha256(text), 8) AS hx
+            FROM documents ORDER BY doc_id LIMIT 200
+        ),
+        px AS (
+            SELECT media_id, width, height,
+                   avg(CAST('0x' || substr(hx, 2*CAST(j.i AS INT) + 1, 2) AS INT)) AS mp
+            FROM m, unnest(range(width*height)) AS j(i)
+            GROUP BY 1, 2, 3
+        )
+        SELECT media_id, width, height,
+               CAST(12 + width*height AS BIGINT) AS n_bytes,
+               round(mp, 6) AS mean_pixel,
+               CAST((width + ((greatest(width,height)+3)//4) - 1)
+                    // ((greatest(width,height)+3)//4) AS INT) AS r_width,
+               CAST((height + ((greatest(width,height)+3)//4) - 1)
+                    // ((greatest(width,height)+3)//4) AS INT) AS r_height
+        FROM px
+    """,
+}

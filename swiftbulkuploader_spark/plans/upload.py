@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from swiftbulkuploader_spark.functions.paths import object_key
-from swiftbulkuploader_spark.sources.objectstore import StoreFactory
+from swiftbulkuploader_spark.sources.objectstore import StoreFactory, connect_with_backoff
 
 ATTEMPTS_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
@@ -52,9 +52,14 @@ def pending_work(manifest: DataFrame, attempts: DataFrame | None) -> DataFrame:
     return pending.join(successes, "id", "left_anti")
 
 
-def _upload_batches(store_factory: StoreFactory, max_attempts: int, retry_sleep: float):
+def _upload_batches(store_factory: StoreFactory, max_attempts: int, retry_sleep: float,
+                    auth_base_sleep: float = 0.5):
     """Builds the mapInPandas function; one store per partition, reused
-    across that partition's Arrow batches."""
+    across that partition's Arrow batches. The per-partition connect runs
+    under `connect_with_backoff` (capped exponential), so a transient auth
+    outage delays the partition instead of failing the task — the
+    reference's re-auth loop (bulkupload.py:94-107) as a connection
+    policy, not recursion."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         store = None
@@ -63,7 +68,9 @@ def _upload_batches(store_factory: StoreFactory, max_attempts: int, retry_sleep:
                 out = {k: [] for k in ("id", "path", "key", "ts", "try_no", "ok", "error")}
                 for row in pdf.itertuples(index=False):
                     if store is None:
-                        store = store_factory.build()
+                        store = connect_with_backoff(
+                            store_factory.build, base_sleep=auth_base_sleep
+                        )
                     for try_no in range(1, max_attempts + 1):
                         ts = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
                         ok, err = True, None
@@ -95,7 +102,8 @@ def _upload_batches(store_factory: StoreFactory, max_attempts: int, retry_sleep:
 def upload(manifest: DataFrame, store_factory: StoreFactory,
            prior_attempts: DataFrame | None = None, cutoff: str = "",
            max_attempts: int = 5, retry_sleep: float = 0.0,
-           parallelism: int | None = None) -> DataFrame:
+           parallelism: int | None = None,
+           auth_base_sleep: float = 0.5) -> DataFrame:
     """Run the upload stage; returns the attempt-log DataFrame (lazy — write
     it to the attempts table to execute).
 
@@ -109,7 +117,7 @@ def upload(manifest: DataFrame, store_factory: StoreFactory,
     )
     if parallelism:
         pend = pend.repartition(parallelism)
-    fn = _upload_batches(store_factory, max_attempts, retry_sleep)
+    fn = _upload_batches(store_factory, max_attempts, retry_sleep, auth_base_sleep)
     return pend.mapInPandas(fn, ATTEMPTS_SCHEMA)
 
 
@@ -183,7 +191,7 @@ def upload_segmented(manifest: DataFrame, store_factory: StoreFactory,
                 out = {k: [] for k in ("id", "path", "key", "ts", "try_no", "ok", "error")}
                 for row in pdf.itertuples(index=False):
                     if store is None:
-                        store = store_factory.build()
+                        store = connect_with_backoff(store_factory.build)
                     ts = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
                     ok, err = True, None
                     try:

@@ -63,13 +63,32 @@ class LocalFSObjectStore(ObjectStore):
     """Local-FS fake: keys map to files under `root`. Failure injection:
     attempts on keys containing `fail_substring` raise IOError until that
     key has failed `fail_times` times (tracked via sentinel files so the
-    count survives across processes/partitions)."""
+    count survives across processes/partitions). `auth_fail_times` injects
+    CONSTRUCTION failures — the first N builds raise ConnectionError
+    (counted atomically via O_EXCL sentinel files, so the total is exact
+    even with partitions racing to connect), exercising the
+    `connect_with_backoff` re-auth path the way Swift auth outages would
+    (reference bulkupload.py:94-107)."""
 
-    def __init__(self, root: str, fail_substring: str | None = None, fail_times: int = 0):
+    def __init__(self, root: str, fail_substring: str | None = None, fail_times: int = 0,
+                 auth_fail_times: int = 0):
         self.root = root
         self.fail_substring = fail_substring
         self.fail_times = fail_times
         os.makedirs(root, exist_ok=True)
+        if auth_fail_times:
+            auth_dir = os.path.join(root, ".auth_failures")
+            os.makedirs(auth_dir, exist_ok=True)
+            for n in range(auth_fail_times):
+                try:
+                    fd = os.open(os.path.join(auth_dir, f"attempt-{n}"),
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    continue  # this injected failure already spent
+                os.close(fd)
+                raise ConnectionError(
+                    f"injected auth failure {n + 1}/{auth_fail_times}"
+                )
 
     def _path(self, key: str) -> str:
         safe = key.lstrip("/")
@@ -109,16 +128,24 @@ class LocalFSObjectStore(ObjectStore):
             return fh.read()
 
 
-def connect_with_backoff(connect, max_attempts: int = 6, base_sleep: float = 0.5):
+def connect_with_backoff(connect, max_attempts: int = 6, base_sleep: float = 0.5,
+                         max_sleep: float = 30.0, sleep=None):
     """Capped exponential backoff around a connection factory (replaces the
-    reference's unbounded linear-backoff recursion, bulkupload.py:94-107)."""
+    reference's unbounded linear-backoff recursion, bulkupload.py:94-107).
+
+    Sleeps base_sleep * 2^attempt, capped at max_sleep, between attempts —
+    and NOT after the final failure (a terminal error should surface
+    immediately, not after one more nap). `sleep` is injectable so tests
+    can assert the exact schedule without wall-clock waits; the default
+    resolves time.sleep at call time so monkeypatching works too."""
     last: Exception | None = None
     for attempt in range(max_attempts):
         try:
             return connect()
         except Exception as e:  # noqa: BLE001 - deliberate: retry any connect error
             last = e
-            time.sleep(min(base_sleep * (2**attempt), 30.0))
+            if attempt < max_attempts - 1:
+                (sleep or time.sleep)(min(base_sleep * (2**attempt), max_sleep))
     raise ConnectionError(f"auth failed after {max_attempts} attempts: {last}")
 
 
