@@ -73,6 +73,8 @@ HEADLINE = [
     "x10_training_manifest",    # composed quality->dedup->decontam->pack plan
     "x2_hybrid_search",         # lexical+vector RRF fusion (RAG retrieval)
     "x3_chunk_documents",       # overlapping-window RAG chunking
+    "x1_semantic_dedup",        # SemDeDup: IVF-cluster-blocked cosine pruning
+    "x1_domain_cap",            # per-source cap (domain balancing window)
 ]
 
 

@@ -505,7 +505,74 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_TAU = 0.35
+
+
+def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023's shape): assign
+    every embedding to its nearest coarse centroid (the IVF quantizer from
+    similarity.py — deterministic, so oracle-checkable), then within each
+    cluster drop any vector that has a LOWER-id neighbor at cosine >=
+    SEMANTIC_TAU. Returns (vec_id, cluster, is_kept) for the whole corpus.
+
+    Scale shape: the pairwise verify is confined to clusters (the shuffle
+    key), never global n^2 — at 100 TB the cluster id is a persisted
+    partition column and each cluster's self-join runs partition-local.
+    Cosines are rounded to 6 dp BEFORE the argmax/threshold so both engines
+    compare bit-identical values (ties resolve by centroid id).
+
+    Policy note: "lower id wins" drops every non-minimal member of an
+    epsilon-ball in one pass (no transitive chaining) — the same
+    keep-one-per-ball rule SemDeDup applies, chosen over greedy-sequential
+    precisely because it is order-free and distributable."""
+    from swiftbulkuploader_spark.operators.similarity import _ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = _ivf_centroids(spark, sf_dir)
+    scored = F.array(*[
+        F.struct(
+            F.round(
+                F.coalesce(
+                    cosine_similarity(F.col("vec"), F.array(*[F.lit(v) for v in c])),
+                    F.lit(-2.0),
+                ),
+                6,
+            ).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ])
+    clustered = emb.withColumn("cluster", F.array_max(scored)["cid"])
+    l, r = clustered.alias("l"), clustered.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("r.vec_id").alias("vec_id"),
+            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= SEMANTIC_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        clustered.join(
+            dropped.withColumn("is_kept", F.lit(False)), "vec_id", "left"
+        )
+        .select(
+            "vec_id", "cluster",
+            F.coalesce("is_kept", F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 QUERIES = {
+    "x1_semantic_dedup": x1_semantic_dedup,
     "x1_exact_dedup": x1_exact_dedup,
     "x1_contamination": x1_contamination,
     "x1_contamination_indexed": x1_contamination_indexed,
@@ -522,6 +589,32 @@ QUERIES = {
 _FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 ORACLES = {
+    # same quantizer (first-16-by-id centroids), same rounded-cos argmax
+    # (ties to higher cid), same lower-id-wins ball pruning — engine-exact
+    # because every compared value is rounded to 6 dp first
+    "x1_semantic_dedup": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM e WHERE vec_id < 16
+        ), a AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6) AS cos
+            FROM e CROSS JOIN c
+        ), asn AS (
+            SELECT vec_id, v, cid AS cluster FROM a
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        ), dropped AS (
+            SELECT DISTINCT r.vec_id
+            FROM asn l JOIN asn r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
+        )
+        SELECT asn.vec_id, CAST(asn.cluster AS INT) AS cluster,
+               (d.vec_id IS NULL) AS is_kept
+        FROM asn LEFT JOIN dropped d ON asn.vec_id = d.vec_id
+    """,
     # DuckDB mirror of functions/text.py::shingles (k=5, lowercased,
     # whole-text shingle for short docs) + list_intersect containment
     "x1_contamination": """

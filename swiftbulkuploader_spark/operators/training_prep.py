@@ -243,7 +243,58 @@ def x10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 15
+
+
+def x1_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the domain-balancing pass a pretraining
+    corpus runs so one prolific source (one crawl domain) cannot dominate
+    the mixture: rank documents within each source by content hash
+    (deterministic, engine-independent — NOT rand(), so the kept set is
+    reproducible across engines, runs, and cluster sizes) and keep the
+    first DOMAIN_CAP.
+
+    Scale shape: one shuffle on source + a per-source sort bounded by
+    per-source row counts; no global sort. Skewed mega-domains are the
+    known hazard — at real scale the rank window runs after a per-source
+    count prune (sources under the cap skip the sort entirely via AQE
+    skew handling), and the hash order means any K-subset is an unbiased
+    sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= DOMAIN_CAP)
+    )
+
+
+def x6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the summary table a corpus release
+    ships (docs, chars, length distribution, language spread, share of
+    corpus). One partial+final aggregate over the scan; the corpus-share
+    window runs over the ~n_sources aggregate rows, never raw data."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "source", "n_docs", "total_chars", "avg_chars", "p50_chars", "n_langs",
+        F.round(F.col("total_chars") / F.sum("total_chars").over(w_all), 6)
+        .alias("corpus_share"),
+    )
+
+
 QUERIES = {
+    "x1_domain_cap": x1_domain_cap,
+    "x6_dataset_card": x6_dataset_card,
     "x3_pack_sequences": x3_pack_sequences,
     "x2_quantized_codes": x2_quantized_codes,
     "x6_source_mixing": x6_source_mixing,
@@ -252,6 +303,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x1_domain_cap": """
+        SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(text), doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 15
+    """,
+    "x6_dataset_card": """
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, total_chars, avg_chars, p50_chars, n_langs,
+               round(CAST(total_chars AS DOUBLE) / sum(total_chars) OVER (), 6)
+                   AS corpus_share
+        FROM per
+    """,
     "x3_pack_sequences": f"""
         WITH t AS (
             SELECT lang, doc_id,

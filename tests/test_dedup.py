@@ -256,3 +256,35 @@ class TestContaminationIndexed:
         bc = sorted(tuple(r) for r in x1_contamination(spark, str(tmp_path)).collect())
         ix = sorted(tuple(r) for r in x1_contamination_indexed(spark, str(tmp_path)).collect())
         assert bc == ix == [(i, 0, 0.0) for i in range(4)]
+
+
+class TestSemanticDedup:
+    def test_crafted_clusters_and_ball_pruning(self, spark, tmp_path):
+        """18 vectors, 64-dim: ids 0..15 are near-orthogonal basis vectors
+        (they become the deterministic centroids, each its own cluster
+        head); vec 16 ~ e3 (same cluster as 3, cos ~0.99 -> dropped by the
+        lower-id-wins rule); vec 17 spreads mass over all 16 axes (cos 0.25
+        with its cluster head, below tau=0.35 -> kept)."""
+        from swiftbulkuploader_spark.operators.dedup import x1_semantic_dedup
+
+        def basis(i):
+            v = [0.0] * 64
+            v[i] = 1.0
+            return v
+
+        rows = [(i, basis(i), 0) for i in range(16)]
+        near3 = [0.0] * 64
+        near3[3], near3[7] = 0.9, 0.1
+        spread = [0.0] * 64
+        for i in range(16):
+            spread[i] = 0.25  # unit norm: 16 * 0.25^2 = 1
+        rows += [(16, near3, 0), (17, spread, 0)]
+        spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        got = {r["vec_id"]: r for r in x1_semantic_dedup(spark, str(tmp_path)).collect()}
+        assert len(got) == 18
+        assert all(got[i]["is_kept"] for i in range(16))  # cluster heads survive
+        assert got[16]["cluster"] == 3 and not got[16]["is_kept"]
+        assert got[17]["is_kept"]  # below tau: similar cluster, not a dup
