@@ -75,6 +75,7 @@ HEADLINE = [
     "x3_chunk_documents",       # overlapping-window RAG chunking
     "x1_semantic_dedup",        # SemDeDup: IVF-cluster-blocked cosine pruning
     "x1_domain_cap",            # per-source cap (domain balancing window)
+    "x2_mmr_rerank",            # bounded-pool MMR diversification (applyInPandas)
 ]
 
 

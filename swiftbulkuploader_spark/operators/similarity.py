@@ -336,7 +336,87 @@ def x2_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL = 20
+MMR_SELECT = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_select(pool_pdf, n_select: int = MMR_SELECT, lam: float = MMR_LAMBDA):
+    """Greedy maximal-marginal-relevance over ONE bounded pool (pandas in,
+    pandas out — the applyInPandas worker body). Deterministic: scores are
+    rounded to 6 dp and ties break to the lowest vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in pool_pdf["vec"]])
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    rel = pool_pdf["relevance"].to_numpy()
+    ids = pool_pdf["vec_id"].to_numpy()
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < n_select:
+        best_i, best_score = None, None
+        for i in remaining:
+            redundancy = max((sims[i, j] for j in selected), default=0.0)
+            score = round(lam * rel[i] - (1 - lam) * redundancy, 6)
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        remaining.remove(best_i)
+    return pd.DataFrame({
+        "vec_id": [int(ids[i]) for i in selected],
+        "relevance": [float(rel[i]) for i in selected],
+        "mmr_rank": list(range(1, len(selected) + 1)),
+    })
+
+
+def x2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of a retrieval pool — the second stage of RAG
+    serving: ANN narrows the corpus to MMR_POOL rows (TakeOrderedAndProject
+    on rounded cosine, no global sort), then greedy maximal marginal
+    relevance (lambda=0.7) picks MMR_SELECT results balancing relevance
+    against redundancy with what's already picked.
+
+    Scale shape — the bounded-pool pattern: the iterative O(pool^2) greedy
+    runs in applyInPandas on ONE group of MMR_POOL rows, so its cost is
+    constant regardless of corpus size; only the pool construction scans
+    data. Rows-only check (greedy selection is iterative, not
+    SQL-expressible); semantics pinned by tests on crafted pools where
+    diversification provably reorders pure-relevance ranking."""
+    import pandas as pd  # noqa: F401 - applyInPandas dependency, fail early
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = F.array(*[F.lit(v) for v in _query_vector(spark, sf_dir, 0)])
+    pool = (
+        emb.filter(F.col("vec_id") >= 1)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("vec"),
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qvec), 6
+            ).alias("relevance"),
+        )
+        .orderBy(F.col("relevance").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+    )
+    return (
+        pool.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda pdf: mmr_select(pdf),
+            "vec_id long, relevance double, mmr_rank int",
+        )
+    )
+
+
 QUERIES = {
+    "x2_mmr_rerank": x2_mmr_rerank,
     "x2_knn_join": x2_knn_join,
     "x2_cosine_topk": x2_cosine_topk,
     "x2_label_centroid_sim": x2_label_centroid_sim,

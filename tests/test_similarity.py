@@ -155,3 +155,44 @@ class TestHybridSearch:
             assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
         both = [r for r in rows if r["lex_rank"] is not None and r["vec_rank"] is not None]
         assert both, "fusion should surface docs present in both pools"
+
+
+class TestMMRRerank:
+    def test_diversification_reorders_relevance_ranking(self, spark, tmp_path):
+        """Crafted pool where MMR provably disagrees with pure relevance:
+        vec2 is nearly a duplicate of the top hit (sim ~0.995) while vec3
+        is less relevant but diverse — MMR (lambda=0.7) must pick vec3
+        second and demote the near-duplicate to third."""
+        from swiftbulkuploader_spark.operators.similarity import x2_mmr_rerank
+
+        def pad(v):
+            return v + [0.0] * (8 - len(v))
+
+        rows = [
+            (0, pad([1.0, 0.0, 0.0]), 0),          # query vector
+            (1, pad([0.9, 0.436, 0.0]), 0),        # rel ~0.90 (top hit)
+            (2, pad([0.85, 0.527, 0.0]), 0),       # rel ~0.85, sim(1,2) ~0.995
+            (3, pad([0.8, 0.0, 0.6]), 0),          # rel ~0.80, diverse
+        ]
+        spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        got = x2_mmr_rerank(spark, str(tmp_path)).collect()
+        order = [r["vec_id"] for r in sorted(got, key=lambda r: r["mmr_rank"])]
+        assert order == [1, 3, 2]  # pure relevance would be [1, 2, 3]
+        rels = {r["vec_id"]: r["relevance"] for r in got}
+        assert rels[1] > rels[2] > rels[3]  # relevance column is untouched
+
+    def test_pool_bounded_and_deterministic_on_testdata(self, spark):
+        from swiftbulkuploader_spark.operators.similarity import (
+            MMR_SELECT,
+            x2_mmr_rerank,
+        )
+
+        a = x2_mmr_rerank(spark, "/root/testdata/sf0.001").collect()
+        b = x2_mmr_rerank(spark, "/root/testdata/sf0.001").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == MMR_SELECT
+        assert [r["mmr_rank"] for r in sorted(a, key=lambda r: r["mmr_rank"])] \
+            == list(range(1, MMR_SELECT + 1))
