@@ -284,15 +284,17 @@ class TestRound3PlanShapes:
             or ("BroadcastHashJoin" in plan)
 
     def test_minhash_verify_screens_before_shingle_join(self, spark):
-        """The signature screen's est_jaccard filter must sit in the plan, and
-        the screen join itself must project signature columns — evidence the
-        fixed-width screen runs before any shingle-array join."""
+        """Round 4: the signature screen is FUSED into the band join — the
+        packed signature array (sigv) rides the explode and the agreement
+        count (aggregate over zip_with equality) sits in the band join's
+        own condition with the integer threshold (0.25 * 32 = 8), so no
+        re-join of the signature table exists anywhere in the plan."""
         plan = _plan(registry.QUERIES["x1_minhash_neardup"](spark, SF))
-        # Catalyst inlines the est_jaccard alias into the Filter; the screen's
-        # threshold constant and its renamed signature columns are the
-        # surviving evidence
-        assert ">= 0.25" in plan
-        assert "a_sig_0" in plan and "b_sig_31" in plan
+        assert "sigv" in plan
+        assert "aggregate(zip_with(sigv" in plan  # screen inside the join cond
+        assert ">= 8)" in plan                    # min_est * N_HASHES
+        # the old screen's tell-tale renamed sig columns must be gone
+        assert "a_sig_0" not in plan and "b_sig_31" not in plan
 
     def test_zscore_native_has_no_python_stage(self, spark):
         """The native window z-score must stay JVM-side end-to-end (its
