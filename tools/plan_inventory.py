@@ -35,6 +35,8 @@ BOUNDED_BNLJ_OK = {
                                # unbounded-probe plan is x1_contamination_indexed
     "x10_training_manifest",   # same bounded probe broadcast, inside the
                                # composed decontamination stage
+    "x6_hll_mergeable",        # 1-row exact-global-distinct attached to the
+                               # 3-row per-flag sketch table (tolerance check)
 }
 
 
