@@ -506,6 +506,10 @@ def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMANTIC_TAU = 0.35
+# 32 coarse clusters (vs IVF's 16): semantic dedup pays O(sum cluster^2)
+# in the pair verify, so a finer quantizer both halves the pair count and
+# doubles the pair-join's parallelism (the cluster id is the shuffle key)
+SEMANTIC_N_CENTROIDS = 32
 
 
 def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,28 +528,72 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Policy note: "lower id wins" drops every non-minimal member of an
     epsilon-ball in one pass (no transitive chaining) — the same
     keep-one-per-ball rule SemDeDup applies, chosen over greedy-sequential
-    precisely because it is order-free and distributable."""
+    precisely because it is order-free and distributable.
+
+    Perf notes (the interpreted-HOF trap, round 4): per-pair cosine is ONE
+    unrolled static-dim dot (functions/vectors.py::dot_product_unrolled —
+    bit-identical to the HOF fold, but whole-stage-codegen'd) over
+    once-per-row precomputed norms; and the centroid assignment is a
+    BROADCAST JOIN against the 32-row centroid table with the argmax as a
+    struct max aggregate — NOT a 32-struct array expression per row, which
+    would be a 2000+-node expression tree that overflows codegen and falls
+    back to interpretation (measured: 65s that way, ~1s this way)."""
+    import math
+
+    from swiftbulkuploader_spark.functions.vectors import (
+        dot_product_unrolled,
+        l2_norm_unrolled,
+    )
     from swiftbulkuploader_spark.operators.similarity import _ivf_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    cents = _ivf_centroids(spark, sf_dir)
-    scored = F.array(*[
-        F.struct(
-            F.round(
-                F.coalesce(
-                    cosine_similarity(F.col("vec"), F.array(*[F.lit(v) for v in c])),
-                    F.lit(-2.0),
-                ),
-                6,
-            ).alias("cos"),
-            F.lit(i).alias("cid"),
+    # spread(): the assignment join is compute-dense, and a byte-sized
+    # parquet split would run it in ONE task otherwise
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
         )
-        for i, c in enumerate(cents)
-    ])
-    clustered = emb.withColumn("cluster", F.array_max(scored)["cid"])
+    )
+    cents = _ivf_centroids(spark, sf_dir, n=SEMANTIC_N_CENTROIDS)
+    dim = len(cents[0])
+    # centroid norms precomputed driver-side: same sequential sum + sqrt as
+    # l2_norm, so the quotient is bit-identical to cosine_similarity's
+    cnorms = [math.sqrt(sum(float(v) * float(v) for v in c)) for c in cents]
+    cdf = spark.createDataFrame(
+        [(i, list(c), cn) for i, (c, cn) in enumerate(zip(cents, cnorms))],
+        "cid: int, cv: array<double>, cn: double",
+    )
+    nrm = l2_norm_unrolled("vec", dim)
+    cos = F.round(
+        F.coalesce(
+            F.when(
+                F.col("nrm") * F.col("cn") > 0,
+                dot_product_unrolled("vec", "cv", dim)
+                / (F.col("nrm") * F.col("cn")),
+            ),
+            F.lit(-2.0),
+        ),
+        6,
+    )
+    clustered = (
+        emb.withColumn("nrm", nrm)
+        .join(F.broadcast(cdf))  # bounded: SEMANTIC_N_CENTROIDS rows
+        .select(
+            "vec_id", "vec", "nrm",
+            F.struct(cos.alias("cos"), F.col("cid").alias("cid")).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.first("nrm").alias("nrm"),
+            F.max("sc")["cid"].alias("cluster"),
+        )
+    )
     l, r = clustered.alias("l"), clustered.alias("r")
+    pair_cos = F.when(
+        F.col("l.nrm") * F.col("r.nrm") > 0,
+        dot_product_unrolled("l.vec", "r.vec", dim)
+        / (F.col("l.nrm") * F.col("r.nrm")),
+    )
     dropped = (
         l.join(
             r,
@@ -554,7 +602,7 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("r.vec_id").alias("vec_id"),
-            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cs"),
+            F.round(pair_cos, 6).alias("cs"),
         )
         .filter(F.col("cs") >= SEMANTIC_TAU)
         .select("vec_id")
@@ -589,7 +637,7 @@ QUERIES = {
 _FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 ORACLES = {
-    # same quantizer (first-16-by-id centroids), same rounded-cos argmax
+    # same quantizer (first-32-by-id centroids), same rounded-cos argmax
     # (ties to higher cid), same lower-id-wins ball pruning — engine-exact
     # because every compared value is rounded to 6 dp first
     "x1_semantic_dedup": """
@@ -597,7 +645,7 @@ ORACLES = {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), c AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-            FROM e WHERE vec_id < 16
+            FROM e WHERE vec_id < 32
         ), a AS (
             SELECT e.vec_id, e.v, c.cid,
                    round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6) AS cos

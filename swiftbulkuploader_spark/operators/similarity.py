@@ -193,13 +193,14 @@ def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_max(scored)["cid"]
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Deterministic coarse quantizer: the first N_CENTROIDS vectors by id
+def _ivf_centroids(spark: SparkSession, sf_dir: str,
+                   n: int = N_CENTROIDS) -> list[list[float]]:
+    """Deterministic coarse quantizer: the first ``n`` vectors by id
     (a k-means init; at scale you'd refine with pyspark.ml KMeans — the
     query path is identical either way)."""
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
-        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        emb.filter(F.col("vec_id") < n)
         .orderBy("vec_id")
         .select("embedding")
         .collect()

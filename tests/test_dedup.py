@@ -260,31 +260,36 @@ class TestContaminationIndexed:
 
 class TestSemanticDedup:
     def test_crafted_clusters_and_ball_pruning(self, spark, tmp_path):
-        """18 vectors, 64-dim: ids 0..15 are near-orthogonal basis vectors
-        (they become the deterministic centroids, each its own cluster
-        head); vec 16 ~ e3 (same cluster as 3, cos ~0.99 -> dropped by the
-        lower-id-wins rule); vec 17 spreads mass over all 16 axes (cos 0.25
-        with its cluster head, below tau=0.35 -> kept)."""
-        from swiftbulkuploader_spark.operators.dedup import x1_semantic_dedup
+        """34 vectors, 64-dim: ids 0..31 are orthogonal basis vectors (they
+        become the deterministic centroids, each its own cluster head);
+        vec 32 ~ e3 (same cluster as 3, cos ~0.99 -> dropped by the
+        lower-id-wins rule); vec 33 spreads mass over all 32 axes (cos
+        ~0.18 with its cluster head, below tau=0.35 -> kept)."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            SEMANTIC_N_CENTROIDS,
+            x1_semantic_dedup,
+        )
+
+        n = SEMANTIC_N_CENTROIDS
 
         def basis(i):
             v = [0.0] * 64
             v[i] = 1.0
             return v
 
-        rows = [(i, basis(i), 0) for i in range(16)]
+        rows = [(i, basis(i), 0) for i in range(n)]
         near3 = [0.0] * 64
         near3[3], near3[7] = 0.9, 0.1
         spread = [0.0] * 64
-        for i in range(16):
-            spread[i] = 0.25  # unit norm: 16 * 0.25^2 = 1
-        rows += [(16, near3, 0), (17, spread, 0)]
+        for i in range(n):
+            spread[i] = (1.0 / n) ** 0.5  # unit norm across all 32 axes
+        rows += [(n, near3, 0), (n + 1, spread, 0)]
         spark.createDataFrame(
             rows, "vec_id: long, embedding: array<float>, label: int"
         ).write.parquet(str(tmp_path / "embeddings.parquet"))
 
         got = {r["vec_id"]: r for r in x1_semantic_dedup(spark, str(tmp_path)).collect()}
-        assert len(got) == 18
-        assert all(got[i]["is_kept"] for i in range(16))  # cluster heads survive
-        assert got[16]["cluster"] == 3 and not got[16]["is_kept"]
-        assert got[17]["is_kept"]  # below tau: similar cluster, not a dup
+        assert len(got) == n + 2
+        assert all(got[i]["is_kept"] for i in range(n))  # cluster heads survive
+        assert got[n]["cluster"] == 3 and not got[n]["is_kept"]
+        assert got[n + 1]["is_kept"]  # below tau: similar cluster, not a dup

@@ -37,6 +37,8 @@ BOUNDED_BNLJ_OK = {
                                # composed decontamination stage
     "x6_hll_mergeable",        # 1-row exact-global-distinct attached to the
                                # 3-row per-flag sketch table (tolerance check)
+    "x1_semantic_dedup",       # 32-row broadcast centroid table cross-joined
+                               # for the cluster assignment
 }
 
 
