@@ -27,6 +27,7 @@ from swiftbulkuploader_spark.operators import (
     media_queries,
     misc_surface,
     ml_lsh,
+    mutations,
     pipeline_queries,
     profiling,
     range_join,
@@ -50,7 +51,7 @@ _MODULES = (
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
     scalar_suites, udtf_ops, stats_inference, hierarchy, training_prep,
-    fuzzy_join, behavior, media_queries, components,
+    fuzzy_join, behavior, media_queries, components, mutations,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
