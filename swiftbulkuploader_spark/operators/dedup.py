@@ -619,8 +619,47 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage detection: word 8-grams appearing in >= 2
+    distinct documents — the shingle-level signal behind exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), which removes verbatim passages that survive
+    document-level dedup because the surrounding text differs.
+
+    Shape: one explode of per-doc 8-gram arrays (linear zip_with
+    construction, functions/text.py::shingles — NOT the O(n^2) slice-in-
+    transform trap), then one partially-aggregated shuffle keyed on the gram.
+    At 100 TB the gram key space is huge but the HAVING >= 2 filter is
+    applied post-partial-agg, and skew is bounded because templated
+    boilerplate grams (the skewed keys) are exactly the rows the query
+    exists to find. Grams are literal lowercased text, so DuckDB reproduces
+    them byte-for-byte — unlike hashed-shingle MinHash, this stays fully
+    oracle-checkable.
+
+    Scale alternative recorded: replace the gram string key with xxhash64
+    (shuffles 8 bytes instead of ~50) once oracle parity isn't needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    grams = (
+        docs.select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+        .filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
     "x1_semantic_dedup": x1_semantic_dedup,
+    "x1_repeated_passages": x1_repeated_passages,
     "x1_exact_dedup": x1_exact_dedup,
     "x1_contamination": x1_contamination,
     "x1_contamination_indexed": x1_contamination_indexed,
@@ -637,6 +676,27 @@ QUERIES = {
 _FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 ORACLES = {
+    # lateral-unnest k-gram construction mirrors functions/text.py::shingles
+    # for docs of >= 8 tokens (shorter docs are filtered on both sides, so
+    # the whole-text-as-single-shingle edge never fires)
+    "x1_repeated_passages": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            WHERE len(toks) >= 8
+        )
+        SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS first_doc_id
+        FROM g
+        GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
     # same quantizer (first-32-by-id centroids), same rounded-cos argmax
     # (ties to higher cid), same lower-id-wins ball pruning — engine-exact
     # because every compared value is rounded to 6 dp first

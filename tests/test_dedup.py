@@ -293,3 +293,32 @@ class TestSemanticDedup:
         assert all(got[i]["is_kept"] for i in range(n))  # cluster heads survive
         assert got[n]["cluster"] == 3 and not got[n]["is_kept"]
         assert got[n + 1]["is_kept"]  # below tau: similar cluster, not a dup
+
+
+class TestRepeatedPassages:
+    def test_shared_8gram_found_short_docs_skipped(self, spark, tmp_path):
+        """A verbatim 8-word passage shared by two docs is reported once with
+        n_docs=2; docs under 8 tokens never contribute grams; a gram repeated
+        twice WITHIN one doc alone (n_docs=1) is excluded."""
+        from swiftbulkuploader_spark.operators.dedup import x1_repeated_passages
+
+        passage = "one two three four five six seven eight"
+        rows = [
+            (0, f"intro words {passage} outro", "en", "s", 1),
+            (1, f"other beginning {passage} different ending", "en", "s", 1),
+            (2, "short doc under eight", "en", "s", 1),          # < 8 tokens
+            (3, f"{passage} {passage}", "en", "s", 1),           # self-repeat
+            (4, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "en", "s", 1),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+
+        got = {r["gram"]: r for r in x1_repeated_passages(spark, str(tmp_path)).collect()}
+        assert passage in got
+        r = got[passage]
+        # docs 0, 1 and 3 share it; doc 3 contains it twice (plus wrap-around
+        # grams spanning the repeat boundary, none equal to the clean passage)
+        assert r["n_docs"] == 3 and r["n_occurrences"] == 4 and r["first_doc_id"] == 0
+        # doc 4's unique grams and doc 2's nothing: no n_docs=1 rows at all
+        assert all(row["n_docs"] >= 2 for row in got.values())
