@@ -35,14 +35,26 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     """edges (a: long, b: long) -> (node: long, component: long), where
     component = min node id in the connected component.
 
-    Convergence is probed every ``check_every`` rounds, not every round:
-    the blocking driver count is a whole extra job per probe, while one
-    surplus propagation round on converged labels is a cheap no-change
-    join — for the dense (diameter 2-3) near-dup graphs this trades at
-    worst one extra round for half the probe jobs. Correctness does not
-    depend on the cadence: labels are monotone non-increasing, so any
-    round with zero changes means a fixed point was reached."""
-    e = edges.selectExpr("a", "b").filter(F.col("a") != F.col("b"))
+    Convergence is probed every ``check_every`` rounds, not every round, and
+    only the probe round is materialized: ``check_every`` propagation rounds
+    accumulate as lineage over the two checkpointed inputs (2 joins + 1 agg
+    per round — shallow enough to plan), then ONE ``localCheckpoint`` cuts
+    the lineage and a cheap aggregate over the already-materialized frame
+    probes for changes. Per ``check_every`` rounds that is 1 materialization
+    job + 1 probe job, versus ``check_every`` + 1 before. Correctness does
+    not depend on the cadence: labels are monotone non-increasing, so any
+    round with zero changes means a fixed point was reached.
+
+    The input edge frame is checkpointed BEFORE the symmetrize union:
+    ``e.union(e.swap)`` references ``e`` twice, and Spark does not
+    common-subexpression-eliminate across union branches — without the
+    checkpoint, an expensive upstream pair pipeline (MinHash band join +
+    verify) would execute twice inside the first job."""
+    e = (
+        edges.selectExpr("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=True)
+    )
     sym = e.union(e.selectExpr("b AS a", "a AS b")).distinct()
     sym = sym.localCheckpoint(eager=True)
 
@@ -53,27 +65,36 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         .localCheckpoint(eager=True)
     )
 
-    for i in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         # each node's best neighbor label this round
         nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(lbl.select(F.col("node").alias("b"), "label"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-                (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        labels = new_labels.drop("changed")
-        if (i + 1) % check_every == 0 or i == max_iter - 1:
-            n_changed = new_labels.agg(F.sum("changed")).first()[0] or 0
-            if n_changed == 0:
-                break
+        return lbl.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            (F.col("nbr_label") < F.col("label")).cast("int").alias("changed"),
+        )
+
+    done = 0
+    while done < max_iter:
+        burst = min(check_every, max_iter - done)
+        cur = labels
+        for _ in range(burst):
+            cur = propagate(cur.select("node", "label"))
+        done += burst
+        cur = cur.localCheckpoint(eager=True)
+        labels = cur.select("node", "label")
+        # `changed` of the LAST round in the burst: zero means fixed point
+        # (monotone labels), regardless of what earlier rounds did.
+        n_changed = cur.agg(F.sum("changed")).first()[0] or 0
+        if n_changed == 0:
+            break
 
     return labels.select("node", F.col("label").alias("component"))
 

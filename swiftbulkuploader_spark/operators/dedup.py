@@ -587,6 +587,12 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("nrm").alias("nrm"),
             F.max("sc")["cid"].alias("cluster"),
         )
+        # consumed three times (both sides of the within-cluster self-join +
+        # the final keep/drop join): persist, or the broadcast-assignment
+        # pipeline executes three times per materialization. Same
+        # materialize-the-assignment step SemDeDup performs at scale;
+        # MEMORY_AND_DISK so it spills rather than OOMs.
+        .persist()
     )
     l, r = clustered.alias("l"), clustered.alias("r")
     pair_cos = F.when(
