@@ -76,6 +76,8 @@ HEADLINE = [
     "x1_semantic_dedup",        # SemDeDup: IVF-cluster-blocked cosine pruning
     "x1_domain_cap",            # per-source cap (domain balancing window)
     "x2_mmr_rerank",            # bounded-pool MMR diversification (applyInPandas)
+    "u2_merge_upsert",          # MERGE INTO, shuffle-free broadcast-delta form
+    "x1_repeated_passages",     # exact repeated 8-gram passages (substring dedup)
 ]
 
 

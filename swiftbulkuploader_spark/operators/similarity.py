@@ -179,18 +179,31 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def assign_ivf_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+def assign_ivf_cluster(vec: Column, centroids: list[list[float]],
+                       round_dp: int | None = None) -> Column:
     """Nearest-centroid id as a pure Column expression: array of
     (cos, cid) structs, array_max picks the best (struct ordering compares
-    fields left-to-right). At ingest time this becomes a partition column."""
+    fields left-to-right, so equal-cos ties go to the HIGHER cid). At ingest
+    time this becomes a partition column.
+
+    ``round_dp`` rounds each cosine before the argmax — set it (6) when the
+    assignment must be engine-exact against a DuckDB oracle computing its
+    own doubles; leave None for the pure-Spark path."""
     scored = F.array(*[
         F.struct(
-            F.coalesce(cosine_similarity(vec, F.array(*[F.lit(v) for v in c])), F.lit(-2.0)).alias("cos"),
+            _maybe_round(
+                F.coalesce(cosine_similarity(vec, F.array(*[F.lit(v) for v in c])), F.lit(-2.0)),
+                round_dp,
+            ).alias("cos"),
             F.lit(i).alias("cid"),
         )
         for i, c in enumerate(centroids)
     ])
     return F.array_max(scored)["cid"]
+
+
+def _maybe_round(col: Column, dp: int | None) -> Column:
+    return F.round(col, dp) if dp is not None else col
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str,
@@ -213,7 +226,14 @@ def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the N_PROBE centroids closest to the query, exact cosine inside
     the probed clusters only. At scale the cluster id is a persisted
     partition column -> partition pruning reads ~N_PROBE/N_CENTROIDS of the
-    corpus. Rows-only check (quantizer-specific)."""
+    corpus.
+
+    Oracle-checkable (round-4 upgrade from rows-only): the quantizer is
+    deterministic (first-16-by-id centroids) and every compared cosine —
+    probe selection, cluster argmax, final ranking — is rounded to 6 dp
+    with id tie-breaks before any ordering decision, so DuckDB reproduces
+    the identical result from its own double arithmetic (the same recipe
+    that oracles x1_semantic_dedup)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
@@ -223,10 +243,18 @@ def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
         return num / den if den else -2.0
 
-    probe = sorted(range(len(cents)), key=lambda i: -_cos(q, cents[i]))[:N_PROBE]
+    # rounded + cid-desc tie-break: mirrors the oracle's ORDER BY exactly
+    probe = sorted(
+        range(len(cents)), key=lambda i: (-round(_cos(q, cents[i]), 6), -i)
+    )[:N_PROBE]
     qcol = F.array(*[F.lit(v) for v in q])
     return (
-        emb.withColumn("cluster", assign_ivf_cluster(F.col("embedding").cast("array<double>"), cents))
+        emb.withColumn(
+            "cluster",
+            assign_ivf_cluster(
+                F.col("embedding").cast("array<double>"), cents, round_dp=6
+            ),
+        )
         .filter(F.col("cluster").isin(probe))
         .select(
             "vec_id",
@@ -450,6 +478,39 @@ _CENTROID_DUCK = """
 """
 
 ORACLES = {
+    # same deterministic quantizer recipe as the x1_semantic_dedup oracle:
+    # first-16-by-id centroids, every cosine rounded to 6 dp before any
+    # ordering, ties to higher cid (probe pick + argmax) / lower vec_id
+    # (final ranking)
+    "x2_ivf_topk": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM e WHERE vec_id < 16
+        ), q AS (
+            SELECT v AS qv FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c.cid FROM c, q
+            ORDER BY round(coalesce(list_cosine_similarity(c.cv, q.qv), -2.0), 6) DESC,
+                     c.cid DESC
+            LIMIT 4
+        ), a AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6) AS cos
+            FROM e CROSS JOIN c
+        ), asn AS (
+            SELECT vec_id, v, cid AS cluster FROM a
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        )
+        SELECT asn.vec_id,
+               round(list_cosine_similarity(asn.v, q.qv), 6) AS cos_sim
+        FROM asn, probe, q
+        WHERE asn.cluster = probe.cid
+        ORDER BY cos_sim DESC, asn.vec_id
+        LIMIT 10
+    """,
     "x2_knn_join": """
         WITH q AS (
             SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
