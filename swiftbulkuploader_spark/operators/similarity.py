@@ -416,8 +416,11 @@ def x2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the bounded-pool pattern: the iterative O(pool^2) greedy
     runs in applyInPandas on ONE group of MMR_POOL rows, so its cost is
     constant regardless of corpus size; only the pool construction scans
-    data. Rows-only check (greedy selection is iterative, not
-    SQL-expressible); semantics pinned by tests on crafted pools where
+    data. Oracle-checkable (round-4 upgrade from rows-only): with
+    MMR_SELECT fixed at 5 the greedy loop UNROLLS into 5 chained CTEs in
+    the DuckDB oracle — every score rounded to 6 dp with lowest-vec_id
+    tie-breaks on both sides, so the iterative selection is engine-exact.
+    Semantics additionally pinned by tests on crafted pools where
     diversification provably reorders pure-relevance ranking."""
     import pandas as pd  # noqa: F401 - applyInPandas dependency, fail early
 
@@ -580,4 +583,58 @@ ORACLES["x2_hybrid_search"] = f"""
     FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
     ORDER BY rrf_score DESC, doc_id ASC
     LIMIT 10
+"""
+ORACLES["x2_mmr_rerank"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+        SELECT v AS qv FROM e WHERE vec_id = 0
+    ), pool AS (
+        SELECT e.vec_id, e.v,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS relevance
+        FROM e, q WHERE e.vec_id >= 1
+        ORDER BY relevance DESC, e.vec_id LIMIT 20
+    ), sims AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(coalesce(list_cosine_similarity(a.v, b.v), 0.0), 6) AS s
+        FROM pool a, pool b WHERE a.vec_id <> b.vec_id
+    ), s1 AS (
+        SELECT p.vec_id, p.relevance FROM pool p
+        ORDER BY round(0.7 * p.relevance, 6) DESC, p.vec_id LIMIT 1
+    ), s2 AS (
+        SELECT p.vec_id, p.relevance FROM pool p, s1
+        WHERE p.vec_id NOT IN (s1.vec_id)
+        ORDER BY round(0.7 * p.relevance - 0.3 * (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s1.vec_id), 6) DESC, p.vec_id
+        LIMIT 1
+    ), s3 AS (
+        SELECT p.vec_id, p.relevance FROM pool p, s1, s2
+        WHERE p.vec_id NOT IN (s1.vec_id, s2.vec_id)
+        ORDER BY round(0.7 * p.relevance - 0.3 * greatest((SELECT s FROM sims WHERE ia = p.vec_id AND ib = s1.vec_id),
+                   (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s2.vec_id)), 6) DESC, p.vec_id
+        LIMIT 1
+    ), s4 AS (
+        SELECT p.vec_id, p.relevance FROM pool p, s1, s2, s3
+        WHERE p.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)
+        ORDER BY round(0.7 * p.relevance - 0.3 * greatest((SELECT s FROM sims WHERE ia = p.vec_id AND ib = s1.vec_id),
+                   (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s2.vec_id),
+                   (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s3.vec_id)), 6) DESC, p.vec_id
+        LIMIT 1
+    ), s5 AS (
+        SELECT p.vec_id, p.relevance FROM pool p, s1, s2, s3, s4
+        WHERE p.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id, s4.vec_id)
+        ORDER BY round(0.7 * p.relevance - 0.3 * greatest((SELECT s FROM sims WHERE ia = p.vec_id AND ib = s1.vec_id),
+                   (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s2.vec_id),
+                   (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s3.vec_id),
+                   (SELECT s FROM sims WHERE ia = p.vec_id AND ib = s4.vec_id)), 6) DESC, p.vec_id
+        LIMIT 1
+    )
+    SELECT vec_id, relevance, CAST(1 AS INTEGER) AS mmr_rank FROM s1
+    UNION ALL
+    SELECT vec_id, relevance, CAST(2 AS INTEGER) AS mmr_rank FROM s2
+    UNION ALL
+    SELECT vec_id, relevance, CAST(3 AS INTEGER) AS mmr_rank FROM s3
+    UNION ALL
+    SELECT vec_id, relevance, CAST(4 AS INTEGER) AS mmr_rank FROM s4
+    UNION ALL
+    SELECT vec_id, relevance, CAST(5 AS INTEGER) AS mmr_rank FROM s5
 """
