@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import normalize_ws
@@ -79,6 +80,53 @@ def x3_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("tf_total"),
         )
         .filter(F.col("df") >= 10)
+    )
+
+
+VOCAB_BUCKET = 50  # docs per growth-curve sample point
+
+
+def x3_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-token count
+    (and cumulative token count) as the corpus grows in doc_id order — the
+    tokenizer-sizing diagnostic (how fast does vocabulary saturate?).
+
+    Scale shape: "cumulative distinct" is NOT a running dropDuplicates —
+    each term contributes at its FIRST document (one groupBy(term) min),
+    new-term counts roll up per doc-bucket, and the prefix sum runs over
+    the BUCKETED curve (corpus_size/50 rows), not per-doc — so the only
+    unpartitioned ordered window in the plan operates on a frame that is
+    ~5 orders of magnitude smaller than the corpus. A per-doc curve at
+    100 TB would funnel every row through one ordered window partition;
+    sampling the curve at bucket granularity is what makes it computable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") / VOCAB_BUCKET).cast("long").alias("bucket")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
+    )
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select((F.col("first_doc") / VOCAB_BUCKET).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    per_bucket = (
+        docs.select(bucket, F.size(_tokens(F.col("text"))).cast("long").alias("n_toks"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("bucket_tokens"))
+        .join(new_terms, "bucket", "left")
+        .na.fill({"new_terms": 0})
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.col("new_terms").alias("bucket_new_terms"),
+        F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_terms").over(w).alias("cum_vocab"),
     )
 
 
@@ -161,6 +209,7 @@ QUERIES = {
     "x3_array_hof_suite": x3_array_hof_suite,
     "x4_map_ops": x4_map_ops,
     "x3_doc_frequency": x3_doc_frequency,
+    "x3_vocab_growth": x3_vocab_growth,
     "x3_tfidf_search": x3_tfidf_search,
 }
 
@@ -215,6 +264,27 @@ ORACLES = {
         SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
         FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
         GROUP BY term HAVING count(DISTINCT doc_id) >= 10
+    """,
+    "x3_vocab_growth": f"""
+        WITH firsts AS (
+            SELECT term, min(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
+            GROUP BY term
+        ), nt AS (
+            SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS new_terms
+            FROM firsts GROUP BY 1
+        ), pb AS (
+            SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS bucket_tokens
+            FROM documents GROUP BY 1
+        )
+        SELECT pb.bucket, pb.n_docs, pb.bucket_tokens,
+               coalesce(nt.new_terms, 0) AS bucket_new_terms,
+               CAST(sum(pb.bucket_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_vocab
+        FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
     """,
     "x3_tfidf_search": f"""
         WITH posting AS (

@@ -178,8 +178,50 @@ def u2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-customer order stats kept as a
+    materialized state table, refreshed by MERGING the delta's partial
+    aggregates into the previous state instead of recomputing from scratch
+    — the pattern that turns an O(history) nightly rollup into O(delta).
+
+    Algebraic aggregates only (count, sum, min, max — each merges by the
+    same function): old-state rows and delta partial-agg rows union, then
+    one re-aggregation keyed on the group. At 100 TB the state table is
+    bucketed on the group key, so the union+agg shuffles ONLY the delta;
+    avg/stddev extend the same way by carrying (count, sum, sum-of-squares).
+    The oracle computes the same stats from the full table in one pass —
+    equality IS the proof that the incremental merge loses nothing.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    state = partial(old)  # stands in for the persisted state table
+    merged = (
+        state.unionByName(partial(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spend").alias("total_spend"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+    # total_spend stays unrounded: the 9-sig-digit hash normalization
+    # absorbs summation-order ulps, while round() would re-introduce
+    # engine-specific half-case behavior (see u2_merge_upsert).
+    return merged.select("o_custkey", "n_orders", "total_spend", "last_order")
+
+
 QUERIES = {
     "u2_merge_upsert": u2_merge_upsert,
+    "x6_incremental_agg": x6_incremental_agg,
 }
 
 ORACLES = {
@@ -203,5 +245,15 @@ ORACLES = {
                     WHEN s.o_orderkey IS NOT NULL THEN 'inserted'
                     ELSE 'kept' END AS merge_action
         FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+    # one-pass recompute: equality with the union-of-partials merge is the
+    # correctness proof for the incremental path
+    "x6_incremental_agg": """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(o_totalprice) AS total_spend,
+               max(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_custkey
     """,
 }
