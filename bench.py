@@ -78,6 +78,7 @@ HEADLINE = [
     "x2_mmr_rerank",            # bounded-pool MMR diversification (applyInPandas)
     "u2_merge_upsert",          # MERGE INTO, shuffle-free broadcast-delta form
     "x1_repeated_passages",     # exact repeated 8-gram passages (substring dedup)
+    "x8_pagerank",              # 3-round distributed PageRank (iterative shuffle)
 ]
 
 

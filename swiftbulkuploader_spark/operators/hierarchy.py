@@ -53,10 +53,127 @@ def x8_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"x8_recursive_hierarchy": x8_recursive_hierarchy}
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user<->item interaction graph (events.user_id ->
+    props.k, symmetrized so rank flows both ways) — link-analysis importance
+    weighting, the classic signal for prioritizing documents/sources in a
+    crawl-derived training corpus.
+
+    Spark shape = the standard distributed PR round: join ranks to the edge
+    list on src, partial-aggregate contributions by dst, rebuild the rank
+    vector — one shuffle per iteration, `localCheckpoint` per round to cut
+    lineage (same iterative-DataFrame discipline as
+    operators/components.py). Iteration count is FIXED (3), which keeps the
+    query oracle-checkable: DuckDB unrolls the same three rounds as chained
+    CTEs. Every arithmetic step is forced to IEEE double on both engines
+    (explicit CASTs in the oracle — DuckDB would otherwise fold 1-0.85 in
+    exact DECIMAL and diverge in the last ulps); the 9-sig-digit hash
+    normalization absorbs summation-order noise.
+
+    At 100 TB: edges pre-partitioned on src make the rank join co-located;
+    the dst aggregation is the one real shuffle per round. Teleport uses a
+    driver-literal node count (metadata-scale collect, same pattern as
+    tfidf's N)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    pairs = (
+        events.select(F.col("user_id").alias("u"), k.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    item_node = F.col("item") + F.lit(10000)
+    edges = (
+        pairs.select(F.col("u").alias("src"), item_node.alias("dst"))
+        .unionByName(pairs.select(item_node.alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_pr"))
+        )
+        pr = (
+            nodes.join(contrib.select(F.col("dst").alias("node"), "in_pr"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(PR_DAMPING) * F.coalesce("in_pr", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", "pr")
+
+
+QUERIES = {
+    "x8_recursive_hierarchy": x8_recursive_hierarchy,
+    "x8_pagerank": x8_pagerank,
+}
 
 ORACLES = {
     "x8_recursive_hierarchy": _RECURSIVE_SQL.format(
         tbl="customer", intdiv="//", str_t="VARCHAR"
     ),
+    # three unrolled PR rounds; every scalar forced to DOUBLE so the
+    # arithmetic is the same IEEE op sequence Spark executes
+    "x8_pagerank": """
+        WITH pairs AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), edges AS (
+            SELECT u AS src, item + 10000 AS dst FROM pairs
+            UNION ALL
+            SELECT item + 10000 AS src, u AS dst FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+        ), p0 AS (
+            SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes, nn
+        ), c1 AS (
+            SELECT e.dst, sum(p.pr / d.outdeg) AS in_pr
+            FROM edges e JOIN deg d ON e.src = d.src JOIN p0 p ON e.src = p.node
+            GROUP BY e.dst
+        ), p1 AS (
+            SELECT nodes.node,
+                   CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c1.in_pr, CAST(0 AS DOUBLE)) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.dst
+        ), c2 AS (
+            SELECT e.dst, sum(p.pr / d.outdeg) AS in_pr
+            FROM edges e JOIN deg d ON e.src = d.src JOIN p1 p ON e.src = p.node
+            GROUP BY e.dst
+        ), p2 AS (
+            SELECT nodes.node,
+                   CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c2.in_pr, CAST(0 AS DOUBLE)) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.dst
+        ), c3 AS (
+            SELECT e.dst, sum(p.pr / d.outdeg) AS in_pr
+            FROM edges e JOIN deg d ON e.src = d.src JOIN p2 p ON e.src = p.node
+            GROUP BY e.dst
+        )
+        SELECT nodes.node,
+               CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c3.in_pr, CAST(0 AS DOUBLE)) AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.dst
+    """,
 }
