@@ -57,6 +57,47 @@ def x3_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+# fixed logistic weights for the quality model: (bias, log-length,
+# alpha-ratio, stopword-ratio). Frozen literals — the operator demonstrates
+# model-inference-at-scan-speed, not training.
+QM_W = (-2.0, 0.35, 1.5, 2.0)
+
+
+def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style quality scoring — the fastText-filter shape every
+    pretraining pipeline runs (CCNet/LLaMA-style "looks like good prose"
+    model): featurize each document, apply a frozen linear model, sigmoid
+    to a keep-probability, threshold at 0.5.
+
+    The point is the execution shape: featurization AND inference are pure
+    Column expressions (regex counts, log, exp) that run inside whole-stage
+    codegen at scan speed — no Python worker, no UDF, no shuffle. A real
+    learned model with thousands of weights inlines the same way (w·x as a
+    codegen'd sum), or moves to a Pandas UDF only when it needs BLAS.
+    Weights are frozen literals, so the score is fully oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_ws(F.col("text")), " ")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is"))
+    )
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    z = (
+        F.lit(QM_W[0])
+        + F.lit(QM_W[1]) * F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+        + F.lit(QM_W[2]) * alpha_ratio
+        + F.lit(QM_W[3]) * (stop_hits.cast("double") / n_toks)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("keep_prob"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def x3_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per document: top-token share,
     distinct-token ratio, top-bigram share — the signals that catch
@@ -249,6 +290,7 @@ QUERIES = {
     "x3_corpus_prep": x3_corpus_prep,
     "x3_lang_stats": x3_lang_stats,
     "x3_quality_scores": x3_quality_scores,
+    "x3_quality_model": x3_quality_model,
     "x3_fingerprints": x3_fingerprints,
     "x3_repetition_stats": x3_repetition_stats,
     "x3_stopword_coverage": x3_stopword_coverage,
@@ -289,6 +331,32 @@ _ORACLE_STOPWORD_CASE = " ".join(
 )
 
 ORACLES = {
+    # same frozen weights/features; the sigmoid is the identical double op
+    # sequence (ln/exp ulps absorbed by the 9-sig-digit hash normalization,
+    # the 6-dp round only for display stability)
+    "x3_quality_model": """
+        WITH f AS (
+            SELECT doc_id, n_chars,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0.0 END AS alpha_ratio
+            FROM documents
+        ), z AS (
+            SELECT doc_id,
+                   CAST(-2.0 AS DOUBLE)
+                   + CAST(0.35 AS DOUBLE) * ln(CAST(1 AS DOUBLE) + CAST(n_chars AS DOUBLE))
+                   + CAST(1.5 AS DOUBLE) * alpha_ratio
+                   + CAST(2.0 AS DOUBLE)
+                     * (len(list_filter(toks, t -> t IN ('the','and','of','to','is')))::DOUBLE
+                        / greatest(len(toks), 1)) AS z
+            FROM f
+        )
+        SELECT doc_id,
+               round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 6) AS keep_prob,
+               (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z))) >= 0.5 AS keep
+        FROM z
+    """,
     "x3_redact": r"""
         SELECT doc_id,
                regexp_replace(
