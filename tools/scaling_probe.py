@@ -251,8 +251,73 @@ def shape_training_manifest(df):
     )
 
 
+def shape_merge_broadcast_delta(df):
+    """merge_into's broadcast_delta form: huge target, delta = target/1000.
+    Mirrors operators/mutations.py — target scanned twice (left join +
+    semi), never shuffled; inserts resolved by two broadcast joins."""
+    from swiftbulkuploader_spark.operators.mutations import merge_into
+
+    target = df.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("status"),
+        F.col("value").alias("size"),
+    )
+    delta = target.filter(F.col("id") % 1000 == 0).select(
+        "id", (F.col("status") + 1).alias("status"), (F.col("size") * 1.1).alias("size")
+    )
+    return merge_into(target, delta, key="id", update_cols=["status", "size"],
+                      broadcast_delta=True)
+
+
+def shape_pagerank_round(df):
+    """One PageRank round over a synthesized bipartite edge list (mirrors
+    operators/hierarchy.py::x8_pagerank's per-iteration join+agg; the real
+    op runs 3 of these over checkpointed inputs)."""
+    edges = df.select(
+        F.col("user_id").alias("src"),
+        (F.col("text_key") % 10_000 + 100_000).alias("dst"),
+    )
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "pr", F.lit(1.0e-5)
+    )
+    return (
+        sym.join(deg, "src")
+        .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_pr"))
+    )
+
+
+def shape_repeated_grams(df):
+    """x1_repeated_passages' core: explode per-row gram arrays, aggregate on
+    the gram key with a HAVING filter (map-side combinable)."""
+    grams = df.select(
+        "event_id",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    (F.col("text_key") + F.lit(i)).cast("string"),
+                    F.lit(" g "),
+                    ((F.col("text_key") + F.lit(i)) % 5000).cast("string"),
+                )
+                for i in range(8)
+            ])
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("event_id").alias("n_docs"), F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 SHAPES = {
     "range_window_1h": shape_range_window,
+    "merge_broadcast_delta": shape_merge_broadcast_delta,
+    "pagerank_round": shape_pagerank_round,
+    "repeated_grams": shape_repeated_grams,
     "exact_dedup": shape_dedup,
     "broadcast_join_agg": shape_join_agg,
     "sessionize": shape_sessionize,
