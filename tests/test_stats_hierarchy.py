@@ -54,3 +54,38 @@ def test_hierarchy_invariants(spark):
         # each path step is the decimal-trie parent of the next
         for parent, child in zip(parts, parts[1:]):
             assert int(child) // 10 == int(parent)
+
+
+def test_pagerank_star_graph(spark, tmp_path):
+    """On a star interaction graph (every user touches item 0, one user also
+    touches item 1), the hub item must outrank the leaf item, ranks must be
+    positive, and the vector must (approximately) conserve mass:
+    sum(pr) ≈ teleport_total + damping * 1.0 (symmetrized graph, no
+    dangling nodes)."""
+    import json
+
+    from swiftbulkuploader_spark.operators.hierarchy import x8_pagerank
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 5, "view", 1.0, json.dumps({"k": 0}))
+        for i in range(10)
+    ]
+    rows.append((10, "2024-01-01 00:00:01", 0, "view", 1.0, json.dumps({"k": 1})))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    pr = {r["node"]: r["pr"] for r in x8_pagerank(spark, str(tmp_path)).collect()}
+    # nodes: users 0-4, items 10000 (hub) and 10001 (leaf)
+    assert set(pr) == {0, 1, 2, 3, 4, 10000, 10001}
+    assert pr[10000] > pr[10001]          # hub collects more rank
+    assert pr[0] > pr[1]                  # user 0 has an extra in-edge
+    assert all(v > 0 for v in pr.values())
+    total = sum(pr.values())
+    assert abs(total - 1.0) < 0.2          # 3 rounds haven't fully mixed, but
+    # mass stays near 1 on a dangling-free graph
