@@ -447,8 +447,32 @@ def x2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the IVF index against the
+    brute-force exact top-10 — the measurement loop every ANN deployment
+    runs before trading exactness for partition pruning. One row:
+    (k, n_hits, recall).
+
+    Composes the two existing operators (both deterministic since the
+    round-4 quantizer rounding), joins their id sets, and counts overlap;
+    the oracle nests both queries' oracle SQL as derived tables, so the
+    recall number itself is engine-checked, not just the inputs."""
+    exact = x2_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = x2_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_hits",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
     "x2_mmr_rerank": x2_mmr_rerank,
+    "x2_ann_recall": x2_ann_recall,
     "x2_knn_join": x2_knn_join,
     "x2_cosine_topk": x2_cosine_topk,
     "x2_label_centroid_sim": x2_label_centroid_sim,
@@ -637,4 +661,14 @@ ORACLES["x2_mmr_rerank"] = """
     SELECT vec_id, relevance, CAST(4 AS INTEGER) AS mmr_rank FROM s4
     UNION ALL
     SELECT vec_id, relevance, CAST(5 AS INTEGER) AS mmr_rank FROM s5
+"""
+
+# recall@10 oracle: both component queries' oracle SQL nested as derived
+# tables, overlap counted — checks the measurement, not just the inputs
+ORACLES["x2_ann_recall"] = f"""
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           count(*) / CAST(10.0 AS DOUBLE) AS recall
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN ({ORACLES["x2_ivf_topk"]}) approx USING (vec_id)
 """
