@@ -652,11 +652,18 @@ def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) >= 8)
         .select("doc_id", F.explode("grams").alias("gram"))
     )
+    # two-level aggregation instead of count(distinct): a mixed
+    # countDistinct+count agg would Expand every row 2x before the shuffle;
+    # pre-aggregating per (gram, doc) first shuffles each distinct
+    # (gram, doc) once and the second level is count/sum/min only
+    per_doc = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
     return (
-        grams.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
             F.min("doc_id").alias("first_doc_id"),
         )
         .filter(F.col("n_docs") >= 2)

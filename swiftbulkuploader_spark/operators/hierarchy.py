@@ -93,7 +93,13 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(item_node.alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg and nodes are read every iteration — materialize once, or each
+    # round's job re-aggregates the edge list
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
 
