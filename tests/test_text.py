@@ -214,3 +214,29 @@ class TestChunkDocuments:
         assert 2 * CHUNK_S + by_doc[1][-1][1] == 150
         assert by_doc[2] == [(0, CHUNK_W)]
         assert by_doc[3] == [(0, 4)]
+
+
+def test_vocab_growth_invariants(spark, tmp_path):
+    """Crafted 3-bucket corpus: curve is cumulative (non-decreasing), final
+    cum_vocab equals the corpus-wide distinct-token count, and a bucket
+    whose tokens all appeared earlier contributes zero new terms."""
+    from swiftbulkuploader_spark.operators.arrays_maps import x3_vocab_growth
+
+    rows = (
+        # bucket 0 (doc_id 0-49): vocabulary {a b c}
+        [(i, "a b c", "en", "s", 5) for i in range(50)]
+        # bucket 1 (50-99): nothing new
+        + [(i, "c b a", "en", "s", 5) for i in range(50, 100)]
+        # bucket 2 (100-149): one new term
+        + [(i, "a d", "en", "s", 3) for i in range(100, 150)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["bucket"]: r for r in x3_vocab_growth(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert [out[b]["bucket_new_terms"] for b in (0, 1, 2)] == [3, 0, 1]
+    assert [out[b]["cum_vocab"] for b in (0, 1, 2)] == [3, 3, 4]
+    assert [out[b]["cum_tokens"] for b in (0, 1, 2)] == [150, 300, 400]
+    assert all(out[b]["n_docs"] == 50 for b in out)
