@@ -53,14 +53,15 @@ def x1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0) via the left-join backfill) — the same edge semantics as
     ``x1_contamination_indexed``, so the two forms match row-for-row on
     any input, not just non-degenerate ones."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(shingles(F.col("text")))
+    base = shingle_base(load_table(spark, sf_dir, "documents"))
     probes = (
-        docs.filter(F.col("doc_id") < 8)
-        .select(F.col("doc_id").alias("probe_id"), sh.alias("p_sh"))
+        base.filter(F.col("doc_id") < 8)
+        .select(F.col("doc_id").alias("probe_id"), F.col("sh").alias("p_sh"))
         .withColumn("p_n", F.size("p_sh"))
     )
-    corpus = docs.filter(F.col("doc_id") >= 8).select("doc_id", sh.alias("d_sh"))
+    corpus = base.filter(F.col("doc_id") >= 8).select(
+        "doc_id", F.col("sh").alias("d_sh")
+    )
     pairs = corpus.join(F.broadcast(probes)).select(
         "probe_id",
         "doc_id",
@@ -96,23 +97,23 @@ def x1_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the aggregate matches the broadcast form row-for-row — including
     against an empty corpus, where both emit (probe_id, 0, 0.0) per probe.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(shingles(F.col("text")))
+    base = shingle_base(load_table(spark, sf_dir, "documents"))
     probes = (
-        docs.filter(F.col("doc_id") < 8)
-        .select(F.col("doc_id").alias("probe_id"), sh.alias("p_sh"))
+        base.filter(F.col("doc_id") < 8)
+        .select(F.col("doc_id").alias("probe_id"), F.col("sh").alias("p_sh"))
         .withColumn("p_n", F.size("p_sh"))
     )
     # posting lists: (shingle-hash, id). 64-bit xxhash64 stands in for the
     # shingle string (collision odds ~2^-64 per pair — far below the row
     # error budget); the join shuffle carries 16 B/posting, not the string.
-    probe_idx = probes.select(
-        "probe_id", "p_n", F.explode("p_sh").alias("s")
-    ).select("probe_id", "p_n", F.xxhash64("s").alias("sh_hash"))
-    corpus_idx = (
-        docs.filter(F.col("doc_id") >= 8)
-        .select("doc_id", F.explode(sh).alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("sh_hash"))
+    # The hashes ride pre-computed from the shared base's `hs` column.
+    probe_idx = base.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("probe_id"),
+        F.size("sh").alias("p_n"),
+        F.explode("hs").alias("sh_hash"),
+    )
+    corpus_idx = base.filter(F.col("doc_id") >= 8).select(
+        "doc_id", F.explode("hs").alias("sh_hash")
     )
     hits = (
         corpus_idx.join(probe_idx, "sh_hash")
@@ -237,27 +238,36 @@ def _minhash_signature(hashes: Column) -> list[Column]:
     return [hash_i(i) for i in range(N_HASHES)]
 
 
-def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
-    """(doc_id, shingles, sig_0..sig_31) for non-empty documents.
+def shingle_base(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, sh, hs): distinct word k-shingles + their 64-bit hashes,
+    `persist()`ed — THE shared substrate of the dedup family. MinHash,
+    contamination (both forms) and any other shingle consumer read this one
+    cached frame, so a session computes the interpreted-HOF shingling once
+    per corpus, not once per query (Spark's cache manager keys on the
+    logical plan, so every caller building the same base hits the same
+    InMemoryRelation with column pruning).
 
-    `spread()` first: shingling + 32-way minhashing is compute-dense, and
-    byte-sized parquet splits (row-group-bounded) under-parallelize it.
-
-    The (sh, hs) base is `persist()`ed: CollapseProject would otherwise
-    inline the shingle/hash arrays into every sig_i expression (higher-order
-    functions run interpreted — no codegen CSE), recomputing the shingling
-    33x; and the LSH pipeline consumes the signatures three times (band
-    explode + both sides of the verify join). MEMORY_AND_DISK, so the
-    materialized base spills rather than OOMs at large scale.
-    """
+    `spread()` first: shingling is compute-dense, and byte-sized parquet
+    splits (row-group-bounded) under-parallelize it. The persist also stops
+    CollapseProject from inlining the shingle/hash arrays into every
+    downstream expression (higher-order functions run interpreted — no
+    codegen CSE). MEMORY_AND_DISK, so the materialized base spills rather
+    than OOMs at large scale."""
     sh = F.array_distinct(shingles(F.col("text"), k))
-    base = (
+    return (
         spread(docs.select("doc_id", "text"))
         .select("doc_id", sh.alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
         .persist()
     )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, shingles, sig_0..sig_31) for non-empty documents, over the
+    shared persisted `shingle_base` (consumed three times downstream: band
+    explode + both sides of the verify join)."""
+    base = shingle_base(docs, k)
     sig = _minhash_signature(F.col("hs"))
     return base.select("doc_id", "sh", *[c.alias(f"sig_{i}") for i, c in enumerate(sig)])
 
