@@ -128,7 +128,9 @@ def x2_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: restrict the scan to vectors sharing the query's LSH bucket
     (plus hamming-1 neighbor buckets for recall), then exact cosine top-10.
     At scale the signature is a persisted partition column -> bucket pruning
-    reads a fraction of the corpus. Rows-only check (seeded LSH)."""
+    reads a fraction of the corpus. Oracle-checked (round 4): the
+    deterministic hyperplanes inline as literals into the DuckDB SQL, so
+    the bucket assignment itself is engine-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = hyperplanes(N_PLANES_TOPK)
     q = _query_vector(spark, sf_dir, 0)
@@ -156,7 +158,8 @@ def x2_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only same-bucket candidates are scored, never n^2. Consumers threshold
     downstream (e.g. >= 0.95 for near-dup removal) — emitting the scored
     candidates keeps the operator meaningful on corpora with no near-dups,
-    like the driver's isotropic embeddings. Rows-only check (seeded LSH)."""
+    like the driver's isotropic embeddings. Oracle-checked (round 4) via
+    plane-literal signatures, like x2_lsh_bucket_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = hyperplanes()
     sigs = emb.select(
@@ -567,7 +570,7 @@ ORACLES = {
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
     """,
-    # x2_lsh_*: rows-only by design (seeded LSH, engine-specific)
+    # x2_lsh_* oracles appended below (plane-literal signatures)
 }
 
 ORACLES["x2_hybrid_search"] = f"""
@@ -671,4 +674,58 @@ ORACLES["x2_ann_recall"] = f"""
            count(*) / CAST(10.0 AS DOUBLE) AS recall
     FROM ({ORACLES["x2_cosine_topk"]}) exact
     JOIN ({ORACLES["x2_ivf_topk"]}) approx USING (vec_id)
+"""
+
+# --- LSH oracles (round 4): the hyperplanes are deterministic Python
+# doubles (splitmix mix, no RNG state), so they inline as literals into
+# DuckDB SQL and the signatures are reproducible engine-side. Sign
+# thresholds are ulp-robust (|dot| ~ O(1) for these planes; a flip would
+# need |dot| within float round-off of zero), and the ranked cosine is the
+# same rounded list_cosine_similarity recipe as every other vector oracle.
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+
+
+def _sig_sql(vcol: str, planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_inner_product({vcol}, {_plane_sql(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+_TOPK_PLANES = hyperplanes(N_PLANES_TOPK)
+_PROBE_COND = " OR ".join(
+    ["s.sig = q.qsig"]
+    + [f"s.sig = xor(q.qsig, {1 << i})" for i in range(N_PLANES_TOPK)]
+)
+ORACLES["x2_lsh_bucket_topk"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+        SELECT v AS qv, {_sig_sql("v", _TOPK_PLANES)} AS qsig
+        FROM e WHERE vec_id = 0
+    ), s AS (
+        SELECT vec_id, v, {_sig_sql("v", _TOPK_PLANES)} AS sig FROM e
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS cos_sim
+    FROM s, q
+    WHERE {_PROBE_COND}
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 10
+"""
+
+_PAIR_PLANES = hyperplanes()
+ORACLES["x2_lsh_similar_pairs"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+        SELECT vec_id, v, {_sig_sql("v", _PAIR_PLANES)} AS sig FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
 """
