@@ -90,3 +90,41 @@ def test_merge_broadcast_delta_equivalent_and_shuffle_free(spark):
     fast_d = merge_into(target, source, broadcast_delta=True,
                         delete_unmatched=True, **kwargs)
     assert sorted(map(tuple, ref_d.collect())) == sorted(map(tuple, fast_d.collect()))
+
+
+def test_merge_matches_reference_model_randomized(spark):
+    """Seeded randomized cross-check: both physical forms of merge_into must
+    match a dict-based reference model for every flag combination."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        t_keys = rng.sample(range(30), rng.randint(5, 12))
+        s_keys = rng.sample(range(30), rng.randint(5, 12))
+        target = [(k, rng.randint(0, 5), float(rng.randint(0, 99))) for k in t_keys]
+        source = [(k, rng.randint(6, 9), float(rng.randint(100, 199))) for k in s_keys]
+
+        tdf = spark.createDataFrame(target, "id long, status long, size double")
+        sdf = spark.createDataFrame(source, "id long, status long, size double")
+        tmap, smap = {r[0]: r for r in target}, {r[0]: r for r in source}
+
+        for insert in (True, False):
+            for delete_unmatched in (True, False):
+                expect = set()
+                for k, (kk, st, sz) in tmap.items():
+                    if k in smap:
+                        expect.add((k, smap[k][1], sz))  # update status only
+                    elif not delete_unmatched:
+                        expect.add((k, st, sz))
+                if insert:
+                    expect |= {tuple(smap[k]) for k in smap if k not in tmap}
+
+                for bd in (False, True):
+                    got = merge_into(
+                        tdf, sdf, key="id", update_cols=["status"],
+                        insert=insert, delete_unmatched=delete_unmatched,
+                        broadcast_delta=bd,
+                    ).collect()
+                    assert {tuple(r) for r in got} == expect, (
+                        trial, insert, delete_unmatched, bd
+                    )
