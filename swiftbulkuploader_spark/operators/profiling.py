@@ -363,7 +363,71 @@ def x6_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the dbt-test / Deequ-style constraint suite a
+    production table ships with, run as a handful of cheap scans:
+
+    * uniqueness  — key cardinality vs row count (one agg, no self-join);
+    * not-null    — conditional count in the same style;
+    * referential — child ANTI JOIN parent on the FK (parent side
+      broadcastable when it is a dim table);
+    * domain      — predicate violation count at scan speed.
+
+    One row per check: (check, violations, n_checked, passed). The checks
+    union into one plan, so a nightly audit of N constraints is one job.
+    At 100 TB each check is either a single-pass aggregate or one
+    broadcast anti-join — nothing quadratic, nothing driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def check(name, violations_df):
+        return violations_df.select(
+            F.lit(name).alias("check"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+
+    unique_key = orders.agg(
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    not_null = orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    positive_price = orders.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    n_li = lineitem.count()
+    orphan_li = (
+        lineitem.select(F.col("l_orderkey"))
+        .join(F.broadcast(orders.select("o_orderkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .withColumn("n_checked", F.lit(n_li))
+    )
+    n_ord = orders.count()
+    orphan_cust = (
+        orders.select("o_custkey")
+        .join(F.broadcast(customer.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .withColumn("n_checked", F.lit(n_ord))
+    )
+    return (
+        check("orders.o_orderkey.unique", unique_key)
+        .unionByName(check("orders.o_custkey.not_null", not_null))
+        .unionByName(check("orders.o_totalprice.positive", positive_price))
+        .unionByName(check("lineitem.l_orderkey.referential", orphan_li))
+        .unionByName(check("orders.o_custkey.referential", orphan_cust))
+    )
+
+
 QUERIES = {
+    "x6_dq_audit": x6_dq_audit,
     "x6_equiwidth_histogram": x6_equiwidth_histogram,
     "x6_hll_mergeable": x6_hll_mergeable,
     "x6_median_disc": x6_median_disc,
@@ -380,6 +444,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x6_dq_audit": """
+        SELECT 'orders.o_orderkey.unique' AS "check",
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               count(o_orderkey) = count(DISTINCT o_orderkey) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey.not_null',
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_totalprice.positive',
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_orderkey.referential',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) = 0
+        UNION ALL
+        SELECT 'orders.o_custkey.referential',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) = 0
+    """,
     "x6_equiwidth_histogram": """
         WITH b AS (
             SELECT min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
