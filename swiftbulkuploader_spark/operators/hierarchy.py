@@ -101,7 +101,9 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
+    # max(n, 1): an empty interaction graph must yield an empty result, not
+    # a driver-side ZeroDivisionError building the teleport literal
+    n = max(nodes.count(), 1)
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(PR_ITERS):

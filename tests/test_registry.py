@@ -117,3 +117,36 @@ def test_queries_survive_hostile_session_conf(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+
+
+def test_total_operators_survive_empty_tables(spark, tmp_path):
+    """Operators that are total functions of their input must return
+    EMPTY (or well-defined aggregate) results on empty tables — not crash.
+    Empty corpora are what a filter cascade can legitimately produce."""
+    import pyspark.sql.types as T
+
+    schemas = {
+        "documents": "doc_id long, text string, lang string, source string, n_chars long",
+        "events": ("event_id long, ts timestamp, user_id long, event_type string, "
+                   "value double, props string"),
+        "orders": ("o_orderkey long, o_custkey long, o_orderstatus string, "
+                   "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+        "customer": "c_custkey long, c_name string, c_nationkey long, c_acctbal double",
+        "lineitem": ("l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+                     "l_extendedprice double, l_discount double, l_tax double, "
+                     "l_returnflag string, l_linestatus string, l_shipdate timestamp"),
+    }
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).write.parquet(str(tmp_path / f"{name}.parquet"))
+
+    total_fns = [
+        "x1_exact_dedup", "x1_repeated_passages", "x1_contamination",
+        "x1_contamination_indexed", "x3_token_stats", "x3_quality_model",
+        "x3_vocab_growth", "x8_pagerank", "u2_merge_upsert",
+        "x6_incremental_agg",
+    ]
+    from swiftbulkuploader_spark import registry
+
+    for name in total_fns:
+        rows = registry.QUERIES[name](spark, str(tmp_path)).collect()
+        assert isinstance(rows, list), name  # ran to completion
