@@ -108,7 +108,13 @@ def a2_done_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a3_min_pending_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 — MIN(id) of pending work / empty-work guard (bulkupload.py:341-351)."""
+    """A3 — MIN(id) of pending work / empty-work guard (bulkupload.py:341-351).
+
+    Divergence recorded: the reference's emptiness check is
+    ``if not result_tuple[0]`` (bulkupload.py:349), which conflates a
+    legitimate minimum id of 0 with NULL — a pending file with id=0 would
+    abort the run with "Nothing to upload". Here the aggregate returns the
+    true minimum (0 included); only a NULL result means no pending work."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderstatus") == "O").agg(
         F.min("o_orderkey").alias("min_pending_id")
