@@ -79,6 +79,7 @@ HEADLINE = [
     "u2_merge_upsert",          # MERGE INTO, shuffle-free broadcast-delta form
     "x1_repeated_passages",     # exact repeated 8-gram passages (substring dedup)
     "x8_pagerank",              # 3-round distributed PageRank (iterative shuffle)
+    "x6_dq_audit",              # constraint suite: aggs + broadcast anti-joins
 ]
 
 
