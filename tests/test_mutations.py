@@ -61,12 +61,13 @@ def test_merge_composite_key(spark):
     source = spark.createDataFrame(
         [(1, "b", 9.0), (2, "a", 5.0)], "k1 long, k2 string, v double"
     )
-    out = merge_into(target, source, key=["k1", "k2"], update_cols=["v"],
-                     action_col="merge_action")
-    rows = {(r.k1, r.k2): r for r in out.collect()}
-    assert rows[(1, "a")].merge_action == "kept"
-    assert (rows[(1, "b")].v, rows[(1, "b")].merge_action) == (9.0, "updated")
-    assert rows[(2, "a")].merge_action == "inserted"
+    for bd in (False, True):
+        out = merge_into(target, source, key=["k1", "k2"], update_cols=["v"],
+                         action_col="merge_action", broadcast_delta=bd)
+        rows = {(r.k1, r.k2): r for r in out.collect()}
+        assert rows[(1, "a")].merge_action == "kept", bd
+        assert (rows[(1, "b")].v, rows[(1, "b")].merge_action) == (9.0, "updated"), bd
+        assert rows[(2, "a")].merge_action == "inserted", bd
 
 
 def test_merge_broadcast_delta_equivalent_and_shuffle_free(spark):
