@@ -44,12 +44,27 @@ ATTEMPTS_SCHEMA = T.StructType([
 
 def pending_work(manifest: DataFrame, attempts: DataFrame | None) -> DataFrame:
     """Q7 — resume as a left-anti join against prior successes. With no
-    attempt log yet, everything not flagged uploaded is pending."""
+    attempt log yet, everything not flagged uploaded is pending.
+
+    A success only counts if it happened AFTER the file's last modification
+    (max ok-attempt ts >= manifest mtime; both are UTC-naive instants):
+    ids are stable `xxhash64(path)`, so without the mtime comparison a
+    re-crawled MODIFIED file would be skipped as already-uploaded — the
+    incremental-recrawl workflow (cli recrawl -> upload) depends on stale
+    successes not masking fresh bytes. Manifests without an mtime column
+    (not produced by this engine's ingest) fall back to the pure anti-join."""
     pending = manifest.filter(~F.col("uploaded")) if "uploaded" in manifest.columns else manifest
     if attempts is None:
         return pending
-    successes = attempts.filter(F.col("ok")).select("id").distinct()
-    return pending.join(successes, "id", "left_anti")
+    ok = attempts.filter(F.col("ok"))
+    if "mtime" not in pending.columns:
+        return pending.join(ok.select("id").distinct(), "id", "left_anti")
+    last_ok = ok.groupBy("id").agg(F.max("ts").alias("_last_ok_ts"))
+    return (
+        pending.join(last_ok, "id", "left")
+        .filter(F.col("_last_ok_ts").isNull() | (F.col("_last_ok_ts") < F.col("mtime")))
+        .drop("_last_ok_ts")
+    )
 
 
 def _upload_batches(store_factory: StoreFactory, max_attempts: int, retry_sleep: float,

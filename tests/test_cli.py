@@ -63,3 +63,41 @@ def test_analyze_corpus_profile(spark, capsys):
     assert "docs=500 " in out
     assert "exact_dup_pct=" in out
     assert "lang=en" in out
+
+
+def test_recrawl_reports_delta_and_feeds_incremental_upload(spark, tree, tmp_path, capsys):
+    """recrawl after add/modify/remove: prints the delta, replaces the
+    manifest, and a following upload only ships the changed files (the
+    reference's implied 're-run it' workflow, readme.md:42 — done as a diff
+    instead of a full re-upload)."""
+    import os
+    import time
+
+    manifest = str(tmp_path / "manifest")
+    attempts = str(tmp_path / "attempts")
+    bucket = str(tmp_path / "bucket")
+
+    main(["prepare", str(tree), manifest])
+    main(["upload", manifest, bucket, attempts, "--cutoff", "src"])
+    capsys.readouterr()
+
+    # mutate the tree: one added, one modified (bump mtime+size), one removed
+    (tree / "a" / "new.txt").write_bytes(b"NEW")
+    time.sleep(0.01)
+    (tree / "a" / "x.txt").write_bytes(b"XXXX")
+    os.utime(tree / "a" / "x.txt")
+    (tree / "b" / "z.txt").unlink()
+
+    rc = main(["recrawl", str(tree), manifest])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "added=1" in out and "modified=1" in out and "removed=1" in out
+
+    # incremental upload: resume anti-join skips y.txt (already uploaded,
+    # unchanged), ships new.txt and the modified x.txt
+    rc = main(["upload", manifest, bucket, attempts, "--cutoff", "src"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    import pathlib
+    assert (pathlib.Path(bucket) / "a/new.txt").read_bytes() == b"NEW"
+    assert (pathlib.Path(bucket) / "a/x.txt").read_bytes() == b"XXXX"
