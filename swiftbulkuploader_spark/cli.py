@@ -128,7 +128,12 @@ def cmd_recrawl(args) -> int:
 
 
 def cmd_status(args) -> int:
-    from swiftbulkuploader_spark.plans.upload import latest_status
+    """Progress is derived from the CURRENT manifest joined to the attempt
+    log (apply_attempts), not from the raw log: successes for files since
+    removed from the manifest don't count, and a success older than a
+    file's mtime leaves it pending (same rule the next `upload` applies) —
+    status and upload always agree on the pending set."""
+    from swiftbulkuploader_spark.plans.upload import apply_attempts, latest_status
     from swiftbulkuploader_spark.streaming.progress import progress_line, rate_over_window
 
     spark = _spark()
@@ -139,9 +144,12 @@ def cmd_status(args) -> int:
     except Exception:  # noqa: BLE001
         print(progress_line(0, total))
         return 0
-    latest = latest_status(attempts).cache()
-    done = latest.filter("ok").count()
-    failed = latest.filter(~F.col("ok")).count()
+    done = apply_attempts(manifest, attempts).filter("uploaded").count()
+    failed = (
+        manifest.select("id")
+        .join(latest_status(attempts).filter(~F.col("ok")).select("id"), "id", "left_semi")
+        .count()
+    )
     print(progress_line(done, total))
     print(f"uploaded={done} failed={failed} pending={total - done}")
     for r in rate_over_window(attempts).orderBy("window_start").tail(5):

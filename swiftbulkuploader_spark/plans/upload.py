@@ -237,13 +237,29 @@ def apply_attempts(manifest: DataFrame, attempts: DataFrame) -> DataFrame:
     the engine's MERGE INTO; run it when compacting the manifest table).
 
     max(ok) per id instead of latest-wins: once any attempt succeeded the
-    file is uploaded, regardless of later failed re-attempts."""
-    status = attempts.groupBy("id").agg(F.max(F.col("ok").cast("int")).alias("_ok"))
+    file is uploaded, regardless of later failed re-attempts. Consistent
+    with `pending_work`'s mtime rule: a success older than the file's
+    current mtime does NOT mark it uploaded (the re-crawled file has fresh
+    bytes the store hasn't seen), so `status` and the next `upload` agree
+    on what is pending."""
+    ok = attempts.filter(F.col("ok"))
+    if "mtime" not in manifest.columns:
+        status = ok.select("id").distinct().withColumn("_ok", F.lit(True))
+        return (
+            manifest.drop("uploaded")
+            .join(status, "id", "left")
+            .withColumn("uploaded", F.coalesce(F.col("_ok"), F.lit(False)))
+            .drop("_ok")
+        )
+    last_ok = ok.groupBy("id").agg(F.max("ts").alias("_last_ok_ts"))
     return (
         manifest.drop("uploaded")
-        .join(status, "id", "left")
-        .withColumn("uploaded", F.coalesce(F.col("_ok") == 1, F.lit(False)))
-        .drop("_ok")
+        .join(last_ok, "id", "left")
+        .withColumn(
+            "uploaded",
+            F.coalesce(F.col("_last_ok_ts") >= F.col("mtime"), F.lit(False)),
+        )
+        .drop("_last_ok_ts")
     )
 
 

@@ -93,6 +93,13 @@ def test_recrawl_reports_delta_and_feeds_incremental_upload(spark, tree, tmp_pat
     assert rc == 0
     assert "added=1" in out and "modified=1" in out and "removed=1" in out
 
+    # status agrees with the upcoming upload: the modified and added files
+    # are pending (a success older than mtime no longer counts), y is not
+    rc = main(["status", manifest, attempts])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "uploaded=1" in out and "pending=2" in out
+
     # incremental upload: resume anti-join skips y.txt (already uploaded,
     # unchanged), ships new.txt and the modified x.txt
     rc = main(["upload", manifest, bucket, attempts, "--cutoff", "src"])
