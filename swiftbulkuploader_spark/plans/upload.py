@@ -257,7 +257,12 @@ def apply_attempts(manifest: DataFrame, attempts: DataFrame) -> DataFrame:
         .join(last_ok, "id", "left")
         .withColumn(
             "uploaded",
-            F.coalesce(F.col("_last_ok_ts") >= F.col("mtime"), F.lit(False)),
+            # NULL mtime (no modification info) -> any success counts,
+            # mirroring pending_work's filter semantics on the same rows
+            F.when(F.col("_last_ok_ts").isNull(), F.lit(False)).otherwise(
+                F.col("mtime").isNull()
+                | (F.col("_last_ok_ts") >= F.col("mtime"))
+            ),
         )
         .drop("_last_ok_ts")
     )
