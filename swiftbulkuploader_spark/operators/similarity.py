@@ -451,25 +451,33 @@ def x2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall@10 of the IVF index against the
-    brute-force exact top-10 — the measurement loop every ANN deployment
-    runs before trading exactness for partition pruning. One row:
-    (k, n_hits, recall).
+    """ANN quality evaluation: recall@10 of each approximate index (IVF and
+    multi-probe LSH) against the brute-force exact top-10 — the
+    measurement loop every ANN deployment runs before trading exactness
+    for partition/bucket pruning. One row per method:
+    (method, k, n_hits, recall).
 
-    Composes the two existing operators (both deterministic since the
-    round-4 quantizer rounding), joins their id sets, and counts overlap;
-    the oracle nests both queries' oracle SQL as derived tables, so the
-    recall number itself is engine-checked, not just the inputs."""
+    Composes the existing operators (all deterministic since the round-4
+    quantizer/plane-literal work), joins each id set against the exact
+    one, and counts overlap; the oracle nests the queries' oracle SQL as
+    derived tables, so the recall numbers themselves are engine-checked,
+    not just the inputs."""
     exact = x2_cosine_topk(spark, sf_dir).select("vec_id")
-    approx = x2_ivf_topk(spark, sf_dir).select("vec_id")
-    return (
-        exact.join(approx, "vec_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            F.lit(10).cast("long").alias("k"),
-            "n_hits",
-            (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+
+    def recall_of(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            exact.join(approx.select("vec_id"), "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(10).cast("long").alias("k"),
+                "n_hits",
+                (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+            )
         )
+
+    return recall_of("ivf", x2_ivf_topk(spark, sf_dir)).unionByName(
+        recall_of("lsh", x2_lsh_bucket_topk(spark, sf_dir))
     )
 
 
@@ -666,15 +674,6 @@ ORACLES["x2_mmr_rerank"] = """
     SELECT vec_id, relevance, CAST(5 AS INTEGER) AS mmr_rank FROM s5
 """
 
-# recall@10 oracle: both component queries' oracle SQL nested as derived
-# tables, overlap counted — checks the measurement, not just the inputs
-ORACLES["x2_ann_recall"] = f"""
-    SELECT CAST(10 AS BIGINT) AS k,
-           CAST(count(*) AS BIGINT) AS n_hits,
-           count(*) / CAST(10.0 AS DOUBLE) AS recall
-    FROM ({ORACLES["x2_cosine_topk"]}) exact
-    JOIN ({ORACLES["x2_ivf_topk"]}) approx USING (vec_id)
-"""
 
 # --- LSH oracles (round 4): the hyperplanes are deterministic Python
 # doubles (splitmix mix, no RNG state), so they inline as literals into
@@ -728,4 +727,23 @@ ORACLES["x2_lsh_similar_pairs"] = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
     FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+"""
+
+# recall@10 oracle (defined AFTER the LSH oracle it nests): each method's
+# oracle SQL nested as a derived table, overlap counted — checks the
+# measurement, not just the inputs
+ORACLES["x2_ann_recall"] = f"""
+    SELECT 'ivf' AS method,
+           CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           count(*) / CAST(10.0 AS DOUBLE) AS recall
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN ({ORACLES["x2_ivf_topk"]}) approx USING (vec_id)
+    UNION ALL
+    SELECT 'lsh',
+           CAST(10 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) / CAST(10.0 AS DOUBLE)
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN ({ORACLES["x2_lsh_bucket_topk"]}) approx USING (vec_id)
 """
