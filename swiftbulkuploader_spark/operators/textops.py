@@ -2,10 +2,10 @@
 
 Token counting, quality scoring, fingerprinting, stopword/language coverage —
 all pure Column expressions from functions/text.py, so they run at parquet
-scan speed (whole-stage codegen, no Python) over any corpus size. The
-heuristic language-ID itself (functions/text.py::detect_lang) ships as a
-rows-only query (x3_lang_id) — its tie-break CASE cascade is Spark-side by
-design; unit tests pin its semantics.
+scan speed (whole-stage codegen, no Python) over any corpus size. Every
+query here is DuckDB-oracle-checked, including the heuristic language-ID
+(x3_lang_id — its tie-break CASE cascade is mirrored in the oracle SQL);
+unit tests additionally pin the primitives on crafted text.
 """
 
 from __future__ import annotations
