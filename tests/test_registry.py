@@ -150,3 +150,37 @@ def test_total_operators_survive_empty_tables(spark, tmp_path):
     for name in total_fns:
         rows = registry.QUERIES[name](spark, str(tmp_path)).collect()
         assert isinstance(rows, list), name  # ran to completion
+
+
+def test_dq_audit_detects_crafted_violations(spark, tmp_path):
+    """The driver tables are clean (every check passes), so prove the audit
+    FIRES: duplicate key, null FK, non-positive price, orphan lineitem,
+    orphan order — each check must count its planted violation."""
+    from swiftbulkuploader_spark.operators.profiling import x6_dq_audit
+
+    orders = [
+        (1, 10, "O", 5.0, None, "1-URGENT"),
+        (1, 10, "O", 6.0, None, "1-URGENT"),     # duplicate o_orderkey
+        (2, None, "F", 7.0, None, "2-HIGH"),      # null o_custkey
+        (3, 99, "F", -1.0, None, "3-MEDIUM"),     # non-positive price; 99 has no customer
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1.0), (777, 2.0)], "l_orderkey long, l_quantity double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))  # 777 is an orphan
+    spark.createDataFrame(
+        [(10, "a")], "c_custkey long, c_name string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = {r["check"]: r for r in x6_dq_audit(spark, str(tmp_path)).collect()}
+    assert got["orders.o_orderkey.unique"]["violations"] == 1
+    assert got["orders.o_custkey.not_null"]["violations"] == 1
+    assert got["orders.o_totalprice.positive"]["violations"] == 1
+    assert got["lineitem.l_orderkey.referential"]["violations"] == 1
+    # null FK never matches a parent; 99 has no customer row -> 2 orphans
+    assert got["orders.o_custkey.referential"]["violations"] == 2
+    assert all(not r["passed"] for r in got.values())
