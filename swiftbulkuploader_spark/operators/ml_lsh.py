@@ -86,9 +86,69 @@ def x2_ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_brp_pairs(emb)
 
 
+def x2_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a pyspark.ml KMeans-REFINED coarse quantizer — the
+    documented upgrade path of `similarity._ivf_centroids` ("at scale you'd
+    refine with KMeans") actually realized: Lloyd-refined centroids tighten
+    clusters, so the same N_PROBE probes recover more of the true
+    neighborhood than first-n-by-id centroids.
+
+    Scale shape is identical to x2_ivf_topk — the quantizer swap changes
+    ONLY the (driver-side, bounded: k x dim doubles) centroid table; the
+    query path stays assign -> probe filter -> exact cosine top-10 with
+    cluster-id partition pruning at rest. KMeans itself is the standard
+    distributed Lloyd's (pyspark.ml, seeded). Rows-only check: the refined
+    centroids depend on ml's init sampling, which no SQL engine reproduces;
+    the recall-vs-brute-force property is pinned by tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from swiftbulkuploader_spark.operators.similarity import (
+        N_PROBE,
+        assign_ivf_cluster,
+        _query_vector,
+    )
+    from swiftbulkuploader_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=16, seed=SEED, maxIter=5, initMode="k-means||")
+    centroids = [list(map(float, c)) for c in km.fit(vecs).clusterCenters()]
+
+    q = _query_vector(spark, sf_dir, 0)
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else -2.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-round(_cos(q, centroids[i]), 6), -i)
+    )[:N_PROBE]
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.withColumn(
+            "cluster",
+            assign_ivf_cluster(F.col("embedding").cast("array<double>"), centroids),
+        )
+        .filter(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     "x2_ml_minhash_pairs": x2_ml_minhash_pairs,
     "x2_ml_brp_pairs": x2_ml_brp_pairs,
+    "x2_ivf_kmeans_topk": x2_ivf_kmeans_topk,
 }
 
-ORACLES: dict[str, str] = {}  # estimator-specific hashing: rows-only by design
+ORACLES: dict[str, str] = {}  # estimator-specific hashing/init: rows-only by design

