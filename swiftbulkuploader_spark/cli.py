@@ -144,9 +144,13 @@ def cmd_status(args) -> int:
     except Exception:  # noqa: BLE001
         print(progress_line(0, total))
         return 0
-    done = apply_attempts(manifest, attempts).filter("uploaded").count()
+    flagged = apply_attempts(manifest, attempts).cache()
+    done = flagged.filter("uploaded").count()
+    # failed is DISJOINT from uploaded: only not-uploaded files whose latest
+    # attempt failed (a success followed by a failed retry is still uploaded)
     failed = (
-        manifest.select("id")
+        flagged.filter(~F.col("uploaded"))
+        .select("id")
         .join(latest_status(attempts).filter(~F.col("ok")).select("id"), "id", "left_semi")
         .count()
     )

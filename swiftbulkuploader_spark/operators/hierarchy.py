@@ -87,7 +87,10 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item").isNotNull())
         .distinct()
     )
-    item_node = F.col("item") + F.lit(10000)
+    # items live in NEGATIVE id space (-1-item): disjoint from user ids at
+    # ANY scale, where a fixed +10000 offset would collide once
+    # user_id >= 10000 and silently fuse two nodes' edges and rank
+    item_node = -(F.col("item") + F.lit(1))
     edges = (
         pairs.select(F.col("u").alias("src"), item_node.alias("dst"))
         .unionByName(pairs.select(item_node.alias("src"), F.col("u").alias("dst")))
@@ -145,9 +148,9 @@ ORACLES = {
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         ), edges AS (
-            SELECT u AS src, item + 10000 AS dst FROM pairs
+            SELECT u AS src, -(item + 1) AS dst FROM pairs
             UNION ALL
-            SELECT item + 10000 AS src, u AS dst FROM pairs
+            SELECT -(item + 1) AS src, u AS dst FROM pairs
         ), deg AS (
             SELECT src, count(*) AS outdeg FROM edges GROUP BY src
         ), nodes AS (

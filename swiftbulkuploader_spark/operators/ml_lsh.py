@@ -104,45 +104,25 @@ def x2_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     from swiftbulkuploader_spark.operators.similarity import (
-        N_PROBE,
-        assign_ivf_cluster,
         _query_vector,
+        ivf_search,
     )
-    from swiftbulkuploader_spark.functions.vectors import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # cache the Vector-converted input: Lloyd's re-reads it every iteration
+    # (Spark itself warns when a KMeans input is uncached)
     vecs = emb.select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
+    ).persist()
     km = KMeans(k=16, seed=SEED, maxIter=5, initMode="k-means||")
-    centroids = [list(map(float, c)) for c in km.fit(vecs).clusterCenters()]
+    try:
+        centroids = [list(map(float, c)) for c in km.fit(vecs).clusterCenters()]
+    finally:
+        vecs.unpersist()
 
     q = _query_vector(spark, sf_dir, 0)
-
-    def _cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return num / den if den else -2.0
-
-    probe = sorted(
-        range(len(centroids)), key=lambda i: (-round(_cos(q, centroids[i]), 6), -i)
-    )[:N_PROBE]
-    qcol = F.array(*[F.lit(v) for v in q])
-    return (
-        emb.withColumn(
-            "cluster",
-            assign_ivf_cluster(F.col("embedding").cast("array<double>"), centroids),
-        )
-        .filter(F.col("cluster").isin(probe))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(10)
-    )
+    # same shared query path as x2_ivf_topk — only the quantizer differs
+    return ivf_search(emb, centroids, q)
 
 
 QUERIES = {

@@ -369,8 +369,9 @@ def x6_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * uniqueness  — key cardinality vs row count (one agg, no self-join);
     * not-null    — conditional count in the same style;
-    * referential — child ANTI JOIN parent on the FK (parent side
-      broadcastable when it is a dim table);
+    * referential — child LEFT JOIN distinct parent keys, counting
+      null-parent rows and total rows in the same aggregate (parent side
+      broadcast only when it is a dim table);
     * domain      — predicate violation count at scan speed.
 
     One row per check: (check, violations, n_checked, passed). The checks
@@ -401,21 +402,35 @@ def x6_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("violations"),
         F.count(F.lit(1)).alias("n_checked"),
     )
-    n_li = lineitem.count()
+    # referential checks as LEFT JOIN + conditional count: violations and
+    # n_checked come out of ONE pass (no eager .count() jobs at plan-build
+    # time). The parent side is broadcast only when it IS a dim table
+    # (customer); orders-as-parent is a fact table, so that join is left to
+    # Catalyst/AQE — forcing a broadcast there would fail outright at the
+    # 100 TB scale this audit claims.
     orphan_li = (
         lineitem.select(F.col("l_orderkey"))
-        .join(F.broadcast(orders.select("o_orderkey")),
-              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("violations"))
-        .withColumn("n_checked", F.lit(n_li))
+        .join(
+            orders.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
     )
-    n_ord = orders.count()
     orphan_cust = (
         orders.select("o_custkey")
-        .join(F.broadcast(customer.select("c_custkey")),
-              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("violations"))
-        .withColumn("n_checked", F.lit(n_ord))
+        .join(
+            F.broadcast(customer.select("c_custkey").distinct()),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias("violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
     )
     return (
         check("orders.o_orderkey.unique", unique_key)

@@ -224,6 +224,47 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str,
     return [[float(v) for v in r[0]] for r in rows]
 
 
+def _py_cos(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine (sequential double ops, mirrors the oracle)."""
+    num = sum(x * y for x, y in zip(a, b))
+    den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+    return num / den if den else -2.0
+
+
+def ivf_search(emb: DataFrame, centroids: list[list[float]], q: list[float],
+               n_probe: int = N_PROBE, k: int = 10,
+               round_dp: int | None = 6) -> DataFrame:
+    """The shared IVF query path: assign -> probe the n_probe nearest
+    centroids (rounded cos, cid-desc tie-break — mirrors the oracle's ORDER
+    BY exactly) -> exact cosine top-k inside the probed clusters. Both
+    quantizer variants (first-n deterministic, pyspark.ml KMeans-refined)
+    call this, so probe/tie-break semantics can never silently diverge
+    between the operators the recall eval compares."""
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (-round(_py_cos(q, centroids[i]), 6), -i),
+    )[:n_probe]
+    qcol = F.array(*[F.lit(v) for v in q])
+    return (
+        emb.withColumn(
+            "cluster",
+            assign_ivf_cluster(
+                F.col("embedding").cast("array<double>"), centroids,
+                round_dp=round_dp,
+            ),
+        )
+        .filter(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid,
     probe the N_PROBE centroids closest to the query, exact cosine inside
@@ -234,38 +275,13 @@ def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checkable (round-4 upgrade from rows-only): the quantizer is
     deterministic (first-16-by-id centroids) and every compared cosine —
     probe selection, cluster argmax, final ranking — is rounded to 6 dp
-    with id tie-breaks before any ordering decision, so DuckDB reproduces
-    the identical result from its own double arithmetic (the same recipe
-    that oracles x1_semantic_dedup)."""
+    with id tie-breaks before any ordering decision (see `ivf_search`), so
+    DuckDB reproduces the identical result from its own double arithmetic
+    (the same recipe that oracles x1_semantic_dedup)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
-        return num / den if den else -2.0
-
-    # rounded + cid-desc tie-break: mirrors the oracle's ORDER BY exactly
-    probe = sorted(
-        range(len(cents)), key=lambda i: (-round(_cos(q, cents[i]), 6), -i)
-    )[:N_PROBE]
-    qcol = F.array(*[F.lit(v) for v in q])
-    return (
-        emb.withColumn(
-            "cluster",
-            assign_ivf_cluster(
-                F.col("embedding").cast("array<double>"), cents, round_dp=6
-            ),
-        )
-        .filter(F.col("cluster").isin(probe))
-        .select(
-            "vec_id",
-            F.round(cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(10)
-    )
+    return ivf_search(emb, cents, q)
 
 
 def x2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +478,12 @@ def x2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one, and counts overlap; the oracle nests the queries' oracle SQL as
     derived tables, so the recall numbers themselves are engine-checked,
     not just the inputs."""
-    exact = x2_cosine_topk(spark, sf_dir).select("vec_id")
+    # checkpoint the 10-row exact frame: it feeds BOTH union branches, and
+    # Spark does not CSE across union branches (cf. components.py) — without
+    # it the full-corpus cosine scan would execute twice per action
+    exact = (
+        x2_cosine_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
 
     def recall_of(method: str, approx: DataFrame) -> DataFrame:
         return (

@@ -91,9 +91,12 @@ def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(QM_W[3]) * (stop_hits.cast("double") / n_toks)
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # keep_prob ships UNROUNDED: the verifier normalizes floats to 9
+    # significant digits, while round(x, 6) would re-introduce half-way
+    # representation edges where the engines' ln/exp ulps disagree
     return docs.select(
         "doc_id",
-        F.round(score, 6).alias("keep_prob"),
+        score.alias("keep_prob"),
         (score >= 0.5).alias("keep"),
     )
 
@@ -332,8 +335,8 @@ _ORACLE_STOPWORD_CASE = " ".join(
 
 ORACLES = {
     # same frozen weights/features; the sigmoid is the identical double op
-    # sequence (ln/exp ulps absorbed by the 9-sig-digit hash normalization,
-    # the 6-dp round only for display stability)
+    # sequence; ln/exp ulps are absorbed by the 9-sig-digit hash
+    # normalization (no round() — see CLAUDE.md rule 3)
     "x3_quality_model": """
         WITH f AS (
             SELECT doc_id, n_chars,
@@ -353,7 +356,7 @@ ORACLES = {
             FROM f
         )
         SELECT doc_id,
-               round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 6) AS keep_prob,
+               CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS keep_prob,
                (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z))) >= 0.5 AS keep
         FROM z
     """,

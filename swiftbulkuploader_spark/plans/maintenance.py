@@ -63,8 +63,13 @@ def compact_attempts(attempts: DataFrame, keep_failures: bool = True) -> DataFra
 
 def status_asof(manifest: DataFrame, attempts: DataFrame, ts) -> DataFrame:
     """Snapshot: each file's uploaded-state as of `ts` (inclusive) — the
-    append-only log replayed up to T. `ts` may be a literal or Column."""
+    append-only log replayed up to T. `ts` may be a literal or Column.
+
+    Replayed with ``mtime_aware=False``: the manifest's mtimes are CURRENT,
+    and gating a historical log on them would rewrite history — a file
+    uploaded at t1 then re-crawled later must still read uploaded in the
+    as-of-t1 snapshot."""
     from swiftbulkuploader_spark.plans.upload import apply_attempts
 
     cut = attempts.filter(F.col("ts") <= ts)
-    return apply_attempts(manifest, cut)
+    return apply_attempts(manifest, cut, mtime_aware=False)

@@ -231,40 +231,57 @@ def upload_segmented(manifest: DataFrame, store_factory: StoreFactory,
     return work.mapInPandas(fn, ATTEMPTS_SCHEMA)
 
 
-def apply_attempts(manifest: DataFrame, attempts: DataFrame) -> DataFrame:
+def apply_attempts(manifest: DataFrame, attempts: DataFrame,
+                   mtime_aware: bool = True) -> DataFrame:
     """Materialize the mutable view: manifest with `uploaded` derived from
     the attempt log (U2's `UPDATE ... SET uploaded=1` as a batch join —
     the engine's MERGE INTO; run it when compacting the manifest table).
 
     max(ok) per id instead of latest-wins: once any attempt succeeded the
-    file is uploaded, regardless of later failed re-attempts. Consistent
-    with `pending_work`'s mtime rule: a success older than the file's
-    current mtime does NOT mark it uploaded (the re-crawled file has fresh
-    bytes the store hasn't seen), so `status` and the next `upload` agree
-    on what is pending."""
+    file is uploaded, regardless of later failed re-attempts. A manifest
+    row already flagged uploaded=True STAYS uploaded even if the log was
+    compacted/rotated since — the flag is the durable record, the log the
+    incremental one (pending_work trusts the flag the same way).
+
+    ``mtime_aware`` (default) applies `pending_work`'s modification rule: a
+    success older than the file's current mtime does NOT mark it uploaded
+    (the re-crawled file has fresh bytes the store hasn't seen), so
+    `status` and the next `upload` agree on what is pending. Pass False
+    when replaying the log for a PAST instant (`status_asof`): comparing a
+    historical log against CURRENT mtimes would silently rewrite history
+    whenever a later recrawl bumps a file's mtime."""
+    prior = (
+        F.coalesce(F.col("uploaded"), F.lit(False))
+        if "uploaded" in manifest.columns else F.lit(False)
+    )
     ok = attempts.filter(F.col("ok"))
-    if "mtime" not in manifest.columns:
+    if not mtime_aware or "mtime" not in manifest.columns:
         status = ok.select("id").distinct().withColumn("_ok", F.lit(True))
         return (
-            manifest.drop("uploaded")
+            manifest.withColumn("_prior", prior)
+            .drop("uploaded")
             .join(status, "id", "left")
-            .withColumn("uploaded", F.coalesce(F.col("_ok"), F.lit(False)))
-            .drop("_ok")
+            .withColumn(
+                "uploaded", F.col("_prior") | F.coalesce(F.col("_ok"), F.lit(False))
+            )
+            .drop("_ok", "_prior")
         )
     last_ok = ok.groupBy("id").agg(F.max("ts").alias("_last_ok_ts"))
     return (
-        manifest.drop("uploaded")
+        manifest.withColumn("_prior", prior)
+        .drop("uploaded")
         .join(last_ok, "id", "left")
         .withColumn(
             "uploaded",
             # NULL mtime (no modification info) -> any success counts,
             # mirroring pending_work's filter semantics on the same rows
-            F.when(F.col("_last_ok_ts").isNull(), F.lit(False)).otherwise(
+            F.col("_prior")
+            | F.when(F.col("_last_ok_ts").isNull(), F.lit(False)).otherwise(
                 F.col("mtime").isNull()
                 | (F.col("_last_ok_ts") >= F.col("mtime"))
             ),
         )
-        .drop("_last_ok_ts")
+        .drop("_last_ok_ts", "_prior")
     )
 
 

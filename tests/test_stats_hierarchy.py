@@ -81,9 +81,9 @@ def test_pagerank_star_graph(spark, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
 
     pr = {r["node"]: r["pr"] for r in x8_pagerank(spark, str(tmp_path)).collect()}
-    # nodes: users 0-4, items 10000 (hub) and 10001 (leaf)
-    assert set(pr) == {0, 1, 2, 3, 4, 10000, 10001}
-    assert pr[10000] > pr[10001]          # hub collects more rank
+    # nodes: users 0-4, items -1 (hub, k=0) and -2 (leaf, k=1)
+    assert set(pr) == {0, 1, 2, 3, 4, -1, -2}
+    assert pr[-1] > pr[-2]                # hub collects more rank
     assert pr[0] > pr[1]                  # user 0 has an extra in-edge
     assert all(v > 0 for v in pr.values())
     total = sum(pr.values())
