@@ -85,3 +85,33 @@ class TestAsOf:
                for r in status_asof(manifest, attempts, F.lit(_ts(6))).collect()}
         assert at2 == {1: True, 3: False}   # /c hadn't succeeded yet at T=2
         assert at6 == {1: True, 3: True}    # history replayed through T=6
+
+    def test_snapshot_immune_to_later_recrawl_mtime(self, spark):
+        """Time travel must not be rewritten by the present: a file uploaded
+        at t1 and re-crawled later (manifest mtime now t4 > t1) still reads
+        uploaded in the as-of-t2 snapshot — the historical log is replayed
+        without gating on CURRENT mtimes."""
+        manifest = spark.createDataFrame(
+            [(1, "/a", 1, _ts(4), False, None)], M_SCHEMA)  # recrawled at t4
+        attempts = spark.createDataFrame(
+            [(1, "/a", "a", _ts(1), 1, True, None)], ATTEMPTS_SCHEMA)
+        at2 = {r["id"]: r["uploaded"]
+               for r in status_asof(manifest, attempts, F.lit(_ts(2))).collect()}
+        assert at2 == {1: True}
+
+
+class TestPriorFlag:
+    def test_compacted_flag_survives_log_rotation(self, spark):
+        """A manifest row already flagged uploaded=True (compaction wrote the
+        durable flag) stays uploaded even when the attempt log has been
+        rotated away — status and pending_work agree the file is done."""
+        from swiftbulkuploader_spark.plans.upload import apply_attempts, pending_work
+
+        manifest = spark.createDataFrame(
+            [(1, "/a", 1, _ts(0), True, None),
+             (2, "/b", 1, _ts(0), False, None)], M_SCHEMA)
+        empty_log = spark.createDataFrame([], ATTEMPTS_SCHEMA)
+        flagged = {r["id"]: r["uploaded"]
+                   for r in apply_attempts(manifest, empty_log).collect()}
+        assert flagged == {1: True, 2: False}
+        assert {r["id"] for r in pending_work(manifest, empty_log).collect()} == {2}
