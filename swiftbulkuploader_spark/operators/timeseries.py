@@ -107,12 +107,72 @@ def x7_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x7_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per time bucket
+    keep exactly the min, max, first and last values — the four points that
+    make a line chart of the bucket pixel-identical to the full series.
+    THE standard way to ship a billion-point series to a dashboard.
+
+    Shape: one bucketed groupBy with min/max plus two row_number windows
+    (ascending/descending within the bucket, event_id tie-break) resolved
+    in the same partitioned pass — everything is keyed on the bucket, so
+    the plan is a narrow per-bucket window + aggregate with no global sort
+    at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    b = events.select(
+        F.window("ts", "1 hour").alias("w"), "ts", "event_id", "value"
+    ).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "ts", "event_id", "value",
+    )
+    asc = Window.partitionBy("bucket").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = Window.partitionBy("bucket").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = b.select(
+        "bucket", "value",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+    )
+
+
 QUERIES = {
+    "x7_m4_downsample": x7_m4_downsample,
     "x7_gap_fill": x7_gap_fill,
     "x7_multi_rollup": x7_multi_rollup,
 }
 
 ORACLES = {
+    "x7_m4_downsample": """
+        WITH b AS (
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS bucket,
+                   ts, event_id, value
+            FROM events
+        ), r AS (
+            SELECT bucket, value,
+                   row_number() OVER (PARTITION BY bucket
+                                      ORDER BY ts ASC, event_id ASC) AS rn_a,
+                   row_number() OVER (PARTITION BY bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM b
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+               max(CASE WHEN rn_d = 1 THEN value END) AS v_last
+        FROM r
+        GROUP BY bucket
+    """,
     "x7_gap_fill": """
         WITH bucketed AS (
             SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
