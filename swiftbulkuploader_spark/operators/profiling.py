@@ -441,8 +441,42 @@ def x6_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit analysis of order totals — the classic
+    fraud/synthetic-data screen: naturally-occurring multiplicative amounts
+    follow P(d) = log10(1 + 1/d); fabricated or uniformly-generated values
+    don't. One row per leading digit with observed vs expected share and
+    the chi-square contribution.
+
+    The leading digit is extracted from a FIXED-FORMAT string
+    (printf '%.2f') rather than float log10 math: double->string casts
+    differ across engines, but C-style printf is byte-identical, so the
+    digit — and therefore the whole distribution — is oracle-exact. Single
+    scan + 9-group aggregate; trivially scale-safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_total = orders.count()  # metadata-scale; inlined as a literal
+    digit = F.substring(F.format_string("%.2f", F.col("o_totalprice")), 1, 1)
+    per = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    observed = F.col("n") / F.lit(float(n_total))
+    return per.select(
+        "digit",
+        "n",
+        expected.alias("expected_share"),
+        observed.alias("observed_share"),
+        (
+            F.pow(observed - expected, F.lit(2.0)) / expected * F.lit(float(n_total))
+        ).alias("chi2_term"),
+    )
+
+
 QUERIES = {
     "x6_dq_audit": x6_dq_audit,
+    "x6_benford_digits": x6_benford_digits,
     "x6_equiwidth_histogram": x6_equiwidth_histogram,
     "x6_hll_mergeable": x6_hll_mergeable,
     "x6_median_disc": x6_median_disc,
@@ -459,6 +493,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # n_total is the unfiltered row count (all totals are > 0 in the data;
+    # the filter guards the engine against degenerate inputs, the share
+    # denominator matches Spark's driver literal)
+    "x6_benford_digits": """
+        WITH per AS (
+            SELECT substr(printf('%.2f', o_totalprice), 1, 1) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_total FROM orders
+        )
+        SELECT digit, n,
+               log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)) AS expected_share,
+               n / nn.n_total AS observed_share,
+               pow(n / nn.n_total
+                   - log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 2)
+                 / log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+                 * nn.n_total AS chi2_term
+        FROM per, nn
+    """,
     "x6_dq_audit": """
         SELECT 'orders.o_orderkey.unique' AS "check",
                CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
