@@ -21,12 +21,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from swiftbulkuploader_spark.session import get_spark  # noqa: E402
 from swiftbulkuploader_spark import registry  # noqa: E402
 from swiftbulkuploader_spark.operators.profiling import approx_quantiles_sketch  # noqa: E402
+from swiftbulkuploader_spark.operators.training_prep import dataset_card_sketch  # noqa: E402
 
 # The registered x6_quantiles_approx became a tolerance-check that computes
 # exact AND sketch percentiles (round 4); timing it would fake a regression
 # in the r1->rN bench timeline. Keep timing the pure GK sketch under the
 # same headline key so exact-vs-sketch cost stays an apples comparison.
-BENCH_OVERRIDES = {"x6_quantiles_approx": approx_quantiles_sketch}
+# Same for x6_dataset_card: the scale default is the GK-sketch card (round
+# 5), so that's the form the bench times.
+BENCH_OVERRIDES = {
+    "x6_quantiles_approx": approx_quantiles_sketch,
+    "x6_dataset_card": dataset_card_sketch,
+}
 
 # Headline set: one per operator family (SURVEY.md §2 + §2.9 extensions).
 HEADLINE = [
@@ -78,8 +84,10 @@ HEADLINE = [
     "x2_mmr_rerank",            # bounded-pool MMR diversification (applyInPandas)
     "u2_merge_upsert",          # MERGE INTO, shuffle-free broadcast-delta form
     "x1_repeated_passages",     # exact repeated 8-gram passages (substring dedup)
+    "x1_repeated_passages_hashed",  # same detection, 8-byte xxhash64 shuffle key
     "x8_pagerank",              # 3-round distributed PageRank (iterative shuffle)
     "x6_dq_audit",              # constraint suite: aggs + broadcast anti-joins
+    "x6_dataset_card",          # per-source datasheet (GK-sketch p50 scale form)
 ]
 
 

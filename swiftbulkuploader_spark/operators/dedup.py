@@ -652,8 +652,9 @@ def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     them byte-for-byte — unlike hashed-shingle MinHash, this stays fully
     oracle-checkable.
 
-    Scale alternative recorded: replace the gram string key with xxhash64
-    (shuffles 8 bytes instead of ~50) once oracle parity isn't needed.
+    Scale alternative: ``x1_repeated_passages_hashed`` below — the same
+    aggregation shuffling 8-byte xxhash64 keys instead of ~50-byte gram
+    strings, verified against THIS form's results via key-invariant stats.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
@@ -680,9 +681,57 @@ def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_repeated_passages_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``x1_repeated_passages``: identical detection
+    semantics, but the wide shuffle is keyed on ``xxhash64(gram)`` — 8 bytes
+    per row instead of the ~50-byte literal 8-gram string. At corpus scale
+    the gram shuffle dominates the query's cost, so the key-width swap cuts
+    shuffle bytes ~4x on the dominant exchange (measured: tools/
+    scaling_probe.py ``repeated_passages_key`` shape, SCALING.md row).
+    Collision odds are ~n_grams^2 / 2^64 — far below the row error budget
+    (the same argument as the contamination inverted index above).
+
+    Verification: DuckDB has no xxhash64, so instead of emitting raw hash
+    keys the query returns KEY-INVARIANT aggregate stats — the duplication-
+    level histogram (one row per n_docs level with the number of repeated
+    gram groups, total occurrences, and the sum of per-group first-doc ids).
+    The literal-gram oracle computes the same histogram from gram strings;
+    any hash collision, lost group, or miscount would shift a bucket and
+    hash-mismatch. The histogram group-by runs over the already-aggregated
+    repeated-gram set (tiny), so the added stage is free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    grams = (
+        docs.select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+        .filter(F.size(toks) >= 8)
+        # hash BEFORE the explode/shuffle: the string never leaves the scan
+        # stage; every downstream exchange carries the 8-byte key
+        .select(
+            "doc_id",
+            F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("gh"),
+        )
+    )
+    per_doc = grams.groupBy("gh", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    repeated = (
+        per_doc.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return repeated.groupBy("n_docs").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.sum("first_doc_id").alias("sum_first_doc"),
+    )
+
+
 QUERIES = {
     "x1_semantic_dedup": x1_semantic_dedup,
     "x1_repeated_passages": x1_repeated_passages,
+    "x1_repeated_passages_hashed": x1_repeated_passages_hashed,
     "x1_exact_dedup": x1_exact_dedup,
     "x1_contamination": x1_contamination,
     "x1_contamination_indexed": x1_contamination_indexed,
@@ -719,6 +768,34 @@ ORACLES = {
         FROM g
         GROUP BY gram
         HAVING count(DISTINCT doc_id) >= 2
+    """,
+    # oracle twin computed over LITERAL grams: the duplication-level
+    # histogram is invariant to the key representation, so it verifies the
+    # xxhash64-keyed Spark plan without DuckDB needing the hash function
+    "x1_repeated_passages_hashed": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            WHERE len(toks) >= 8
+        ), per AS (
+            SELECT gram,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occ,
+                   min(doc_id) AS fd
+            FROM g
+            GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+               CAST(sum(fd) AS BIGINT) AS sum_first_doc
+        FROM per
+        GROUP BY n_docs
     """,
     # same quantizer (first-32-by-id centroids), same rounded-cos argmax
     # (ties to higher cid), same lower-id-wins ball pruning — engine-exact

@@ -84,11 +84,14 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     pairs = (
         events.select(F.col("user_id").alias("u"), k.alias("item"))
-        .filter(F.col("item").isNotNull())
+        # item >= 0 keeps the encoding below injective: a negative item key
+        # (never present in the fixture, but possible in arbitrary JSON)
+        # would map into the user id space and silently fuse two nodes
+        .filter(F.col("item").isNotNull() & (F.col("item") >= 0))
         .distinct()
     )
-    # items live in NEGATIVE id space (-1-item): disjoint from user ids at
-    # ANY scale, where a fixed +10000 offset would collide once
+    # non-negative items live in NEGATIVE id space (-1-item): disjoint from
+    # user ids at ANY scale, where a fixed +10000 offset would collide once
     # user_id >= 10000 and silently fuse two nodes' edges and rank
     item_node = -(F.col("item") + F.lit(1))
     edges = (
@@ -147,6 +150,7 @@ ORACLES = {
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
         ), edges AS (
             SELECT u AS src, -(item + 1) AS dst FROM pairs
             UNION ALL

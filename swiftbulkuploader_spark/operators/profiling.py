@@ -456,8 +456,11 @@ def x6_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     n_total = orders.count()  # metadata-scale; inlined as a literal
     digit = F.substring(F.format_string("%.2f", F.col("o_totalprice")), 1, 1)
+    # >= 1, not > 0: a value in (0,1) has leading digit '0', whose
+    # expected_share log10(1 + 1/0) is Infinity in Spark but NULL in DuckDB
+    # — degenerate inputs must be excluded identically on both sides
     per = (
-        orders.filter(F.col("o_totalprice") > 0)
+        orders.filter(F.col("o_totalprice") >= 1)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -493,14 +496,15 @@ QUERIES = {
 }
 
 ORACLES = {
-    # n_total is the unfiltered row count (all totals are > 0 in the data;
-    # the filter guards the engine against degenerate inputs, the share
-    # denominator matches Spark's driver literal)
+    # n_total is the unfiltered row count (all totals are >= 1 in the data;
+    # the filter guards the engine against degenerate inputs — (0,1) values
+    # would yield digit '0' and an Inf-vs-NULL expected_share divergence —
+    # the share denominator matches Spark's driver literal)
     "x6_benford_digits": """
         WITH per AS (
             SELECT substr(printf('%.2f', o_totalprice), 1, 1) AS digit,
                    CAST(count(*) AS BIGINT) AS n
-            FROM orders WHERE o_totalprice > 0
+            FROM orders WHERE o_totalprice >= 1
             GROUP BY 1
         ), nn AS (
             SELECT CAST(count(*) AS DOUBLE) AS n_total FROM orders

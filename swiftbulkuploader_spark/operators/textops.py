@@ -93,11 +93,15 @@ def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     # keep_prob ships UNROUNDED: the verifier normalizes floats to 9
     # significant digits, while round(x, 6) would re-introduce half-way
-    # representation edges where the engines' ln/exp ulps disagree
+    # representation edges where the engines' ln/exp ulps disagree.
+    # keep is a BOOLEAN the normalization can't absorb, so it must not
+    # inherit exp's ulps: sigmoid(z) >= 0.5 <=> z >= 0, decided on a
+    # 6-dp-rounded z (round-before-boolean, CLAUDE.md rule 3) identically
+    # in the oracle.
     return docs.select(
         "doc_id",
         score.alias("keep_prob"),
-        (score >= 0.5).alias("keep"),
+        (F.round(z, 6) >= 0.0).alias("keep"),
     )
 
 
@@ -336,7 +340,9 @@ _ORACLE_STOPWORD_CASE = " ".join(
 ORACLES = {
     # same frozen weights/features; the sigmoid is the identical double op
     # sequence; ln/exp ulps are absorbed by the 9-sig-digit hash
-    # normalization (no round() — see CLAUDE.md rule 3)
+    # normalization (no round() on keep_prob — see CLAUDE.md rule 3); the
+    # keep BOOLEAN instead thresholds round(z,6) >= 0 on both sides so a
+    # last-ulp exp() disagreement can't flip it
     "x3_quality_model": """
         WITH f AS (
             SELECT doc_id, n_chars,
@@ -357,7 +363,7 @@ ORACLES = {
         )
         SELECT doc_id,
                CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS keep_prob,
-               (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z))) >= 0.5 AS keep
+               round(z, 6) >= CAST(0 AS DOUBLE) AS keep
         FROM z
     """,
     "x3_redact": r"""

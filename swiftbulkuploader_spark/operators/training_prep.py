@@ -271,19 +271,17 @@ def x1_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def x6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source dataset datasheet — the summary table a corpus release
-    ships (docs, chars, length distribution, language spread, share of
-    corpus). One partial+final aggregate over the scan; the corpus-share
-    window runs over the ~n_sources aggregate rows, never raw data."""
+def _dataset_card(spark: SparkSession, sf_dir: str, p50_col) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(p50_col, 6).alias("p50_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+    # bounded input: the share window runs over the ~n_sources aggregate
+    # rows (not raw data), so the single unpartitioned WindowExec is fine
     w_all = Window.partitionBy()
     return per.select(
         "source", "n_docs", "total_chars", "avg_chars", "p50_chars", "n_langs",
@@ -292,9 +290,63 @@ def x6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT dataset datasheet — per-source docs, chars, length
+    distribution, language spread, corpus share — with the p50 computed by
+    the GK `percentile_approx` sketch: single pass, bounded memory,
+    mergeable partials. This is the form composed pipelines call at corpus
+    scale (exact `percentile` state grows with distinct values —
+    profiling.py's documented 100x-memory risk). Same schema as the exact
+    twin, so callers swap freely. Not a hash-compared contract query
+    (sketch output is engine-specific); its correctness contract is
+    `x6_dataset_card_approx`, which bounds the sketch against the exact
+    percentile per source and IS oracled."""
+    p50 = F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
+    return _dataset_card(spark, sf_dir, p50)
+
+
+def x6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the summary table a corpus release
+    ships (docs, chars, length distribution, language spread, share of
+    corpus). One partial+final aggregate over the scan; the corpus-share
+    window runs over the ~n_sources aggregate rows, never raw data.
+
+    TEST-SCALE form: p50 is the exact interpolated percentile so DuckDB
+    hash-matches it. The scale default is `dataset_card_sketch` (GK
+    sketch p50, same schema); `x6_dataset_card_approx` is the oracled
+    guard that the sketch stays within tolerance of this exact form."""
+    return _dataset_card(spark, sf_dir, F.expr("percentile(n_chars, 0.5)"))
+
+
+def x6_dataset_card_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable validation of `dataset_card_sketch`: one aggregate
+    computes BOTH the exact per-source p50 and the GK sketch p50 and emits
+    (source, p50_exact, within_tol) — the same engine-independent
+    tolerance-row discipline as profiling.py's x6_quantiles_approx, applied
+    per group. DuckDB reproduces p50_exact with quantile_cont and asserts
+    within_tol TRUE, so a sketch drifting out of tolerance is a loud hash
+    mismatch, not an invisible rows-only pass."""
+    from swiftbulkuploader_spark.operators.profiling import GK_REL_TOL
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("ev"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
+        .cast("double")
+        .alias("av"),
+    )
+    tol = F.lit(GK_REL_TOL) * F.greatest(F.abs(F.col("ev")), F.lit(1.0))
+    return per.select(
+        "source",
+        F.round("ev", 6).alias("p50_exact"),
+        (F.abs(F.col("av") - F.col("ev")) <= tol).alias("within_tol"),
+    )
+
+
 QUERIES = {
     "x1_domain_cap": x1_domain_cap,
     "x6_dataset_card": x6_dataset_card,
+    "x6_dataset_card_approx": x6_dataset_card_approx,
     "x3_pack_sequences": x3_pack_sequences,
     "x2_quantized_codes": x2_quantized_codes,
     "x6_source_mixing": x6_source_mixing,
@@ -310,6 +362,15 @@ ORACLES = {
                                       ORDER BY md5(text), doc_id) AS rk
             FROM documents
         ) WHERE rk <= 15
+    """,
+    # per-source tolerance rows: exact value reproduced by quantile_cont,
+    # the sketch-health boolean asserted TRUE (see x6_quantiles_approx)
+    "x6_dataset_card_approx": """
+        SELECT source,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
+               TRUE AS within_tol
+        FROM documents
+        GROUP BY source
     """,
     "x6_dataset_card": """
         WITH per AS (

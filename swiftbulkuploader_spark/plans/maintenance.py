@@ -68,8 +68,11 @@ def status_asof(manifest: DataFrame, attempts: DataFrame, ts) -> DataFrame:
     Replayed with ``mtime_aware=False``: the manifest's mtimes are CURRENT,
     and gating a historical log on them would rewrite history — a file
     uploaded at t1 then re-crawled later must still read uploaded in the
-    as-of-t1 snapshot."""
+    as-of-t1 snapshot. Replayed with ``trust_prior=False``: the manifest's
+    durable `uploaded` flag reflects NOW (it may have been written by a
+    compaction after `ts`), so the snapshot derives purely from the
+    time-filtered log — the append-only-log-replayed-up-to-T contract."""
     from swiftbulkuploader_spark.plans.upload import apply_attempts
 
     cut = attempts.filter(F.col("ts") <= ts)
-    return apply_attempts(manifest, cut, mtime_aware=False)
+    return apply_attempts(manifest, cut, mtime_aware=False, trust_prior=False)

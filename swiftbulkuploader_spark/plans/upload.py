@@ -232,7 +232,8 @@ def upload_segmented(manifest: DataFrame, store_factory: StoreFactory,
 
 
 def apply_attempts(manifest: DataFrame, attempts: DataFrame,
-                   mtime_aware: bool = True) -> DataFrame:
+                   mtime_aware: bool = True,
+                   trust_prior: bool = True) -> DataFrame:
     """Materialize the mutable view: manifest with `uploaded` derived from
     the attempt log (U2's `UPDATE ... SET uploaded=1` as a batch join —
     the engine's MERGE INTO; run it when compacting the manifest table).
@@ -249,10 +250,16 @@ def apply_attempts(manifest: DataFrame, attempts: DataFrame,
     `status` and the next `upload` agree on what is pending. Pass False
     when replaying the log for a PAST instant (`status_asof`): comparing a
     historical log against CURRENT mtimes would silently rewrite history
-    whenever a later recrawl bumps a file's mtime."""
+    whenever a later recrawl bumps a file's mtime.
+
+    ``trust_prior`` (default) ORs the manifest's durable `uploaded` flag
+    into the result. Pass False when the attempt log is AUTHORITATIVE for
+    the requested view — `status_asof` does: a durable flag written by a
+    compaction AFTER the as-of instant must not leak into a historical
+    snapshot, which should derive purely from the time-filtered log."""
     prior = (
         F.coalesce(F.col("uploaded"), F.lit(False))
-        if "uploaded" in manifest.columns else F.lit(False)
+        if trust_prior and "uploaded" in manifest.columns else F.lit(False)
     )
     ok = attempts.filter(F.col("ok"))
     if not mtime_aware or "mtime" not in manifest.columns:

@@ -99,6 +99,26 @@ class TestAsOf:
                for r in status_asof(manifest, attempts, F.lit(_ts(2))).collect()}
         assert at2 == {1: True}
 
+    def test_snapshot_immune_to_later_compaction_flag(self, spark):
+        """The dual of the recrawl test: a durable uploaded=True flag written
+        by a compaction AFTER the as-of instant must not leak into the
+        historical snapshot. The as-of view derives purely from the
+        time-filtered log (trust_prior=False) — at t2, before /a's only
+        success at t3, the snapshot reads NOT uploaded even though the
+        manifest's current flag says True."""
+        manifest = spark.createDataFrame(
+            [(1, "/a", 1, _ts(0), True, None),    # flag written at t5 compaction
+             (2, "/b", 1, _ts(0), False, None)], M_SCHEMA)
+        attempts = spark.createDataFrame(
+            [(1, "/a", "a", _ts(3), 1, True, None),
+             (2, "/b", "b", _ts(1), 1, True, None)], ATTEMPTS_SCHEMA)
+        at2 = {r["id"]: r["uploaded"]
+               for r in status_asof(manifest, attempts, F.lit(_ts(2))).collect()}
+        at4 = {r["id"]: r["uploaded"]
+               for r in status_asof(manifest, attempts, F.lit(_ts(4))).collect()}
+        assert at2 == {1: False, 2: True}   # flag post-dates T=2: ignored
+        assert at4 == {1: True, 2: True}    # log itself proves it by T=4
+
 
 class TestPriorFlag:
     def test_compacted_flag_survives_log_rotation(self, spark):

@@ -331,3 +331,32 @@ class TestRound3PlanShapes:
         plan = _plan(registry.QUERIES["x2_hybrid_search"](spark, SF))
         assert plan.count("TakeOrderedAndProject") >= 2
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestRound5PlanShapes:
+    def test_scale_default_profiles_have_no_exact_percentile_state(self, spark):
+        """The composed/scale-default profiling forms must carry GK sketch
+        state only: exact `percentile` partial state is a value->count map
+        that grows with distinct values (profiling.py:31's documented
+        100x-memory risk). The exact twins remain as test-scale oracles."""
+        from swiftbulkuploader_spark.operators.profiling import (
+            approx_quantiles_sketch,
+        )
+        from swiftbulkuploader_spark.operators.training_prep import (
+            dataset_card_sketch,
+        )
+
+        for fn in (approx_quantiles_sketch, dataset_card_sketch):
+            plan = _plan(fn(spark, SF))
+            # "percentile(" would be the exact aggregate; the sketch prints
+            # as "percentile_approx(" which does not contain that substring
+            assert "percentile(" not in plan, fn.__name__
+            assert "percentile_approx(" in plan, fn.__name__
+
+    def test_repeated_passages_hashed_shuffles_longs_not_strings(self, spark):
+        """The hashed variant's exchanges must be keyed on the 8-byte
+        xxhash64 value; no gram string may survive past the scan stage."""
+        plan = _plan(registry.QUERIES["x1_repeated_passages_hashed"](spark, SF))
+        assert "xxhash64" in plan
+        assert "hashpartitioning(gh#" in plan.replace("L", "")  # long key
+        assert "hashpartitioning(gram" not in plan

@@ -290,27 +290,56 @@ def shape_pagerank_round(df):
     )
 
 
-def shape_repeated_grams(df):
-    """x1_repeated_passages' core: explode per-row gram arrays, aggregate on
-    the gram key with a HAVING filter (map-side combinable)."""
-    grams = df.select(
-        "event_id",
-        F.explode(
-            F.array(*[
-                F.concat(
-                    (F.col("text_key") + F.lit(i)).cast("string"),
-                    F.lit(" g "),
-                    ((F.col("text_key") + F.lit(i)) % 5000).cast("string"),
-                )
-                for i in range(8)
-            ])
-        ).alias("gram"),
-    )
+def _gram_array():
+    # synthesized ~40-60 B gram strings (the real 8-grams average ~50 B);
+    # shared by the string-keyed and hash-keyed repeated-passages shapes so
+    # their only difference is the shuffle key width. Keys are MOSTLY
+    # UNIQUE (50M key space), matching real corpora where the typical gram
+    # occurs once — the regime where map-side combine can't collapse the
+    # shuffle and the key width IS the shuffle cost
+    return F.array(*[
+        F.concat(
+            (F.abs(F.xxhash64("event_id", F.lit(i))) % 50_000_000).cast("string"),
+            F.lit(" the quick brown gram body over the lazy dog "),
+            (F.abs(F.xxhash64("event_id", F.lit(i))) % 5000).cast("string"),
+        )
+        for i in range(8)
+    ])
+
+
+def _repeated_two_level(grams, key):
+    # the real op's two-level aggregation (dedup.py): per-(key, doc)
+    # pre-agg instead of a countDistinct Expand, then per-key doc stats
+    per_doc = grams.groupBy(key, "event_id").agg(F.count(F.lit(1)).alias("occ"))
     return (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("event_id").alias("n_docs"), F.count(F.lit(1)).alias("n_occ"))
+        per_doc.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
+            F.min("event_id").alias("first_doc"),
+        )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def shape_repeated_grams(df):
+    """x1_repeated_passages' core: explode per-row gram arrays, two-level
+    aggregate keyed on the LITERAL gram string (~50 B shuffle key)."""
+    grams = df.select("event_id", F.explode(_gram_array()).alias("gram"))
+    return _repeated_two_level(grams, "gram")
+
+
+def shape_repeated_grams_hashed(df):
+    """x1_repeated_passages_hashed's core: the SAME two-level aggregation
+    keyed on xxhash64(gram) — 8-byte shuffle rows instead of ~50-byte
+    strings. Compare sec/shuffle_mb against `repeated_grams` at the same n:
+    the byte reduction on the dominant exchange is the point of the
+    variant."""
+    grams = df.select(
+        "event_id",
+        F.explode(F.transform(_gram_array(), lambda g: F.xxhash64(g))).alias("gh"),
+    )
+    return _repeated_two_level(grams, "gh")
 
 
 SHAPES = {
@@ -318,6 +347,7 @@ SHAPES = {
     "merge_broadcast_delta": shape_merge_broadcast_delta,
     "pagerank_round": shape_pagerank_round,
     "repeated_grams": shape_repeated_grams,
+    "repeated_grams_hashed": shape_repeated_grams_hashed,
     "exact_dedup": shape_dedup,
     "broadcast_join_agg": shape_join_agg,
     "sessionize": shape_sessionize,
@@ -332,6 +362,26 @@ SHAPES = {
 }
 
 
+def _shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes across all completed stages, via the
+    UI REST API (the probe session enables the UI for exactly this). None
+    if the endpoint is unavailable — byte columns are then omitted."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     wanted = sys.argv[2:]
@@ -341,29 +391,40 @@ def main() -> None:
             f"unknown shape(s): {sorted(unknown)}; known: {sorted(SHAPES)}"
         )
     shapes = {k: v for k, v in SHAPES.items() if not wanted or k in wanted}
-    spark = get_spark("scaling_probe")
+    # UI on: the stages REST endpoint is the shuffle-byte meter
+    spark = get_spark("scaling_probe", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     # warmup
     _events(spark, 10_000).agg(F.count("*")).collect()
 
     out = {}
     for name, shape in shapes.items():
-        times = []
+        times, sbytes = [], []
         for n in (base_n, base_n * 10):
             best = float("inf")
-            for _ in range(2):
+            bytes_run = None
+            for rep in range(2):
                 # shape construction INSIDE the timed region: iterative
                 # shapes (dup_clusters_full) run their loop's jobs during
                 # construction, not at the final write
+                b0 = _shuffle_write_bytes(spark) if rep == 1 else None
                 t0 = time.time()
                 shape(_events(spark, n)).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
+                if rep == 1 and b0 is not None:
+                    b1 = _shuffle_write_bytes(spark)
+                    if b1 is not None:
+                        bytes_run = b1 - b0
             times.append(best)
+            sbytes.append(bytes_run)
         out[name] = {
             "sec_1x": round(times[0], 3),
             "sec_10x": round(times[1], 3),
             "ratio": round(times[1] / times[0], 2),
         }
+        if sbytes[0] is not None and sbytes[1] is not None:
+            out[name]["shuffle_mb_1x"] = round(sbytes[0] / 1e6, 1)
+            out[name]["shuffle_mb_10x"] = round(sbytes[1] / 1e6, 1)
     print(json.dumps({"base_n": base_n, "shapes": out}))
     spark.stop()
 
