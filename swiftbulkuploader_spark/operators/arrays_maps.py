@@ -119,6 +119,8 @@ def x3_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(new_terms, "bucket", "left")
         .na.fill({"new_terms": 0})
     )
+    # bounded input: the cumulative window runs over one row per bucket
+    # (a handful), so the unpartitioned WindowExec warning is intentional
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return per_bucket.select(
         "bucket",
@@ -159,6 +161,60 @@ def x3_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
     )
     return scored
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def x3_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones; the Lucene/
+    Elasticsearch default) over the same inverted-index probe shape as
+    x3_tfidf_search: per-term idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    tf saturation k1=1.2, length normalization b=0.75 against the corpus
+    average doc length. Docs matching ANY query term are scored (BM25 is
+    a disjunctive ranker; the conjunctive form is tf-idf's twin above).
+
+    Scale shape: explode -> term-filtered postings -> per-(doc,term) tf ->
+    broadcast df table -> join per-doc lengths (co-keyed on doc_id) ->
+    1-row broadcast of avgdl (ScalarSubquery pattern). N is a driver
+    literal (parquet metadata count). Score ships UNROUNDED; ln/division
+    ulps are absorbed by the verifier's 9-sig-digit normalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet row-count metadata; no scan
+    terms = list(SEARCH_TERMS)
+
+    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term = idf * (
+        F.col("tf") * F.lit(BM25_K1 + 1.0) / (F.col("tf") + norm)
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum(per_term).alias("score"),
+        )
+    )
 
 
 def x3_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +267,7 @@ QUERIES = {
     "x3_doc_frequency": x3_doc_frequency,
     "x3_vocab_growth": x3_vocab_growth,
     "x3_tfidf_search": x3_tfidf_search,
+    "x3_bm25_search": x3_bm25_search,
 }
 
 _TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
@@ -285,6 +342,41 @@ ORACLES = {
                CAST(sum(pb.bucket_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
                CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_vocab
         FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+    """,
+    # same disjunctive BM25; every scalar forced to DOUBLE (k1/b/0.5
+    # literals would fold as DECIMAL otherwise); score unrounded
+    "x3_bm25_search": f"""
+        WITH posting AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM posting WHERE term IN ({_TERMS_SQL})
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ), dl AS (
+            SELECT doc_id, len({_TOKS}) AS dl FROM documents
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        ), avg_l AS (
+            SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+        )
+        SELECT tf.doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms_hit,
+               sum(
+                   ln((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                      / (dfreq.df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+                   * (tf.tf * CAST({BM25_K1 + 1.0} AS DOUBLE)
+                      / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                         * (CAST({1.0 - BM25_B} AS DOUBLE)
+                            + CAST({BM25_B} AS DOUBLE)
+                              * CAST(dl.dl AS DOUBLE) / avg_l.avgdl)))
+               ) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats CROSS JOIN avg_l
+        GROUP BY tf.doc_id
     """,
     "x3_tfidf_search": f"""
         WITH posting AS (

@@ -149,10 +149,117 @@ def x1_dup_clusters(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_dup_clusters_exact(spark, sf_dir: str) -> DataFrame:
+    """ORACLED dup clustering: the same label-propagation closure as
+    ``x1_dup_clusters``, but over the DETERMINISTIC exact-Jaccard pair
+    graph, so DuckDB can reproduce the whole query — pairs from literal
+    3-gram shingle postings, closure from THREE unrolled propagation
+    rounds (the same fixed-round oracle discipline as x8_pagerank).
+
+    Pair graph: distinct 3-shingles explode to (hash, doc) postings, pairs
+    sharing >= 1 shingle get their exact Jaccard from the intersection
+    count (|A∩B| / (|A|+|B|-|A∩B|)) and are kept at >= 0.5 — no seeded
+    MinHash anywhere, hence no rows-only escape. Closure: label propagation
+    with a FIXED 3-round budget (`max_iter=3, check_every=3` — one burst,
+    no early probe divergence; labels are monotone, so a graph converged
+    earlier is unchanged by the spare rounds). Near-dup clusters have
+    diameter 2-3, so 3 rounds is also the practical closure.
+
+    Scale stance: the posting self-join is exact all-pairs-similarity; its
+    100 TB form adds prefix filtering (Bayardo et al., WWW'07 — join only
+    each doc's rarest (1-t)|d|+1 shingles, exactness preserved), and the
+    production near-dup default remains the banded-LSH ``x1_dup_clusters``.
+    This variant exists to pin the closure against an independent engine."""
+    from swiftbulkuploader_spark.catalog import load_table
+    from swiftbulkuploader_spark.functions.text import normalize_ws, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    base = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh")).filter(
+        F.size(toks) >= 3
+    )
+    posts = base.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        posts.alias("x")
+        .join(posts.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = (
+        pr.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .filter(
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+            >= F.lit(0.5)
+        )
+        .select("a", "b")
+    )
+    comp = connected_components(edges, max_iter=3, check_every=3)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 QUERIES = {
     "x1_dup_clusters": x1_dup_clusters,
+    "x1_dup_clusters_exact": x1_dup_clusters_exact,
 }
 
-# rows-only by design: the pair graph depends on seeded xxhash64 minhashes,
-# which DuckDB cannot reproduce; closure correctness is unit-pinned instead.
-ORACLES: dict[str, str] = {}
+# x1_dup_clusters stays rows-only by design: its pair graph depends on
+# seeded xxhash64 minhashes, which DuckDB cannot reproduce; closure
+# correctness is unit-pinned AND oracle-pinned via x1_dup_clusters_exact.
+ORACLES: dict[str, str] = {
+    # literal-shingle posting join + 3 unrolled label-propagation rounds
+    "x1_dup_clusters_exact": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        ), pr AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+            FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ), e0 AS (
+            SELECT a, b
+            FROM pr
+            JOIN sz sa ON pr.a = sa.doc_id
+            JOIN sz sb ON pr.b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+        ), edges AS (
+            SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+        ), l0 AS (
+            SELECT DISTINCT a AS node, a AS label FROM edges
+        ), n1 AS (
+            SELECT e.a AS node, min(l.label) AS nbr
+            FROM edges e JOIN l0 l ON e.b = l.node GROUP BY e.a
+        ), l1 AS (
+            SELECT l.node, least(l.label, coalesce(n.nbr, l.label)) AS label
+            FROM l0 l LEFT JOIN n1 n USING (node)
+        ), n2 AS (
+            SELECT e.a AS node, min(l.label) AS nbr
+            FROM edges e JOIN l1 l ON e.b = l.node GROUP BY e.a
+        ), l2 AS (
+            SELECT l.node, least(l.label, coalesce(n.nbr, l.label)) AS label
+            FROM l1 l LEFT JOIN n2 n USING (node)
+        ), n3 AS (
+            SELECT e.a AS node, min(l.label) AS nbr
+            FROM edges e JOIN l2 l ON e.b = l.node GROUP BY e.a
+        ), l3 AS (
+            SELECT l.node, least(l.label, coalesce(n.nbr, l.label)) AS label
+            FROM l2 l LEFT JOIN n3 n USING (node)
+        )
+        SELECT node AS doc_id, label AS cluster_id FROM l3
+    """,
+}

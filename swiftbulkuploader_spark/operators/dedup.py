@@ -24,6 +24,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import fingerprint, normalize_ws, shingles
@@ -418,6 +419,121 @@ def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(cands, sigs)
 
 
+ALLPAIRS_TAU = 0.5
+WINNOW_W = 4
+
+
+def x1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word 3-gram, slide a
+    window of W=4 consecutive hashes, keep the minimum of each window —
+    a position-robust ~1/W-density fingerprint set with the guarantee
+    that any shared run of W+2 grams yields a shared fingerprint. The
+    selected-set summary (count + sum of distinct fingerprints) pins the
+    exact selection against the oracle.
+
+    Execution shape: pure per-row projection — gram hashes materialize as
+    a real column FIRST, so the window lambda below references an
+    attribute (O(m*W) slices), not a captured expression the interpreted
+    HOF would re-evaluate per element (the O(n^2) trap documented in
+    functions/text.py::shingles). No shuffle, no UDF; embarrassingly
+    parallel at any scale. The gram hash is an md5-prefix integer (NOT
+    xxhash64) so DuckDB reproduces the selection bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")  # noqa: E731
+    base = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", shingles(F.col("text"), 3).alias("grams"))
+        .select("doc_id", F.transform("grams", gram_hash).alias("hs"))
+    )
+    m = F.size("hs")
+    nw = F.greatest(m - F.lit(WINNOW_W - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), nw), lambda i: F.array_min(F.slice("hs", i, WINNOW_W))
+    )
+    fps = F.array_distinct(wins)
+    return base.select(
+        "doc_id",
+        m.cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_sum"
+        ),
+    )
+
+
+def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity join with PREFIX FILTERING (Bayardo,
+    Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search" — the
+    AllPairs/PPJoin candidate bound): every pair of documents with 3-gram
+    Jaccard >= tau, found WITHOUT joining full posting lists.
+
+    Why it scales where the naive posting join doesn't: order all shingles
+    by global document frequency (rarest first, hash tiebreak); a doc with
+    |d| distinct shingles needs only its first |d| - ceil(tau*|d|) + 1 in
+    the join — any pair with J >= tau must share a PREFIX shingle (J >= tau
+    implies |A∩B| >= tau*max(|A|,|B|); if the prefixes were disjoint the
+    intersection fits in the suffixes, which are too short). At tau=0.5
+    the join volume roughly halves AND the joined shingles are by
+    construction the RAREST — exactly the skew-immune end of the df
+    distribution; the frequent shingles that blow up df^2 candidate
+    counts never enter the join. Candidates are then verified exactly on
+    the bounded survivor set via array intersection.
+
+    Oracle: the NAIVE full posting join in DuckDB — prefix filtering is
+    lossless, so the pair sets must be identical (the strongest possible
+    check that the optimization is an optimization, not an approximation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    base = (
+        docs.select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
+        .filter(F.size(toks) >= 3)
+        .withColumn("n", F.size("sh"))
+        # read 3x below (posting explode + both verify sides): materialize
+        .localCheckpoint(eager=True)
+    )
+    posts = base.select("doc_id", "n", F.explode("sh").alias("s")).withColumn(
+        "h", F.xxhash64("s")
+    )
+    df_tab = posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # global rarity order (df, h); rank within doc; prefix length
+    # p = n - ceil(tau*n) + 1, in exact integer arithmetic for tau=1/2
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        posts.join(df_tab, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") * F.lit(ALLPAIRS_TAU)) + 1)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(base.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa")), "a")
+        .join(base.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb")), "b")
+        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("c")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("c").cast("double") / (F.size("sa") + F.size("sb") - F.col("c"))
+            >= F.lit(ALLPAIRS_TAU)
+        )
+    )
+    return verified.select("a", "b", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # X1c — SimHash
 # ---------------------------------------------------------------------------
@@ -742,6 +858,8 @@ QUERIES = {
     "x1_prefix_dup_groups": x1_prefix_dup_groups,
     "x1_minhash_neardup": x1_minhash_neardup,
     "x1_ngram_jaccard": x1_ngram_jaccard,
+    "x1_allpairs_prefix": x1_allpairs_prefix,
+    "x1_winnowing_fingerprints": x1_winnowing_fingerprints,
     "x1_simhash_neardup": x1_simhash_neardup,
 }
 
@@ -768,6 +886,64 @@ ORACLES = {
         FROM g
         GROUP BY gram
         HAVING count(DISTINCT doc_id) >= 2
+    """,
+    # same md5-prefix gram hashes; the sliding min is a ROWS window frame
+    # truncating at the partition end exactly like Spark's slice() at the
+    # array end; count/sum of DISTINCT selected values pin the selection
+    "x1_winnowing_fingerprints": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3
+        ), h AS (
+            SELECT doc_id, i,
+                   CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS hv
+            FROM g
+        ), win AS (
+            SELECT doc_id, i,
+                   min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                   count(*) OVER (PARTITION BY doc_id) AS m
+            FROM h
+        ), sel AS (
+            SELECT doc_id, m, wmin FROM win WHERE i <= greatest(m - 3, 1)
+        )
+        SELECT doc_id,
+               CAST(max(m) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT wmin) AS BIGINT) AS n_fps,
+               CAST(sum(DISTINCT wmin) AS BIGINT) AS fp_sum
+        FROM sel
+        GROUP BY doc_id
+    """,
+    # the NAIVE full posting join: prefix filtering is lossless, so the
+    # Spark plan (which joins only rarest-prefix postings) must reproduce
+    # these pairs and Jaccard values exactly
+    "x1_allpairs_prefix": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        ), pr AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+            FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
     """,
     # oracle twin computed over LITERAL grams: the duplication-level
     # histogram is invariant to the key representation, so it verifies the

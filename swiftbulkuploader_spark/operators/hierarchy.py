@@ -80,6 +80,19 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf's N)."""
     from pyspark.sql import functions as F
 
+    edges = _interaction_edges(spark, sf_dir)
+    deg, nodes, n = _graph_tables(edges)
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        pr = _pr_round(edges, deg, nodes, n, pr).localCheckpoint(eager=True)
+    return pr.select("node", "pr")
+
+
+def _interaction_edges(spark, sf_dir: str):
+    """The symmetrized user<->item edge list (checkpointed — union branches
+    re-execute their subtree otherwise)."""
+    from pyspark.sql import functions as F
+
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     pairs = (
@@ -94,13 +107,18 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user ids at ANY scale, where a fixed +10000 offset would collide once
     # user_id >= 10000 and silently fuse two nodes' edges and rank
     item_node = -(F.col("item") + F.lit(1))
-    edges = (
+    return (
         pairs.select(F.col("u").alias("src"), item_node.alias("dst"))
         .unionByName(pairs.select(item_node.alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    # deg and nodes are read every iteration — materialize once, or each
-    # round's job re-aggregates the edge list
+
+
+def _graph_tables(edges):
+    """(deg, nodes, n): read every iteration — materialize once, or each
+    round's job re-aggregates the edge list."""
+    from pyspark.sql import functions as F
+
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
@@ -110,32 +128,102 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max(n, 1): an empty interaction graph must yield an empty result, not
     # a driver-side ZeroDivisionError building the teleport literal
     n = max(nodes.count(), 1)
+    return deg, nodes, n
 
-    pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(deg, "src")
-            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_pr"))
+
+def _pr_round(edges, deg, nodes, n: int, pr):
+    """One PageRank round: rank join on src -> contribution agg on dst ->
+    rank rebuild. The arithmetic (0.15/n driver literal, 0.85 damping,
+    coalesce-to-0) is the exact IEEE op sequence the oracle unrolls."""
+    from pyspark.sql import functions as F
+
+    contrib = (
+        edges.join(deg, "src")
+        .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_pr"))
+    )
+    return (
+        nodes.join(contrib.select(F.col("dst").alias("node"), "in_pr"), "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(0.15 / n)
+                + F.lit(PR_DAMPING) * F.coalesce("in_pr", F.lit(0.0))
+            ).alias("pr"),
         )
-        pr = (
-            nodes.join(contrib.select(F.col("dst").alias("node"), "in_pr"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15 / n)
-                    + F.lit(PR_DAMPING) * F.coalesce("in_pr", F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+    )
+
+
+def pagerank_until_converged(edges, rel_tol: float = 1e-3,
+                             max_iter: int = 60):
+    """PageRank iterated to a FIXED POINT instead of a fixed round count:
+    bursts of 2 rounds per ``localCheckpoint`` (CLAUDE.md rule 4 — shallow
+    lineage between materializations), convergence probed on the
+    MATERIALIZED frame as max |pr_k+2 - pr_k| < rel_tol/n (deltas scale as
+    1/n, so the relative form makes the round count n-independent: the
+    damping contraction gives ~log(1/rel_tol)/log(1/0.85) ≈ 43 rounds at
+    1e-3). Returns (ranks, (deg, nodes, n), last_delta) — the graph tables
+    ride along so a caller's residual check reuses the checkpointed
+    frames instead of re-aggregating the edge list."""
+    from pyspark.sql import functions as F
+
+    deg, nodes, n = _graph_tables(edges)
+    prev = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    tol = rel_tol / n
+    done, delta = 0, None
+    while done < max_iter:
+        cur = prev
+        for _ in range(2):
+            cur = _pr_round(edges, deg, nodes, n, cur)
+            done += 1
+        cur = cur.localCheckpoint(eager=True)
+        delta = (
+            cur.select("node", F.col("pr").alias("pr_new"))
+            .join(prev, "node")
+            .agg(F.max(F.abs(F.col("pr_new") - F.col("pr"))))
+            .first()[0]
         )
-    return pr.select("node", "pr")
+        prev = cur
+        if delta is not None and delta < tol:
+            break
+    return prev, (deg, nodes, n), delta
+
+
+def x8_pagerank_converged(spark, sf_dir: str) -> DataFrame:
+    """Until-convergence PageRank with an ORACLE-CHECKABLE certificate:
+    the round count is data-dependent (so rank VALUES are not
+    engine-reproducible), but the fixed point is — one extra propagation
+    round over the converged ranks must move no node by more than
+    rel_tol*10/n (the 2-round stopping delta bounds the 1-round residual
+    by delta/(1-damping) ≈ 6.7x). The contract emits (node, converged);
+    DuckDB reproduces the node set and asserts TRUE — a loop that stalls,
+    oscillates, or stops early is a loud hash mismatch, the same
+    tolerance-row discipline as x6_quantiles_approx. The fixed-3-round
+    value check lives in `x8_pagerank` (unrolled-CTE oracle); exact rank
+    values on a known graph are unit-pinned in test_stats_hierarchy."""
+    from pyspark.sql import functions as F
+
+    edges = _interaction_edges(spark, sf_dir)
+    ranks, (deg, nodes, n), _ = pagerank_until_converged(edges, rel_tol=1e-3)
+    residual_round = _pr_round(edges, deg, nodes, n, ranks)
+    return (
+        ranks.join(
+            residual_round.select("node", F.col("pr").alias("pr_next")), "node"
+        )
+        .select(
+            "node",
+            (F.abs(F.col("pr_next") - F.col("pr")) <= F.lit(1e-2 / n)).alias(
+                "converged"
+            ),
+        )
+    )
 
 
 QUERIES = {
     "x8_recursive_hierarchy": x8_recursive_hierarchy,
     "x8_pagerank": x8_pagerank,
+    "x8_pagerank_converged": x8_pagerank_converged,
 }
 
 ORACLES = {
@@ -190,5 +278,23 @@ ORACLES = {
                CAST(0.15 AS DOUBLE) / nn.n
                + CAST(0.85 AS DOUBLE) * coalesce(c3.in_pr, CAST(0 AS DOUBLE)) AS pr
         FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.dst
+    """,
+    # convergence certificate: the node set is graph-derived (engine-
+    # independent); the converged boolean is asserted TRUE. A Spark loop
+    # that stalls or stops before the fixed point flips booleans and
+    # hash-mismatches loudly.
+    "x8_pagerank_converged": """
+        WITH pairs AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+        ), edges AS (
+            SELECT u AS src FROM pairs
+            UNION ALL
+            SELECT -(item + 1) AS src FROM pairs
+        )
+        SELECT DISTINCT src AS node, TRUE AS converged FROM edges
     """,
 }

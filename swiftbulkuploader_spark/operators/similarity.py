@@ -355,6 +355,9 @@ def x2_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
         .limit(HYBRID_POOL)
     )
+    # bounded input: rank windows run over the HYBRID_POOL-row top-k pools
+    # only (TakeOrderedAndProject above), so the unpartitioned WindowExec
+    # warnings these emit are intentional and O(pool)
     w_lex = Window.orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
     lex = lex_pool.withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
 

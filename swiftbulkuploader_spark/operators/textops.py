@@ -290,7 +290,58 @@ def x3_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy scoring — the perplexity-proxy quality
+    filter of CCNet/LLaMA-style pipelines (Wenzek et al. 2020 train a
+    KenLM on Wikipedia and drop high-perplexity web text; here the LM is
+    the corpus's own add-one-smoothed unigram model, which keeps the whole
+    query self-contained and oracle-exact). Per document: n_tokens, the
+    average negative log-likelihood (cross_entropy) and its exp (ppl) —
+    gibberish and rare-token spam score high, fluent prose low.
+
+    Shape: one token explode feeds BOTH the term-frequency table (shuffle
+    on token, map-side combined) and the per-doc scorer (join on token —
+    co-partitioned with the tf build, so the exchange is reused); corpus
+    totals (N, V) ride a 1-row broadcast (the ScalarSubquery pattern).
+    At 100 TB the tf table partitions by token exactly like the tf-idf
+    posting list (same family, same argument); nothing touches the driver.
+    Values ship UNROUNDED — summation-order ulps are absorbed by the
+    verifier's 9-significant-digit normalization (CLAUDE.md rule 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    tok = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("t")
+    )
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = tf.agg(
+        F.sum("c").cast("double").alias("corpus_n"),
+        F.count(F.lit(1)).cast("double").alias("vocab_v"),
+    )
+    scored = (
+        tok.join(tf, "t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("corpus_n") + F.col("vocab_v"))
+                )
+            ).alias("s"),
+        )
+    )
+    ce = -F.col("s") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        ce.alias("cross_entropy"),
+        F.exp(ce).alias("ppl"),
+    )
+
+
 QUERIES = {
+    "x3_unigram_logprob": x3_unigram_logprob,
     "x3_chunk_documents": x3_chunk_documents,
     "x3_redact": x3_redact,
     "x3_token_stats": x3_token_stats,
@@ -338,6 +389,33 @@ _ORACLE_STOPWORD_CASE = " ".join(
 )
 
 ORACLES = {
+    # same add-one-smoothed self-LM; ln/exp and summation-order ulps are
+    # absorbed by the 9-sig-digit normalization (values ship unrounded)
+    "x3_unigram_logprob": """
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+            FROM documents
+            WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+        ), tf AS (
+            SELECT t, count(*) AS c FROM tk GROUP BY t
+        ), tot AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS corpus_n,
+                   CAST(count(*) AS DOUBLE) AS vocab_v
+            FROM tf
+        ), per AS (
+            SELECT tk.doc_id,
+                   count(*) AS n_tokens,
+                   sum(ln(CAST(tf.c + 1 AS DOUBLE) / (tot.corpus_n + tot.vocab_v))) AS s
+            FROM tk JOIN tf USING (t) CROSS JOIN tot
+            GROUP BY tk.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               -s / n_tokens AS cross_entropy,
+               exp(-s / n_tokens) AS ppl
+        FROM per
+    """,
     # same frozen weights/features; the sigmoid is the identical double op
     # sequence; ln/exp ulps are absorbed by the 9-sig-digit hash
     # normalization (no round() on keep_prob — see CLAUDE.md rule 3); the

@@ -117,6 +117,9 @@ def x6_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )
+    # bounded input: these windows consume the ~n_sources-row aggregate
+    # above, never raw docs — the single-partition WindowExec (and its
+    # "No Partition Defined" log warning) is intentional and O(n_sources)
     w_all = Window.partitionBy()
     raw_share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
     tempered = F.pow(raw_share, F.lit(MIX_ALPHA))

@@ -89,3 +89,33 @@ def test_pagerank_star_graph(spark, tmp_path):
     total = sum(pr.values())
     assert abs(total - 1.0) < 0.2          # 3 rounds haven't fully mixed, but
     # mass stays near 1 on a dangling-free graph
+
+
+def test_pagerank_converges_to_known_fixed_point(spark):
+    """Until-convergence PageRank on a 5-node symmetric star: the fixed
+    point is analytically solvable (p_c = 0.132/0.2775, p_leaf =
+    0.03 + 0.2125*p_c) — converged ranks must hit it to 1e-3 and one
+    extra round must not move any node (the certificate
+    x8_pagerank_converged emits)."""
+    from pyspark.sql import functions as F
+
+    from swiftbulkuploader_spark.operators.hierarchy import (
+        _pr_round,
+        pagerank_until_converged,
+    )
+
+    star = [(0, leaf) for leaf in (1, 2, 3, 4)]
+    edges = spark.createDataFrame(
+        star + [(b, a) for a, b in star], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    ranks, (deg, nodes, n), delta = pagerank_until_converged(edges, rel_tol=1e-4)
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    p_c = 0.132 / 0.2775
+    p_leaf = 0.03 + 0.2125 * p_c
+    assert abs(got[0] - p_c) < 1e-3
+    for leaf in (1, 2, 3, 4):
+        assert abs(got[leaf] - p_leaf) < 1e-3
+    # fixed point: one more propagation round moves nothing materially
+    nxt = {r["node"]: r["pr"]
+           for r in _pr_round(edges, deg, nodes, n, ranks).collect()}
+    assert all(abs(nxt[k] - got[k]) <= 1e-2 / n for k in got)

@@ -98,3 +98,102 @@ class TestStreamStaticJoin:
         assert len(got) == 4  # id=4 has no manifest row -> dropped by inner join
         assert {r["id"] for r in got} == {1, 2, 3}
         assert all(r["size"] in (100, 2000, 30) for r in got)
+
+
+class TestStreamBatchParityAtScale:
+    def test_append_mode_stream_matches_batch_at_sf01(self, spark, tmp_path):
+        """Stream==batch rate parity at DATA scale (150k attempts derived
+        from the sf0.1 orders table), in APPEND mode across multiple
+        micro-batches — the configuration where watermark semantics can
+        actually diverge (complete mode never finalizes windows, one batch
+        never advances the watermark mid-stream).
+
+        Files are range-partitioned by ts and fed one per trigger, so the
+        watermark advances between batches; every window the stream emits
+        must match the batch aggregation exactly, and every window whose
+        end precedes the final watermark must have been emitted."""
+        import pyspark.sql.functions as F
+
+        from swiftbulkuploader_spark.catalog import load_table
+
+        base = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+        attempts = load_table(spark, "/root/testdata/sf0.1", "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.concat(F.lit("/f/"), F.col("o_orderkey")).alias("path"),
+            F.concat(F.lit("k/"), F.col("o_orderkey")).alias("key"),
+            F.timestamp_seconds(
+                F.lit(base) + F.pmod(F.xxhash64("o_orderkey"), F.lit(3600))
+            ).alias("ts"),
+            F.lit(1).alias("try_no"),
+            (F.col("o_orderkey") % 10 != 0).alias("ok"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        attempts_dir = str(tmp_path / "attempts")
+        # 6 time-ordered files -> 6 micro-batches; rows within a file stay
+        # unsorted, exercising in-batch disorder under the 30 s watermark.
+        # The file source orders by MODIFICATION time, so the slices are
+        # written sequentially (one job each, mtime strictly increasing) —
+        # a single range-partitioned write leaves tie-broken mtimes and a
+        # later slice read first would poison the watermark.
+        import time as _time
+
+        sec = F.pmod(F.xxhash64("o_orderkey"), F.lit(3600))
+        for slice_no in range(6):
+            attempts.filter(
+                (sec >= slice_no * 600) & (sec < (slice_no + 1) * 600)
+            ).coalesce(1).write.mode("append").parquet(attempts_dir)
+            _time.sleep(0.3)
+
+        batch = {
+            r["window_start"]: (r["n_ok"], r["rate_per_s"])
+            for r in rate_over_window(
+                spark.read.parquet(attempts_dir), "60 seconds"
+            ).collect()
+        }
+
+        stream = (
+            spark.readStream.schema(ATTEMPTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(attempts_dir)
+            .withWatermark("ts", "30 seconds")
+        )
+        import pyspark.sql.functions as F2
+
+        dur = F2.unix_timestamp(F2.col("w.end")) - F2.unix_timestamp(F2.col("w.start"))
+        agg = (
+            stream.filter(F2.col("ok"))
+            .groupBy(F2.window("ts", "60 seconds").alias("w"))
+            .agg(F2.count("*").alias("n_ok"))
+            .select(
+                F2.col("w.start").alias("window_start"),
+                "n_ok",
+                F2.round(F2.col("n_ok") / dur.cast("double"), 4).alias("rate_per_s"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("rates_sf01")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            r["window_start"]: (r["n_ok"], r["rate_per_s"])
+            for r in spark.sql("SELECT * FROM rates_sf01").collect()
+        }
+
+        # every emitted window agrees with batch exactly
+        assert streamed, "append-mode stream emitted nothing"
+        for ws, v in streamed.items():
+            assert batch[ws] == v, (ws, v, batch[ws])
+        # completeness: windows closed by the final watermark were emitted
+        # (availableNow ends the query, so trailing windows may be unflushed)
+        import datetime as _dt
+
+        max_ts = _dt.datetime(2024, 1, 1, 0, 59, 59)
+        final_wm = max_ts - _dt.timedelta(seconds=30)
+        closed = {ws for ws in batch
+                  if ws + _dt.timedelta(seconds=60) <= final_wm}
+        assert closed <= set(streamed), sorted(closed - set(streamed))
+        assert len(streamed) >= len(closed) >= 50

@@ -342,6 +342,70 @@ def shape_repeated_grams_hashed(df):
     return _repeated_two_level(grams, "gh")
 
 
+def _skew_fact_dim(df):
+    # 90% of fact rows share key 0 (the lang='en' / mega-domain shape);
+    # the rest spread uniformly over the 100k-key dim
+    fact = df.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("text_key") % 100_000)
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = df.sparkSession.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    return fact, dim
+
+
+def shape_skew_join_unsalted(df):
+    """Baseline pathology: skewed fact SMJ dim with AQE skew-join OFF —
+    one reducer drags 90% of the fact side. The number the other two
+    skew shapes are measured against."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    fact, dim = _skew_fact_dim(df)
+    return (
+        fact.hint("merge")
+        .join(dim, "k")
+        .agg(F.sum(F.col("value") + F.col("payload")).alias("s"))
+    )
+
+
+def shape_skew_join_salted(df):
+    """plans/skew.py::salted_join under the same skew, AQE skew-join OFF:
+    dim replicated over 32 salts, hot fact key spread over 32 reducers —
+    the manual fix for shapes AQE can't split."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    from swiftbulkuploader_spark.plans.skew import salted_join
+
+    fact, dim = _skew_fact_dim(df)
+    return salted_join(fact, dim.hint("merge"), "k", 32).agg(
+        F.sum(F.col("value") + F.col("payload")).alias("s")
+    )
+
+
+def shape_skew_join_aqe(df):
+    """The same join with AQE's runtime skew split ON (threshold lowered to
+    fire at probe scale; force flag because the trailing agg would
+    otherwise veto the extra shuffle). Runs LAST of the three so a
+    full-suite run leaves the session at the engine's defaults."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    fact, dim = _skew_fact_dim(df)
+    return (
+        fact.hint("merge")
+        .join(dim, "k")
+        .agg(F.sum(F.col("value") + F.col("payload")).alias("s"))
+    )
+
+
 SHAPES = {
     "range_window_1h": shape_range_window,
     "merge_broadcast_delta": shape_merge_broadcast_delta,
@@ -359,6 +423,9 @@ SHAPES = {
     "dup_clusters_full": shape_dup_clusters_full,
     "hybrid_search_rrf": shape_hybrid_search,
     "training_manifest": shape_training_manifest,
+    "skew_join_unsalted": shape_skew_join_unsalted,
+    "skew_join_salted": shape_skew_join_salted,
+    "skew_join_aqe": shape_skew_join_aqe,
 }
 
 
