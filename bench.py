@@ -88,6 +88,14 @@ HEADLINE = [
     "x8_pagerank",              # 3-round distributed PageRank (iterative shuffle)
     "x6_dq_audit",              # constraint suite: aggs + broadcast anti-joins
     "x6_dataset_card",          # per-source datasheet (GK-sketch p50 scale form)
+    "x1_allpairs_prefix",       # prefix-filtered exact all-pairs similarity join
+    "x1_winnowing_fingerprints",  # MOSS winnowing (per-row window-min selection)
+    "x3_unigram_logprob",       # self-LM cross-entropy (perplexity-proxy filter)
+    "x3_bm25_search",           # BM25 disjunctive ranking (inverted-index probe)
+    "x1_dup_clusters_exact",    # exact-Jaccard pairs -> 3-round label propagation
+    "x6_ks_drift",              # binned two-sample KS (continuous drift twin)
+    "x6_entropy_profile",       # per-column Shannon entropy monitor
+    "x2_random_projection",     # JL 64->16 unrolled codegen projection
 ]
 
 

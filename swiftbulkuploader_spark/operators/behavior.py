@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from swiftbulkuploader_spark.catalog import load_table
 
@@ -138,10 +139,80 @@ def drift_from_halves(halves: DataFrame) -> DataFrame:
     )
 
 
+KS_BINS = 64
+KS_C_ALPHA = 1.358  # alpha = 0.05 two-sample critical coefficient
+
+
+def x6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift for the CONTINUOUS column
+    (event value), completing x6_drift_metrics' categorical chi-square/PSI:
+    split the stream at the epoch-us midpoint, compare the halves' value
+    distributions by max ECDF distance, and test against the alpha=0.05
+    critical value c(alpha)*sqrt((na+nb)/(na*nb)).
+
+    BINNED KS (64 equi-width bins), not the exact order-statistic form:
+    exact two-sample KS needs a global sort of both samples — the plan
+    this engine refuses at 100 TB — while the binned ECDF needs one
+    64-group aggregate and a window over the 64-row bin table (bounded
+    input). The discretization only COARSENS the statistic (true KS >=
+    binned KS), so the drift flag errs conservative. Every arithmetic step
+    is the same IEEE op sequence on both engines (integer cumulative
+    counts, one division per bin), so even the boolean is hash-stable."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    bounds = events.agg(
+        F.floor((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("mid_us"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    binned = events.join(F.broadcast(bounds)).select(
+        (F.col("us") < F.col("mid_us")).alias("is_a"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(KS_BINS)
+            ).cast("int"),
+            F.lit(KS_BINS - 1),
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("b"),
+    )
+    # bounded input: cumulative window over <= 64 bin rows — the
+    # unpartitioned WindowExec warning is intentional
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_bin.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    tot = per_bin.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    gap = F.abs(
+        F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+    )
+    stat = cdf.join(F.broadcast(tot)).agg(
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        F.max(gap).alias("ks_stat"),
+    )
+    crit = F.lit(KS_C_ALPHA) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        "ks_stat",
+        crit.alias("ks_crit"),
+        (F.col("ks_stat") > crit).alias("drifted"),
+    )
+
+
 QUERIES = {
     "x7_cohort_retention": x7_cohort_retention,
     "x7_funnel_steps": x7_funnel_steps,
     "x6_drift_metrics": x6_drift_metrics,
+    "x6_ks_drift": x6_ks_drift,
 }
 
 ORACLES = {
@@ -178,6 +249,46 @@ ORACLES = {
         SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM views) AS n_viewed,
                (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM clicks) AS n_clicked,
                (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM purchases) AS n_purchased
+    """,
+    # identical binning arithmetic (all-DOUBLE), integer cumulative counts,
+    # one division per bin -> the statistic and even the drifted boolean
+    # are bit-stable across engines
+    "x6_ks_drift": f"""
+        WITH e AS (
+            SELECT value, epoch_us(ts) AS us FROM events
+        ), bounds AS (
+            SELECT (min(us) + max(us)) // 2 AS mid_us,
+                   min(value) AS lo, max(value) AS hi
+            FROM e
+        ), binned AS (
+            SELECT us < mid_us AS is_a,
+                   least(CAST(floor((value - lo) / (hi - lo)
+                                    * CAST({KS_BINS} AS DOUBLE)) AS INT),
+                         {KS_BINS - 1}) AS bin
+            FROM e CROSS JOIN bounds
+        ), per_bin AS (
+            SELECT bin,
+                   CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+            FROM binned GROUP BY bin
+        ), cdf AS (
+            SELECT sum(a) OVER (ORDER BY bin) AS ca,
+                   sum(b) OVER (ORDER BY bin) AS cb
+            FROM per_bin
+        ), tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+            FROM per_bin
+        ), stat AS (
+            SELECT min(na) AS n_a, min(nb) AS n_b,
+                   max(abs(CAST(ca AS BIGINT) / na - CAST(cb AS BIGINT) / nb)) AS ks_stat
+            FROM cdf CROSS JOIN tot
+        )
+        SELECT n_a, n_b, ks_stat,
+               CAST({KS_C_ALPHA} AS DOUBLE)
+                 * sqrt((n_a + n_b) / (n_a * n_b)) AS ks_crit,
+               ks_stat > CAST({KS_C_ALPHA} AS DOUBLE)
+                 * sqrt((n_a + n_b) / (n_a * n_b)) AS drifted
+        FROM stat
     """,
     "x6_drift_metrics": """
         WITH e AS (

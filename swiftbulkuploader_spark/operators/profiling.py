@@ -477,7 +477,56 @@ def x6_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column (order status/priority) —
+    the information-content profile a data-quality monitor tracks: a
+    collapsing entropy means a column is degenerating (constant fill,
+    upstream default), a jump means schema/semantic drift. Normalized
+    entropy (H / ln k) is scale-free across columns with different
+    cardinalities (NULL when k = 1 — a constant column has no basis).
+
+    One scan: both columns explode to (col, val) rows via a struct array,
+    then a two-level aggregate (per-value counts -> per-column entropy);
+    the shuffle carries one row per distinct (col, val), map-side
+    combined. Summation-order ulps absorbed by the 9-sig-digit hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.col", "p.val")
+    per = pairs.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("col").agg(
+        F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).alias("nd")
+    )
+    p = F.col("c") / F.col("n")
+    ent = (
+        per.join(F.broadcast(tot), "col")
+        .groupBy("col")
+        .agg(F.min("nd").alias("nd"), (-F.sum(p * F.log(p))).alias("entropy"))
+    )
+    return ent.select(
+        "col",
+        F.col("nd").cast("long").alias("n_distinct"),
+        "entropy",
+        (
+            F.col("entropy")
+            / F.nullif(F.log(F.col("nd").cast("double")), F.lit(0.0))
+        ).alias("norm_entropy"),
+    )
+
+
 QUERIES = {
+    "x6_entropy_profile": x6_entropy_profile,
     "x6_dq_audit": x6_dq_audit,
     "x6_benford_digits": x6_benford_digits,
     "x6_equiwidth_histogram": x6_equiwidth_histogram,
@@ -496,6 +545,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same two-level aggregate; entropy sums' order ulps absorbed by the
+    # 9-sig normalization; norm_entropy NULL for constant columns both ways
+    "x6_entropy_profile": """
+        WITH u AS (
+            SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+        ), per AS (
+            SELECT col, val, count(*) AS c FROM u GROUP BY col, val
+        ), tot AS (
+            SELECT col, CAST(sum(c) AS DOUBLE) AS n, count(*) AS nd
+            FROM per GROUP BY col
+        ), ent AS (
+            SELECT per.col, min(nd) AS nd,
+                   -sum((c / n) * ln(c / n)) AS entropy
+            FROM per JOIN tot USING (col)
+            GROUP BY per.col
+        )
+        SELECT col,
+               CAST(nd AS BIGINT) AS n_distinct,
+               entropy,
+               entropy / nullif(ln(CAST(nd AS DOUBLE)), CAST(0 AS DOUBLE))
+                   AS norm_entropy
+        FROM ent
+    """,
     # n_total is the unfiltered row count (all totals are >= 1 in the data;
     # the filter guards the engine against degenerate inputs — (0,1) values
     # would yield digit '0' and an Inf-vs-NULL expected_share divergence —

@@ -505,7 +505,53 @@ def x2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_OUT_DIM = 16
+RP_IN_DIM = 64
+
+
+def _achlioptas_entry(i: int, j: int) -> int:
+    """Deterministic Achlioptas-sparse projection entry in {-1, 0, +1}
+    (P = 1/6, 2/3, 1/6 via a fixed mixing formula): reproducible as plain
+    integer arithmetic in ANY engine — no RNG state to ship."""
+    return {0: 1, 5: -1}.get((i * 31 + j * 17) % 6, 0)
+
+
+def x2_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims (Achlioptas
+    2003, "Database-friendly random projections": sparse {-1,0,+1}
+    entries scaled sqrt(3/k) preserve pairwise distances within
+    1 ± epsilon) — the 4x dimensionality shrink applied before ANN
+    indexing over billions of embeddings, complementing the int8
+    quantization in x2_quantized_codes (that shrinks bytes/dim; this
+    shrinks dims).
+
+    Execution: the projection UNROLLS into 16 codegen'd signed sums over
+    the embedding elements (~1/3 of terms survive the sparsity mask) —
+    a pure whole-stage-codegen projection, no shuffle, no UDF, no matrix
+    library; the same unrolled-dot-product discipline as semantic dedup's
+    centroid assignment (dedup.py). The matrix is a FORMULA, not data, so
+    DuckDB reproduces every output coordinate from the same integer
+    arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = (3.0 / RP_OUT_DIM) ** 0.5
+    outs = []
+    for j in range(RP_OUT_DIM):
+        term = None
+        for i in range(RP_IN_DIM):
+            e = _achlioptas_entry(i, j)
+            if e == 0:
+                continue
+            t = F.element_at(v, i + 1) if e > 0 else -F.element_at(v, i + 1)
+            term = t if term is None else term + t
+        outs.append(
+            ((term if term is not None else F.lit(0.0)) * F.lit(scale)).alias(f"p{j}")
+        )
+    return emb.select("vec_id", *outs)
+
+
 QUERIES = {
+    "x2_random_projection": x2_random_projection,
     "x2_mmr_rerank": x2_mmr_rerank,
     "x2_ann_recall": x2_ann_recall,
     "x2_knn_join": x2_knn_join,
@@ -771,3 +817,34 @@ ORACLES["x2_ann_recall"] = f"""
     FROM ({ORACLES["x2_cosine_topk"]}) exact
     JOIN ({ORACLES["x2_lsh_bucket_topk"]}) approx USING (vec_id)
 """
+
+
+def _rp_oracle_sql() -> str:
+    """The projection oracle is GENERATED from the same Python formula the
+    Spark plan unrolls, so the two sides cannot drift: identical term
+    order (left-associated sum), identical sparsity mask, identical scale
+    literal."""
+    scale = (3.0 / RP_OUT_DIM) ** 0.5
+    cols = []
+    for j in range(RP_OUT_DIM):
+        terms = []
+        for i in range(RP_IN_DIM):
+            e = _achlioptas_entry(i, j)
+            if e == 0:
+                continue
+            sign = "-" if e < 0 else ("+" if terms else "")
+            terms.append(f"{sign} v[{i + 1}]" if terms or e < 0 else f"v[{i + 1}]")
+        expr = " ".join(terms) if terms else "CAST(0 AS DOUBLE)"
+        cols.append(f"({expr}) * CAST({scale!r} AS DOUBLE) AS p{j}")
+    cols_sql = ",\n           ".join(cols)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT vec_id,
+           {cols_sql}
+        FROM e
+    """
+
+
+ORACLES["x2_random_projection"] = _rp_oracle_sql()

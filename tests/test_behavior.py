@@ -74,3 +74,41 @@ def test_histogram_degenerate_constant_column(spark):
         rows = x6_equiwidth_histogram(spark, d).collect()
     assert len(rows) == 1
     assert rows[0]["bin"] == 0 and rows[0]["cnt"] == 10
+
+
+def test_ks_drift_fires_on_shifted_distribution(spark, tmp_path):
+    """x6_ks_drift must flag a genuinely shifted value distribution: first
+    half uniform-low values, second half uniform-high — the binned ECDF gap
+    approaches 1 and far exceeds the alpha=0.05 critical value. And the
+    no-drift fixture direction: identical halves stay under it."""
+    import json
+
+    from swiftbulkuploader_spark.operators.behavior import x6_ks_drift
+
+    def write_events(path, second_half_shift):
+        rows = []
+        for i in range(2000):
+            sec = i  # first 1000 s = half A, rest = half B
+            v = (i % 100) / 100.0
+            if second_half_shift and i >= 1000:
+                v += 10.0
+            rows.append((i, f"2024-01-01 00:{sec // 60 % 60:02d}:{sec % 60:02d}",
+                         i % 7, "view", v, json.dumps({})))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).write.parquet(str(path))
+
+    shifted_dir = tmp_path / "shifted"
+    write_events(shifted_dir / "events.parquet", True)
+    r = x6_ks_drift(spark, str(shifted_dir)).first()
+    assert r["drifted"] and r["ks_stat"] > 0.9
+
+    same_dir = tmp_path / "same"
+    write_events(same_dir / "events.parquet", False)
+    r2 = x6_ks_drift(spark, str(same_dir)).first()
+    assert not r2["drifted"] and r2["ks_stat"] < r2["ks_crit"]

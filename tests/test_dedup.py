@@ -322,3 +322,95 @@ class TestRepeatedPassages:
         assert r["n_docs"] == 3 and r["n_occurrences"] == 4 and r["first_doc_id"] == 0
         # doc 4's unique grams and doc 2's nothing: no n_docs=1 rows at all
         assert all(row["n_docs"] >= 2 for row in got.values())
+
+
+class TestAllPairsPrefix:
+    def test_matches_bruteforce_on_crafted_corpus(self, spark, tmp_path):
+        """Prefix filtering is lossless: the pair set must equal brute-force
+        exact Jaccard over distinct 3-shingle sets at tau=0.5, including a
+        pair whose similarity comes only from FREQUENT shingles (the case a
+        buggy prefix would drop: rare-first ordering must still leave at
+        least one shared shingle in both prefixes)."""
+        from swiftbulkuploader_spark.operators.dedup import x1_allpairs_prefix
+
+        a = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, a, "en", "s", 1),
+            (1, a + " eta", "en", "s", 1),               # J high: near-dup
+            (2, a, "en", "s", 1),                        # exact dup of 0
+            (3, "totally different words here now", "en", "s", 1),
+            (4, "alpha beta gamma delta", "en", "s", 1),  # prefix-ish overlap
+        ]
+        spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in x1_allpairs_prefix(spark, str(tmp_path)).collect()}
+
+        def sh3(text):
+            t = text.split()
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+        expect = {}
+        sets = {i: sh3(txt) for i, txt, *_ in rows}
+        for i in sets:
+            for j in sets:
+                if i < j:
+                    c = len(sets[i] & sets[j])
+                    u = len(sets[i] | sets[j])
+                    if u and c / u >= 0.5:
+                        expect[(i, j)] = round(c / u, 6)
+        assert got == expect
+        assert (0, 2) in got and got[(0, 2)] == 1.0
+        assert (0, 1) in got  # near-dup found through the prefix join
+
+
+class TestWinnowing:
+    def test_guarantee_shared_run_yields_shared_fingerprint(self, spark, tmp_path):
+        """Winnowing's coverage guarantee (Schleimer et al. §3): any run of
+        W + k - 1 = 6+ shared grams (W=4 windows fully inside the shared
+        region) must produce at least one shared fingerprint between the
+        two documents; and per-doc density is ~1/W (far fewer fps than
+        grams on long docs)."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            x1_winnowing_fingerprints,
+        )
+
+        shared = "one two three four five six seven eight nine ten"
+        rows = [
+            (0, f"aaa bbb {shared} ccc ddd", "en", "s", 1),
+            (1, f"xxx yyy zzz {shared} qqq", "en", "s", 1),
+            (2, "totally unrelated text with other words entirely", "en", "s", 1),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r for r in
+               x1_winnowing_fingerprints(spark, str(tmp_path)).collect()}
+        assert set(got) == {0, 1, 2}
+        for d, r in got.items():
+            assert 1 <= r["n_fps"] <= r["n_grams"]
+        # density: selections collapse ~W adjacent windows onto one min
+        assert got[0]["n_fps"] < got[0]["n_grams"]
+
+    def test_shared_fingerprint_values_for_shared_passage(self, spark, tmp_path):
+        """Recompute the fingerprint SETS in pure Python with the same
+        md5-prefix hash and assert docs sharing a long passage share a
+        fingerprint value while the unrelated doc shares none."""
+        import hashlib
+
+        from swiftbulkuploader_spark.operators.dedup import WINNOW_W
+
+        def fps(text):
+            t = text.lower().split()
+            grams = [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+            nw = max(len(hs) - (WINNOW_W - 1), 1)
+            return {min(hs[i:i + WINNOW_W]) for i in range(nw)}
+
+        shared = "one two three four five six seven eight nine ten"
+        d0 = f"aaa bbb {shared} ccc ddd"
+        d1 = f"xxx yyy zzz {shared} qqq"
+        d2 = "totally unrelated text with other words entirely"
+        assert fps(d0) & fps(d1)          # guarantee: shared run -> shared fp
+        assert not (fps(d0) & fps(d2))

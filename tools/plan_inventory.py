@@ -39,6 +39,9 @@ BOUNDED_BNLJ_OK = {
                                # 3-row per-flag sketch table (tolerance check)
     "x1_semantic_dedup",       # 32-row broadcast centroid table cross-joined
                                # for the cluster assignment
+    "x3_unigram_logprob",      # 1-row corpus totals (N, V) cross-joined into
+                               # the per-token scorer
+    "x3_bm25_search",          # 1-row avgdl cross-joined into the scorer
 }
 
 

@@ -342,6 +342,62 @@ def shape_repeated_grams_hashed(df):
     return _repeated_two_level(grams, "gh")
 
 
+def _allpairs_posts(df):
+    # 24 distinct shingles per doc: 2 HOT (consecutive blocks of 200 docs
+    # share them -> df = 200 at every n, the boilerplate/stopword shingles)
+    # + 22 cold near-unique ones. The hot keys are what make the naive
+    # posting join blow up: candidates ~ vocab * C(df, 2).
+    hot1 = (F.col("event_id") - F.col("event_id") % 200).alias("k")
+    hot2 = (F.col("event_id") - (F.col("event_id") + 100) % 200 + 10_000_000_000).alias("k")
+    cold = [
+        (F.abs(F.xxhash64("event_id", F.lit(i))) % 1_000_000_000_000
+         + 100_000_000_000).alias("k")
+        for i in range(22)
+    ]
+    return df.select(
+        F.col("event_id").alias("doc"),
+        F.explode(F.array(hot1, hot2, *cold)).alias("k"),
+    )
+
+
+def shape_allpairs_naive(df):
+    """The naive all-pairs posting join x1_allpairs_prefix exists to avoid:
+    every same-shingle doc pair is a candidate, so the two df=200 hot
+    shingles contribute ~n/200 * C(200,2) * 2 pairs — candidate volume
+    grows with df^2 per frequent key. Run at base_n 300k (the 10x point
+    joins ~6e8 candidates; 1M-base would be ~2e9)."""
+    posts = _allpairs_posts(df)
+    return (
+        posts.alias("x")
+        .join(posts.alias("y"), "k")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+
+
+def shape_allpairs_prefix(df):
+    """Prefix filtering on the same postings (Bayardo, tau=0.5): rank each
+    doc's shingles rarest-first and join only the first
+    |d| - ceil(tau*|d|) + 1 = 13 of 24 — the df=200 hot shingles rank
+    LAST and never enter the join, so candidates collapse to cold-key
+    collisions. Compare n_cand-driven sec/shuffle vs shape_allpairs_naive."""
+    posts = _allpairs_posts(df)
+    df_tab = posts.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "k")
+    prefix = (
+        posts.join(df_tab, "k")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 13)
+        .select("doc", "k")
+    )
+    return (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "k")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+
+
 def _skew_fact_dim(df):
     # 90% of fact rows share key 0 (the lang='en' / mega-domain shape);
     # the rest spread uniformly over the 100k-key dim
@@ -423,6 +479,8 @@ SHAPES = {
     "dup_clusters_full": shape_dup_clusters_full,
     "hybrid_search_rrf": shape_hybrid_search,
     "training_manifest": shape_training_manifest,
+    "allpairs_naive": shape_allpairs_naive,
+    "allpairs_prefix": shape_allpairs_prefix,
     "skew_join_unsalted": shape_skew_join_unsalted,
     "skew_join_salted": shape_skew_join_salted,
     "skew_join_aqe": shape_skew_join_aqe,
