@@ -96,6 +96,9 @@ HEADLINE = [
     "x6_ks_drift",              # binned two-sample KS (continuous drift twin)
     "x6_entropy_profile",       # per-column Shannon entropy monitor
     "x2_random_projection",     # JL 64->16 unrolled codegen projection
+    "x2_pq_codes",              # product-quantization encode (8x16 codebooks)
+    "x5_market_basket",         # co-occurrence pairs + lift (basket-bounded join)
+    "x6_outlier_profile",       # Tukey-fence outlier screen per group
 ]
 
 

@@ -479,7 +479,11 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction the RAREST — exactly the skew-immune end of the df
     distribution; the frequent shingles that blow up df^2 candidate
     counts never enter the join. Candidates are then verified exactly on
-    the bounded survivor set via array intersection.
+    the bounded survivor set via array intersection. Measured
+    (tools/scaling_probe.py allpairs_naive vs allpairs_prefix, SCALING.md):
+    at 1M docs with df=600 stopword shingles the naive join takes 56.8 s /
+    4.1 GB shuffle, the prefix join 3.4 s / 0.44 GB — 16.6x, growing
+    super-linearly in df.
 
     Oracle: the NAIVE full posting join in DuckDB — prefix filtering is
     lossless, so the pair sets must be identical (the strongest possible

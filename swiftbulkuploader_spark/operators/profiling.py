@@ -525,7 +525,44 @@ def x6_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per group: Q1/Q3 of extended price per
+    return flag, 1.5*IQR fences, and how many rows fall outside — the
+    standard anomaly screen a data-quality monitor runs per partition.
+
+    Two passes (quantile pass -> 3-row broadcast of the fences -> counting
+    pass); at 100 TB the quantile pass swaps to the GK sketch exactly like
+    the dataset card (same output schema, fences unchanged in form).
+    Fences round to 6 dp BEFORE the per-row comparison (round-before-
+    boolean, CLAUDE.md rule 3): prices carry 2 decimals, so a 6-dp fence
+    cannot flip a row across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.75))").alias("ps")
+    )
+    q1, q3 = F.element_at("ps", 1), F.element_at("ps", 2)
+    fences = q.select(
+        "l_returnflag",
+        F.round(q1 - F.lit(1.5) * (q3 - q1), 6).alias("lo"),
+        F.round(q3 + F.lit(1.5) * (q3 - q1), 6).alias("hi"),
+    )
+    joined = li.join(F.broadcast(fences), "l_returnflag")
+    out = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum(out.cast("long")).alias("n_outliers"),
+        (F.sum(out.cast("long")) / F.count(F.lit(1))).alias("outlier_rate"),
+    )
+
+
 QUERIES = {
+    "x6_outlier_profile": x6_outlier_profile,
     "x6_entropy_profile": x6_entropy_profile,
     "x6_dq_audit": x6_dq_audit,
     "x6_benford_digits": x6_benford_digits,
@@ -545,6 +582,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # fences rounded to 6 dp before the row comparison on both sides;
+    # 2-decimal prices can't straddle a 6-dp fence ulp
+    "x6_outlier_profile": """
+        WITH q AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25)
+                         - CAST(1.5 AS DOUBLE)
+                           * (quantile_cont(l_extendedprice, 0.75)
+                              - quantile_cont(l_extendedprice, 0.25)), 6) AS lo,
+                   round(quantile_cont(l_extendedprice, 0.75)
+                         + CAST(1.5 AS DOUBLE)
+                           * (quantile_cont(l_extendedprice, 0.75)
+                              - quantile_cont(l_extendedprice, 0.25)), 6) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT li.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(lo) AS lo,
+               min(hi) AS hi,
+               CAST(sum(CASE WHEN l_extendedprice < lo
+                               OR l_extendedprice > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               sum(CASE WHEN l_extendedprice < lo
+                          OR l_extendedprice > hi THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) AS outlier_rate
+        FROM lineitem li JOIN q USING (l_returnflag)
+        GROUP BY li.l_returnflag
+    """,
     # same two-level aggregate; entropy sums' order ulps absorbed by the
     # 9-sig normalization; norm_entropy NULL for constant columns both ways
     "x6_entropy_profile": """

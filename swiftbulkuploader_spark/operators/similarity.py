@@ -550,7 +550,133 @@ def x2_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", *outs)
 
 
+PQ_M = 8      # subspaces
+PQ_DSUB = 8   # dims per subspace (8 x 8 = 64)
+PQ_K = 16     # codebook entries per subspace -> 4-bit codes, 8 B/vector
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """books[m][k] = the k-th codebook entry of subspace m: the first PQ_K
+    vectors' subvectors (deterministic init, same discipline as
+    _ivf_centroids; a production build refines with per-subspace k-means —
+    the encode/search path is identical either way). Bounded collect:
+    PQ_K rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    vecs = [[float(v) for v in r[0]] for r in rows]
+    return [
+        [vec[m * PQ_DSUB:(m + 1) * PQ_DSUB] for vec in vecs]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_sqdist_col(vec: Column, offset: int, cent: list[float]) -> Column:
+    """Unrolled left-associated squared L2 over one subspace — the exact
+    IEEE op sequence the generated oracle and the driver-side dtab mirror."""
+    term = None
+    for i, c in enumerate(cent):
+        d = F.element_at(vec, offset + i + 1) - F.lit(c)
+        t = d * d
+        term = t if term is None else term + t
+    return term
+
+
+def _pq_sqdist_lit(q: list[float], offset: int, cent: list[float]) -> Column:
+    """Query-to-codebook distance as a pure LITERAL expression: Catalyst
+    constant-folds it with the same Round/arithmetic semantics the
+    per-row path uses — Python's round() (half-even) must never produce
+    a compared value (Spark/DuckDB round half-away)."""
+    term = None
+    for i, c in enumerate(cent):
+        d = F.lit(q[offset + i]) - F.lit(c)
+        t = d * d
+        term = t if term is None else term + t
+    return term
+
+
+def _pq_best_structs(books, v):
+    """Per-subspace (rounded dist, code) argmin structs: array_min picks
+    the smallest distance, ties to the SMALLER code (struct ordering)."""
+    best = []
+    for m in range(PQ_M):
+        scored = F.array(*[
+            F.struct(
+                F.round(_pq_sqdist_col(v, m * PQ_DSUB, books[m][k]), 6).alias("d"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(PQ_K)
+        ])
+        best.append(F.array_min(scored).alias(f"b{m}"))
+    return best
+
+
+def x2_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou, Douze & Schmid, TPAMI 2011,
+    "Product Quantization for Nearest Neighbor Search"): split 64 dims
+    into 8 subspaces, snap each subvector to its nearest of 16 codebook
+    entries — 64 floats (256 B) become 8 4-bit codes (~4 B), the memory
+    layout billion-vector ANN indexes actually store. Output: the 8 codes
+    + the total quantization error.
+
+    Execution: the 128 subspace distances unroll into whole-stage codegen
+    (same discipline as semantic dedup's centroid dots) — no shuffle, no
+    UDF, no matrix library. Distances round to 6 dp BEFORE the argmin
+    (round-before-decision, CLAUDE.md rule 3) with ties to the smaller
+    code, so the assignment is engine-exact; the oracle SQL is GENERATED
+    from the same codebook literals and term order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    based = emb.select("vec_id", *_pq_best_structs(books, v))
+    qerr = None
+    for m in range(PQ_M):
+        t = F.col(f"b{m}")["d"]
+        qerr = t if qerr is None else qerr + t
+    return based.select(
+        "vec_id",
+        *[F.col(f"b{m}")["k"].alias(f"c{m}") for m in range(PQ_M)],
+        qerr.alias("qerr"),
+    )
+
+
+def x2_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 with the PQ codes: the query stays
+    un-quantized; each subspace contributes a table lookup of the
+    PRECOMPUTED query-to-codebook distance (16 doubles per subspace,
+    inlined as literals — at scale the 128-entry table broadcasts and the
+    scan never touches raw embeddings, only the 8-byte codes). Returns the
+    10 nearest by estimated distance, vec_id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    dtab = [
+        [
+            F.round(_pq_sqdist_lit(q, m * PQ_DSUB, books[m][k]), 6)
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    v = F.col("embedding").cast("array<double>")
+    based = emb.filter(F.col("vec_id") >= 1).select(
+        "vec_id", *_pq_best_structs(books, v)
+    )
+    adc = None
+    for m in range(PQ_M):
+        t = F.element_at(F.array(*dtab[m]), F.col(f"b{m}")["k"] + 1)
+        adc = t if adc is None else adc + t
+    return (
+        based.select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
+    "x2_pq_codes": x2_pq_codes,
+    "x2_pq_topk": x2_pq_topk,
     "x2_random_projection": x2_random_projection,
     "x2_mmr_rerank": x2_mmr_rerank,
     "x2_ann_recall": x2_ann_recall,
@@ -848,3 +974,85 @@ def _rp_oracle_sql() -> str:
 
 
 ORACLES["x2_random_projection"] = _rp_oracle_sql()
+
+
+def _pq_codes_oracle_sql() -> str:
+    """GENERATED oracle for the PQ encode: codebooks self-derive from the
+    first PQ_K embeddings (CAST float->double is exact, so they equal the
+    Spark side's collected literals); every subspace distance unrolls in
+    the same left-associated term order; per-subspace argmin via
+    row_number(ORDER BY d, k) = the struct-min's smaller-code tie rule."""
+    d_cols = []
+    for m in range(PQ_M):
+        terms = " + ".join(
+            f"(e.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            f" * (e.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            for i in range(PQ_DSUB)
+        )
+        d_cols.append(f"round({terms}, 6) AS d{m}")
+    d_sql = ",\n                   ".join(d_cols)
+    bm_ctes = ",\n        ".join(
+        f"""bm{m} AS (
+            SELECT vec_id, k AS c{m}, d{m} AS e{m}
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, k) = 1
+        )"""
+        for m in range(PQ_M)
+    )
+    joins = " ".join(f"JOIN bm{m} USING (vec_id)" for m in range(1, PQ_M))
+    qerr = " + ".join(f"e{m}" for m in range(PQ_M))
+    cs = ", ".join(f"CAST(c{m} AS INT) AS c{m}" for m in range(PQ_M))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cb AS (
+            SELECT vec_id AS k, v FROM e WHERE vec_id < {PQ_K}
+        ), d AS (
+            SELECT e.vec_id, cb.k,
+                   {d_sql}
+            FROM e CROSS JOIN cb
+        ),
+        {bm_ctes}
+        SELECT vec_id, {cs}, {qerr} AS qerr
+        FROM bm0 {joins}
+    """
+
+
+def _pq_topk_oracle_sql() -> str:
+    """ADC oracle: reuses the encode CTEs, adds the query-to-codebook
+    distance table (same unrolled term order against the vec_id=0 row)
+    and one 16-row join per subspace for the lookups."""
+    codes = _pq_codes_oracle_sql()
+    # strip the final SELECT; rebuild with the ADC lookups
+    prefix = codes[: codes.rindex("SELECT vec_id,")]
+    qd_cols = []
+    for m in range(PQ_M):
+        terms = " + ".join(
+            f"(q.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            f" * (q.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            for i in range(PQ_DSUB)
+        )
+        qd_cols.append(f"round({terms}, 6) AS qd{m}")
+    qd_sql = ",\n                   ".join(qd_cols)
+    lookups = " ".join(
+        f"JOIN qd j{m} ON bm{m}.c{m} = j{m}.k" for m in range(PQ_M)
+    )
+    adc = " + ".join(f"j{m}.qd{m}" for m in range(PQ_M))
+    joins = " ".join(f"JOIN bm{m} USING (vec_id)" for m in range(1, PQ_M))
+    return f"""{prefix.rstrip()}, q AS (
+            SELECT v FROM e WHERE vec_id = 0
+        ), qd AS (
+            SELECT cb.k,
+                   {qd_sql}
+            FROM cb CROSS JOIN q
+        )
+        SELECT vec_id, {adc} AS adc_dist
+        FROM bm0 {joins} {lookups}
+        WHERE vec_id >= 1
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT 10
+    """
+
+
+ORACLES["x2_pq_codes"] = _pq_codes_oracle_sql()
+ORACLES["x2_pq_topk"] = _pq_topk_oracle_sql()

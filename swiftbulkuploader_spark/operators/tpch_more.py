@@ -345,7 +345,68 @@ def x5_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_MIN_SUPPORT = 3
+
+
+def x5_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair analysis: parts co-ordered in the same order,
+    with support and lift — the classic co-occurrence/affinity query (and
+    the same shape a data pipeline uses for tag/domain co-occurrence).
+
+    Scale shape: the pair generation self-joins lineitem ON THE ORDER KEY,
+    so the blowup is C(basket, 2) per order — bounded by basket size
+    (~4-7 items), never by corpus size; the pair aggregation is one
+    map-side-combined shuffle on the (a, b) key. Per-part counts join
+    back broadcast (bounded by the part dimension). Lift divides
+    integer counts in the same order on both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = load_table(spark, sf_dir, "orders").count()  # metadata count
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders_part"))
+    lift = (
+        F.col("support").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_part.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_orders_part").alias("na"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                per_part.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_orders_part").alias("nb"),
+                )
+            ),
+            "part_b",
+        )
+        .select("part_a", "part_b", "support", lift.alias("lift"))
+    )
+
+
 QUERIES = {
+    "x5_market_basket": x5_market_basket,
     "x5_q2_min_cost_supplier": x5_q2_min_cost_supplier,
     "x5_q6_revenue_delta": x5_q6_revenue_delta,
     "x5_q7_volume_shipping": x5_q7_volume_shipping,
@@ -362,6 +423,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same pair/count arithmetic; lift divides identical integer-derived
+    # doubles in the same order; summation-free so hash-exact
+    "x5_market_basket": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_orders FROM orders
+        ), pairs AS (
+            SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM li x JOIN li y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {BASKET_MIN_SUPPORT}
+        ), per_part AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders_part
+            FROM li GROUP BY l_partkey
+        )
+        SELECT part_a, part_b, support,
+               CAST(support AS DOUBLE) * n.n_orders / (pa.n_orders_part * pb.n_orders_part) AS lift
+        FROM pairs
+        JOIN per_part pa ON pairs.part_a = pa.l_partkey
+        JOIN per_part pb ON pairs.part_b = pb.l_partkey
+        CROSS JOIN n
+    """,
     "x5_q2_min_cost_supplier": """
         WITH costs AS (
             SELECT p_partkey, p_brand, l_suppkey,

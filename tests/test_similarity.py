@@ -215,3 +215,25 @@ def test_ivf_kmeans_recall_at_least_first_n_quantizer(spark):
     # 4-of-16 probes recovering >= 3 of the true top-10 is the sanity bar,
     # not a quality claim — IVF recall is meaningful only on clustered data
     assert overlap >= 3, f"recall@10 = {overlap}/10"
+
+
+class TestProductQuantization:
+    def test_codebook_vectors_quantize_to_themselves(self, spark):
+        """Invariant: the PQ_K vectors whose subvectors ARE the codebooks
+        must encode to their own index in every subspace with zero
+        quantization error; everyone else's error is non-negative."""
+        from swiftbulkuploader_spark.operators.similarity import (
+            PQ_K,
+            PQ_M,
+            x2_pq_codes,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r["vec_id"]: r for r in x2_pq_codes(spark, sf).collect()}
+        for vid in range(PQ_K):
+            r = rows[vid]
+            assert all(r[f"c{m}"] == vid for m in range(PQ_M)), r
+            assert r["qerr"] == 0.0
+        assert all(r["qerr"] >= 0.0 for r in rows.values())
+        assert all(0 <= r[f"c{m}"] < PQ_K
+                   for r in rows.values() for m in range(PQ_M))

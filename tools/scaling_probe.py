@@ -342,17 +342,25 @@ def shape_repeated_grams_hashed(df):
     return _repeated_two_level(grams, "gh")
 
 
+ALLPAIRS_HOT_DF = 600
+
+
 def _allpairs_posts(df):
-    # 24 distinct shingles per doc: 2 HOT (consecutive blocks of 200 docs
-    # share them -> df = 200 at every n, the boilerplate/stopword shingles)
-    # + 22 cold near-unique ones. The hot keys are what make the naive
-    # posting join blow up: candidates ~ vocab * C(df, 2).
-    hot1 = (F.col("event_id") - F.col("event_id") % 200).alias("k")
-    hot2 = (F.col("event_id") - (F.col("event_id") + 100) % 200 + 10_000_000_000).alias("k")
+    # 12 distinct shingles per doc: 2 HOT (consecutive blocks of
+    # ALLPAIRS_HOT_DF docs share them -> df = 2000 at every n, the
+    # boilerplate/stopword shingles) + 10 cold near-unique ones. The hot
+    # keys are what make the naive posting join blow up: candidates
+    # ~ vocab * C(df, 2) = n * df per hot shingle.
+    hot1 = (F.col("event_id") - F.col("event_id") % ALLPAIRS_HOT_DF).alias("k")
+    hot2 = (
+        F.col("event_id")
+        - (F.col("event_id") + ALLPAIRS_HOT_DF // 2) % ALLPAIRS_HOT_DF
+        + 10_000_000_000
+    ).alias("k")
     cold = [
         (F.abs(F.xxhash64("event_id", F.lit(i))) % 1_000_000_000_000
          + 100_000_000_000).alias("k")
-        for i in range(22)
+        for i in range(10)
     ]
     return df.select(
         F.col("event_id").alias("doc"),
@@ -362,16 +370,25 @@ def _allpairs_posts(df):
 
 def shape_allpairs_naive(df):
     """The naive all-pairs posting join x1_allpairs_prefix exists to avoid:
-    every same-shingle doc pair is a candidate, so the two df=200 hot
-    shingles contribute ~n/200 * C(200,2) * 2 pairs — candidate volume
-    grows with df^2 per frequent key. Run at base_n 300k (the 10x point
-    joins ~6e8 candidates; 1M-base would be ~2e9)."""
+    every same-shingle doc pair is a candidate, so the two df=2000 hot
+    shingles contribute ~n * 600 pairs — candidate volume grows with df
+    per occurrence (df^2 per key), i.e. SUPER-LINEAR in df while the data
+    only grows linearly. Run at base_n 100k (the 10x point shuffles ~6e8
+    candidate pairs; the prefix twin below stays linear)."""
     posts = _allpairs_posts(df)
+    # merge-join hint: Catalyst's size estimate of the synthesized
+    # posting table is far below reality and it would try (and OOM) a
+    # broadcast; at corpus scale this join is always a shuffle join
+    # downstream mirrors the real operator: candidates feed a PAIR
+    # aggregation (a shuffle keyed on the pair), not a free fused count —
+    # this is where candidate volume actually costs at scale
     return (
-        posts.alias("x")
+        posts.alias("x").hint("merge")
         .join(posts.alias("y"), "k")
         .filter(F.col("x.doc") < F.col("y.doc"))
-        .agg(F.count(F.lit(1)).alias("n_cand"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
@@ -382,19 +399,24 @@ def shape_allpairs_prefix(df):
     LAST and never enter the join, so candidates collapse to cold-key
     collisions. Compare n_cand-driven sec/shuffle vs shape_allpairs_naive."""
     posts = _allpairs_posts(df)
-    df_tab = posts.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    # df table is ~n*10 distinct cold keys — nothing here is broadcastable
+    # (Catalyst's synthesized-size estimates say otherwise), hence hints
+    df_tab = posts.groupBy("k").agg(F.count(F.lit(1)).alias("df")).hint("merge")
     w = Window.partitionBy("doc").orderBy("df", "k")
     prefix = (
         posts.join(df_tab, "k")
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 13)
+        # |d| - ceil(tau*|d|) + 1 = 12 - 6 + 1 = 7 of the 12 shingles
+        .filter(F.col("rk") <= 7)
         .select("doc", "k")
     )
     return (
-        prefix.alias("x")
+        prefix.alias("x").hint("merge")
         .join(prefix.alias("y"), "k")
         .filter(F.col("x.doc") < F.col("y.doc"))
-        .agg(F.count(F.lit(1)).alias("n_cand"))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
