@@ -492,15 +492,21 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     base = (
-        docs.select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
+        # spread() first: the interpreted-HOF shingling is the compute-dense
+        # stage, and a small parquet file arrives as ONE partition. The
+        # base carries 8-byte HASH arrays, not shingle strings — the
+        # candidate-verify joins are the byte-dominant exchanges and the
+        # hash swap cuts them ~6x (same collision budget as the
+        # contamination inverted index above).
+        spread(docs)
+        .select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
         .filter(F.size(toks) >= 3)
-        .withColumn("n", F.size("sh"))
+        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+        .withColumn("n", F.size("hs"))
         # read 3x below (posting explode + both verify sides): materialize
         .localCheckpoint(eager=True)
     )
-    posts = base.select("doc_id", "n", F.explode("sh").alias("s")).withColumn(
-        "h", F.xxhash64("s")
-    )
+    posts = base.select("doc_id", "n", F.explode("hs").alias("h"))
     df_tab = posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # global rarity order (df, h); rank within doc; prefix length
     # p = n - ceil(tau*n) + 1, in exact integer arithmetic for tau=1/2
@@ -509,29 +515,36 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         posts.join(df_tab, "h")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") * F.lit(ALLPAIRS_TAU)) + 1)
-        .select("doc_id", "h")
+        .select("doc_id", "n", "h")
     )
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "h")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            # LENGTH filter (same paper): J >= tau forces
+            # tau <= |A|/|B| <= 1/tau, so size-incompatible pairs never
+            # reach the distinct or the verify joins
+            & (F.col("x.n").cast("double") >= F.col("y.n") * F.lit(ALLPAIRS_TAU))
+            & (F.col("y.n").cast("double") >= F.col("x.n") * F.lit(ALLPAIRS_TAU))
+        )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
     verified = (
-        cand.join(base.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa")), "a")
-        .join(base.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb")), "b")
-        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        cand.join(base.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(base.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")), "b")
+        .withColumn("c", F.size(F.array_intersect("ha", "hb")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("c").cast("double")
-                / (F.size("sa") + F.size("sb") - F.col("c")),
+                / (F.size("ha") + F.size("hb") - F.col("c")),
                 6,
             ),
         )
         .filter(
-            F.col("c").cast("double") / (F.size("sa") + F.size("sb") - F.col("c"))
+            F.col("c").cast("double") / (F.size("ha") + F.size("hb") - F.col("c"))
             >= F.lit(ALLPAIRS_TAU)
         )
     )

@@ -573,17 +573,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     ]
 
 
-def _pq_sqdist_col(vec: Column, offset: int, cent: list[float]) -> Column:
-    """Unrolled left-associated squared L2 over one subspace — the exact
-    IEEE op sequence the generated oracle and the driver-side dtab mirror."""
-    term = None
-    for i, c in enumerate(cent):
-        d = F.element_at(vec, offset + i + 1) - F.lit(c)
-        t = d * d
-        term = t if term is None else term + t
-    return term
-
-
 def _pq_sqdist_lit(q: list[float], offset: int, cent: list[float]) -> Column:
     """Query-to-codebook distance as a pure LITERAL expression: Catalyst
     constant-folds it with the same Round/arithmetic semantics the
@@ -597,20 +586,45 @@ def _pq_sqdist_lit(q: list[float], offset: int, cent: list[float]) -> Column:
     return term
 
 
-def _pq_best_structs(books, v):
-    """Per-subspace (rounded dist, code) argmin structs: array_min picks
-    the smallest distance, ties to the SMALLER code (struct ordering)."""
-    best = []
-    for m in range(PQ_M):
-        scored = F.array(*[
-            F.struct(
-                F.round(_pq_sqdist_col(v, m * PQ_DSUB, books[m][k]), 6).alias("d"),
-                F.lit(k).alias("k"),
-            )
-            for k in range(PQ_K)
-        ])
-        best.append(F.array_min(scored).alias(f"b{m}"))
-    return best
+def _pq_best_frame(spark: SparkSession, sf_dir: str, books) -> DataFrame:
+    """(vec_id, b0..b7) where b{m} = the min (rounded dist, code) struct of
+    subspace m — the PQ assignment every consumer reads.
+
+    Shape: broadcast the 128-row (m, k, centroid) table, nested-loop it
+    against the vectors (bounded build side — the documented-ok BNLJ
+    pattern), compute ONE unrolled 8-term distance per row, then collapse
+    back to one row per vector with eight min-of-struct aggregates
+    (partial aggregation combines the 128 rows map-side, so the exchange
+    carries ~1 row per vector). This replaces a fully-unrolled 128-distance
+    projection that blew janino's 64 KB method limit and silently fell
+    back to INTERPRETED eval (~1.7 ms/row, measured) — the join form keeps
+    every expression small enough for whole-stage codegen. min(struct)
+    ties go to the smaller code (field-order comparison), matching the
+    generated oracle's ORDER BY d, k."""
+    cb = spark.createDataFrame(
+        [(m, k, books[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
+        "m int, k int, c array<double>",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(F.broadcast(cb))
+    dist = None
+    for i in range(PQ_DSUB):
+        d = F.element_at("v", F.col("m") * PQ_DSUB + (i + 1)) - F.element_at(
+            "c", i + 1
+        )
+        t = d * d
+        dist = t if dist is None else dist + t
+    scored = joined.select(
+        "vec_id", "m", "k", F.round(dist, 6).alias("d")
+    )
+    return scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.when(F.col("m") == mm, F.struct("d", "k"))).alias(f"b{mm}")
+            for mm in range(PQ_M)
+        ]
+    )
 
 
 def x2_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,16 +635,14 @@ def x2_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout billion-vector ANN indexes actually store. Output: the 8 codes
     + the total quantization error.
 
-    Execution: the 128 subspace distances unroll into whole-stage codegen
-    (same discipline as semantic dedup's centroid dots) — no shuffle, no
-    UDF, no matrix library. Distances round to 6 dp BEFORE the argmin
-    (round-before-decision, CLAUDE.md rule 3) with ties to the smaller
-    code, so the assignment is engine-exact; the oracle SQL is GENERATED
-    from the same codebook literals and term order."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Execution: see _pq_best_frame — broadcast codebook join + min-struct
+    aggregation, every expression codegen-sized (the naive 128-distance
+    unroll overflowed janino and ran interpreted). Distances round to 6 dp
+    BEFORE the argmin (round-before-decision, CLAUDE.md rule 3) with ties
+    to the smaller code, so the assignment is engine-exact; the oracle SQL
+    is GENERATED with the same term order."""
     books = _pq_codebooks(spark, sf_dir)
-    v = F.col("embedding").cast("array<double>")
-    based = emb.select("vec_id", *_pq_best_structs(books, v))
+    based = _pq_best_frame(spark, sf_dir, books)
     qerr = None
     for m in range(PQ_M):
         t = F.col(f"b{m}")["d"]
@@ -649,7 +661,6 @@ def x2_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined as literals — at scale the 128-entry table broadcasts and the
     scan never touches raw embeddings, only the 8-byte codes). Returns the
     10 nearest by estimated distance, vec_id tiebreak."""
-    emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
     dtab = [
@@ -659,10 +670,7 @@ def x2_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m in range(PQ_M)
     ]
-    v = F.col("embedding").cast("array<double>")
-    based = emb.filter(F.col("vec_id") >= 1).select(
-        "vec_id", *_pq_best_structs(books, v)
-    )
+    based = _pq_best_frame(spark, sf_dir, books).filter(F.col("vec_id") >= 1)
     adc = None
     for m in range(PQ_M):
         t = F.element_at(F.array(*dtab[m]), F.col(f"b{m}")["k"] + 1)
