@@ -99,6 +99,8 @@ HEADLINE = [
     "x2_pq_codes",              # product-quantization encode (8x16 codebooks)
     "x5_market_basket",         # co-occurrence pairs + lift (basket-bounded join)
     "x6_outlier_profile",       # Tukey-fence outlier screen per group
+    "x1_simhash_exact",         # oracled SimHash twin (md5-prefix bits)
+    "x1_minhash_exact",         # oracled MinHash-LSH twin (xor-mult remixes)
 ]
 
 

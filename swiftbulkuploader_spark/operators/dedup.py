@@ -410,6 +410,113 @@ def x1_minhash_neardup(spark: SparkSession, sf_dir: str,
     return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
 
 
+# deterministic overflow-safe remix constants for the ORACLED MinHash twin:
+# odd multipliers below 2^29 so hv (< 2^32) * a fits in a signed 64-bit int
+# on BOTH engines (Java wraps silently, DuckDB ERRORS on overflow — staying
+# under the limit sidesteps the divergence entirely)
+MINHASH_EXACT_N = 32
+_MH_MOD = 4294967296  # 2^32: xor-then-multiply mod 2^32 is a bijection
+# for odd multipliers and actually MIXES — a plain a*h+b over a modulus the
+# 32-bit inputs never wrap stays monotone in h, so every "independent"
+# minhash would pick the SAME minimum shingle (measured: near-dups went
+# undetected); the xor reshuffles the order per k
+
+
+def _mh_exact_consts() -> list[tuple[int, int]]:
+    out, state = [], 0x9E3779B9
+    for _ in range(MINHASH_EXACT_N):
+        state = (state * 1103515245 + 12345) & 0x3FFFFFFF
+        a = (state | 1) & 0x1FFFFFFF            # odd, < 2^29
+        state = (state * 1103515245 + 12345) & 0x3FFFFFFF
+        b = state
+        out.append((a, b))
+    return out
+
+
+def x1_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED MinHash-LSH near-dup: the same signature -> banding ->
+    band-bucket join -> exact-Jaccard verify pipeline as
+    ``x1_minhash_neardup``, with every stage engine-reproducible — 32-bit
+    md5-prefix shingle hashes, 32 xor-multiply remixes ((h XOR b_k) * a_k
+    mod 2^32, overflow-safe odd constants), 8 bands of 4 signature values joined on
+    the RAW 4-tuple (no bucket hash needed), and the exact Jaccard on hash
+    arrays. DuckDB replays the identical integer arithmetic, so the last
+    big rows-only family (seeded MinHash) gains a hash-checked twin, the
+    same graduation x1_dup_clusters_exact and x1_simhash_exact made.
+
+    Plan shape matches the production form: the band join shuffles on
+    (band, 4 ints); candidate verification touches band collisions only,
+    never n^2; the verify join ships 8-byte hash arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    base = (
+        spread(docs)
+        .select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
+        .filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.transform(
+                "sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            ).alias("hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    consts = _mh_exact_consts()
+
+    def _mix(a: int, b: int):
+        # closure factory: PySpark derives the HOF's arity from the
+        # lambda's parameter count, so defaults-as-captures would turn
+        # this into a 3-arg lambda
+        return lambda h: (h.bitwiseXOR(F.lit(b)) * F.lit(a)) % F.lit(_MH_MOD)
+
+    sigs = base.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _mix(a, b))).alias(f"s{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    )
+    bands = None
+    for bj in range(8):
+        part = sigs.select(
+            "doc_id",
+            F.lit(bj).alias("bj"),
+            *[
+                F.col(f"s{bj * 4 + r}").alias(f"c{r}")
+                for r in range(4)
+            ],
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bj", "c0", "c1", "c2", "c3"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(base.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(base.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")), "b")
+        .withColumn("c", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c").cast("double")
+                / (F.size("ha") + F.size("hb") - F.col("c")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("c").cast("double") / (F.size("ha") + F.size("hb") - F.col("c"))
+            >= F.lit(0.5)
+        )
+    )
+    return verified.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
+    )
+
+
 def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for every LSH candidate pair (no threshold) —
     the similarity histogram a dedup-tuning run inspects."""
@@ -613,9 +720,85 @@ def simhash_neardup(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def x1_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3). Rows-only check."""
+    """SimHash near-dup pairs (hamming <= 3). Rows-only check (xxhash64
+    token hashes are Spark-seeded); the ORACLED twin below reproduces the
+    whole fingerprint in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup(simhash(docs))
+
+
+SIMHASH_EXACT_BITS = 32
+
+
+def x1_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED SimHash: the same signed-bit-vote fingerprint + pigeonhole
+    banding + hamming verify as ``x1_simhash_neardup``, built on 32-bit
+    md5-PREFIX token hashes instead of seeded xxhash64 — every bit of the
+    fingerprint, every band bucket, and every hamming distance is plain
+    integer arithmetic DuckDB reproduces, so the whole near-dup pipeline
+    graduates from rows-only to hash-checked (the discipline that turned
+    dup clustering into x1_dup_clusters_exact).
+
+    Shape is identical to the production form: one token explode -> 32
+    codegen'd conditional sums per doc -> fingerprint reassembly -> 4x8-bit
+    chunk banding (pigeonhole: hamming <= 3 pairs share a chunk) ->
+    bit_count(xor) verify on collisions only. 32 bits halve the
+    fingerprint's resolution vs the 64-bit form — acceptable for the
+    oracle twin; the production query keeps 64."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id",
+        F.explode(F.split(F.lower(normalize_ws(F.col("text"))), " ")).alias("tok"),
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    votes = toks.withColumn("h", hv).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(SIMHASH_EXACT_BITS)
+        ]
+    )
+    sim = reduce(
+        lambda acc, k: acc
+        + F.when(F.col(f"b{k}") > 0, F.lit(2**k).cast("long")).otherwise(0),
+        range(SIMHASH_EXACT_BITS),
+        F.lit(0).cast("long"),
+    )
+    sigs = votes.select("doc_id", sim.alias("sh32"))
+    chunks = sigs.select(
+        "doc_id",
+        "sh32",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.shiftrightunsigned(F.col("sh32"), 8 * j)
+                    .bitwiseAND(F.lit(0xFF))
+                    .alias("cv"),
+                )
+                for j in range(4)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "sh32", F.col("c.j").alias("j"), F.col("c.cv").alias("cv"))
+    pairs = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["j", "cv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.sh32").alias("sa"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.sh32").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
 
 
 def x1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,11 +1061,76 @@ QUERIES = {
     "x1_allpairs_prefix": x1_allpairs_prefix,
     "x1_winnowing_fingerprints": x1_winnowing_fingerprints,
     "x1_simhash_neardup": x1_simhash_neardup,
+    "x1_simhash_exact": x1_simhash_exact,
+    "x1_minhash_exact": x1_minhash_exact,
 }
 
 _FP_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 ORACLES = {
+    # generated 32-bit SimHash twin: md5-prefix token hashes, the same
+    # signed votes / fingerprint reassembly / 4x8-bit banding / hamming
+    # verify as the Spark plan — all plain integer arithmetic
+    "x1_simhash_exact": """
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+            FROM tk
+        ), v AS (
+            SELECT doc_id,
+                   sum(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+                   sum(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+                   sum(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+                   sum(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+                   sum(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+                   sum(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+                   sum(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+                   sum(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+                   sum(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+                   sum(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+                   sum(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+                   sum(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+                   sum(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+                   sum(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+                   sum(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+                   sum(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+                   sum(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+                   sum(CASE WHEN (hv >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+                   sum(CASE WHEN (hv >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+                   sum(CASE WHEN (hv >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+                   sum(CASE WHEN (hv >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+                   sum(CASE WHEN (hv >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+                   sum(CASE WHEN (hv >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+                   sum(CASE WHEN (hv >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+                   sum(CASE WHEN (hv >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+                   sum(CASE WHEN (hv >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+                   sum(CASE WHEN (hv >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+                   sum(CASE WHEN (hv >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+                   sum(CASE WHEN (hv >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+                   sum(CASE WHEN (hv >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+                   sum(CASE WHEN (hv >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+                   sum(CASE WHEN (hv >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31
+            FROM h GROUP BY doc_id
+        ), s AS (
+            SELECT doc_id, CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END + CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END + CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END AS sh32
+            FROM v
+        ), c AS (
+            SELECT doc_id, sh32, j, (sh32 >> (8 * j)) & 255 AS cv
+            FROM s, unnest([0, 1, 2, 3]) AS u(j)
+        ), p AS (
+            SELECT DISTINCT x.doc_id AS doc_a, x.sh32 AS sa,
+                            y.doc_id AS doc_b, y.sh32 AS sb
+            FROM c x JOIN c y ON x.j = y.j AND x.cv = y.cv
+                             AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM p
+        WHERE bit_count(xor(sa, sb)) <= 3
+    """,
     # lateral-unnest k-gram construction mirrors functions/text.py::shingles
     # for docs of >= 8 tokens (shorter docs are filtered on both sides, so
     # the whole-text-as-single-shingle edge never fires)
@@ -1097,3 +1345,62 @@ ORACLES = {
 
 # the indexed variant answers the same question — one oracle text, two plans
 ORACLES["x1_contamination_indexed"] = ORACLES["x1_contamination"]
+
+
+def _minhash_exact_oracle_sql() -> str:
+    """GENERATED MinHash-twin oracle: the same remix constants (inlined as
+    literals from the same Python generator), min aggregation, band
+    4-tuple join, and hash-array Jaccard verify — integer arithmetic only,
+    nothing engine-specific anywhere."""
+    consts = _mh_exact_consts()
+    sig_cols = ",\n                   ".join(
+        f"min((xor(hv, {b}) * {a}) % {_MH_MOD}) AS s{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {bj} AS bj, s{bj * 4} AS c0, s{bj * 4 + 1} AS c1, "
+        f"s{bj * 4 + 2} AS c2, s{bj * 4 + 3} AS c3 FROM sigs"
+        for bj in range(8)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3
+        ), h AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+            FROM g
+        ), sigs AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM h GROUP BY doc_id
+        ), bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.bj = y.bj AND x.c0 = y.c0 AND x.c1 = y.c1
+             AND x.c2 = y.c2 AND x.c3 = y.c3 AND x.doc_id < y.doc_id
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id
+        ), pr AS (
+            SELECT cand.a, cand.b, count(*) AS c
+            FROM cand
+            JOIN h hx ON cand.a = hx.doc_id
+            JOIN h hy ON cand.b = hy.doc_id AND hx.hv = hy.hv
+            GROUP BY cand.a, cand.b
+        )
+        SELECT a AS doc_a, b AS doc_b,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+    """
+
+
+ORACLES["x1_minhash_exact"] = _minhash_exact_oracle_sql()

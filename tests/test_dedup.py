@@ -414,3 +414,37 @@ class TestWinnowing:
         d2 = "totally unrelated text with other words entirely"
         assert fps(d0) & fps(d1)          # guarantee: shared run -> shared fp
         assert not (fps(d0) & fps(d2))
+
+
+class TestOracledTwins:
+    def test_minhash_exact_finds_known_neardups(self, spark, tmp_path):
+        """The engine-reproducible MinHash twin must behave like MinHash:
+        exact dup found at J=1.0, one-word-edit near-dup found above 0.5,
+        the unrelated doc paired with nobody."""
+        from swiftbulkuploader_spark.operators.dedup import x1_minhash_exact
+
+        rows = [(0, BASE), (1, NEAR), (2, EXACT), (3, FAR)]
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in x1_minhash_exact(spark, str(tmp_path)).collect()}
+        assert got.get((0, 2)) == 1.0
+        assert (0, 1) in got and got[(0, 1)] >= 0.5
+        assert not any(3 in p for p in got)
+
+    def test_simhash_exact_pairs_near_texts_only(self, spark, tmp_path):
+        """The md5-based SimHash twin pairs the near-identical documents
+        (hamming <= 3 on 32 bits) and not the unrelated one."""
+        from swiftbulkuploader_spark.operators.dedup import x1_simhash_exact
+
+        rows = [(0, BASE), (1, NEAR), (2, EXACT), (3, FAR)]
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in x1_simhash_exact(spark, str(tmp_path)).collect()}
+        assert got.get((0, 2)) == 0          # identical text: hamming 0
+        assert not any(3 in p for p in got)  # unrelated doc unpaired
