@@ -101,6 +101,7 @@ HEADLINE = [
     "x6_outlier_profile",       # Tukey-fence outlier screen per group
     "x1_simhash_exact",         # oracled SimHash twin (md5-prefix bits)
     "x1_minhash_exact",         # oracled MinHash-LSH twin (xor-mult remixes)
+    "x3_pmi_cooccurrence",      # windowed PMI collocations (linear pair gen)
 ]
 
 

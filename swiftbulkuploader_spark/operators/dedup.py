@@ -570,6 +570,16 @@ def x1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def allpairs_prefix_pairs(spark: SparkSession, sf_dir: str,
+                          tau: float = ALLPAIRS_TAU) -> DataFrame:
+    """(a, b, jaccard) for every doc pair with 3-gram Jaccard >= tau,
+    via the prefix-filtered join — the shared pair generator behind
+    x1_allpairs_prefix AND the exact dup-clustering's edge list
+    (components.py::x1_dup_clusters_exact), so the 16.6x-measured plan
+    exists once."""
+    return _allpairs_impl(spark, sf_dir, tau)
+
+
 def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs similarity join with PREFIX FILTERING (Bayardo,
     Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search" — the
@@ -596,6 +606,10 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless, so the pair sets must be identical (the strongest possible
     check that the optimization is an optimization, not an approximation).
     """
+    return allpairs_prefix_pairs(spark, sf_dir)
+
+
+def _allpairs_impl(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     base = (
@@ -621,7 +635,7 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         posts.join(df_tab, "h")
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") * F.lit(ALLPAIRS_TAU)) + 1)
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1)
         .select("doc_id", "n", "h")
     )
     cand = (
@@ -632,8 +646,8 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             # LENGTH filter (same paper): J >= tau forces
             # tau <= |A|/|B| <= 1/tau, so size-incompatible pairs never
             # reach the distinct or the verify joins
-            & (F.col("x.n").cast("double") >= F.col("y.n") * F.lit(ALLPAIRS_TAU))
-            & (F.col("y.n").cast("double") >= F.col("x.n") * F.lit(ALLPAIRS_TAU))
+            & (F.col("x.n").cast("double") >= F.col("y.n") * F.lit(tau))
+            & (F.col("y.n").cast("double") >= F.col("x.n") * F.lit(tau))
         )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
@@ -652,7 +666,7 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             F.col("c").cast("double") / (F.size("ha") + F.size("hb") - F.col("c"))
-            >= F.lit(ALLPAIRS_TAU)
+            >= F.lit(tau)
         )
     )
     return verified.select("a", "b", "jaccard")

@@ -340,7 +340,69 @@ def x3_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+
+
+def x3_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PMI co-occurrence (Church & Hanks 1990) — the word-
+    association table behind collocation extraction, phrase mining, and
+    classic word vectors: token pairs within a +-2 window scored by
+    pointwise mutual information ln(N * c_ab / (c_a * c_b)).
+
+    Linear, never quadratic: pairs come from zip_with-ing the token array
+    with its 1- and 2-shifted copies (the shingles() slice discipline —
+    no captured-expression re-evaluation), so each token emits <= 2 pairs
+    regardless of document length. Pairs are canonically ordered (min,
+    max) so (a,b) and (b,a) pool; the shuffle is one map-side-combined
+    (w1, w2) aggregate; unigram counts join back broadcast. Rare pairs
+    (< 5 occurrences) are cut on BOTH engines before scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+
+    def shifted_pairs(j: int):
+        a = F.slice(toks, 1, F.greatest(n - j, F.lit(0)))
+        b = F.slice(toks, 1 + j, F.greatest(n - j, F.lit(0)))
+        return F.zip_with(
+            a, b,
+            lambda x, y: F.struct(F.least(x, y).alias("w1"),
+                                  F.greatest(x, y).alias("w2")),
+        )
+
+    pairs = (
+        docs.filter(F.length(F.trim(norm)) > 0)
+        .select(F.explode(F.concat(shifted_pairs(1), shifted_pairs(2))).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    uni = (
+        docs.filter(F.length(F.trim(norm)) > 0)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tok = uni.agg(F.sum("cw").cast("double").alias("n_tokens"))
+    co = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    return (
+        co.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1", "w2", "c_ab",
+            F.log(
+                F.col("n_tokens") * F.col("c_ab")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
+    "x3_pmi_cooccurrence": x3_pmi_cooccurrence,
     "x3_unigram_logprob": x3_unigram_logprob,
     "x3_chunk_documents": x3_chunk_documents,
     "x3_redact": x3_redact,
@@ -389,6 +451,40 @@ _ORACLE_STOPWORD_CASE = " ".join(
 )
 
 ORACLES = {
+    # same windowed pairs (positions i/i+1 and i/i+2, canonical order),
+    # same min-count cut, same double op order in the PMI
+    "x3_pmi_cooccurrence": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+            WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+        ), p AS (
+            SELECT least(toks[i], toks[i+1]) AS w1,
+                   greatest(toks[i], toks[i+1]) AS w2
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+            UNION ALL
+            SELECT least(toks[i], toks[i+2]) AS w1,
+                   greatest(toks[i], toks[i+2]) AS w2
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        ), uni AS (
+            SELECT w, count(*) AS cw
+            FROM (SELECT unnest(toks) AS w FROM t)
+            GROUP BY w
+        ), nt AS (
+            SELECT CAST(sum(cw) AS DOUBLE) AS n_tokens FROM uni
+        ), co AS (
+            SELECT w1, w2, count(*) AS c_ab
+            FROM p GROUP BY w1, w2
+            HAVING count(*) >= {PMI_MIN_COUNT}
+        )
+        SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+               ln(nt.n_tokens * c_ab / CAST(a.cw * b.cw AS DOUBLE)) AS pmi
+        FROM co
+        JOIN uni a ON co.w1 = a.w
+        JOIN uni b ON co.w2 = b.w
+        CROSS JOIN nt
+    """,
     # same add-one-smoothed self-LM; ln/exp and summation-order ulps are
     # absorbed by the 9-sig-digit normalization (values ship unrounded)
     "x3_unigram_logprob": """

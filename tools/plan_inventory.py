@@ -46,6 +46,8 @@ BOUNDED_BNLJ_OK = {
     "x2_pq_topk",              # same codebook broadcast as x2_pq_codes
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
+    "x3_pmi_cooccurrence",     # 1-row corpus token total cross-joined into
+                               # the PMI scorer
 }
 
 
