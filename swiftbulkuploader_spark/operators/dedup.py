@@ -624,8 +624,12 @@ def _allpairs_impl(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
         .filter(F.size(toks) >= 3)
         .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
         .withColumn("n", F.size("hs"))
-        # read 3x below (posting explode + both verify sides): materialize
-        .localCheckpoint(eager=True)
+        # read 3x below (posting explode + both verify sides) AND by every
+        # consumer of the pair generator in the session (x1_allpairs_prefix
+        # + x1_dup_clusters_exact): persist() keys the cache on the logical
+        # plan, so the interpreted-HOF shingling runs once per session —
+        # the shingle_base discipline (SCALING.md "Shared shingle base")
+        .persist()
     )
     posts = base.select("doc_id", "n", F.explode("hs").alias("h"))
     df_tab = posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

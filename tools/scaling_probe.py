@@ -345,6 +345,54 @@ def shape_repeated_grams_hashed(df):
 ALLPAIRS_HOT_DF = 600
 
 
+def shape_winnowing(df):
+    """x1_winnowing_fingerprints' core: materialize a per-row hash array,
+    slide a W=4 window of array_min slices, distinct + aggregate — pure
+    per-row compute, no shuffle. Linear ratio = the selection is O(m*W)
+    per row (the lambda references a materialized attribute, not a
+    captured expression)."""
+    hs = F.transform(
+        F.sequence(F.lit(1), F.lit(48)),
+        lambda i: F.abs(F.xxhash64(F.col("event_id"), i)) % 100_000_000,
+    )
+    base = df.select("event_id", hs.alias("hs"))
+    m = F.size("hs")
+    nw = F.greatest(m - F.lit(3), F.lit(1))
+    wins = F.transform(F.sequence(F.lit(1), nw),
+                       lambda i: F.array_min(F.slice("hs", i, 4)))
+    fps = F.array_distinct(wins)
+    return base.select(
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum")
+    )
+
+
+def shape_pmi_pairs(df):
+    """x3_pmi_cooccurrence's core: shifted zip_with pair generation (2
+    pairs per token), canonical ordering, map-side-combined (w1, w2)
+    aggregate with a min-count HAVING — the windowed co-occurrence shuffle
+    shape. Keys drawn zipf-ish from a 200k vocab."""
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 200_000).cast("string"),
+    )
+    base = df.select(toks.alias("t"))
+    n = F.size("t")
+
+    def shifted(j):
+        a = F.slice("t", 1, F.greatest(n - j, F.lit(0)))
+        b = F.slice("t", 1 + j, F.greatest(n - j, F.lit(0)))
+        return F.zip_with(a, b, lambda x, y: F.struct(
+            F.least(x, y).alias("w1"), F.greatest(x, y).alias("w2")))
+
+    return (
+        base.select(F.explode(F.concat(shifted(1), shifted(2))).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("c").alias("total"))
+    )
+
+
 def _allpairs_posts(df):
     # 12 distinct shingles per doc: 2 HOT (consecutive blocks of
     # ALLPAIRS_HOT_DF docs share them -> df = 2000 at every n, the
@@ -501,6 +549,8 @@ SHAPES = {
     "dup_clusters_full": shape_dup_clusters_full,
     "hybrid_search_rrf": shape_hybrid_search,
     "training_manifest": shape_training_manifest,
+    "winnowing_select": shape_winnowing,
+    "pmi_pairs": shape_pmi_pairs,
     "allpairs_naive": shape_allpairs_naive,
     "allpairs_prefix": shape_allpairs_prefix,
     "skew_join_unsalted": shape_skew_join_unsalted,
