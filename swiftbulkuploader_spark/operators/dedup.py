@@ -993,7 +993,10 @@ def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     grams = (
-        docs.select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+        # spread(): the interpreted-HOF shingling is compute-dense and a
+        # small parquet file arrives as one partition
+        spread(docs)
+        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
         .filter(F.size(toks) >= 8)
         .select("doc_id", F.explode("grams").alias("gram"))
     )
@@ -1036,7 +1039,8 @@ def x1_repeated_passages_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     grams = (
-        docs.select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+        spread(docs)
+        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
         .filter(F.size(toks) >= 8)
         # hash BEFORE the explode/shuffle: the string never leaves the scan
         # stage; every downstream exchange carries the 8-byte key
