@@ -294,6 +294,8 @@ def minhash_candidates(sigs: DataFrame, min_est: float = 0.0) -> DataFrame:
     with NO re-join against the signature table. Pairs estimating below
     ``min_est`` are dropped before the shingle-array verify ever sees them;
     ``min_est=0`` recovers the exact verify-every-band-collision behavior.
+    Rows-only (seeded xxhash64 minhashes); the engine-verified twin of the
+    whole pipeline is ``x1_minhash_exact``.
 
     Scale note: carrying the signature widens the band-explode shuffle by
     ~10x (24 B -> ~280 B/row), but deletes two whole shuffles of the
@@ -519,7 +521,9 @@ def x1_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for every LSH candidate pair (no threshold) —
-    the similarity histogram a dedup-tuning run inspects."""
+    the similarity histogram a dedup-tuning run inspects. Rows-only (the
+    candidate set is seeded); the oracled exact-pair computation is
+    ``x1_allpairs_prefix`` (all pairs >= tau, engine-verified)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=3)
     cands = minhash_candidates(sigs)
