@@ -102,6 +102,7 @@ HEADLINE = [
     "x1_simhash_exact",         # oracled SimHash twin (md5-prefix bits)
     "x1_minhash_exact",         # oracled MinHash-LSH twin (xor-mult remixes)
     "x3_pmi_cooccurrence",      # windowed PMI collocations (linear pair gen)
+    "x1_dup_clusters_star",     # Kiveris star closure over the exact pair graph
 ]
 
 

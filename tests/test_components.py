@@ -105,3 +105,42 @@ class TestDupClustersContract:
         # cluster is still labeled by its min id (10)
         assert rows[10]["cluster_size"] == 3 and rows[10]["survivor_id"] == 12
         assert all(cid == 10 for cid in rows)  # far doc joins no cluster
+
+
+class TestStarComponents:
+    """Large-star/small-star (Kiveris et al.) — the O(log n)-round
+    alternative the propagation docstring promises for long chains."""
+
+    def _star(self, spark, pairs, **kw):
+        from swiftbulkuploader_spark.operators.components import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return {r["node"]: r["component"]
+                for r in connected_components_star(df, **kw).collect()}
+
+    def test_matches_label_propagation_on_mixed_graph(self, spark):
+        from swiftbulkuploader_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = [(1, 2), (2, 3), (4, 5), (7, 7), (8, 9), (9, 8), (10, 11),
+                 (11, 12), (12, 10), (3, 1)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        prop = {r["node"]: r["component"]
+                for r in connected_components(df).collect()}
+        star = self._star(spark, pairs)
+        assert star == prop
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 200-node path needs ~200 propagation rounds but must close
+        under the star algorithm's default budget (max_iter=20 round
+        pairs ~ O(log n)) — every node labeled 0."""
+        pairs = [(i, i + 1) for i in range(199)]
+        star = self._star(spark, pairs)
+        assert len(star) == 200 and set(star.values()) == {0}
+
+    def test_self_loops_and_duplicates_are_harmless(self, spark):
+        star = self._star(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+        assert star == {1: 1, 2: 1}

@@ -393,6 +393,24 @@ def shape_pmi_pairs(df):
     )
 
 
+def shape_star_components_chain(df):
+    """connected_components_star over an n-node PATH — the adversarial
+    diameter case label propagation cannot close in bounded rounds
+    (rounds ~ n) but the Kiveris star algorithm closes in ~log n round
+    pairs. Ratio ~10x means per-round cost is linear and the +log rounds
+    are noise."""
+    from swiftbulkuploader_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = df.select(
+        F.col("event_id").alias("a"), (F.col("event_id") + 1).alias("b")
+    )
+    return connected_components_star(edges).agg(
+        F.countDistinct("component").alias("n_components")
+    )
+
+
 def _allpairs_posts(df):
     # 12 distinct shingles per doc: 2 HOT (consecutive blocks of
     # ALLPAIRS_HOT_DF docs share them -> df = 2000 at every n, the
@@ -549,6 +567,7 @@ SHAPES = {
     "dup_clusters_full": shape_dup_clusters_full,
     "hybrid_search_rrf": shape_hybrid_search,
     "training_manifest": shape_training_manifest,
+    "star_components_chain": shape_star_components_chain,
     "winnowing_select": shape_winnowing,
     "pmi_pairs": shape_pmi_pairs,
     "allpairs_naive": shape_allpairs_naive,
