@@ -168,13 +168,20 @@ def x6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = events.join(F.broadcast(bounds)).select(
         (F.col("us") < F.col("mid_us")).alias("is_a"),
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * F.lit(KS_BINS)
-            ).cast("int"),
-            F.lit(KS_BINS - 1),
+        # hi == lo (constant value column) would make the bin expression
+        # 0/0 = NaN — which Spark's non-ANSI int cast silently folds to 0
+        # while DuckDB ERRORS casting NaN — so the degenerate case is
+        # short-circuited to bin 0 identically on both engines (same
+        # degenerate-input discipline as x6_benford_digits)
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * F.lit(KS_BINS)
+                ).cast("int"),
+                F.lit(KS_BINS - 1),
+            )
         ).alias("bin"),
     )
     per_bin = binned.groupBy("bin").agg(
@@ -188,8 +195,12 @@ def x6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
     )
     tot = per_bin.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # nullif guards the empty-half degenerate (na or nb = 0): the ECDF
+    # gap and the critical value become NULL instead of Inf, and so does
+    # `drifted` — the documented degenerate row, identical on both engines
     gap = F.abs(
-        F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+        F.col("ca") / F.nullif(F.col("na"), F.lit(0))
+        - F.col("cb") / F.nullif(F.col("nb"), F.lit(0))
     )
     stat = cdf.join(F.broadcast(tot)).agg(
         F.min("na").alias("n_a"),
@@ -197,7 +208,8 @@ def x6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(gap).alias("ks_stat"),
     )
     crit = F.lit(KS_C_ALPHA) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+        (F.col("n_a") + F.col("n_b"))
+        / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0))
     )
     return stat.select(
         "n_a",
@@ -261,10 +273,13 @@ ORACLES = {
                    min(value) AS lo, max(value) AS hi
             FROM e
         ), binned AS (
+            -- hi = lo short-circuits to bin 0 (NaN-cast guard), mirroring
+            -- the Spark side's F.when
             SELECT us < mid_us AS is_a,
-                   least(CAST(floor((value - lo) / (hi - lo)
-                                    * CAST({KS_BINS} AS DOUBLE)) AS INT),
-                         {KS_BINS - 1}) AS bin
+                   CASE WHEN hi = lo THEN 0
+                        ELSE least(CAST(floor((value - lo) / (hi - lo)
+                                         * CAST({KS_BINS} AS DOUBLE)) AS INT),
+                                   {KS_BINS - 1}) END AS bin
             FROM e CROSS JOIN bounds
         ), per_bin AS (
             SELECT bin,
@@ -279,15 +294,18 @@ ORACLES = {
             SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
             FROM per_bin
         ), stat AS (
+            -- nullif: an empty half (na or nb = 0) yields NULL stat /
+            -- crit / drifted instead of Inf, mirroring the Spark side
             SELECT min(na) AS n_a, min(nb) AS n_b,
-                   max(abs(CAST(ca AS BIGINT) / na - CAST(cb AS BIGINT) / nb)) AS ks_stat
+                   max(abs(CAST(ca AS BIGINT) / nullif(na, 0)
+                           - CAST(cb AS BIGINT) / nullif(nb, 0))) AS ks_stat
             FROM cdf CROSS JOIN tot
         )
         SELECT n_a, n_b, ks_stat,
                CAST({KS_C_ALPHA} AS DOUBLE)
-                 * sqrt((n_a + n_b) / (n_a * n_b)) AS ks_crit,
+                 * sqrt((n_a + n_b) / nullif(n_a * n_b, 0)) AS ks_crit,
                ks_stat > CAST({KS_C_ALPHA} AS DOUBLE)
-                 * sqrt((n_a + n_b) / (n_a * n_b)) AS drifted
+                 * sqrt((n_a + n_b) / nullif(n_a * n_b, 0)) AS drifted
         FROM stat
     """,
     "x6_drift_metrics": """

@@ -457,9 +457,17 @@ def x1_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) >= 3)
         .select(
             "doc_id",
-            F.transform(
-                "sh",
-                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            # array_distinct AFTER hashing: two distinct shingles can
+            # collide in the 32-bit md5 prefix within one doc, and the
+            # verify below must see SET semantics on both engines —
+            # array_intersect dedups while a multiplicity-counting oracle
+            # join would not (the oracle's h CTE mirrors with SELECT
+            # DISTINCT doc_id, hv)
+            F.array_distinct(
+                F.transform(
+                    "sh",
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                )
             ).alias("hs"),
         )
         .localCheckpoint(eager=True)
@@ -1398,7 +1406,12 @@ def _minhash_exact_oracle_sql() -> str:
             FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
             WHERE len(toks) >= 3
         ), h AS (
-            SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+            -- DISTINCT on the 32-bit HASH (not just the shingle): a
+            -- within-doc hash collision must collapse to one row so the
+            -- c / n counts below use set semantics, matching Spark's
+            -- array_distinct(hs) + array_intersect
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
             FROM g
         ), sigs AS (
             SELECT doc_id,

@@ -90,18 +90,21 @@ def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(QM_W[2]) * alpha_ratio
         + F.lit(QM_W[3]) * (stop_hits.cast("double") / n_toks)
     )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    # keep_prob ships UNROUNDED: the verifier normalizes floats to 9
-    # significant digits, while round(x, 6) would re-introduce half-way
-    # representation edges where the engines' ln/exp ulps disagree.
-    # keep is a BOOLEAN the normalization can't absorb, so it must not
-    # inherit exp's ulps: sigmoid(z) >= 0.5 <=> z >= 0, decided on a
-    # 6-dp-rounded z (round-before-boolean, CLAUDE.md rule 3) identically
-    # in the oracle.
+    # BOTH outputs derive from the same 6-dp-rounded z, so they can never
+    # disagree at the z ~ 0 boundary: keep = z6 >= 0 (round-before-boolean,
+    # CLAUDE.md rule 3 — sigmoid(z) >= 0.5 <=> z >= 0), and keep_prob =
+    # sigmoid(z6). An unrounded keep_prob with a rounded keep flag left a
+    # band z in [-5e-7, 0) where keep was true but keep_prob < 0.5
+    # (round-5 advice); quantizing z once, before BOTH consumers, closes
+    # it. The sigmoid's exp ulps still differ across engines, but the
+    # verifier's 9-significant-digit normalization absorbs value ulps —
+    # only BOOLEANS must be decided on rounded inputs.
+    z6 = F.round(z, 6)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6))
     return docs.select(
         "doc_id",
         score.alias("keep_prob"),
-        (F.round(z, 6) >= 0.0).alias("keep"),
+        (z6 >= 0.0).alias("keep"),
     )
 
 
@@ -536,7 +539,7 @@ ORACLES = {
             FROM f
         )
         SELECT doc_id,
-               CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)) AS keep_prob,
+               CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-round(z, 6))) AS keep_prob,
                round(z, 6) >= CAST(0 AS DOUBLE) AS keep
         FROM z
     """,

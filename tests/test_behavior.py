@@ -112,3 +112,66 @@ def test_ks_drift_fires_on_shifted_distribution(spark, tmp_path):
     write_events(same_dir / "events.parquet", False)
     r2 = x6_ks_drift(spark, str(same_dir)).first()
     assert not r2["drifted"] and r2["ks_stat"] < r2["ks_crit"]
+
+
+def test_ks_drift_degenerate_inputs(spark, tmp_path):
+    """The two degenerate classes x6_ks_drift guards (the x6_benford
+    discipline), each checked against the DuckDB oracle on the same
+    parquet so the guard is mirrored, not just present:
+
+    * constant value column (hi == lo): every row short-circuits to bin 0
+      instead of 0/0 = NaN (which Spark's int cast folds to 0 silently and
+      DuckDB refuses to cast) -> ks_stat 0.0, not drifted;
+    * one-sided time split (all timestamps equal -> half A empty): the
+      ECDF gap and critical value go NULL via nullif, never Inf.
+    """
+    import json
+
+    import duckdb
+
+    from swiftbulkuploader_spark.operators.behavior import ORACLES, x6_ks_drift
+
+    def write_events(path, constant_value):
+        rows = []
+        for i in range(200):
+            sec = 0 if not constant_value else i  # both-degenerate vs split
+            # constant_value fixture: constant VALUE, normal time split;
+            # the other fixture: varying value, ALL timestamps identical
+            v = 1.5 if constant_value else (i % 50) / 10.0
+            rows.append((i, f"2024-01-01 00:{sec // 60 % 60:02d}:{sec % 60:02d}",
+                         i % 7, "view", v, json.dumps({})))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).write.parquet(str(path))
+
+    def oracle_row(sf_dir):
+        con = duckdb.connect()
+        con.execute(
+            # Spark writes a part-file directory; DuckDB needs the glob
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+        )
+        cur = con.execute(ORACLES["x6_ks_drift"])
+        cols = [d[0] for d in cur.description]
+        return dict(zip(cols, cur.fetchone()))
+
+    const_dir = tmp_path / "const"
+    write_events(const_dir / "events.parquet", constant_value=True)
+    r = x6_ks_drift(spark, str(const_dir)).first()
+    assert r["ks_stat"] == 0.0 and r["drifted"] is False
+    o = oracle_row(const_dir)
+    assert o["ks_stat"] == 0.0 and bool(o["drifted"]) is False
+    assert r["n_a"] == o["n_a"] and r["n_b"] == o["n_b"]
+
+    onesided_dir = tmp_path / "onesided"
+    write_events(onesided_dir / "events.parquet", constant_value=False)
+    r2 = x6_ks_drift(spark, str(onesided_dir)).first()
+    assert r2["n_a"] == 0 and r2["n_b"] == 200
+    assert r2["ks_stat"] is None and r2["ks_crit"] is None
+    assert r2["drifted"] is None
+    o2 = oracle_row(onesided_dir)
+    assert o2["n_a"] == 0 and o2["ks_stat"] is None and o2["drifted"] is None

@@ -413,7 +413,7 @@ def shape_star_components_chain(df):
 
 def _allpairs_posts(df):
     # 12 distinct shingles per doc: 2 HOT (consecutive blocks of
-    # ALLPAIRS_HOT_DF docs share them -> df = 2000 at every n, the
+    # ALLPAIRS_HOT_DF = 600 docs share them -> df = 600 at every n, the
     # boilerplate/stopword shingles) + 10 cold near-unique ones. The hot
     # keys are what make the naive posting join blow up: candidates
     # ~ vocab * C(df, 2) = n * df per hot shingle.
@@ -436,7 +436,7 @@ def _allpairs_posts(df):
 
 def shape_allpairs_naive(df):
     """The naive all-pairs posting join x1_allpairs_prefix exists to avoid:
-    every same-shingle doc pair is a candidate, so the two df=2000 hot
+    every same-shingle doc pair is a candidate, so the two df=600 hot
     shingles contribute ~n * 600 pairs — candidate volume grows with df
     per occurrence (df^2 per key), i.e. SUPER-LINEAR in df while the data
     only grows linearly. Run at base_n 100k (the 10x point shuffles ~6e8
@@ -461,7 +461,7 @@ def shape_allpairs_naive(df):
 def shape_allpairs_prefix(df):
     """Prefix filtering on the same postings (Bayardo, tau=0.5): rank each
     doc's shingles rarest-first and join only the first
-    |d| - ceil(tau*|d|) + 1 = 13 of 24 — the df=200 hot shingles rank
+    |d| - ceil(tau*|d|) + 1 = 7 of the 12 — the df=600 hot shingles rank
     LAST and never enter the join, so candidates collapse to cold-key
     collisions. Compare n_cand-driven sec/shuffle vs shape_allpairs_naive."""
     posts = _allpairs_posts(df)
@@ -533,8 +533,9 @@ def shape_skew_join_salted(df):
 def shape_skew_join_aqe(df):
     """The same join with AQE's runtime skew split ON (threshold lowered to
     fire at probe scale; force flag because the trailing agg would
-    otherwise veto the extra shuffle). Runs LAST of the three so a
-    full-suite run leaves the session at the engine's defaults."""
+    otherwise veto the extra shuffle). The runner snapshots/restores the
+    mutated confs (_MUTATED_CONFS) around every shape, so these settings
+    never leak into other shapes regardless of subset or order."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
@@ -578,6 +579,33 @@ SHAPES = {
 }
 
 
+# session confs the three skew shapes mutate at construction time. They
+# take effect at EXECUTION (inside main()'s timing loop, after the shape
+# function returned), so the save/restore must wrap the whole per-shape
+# measurement in the runner — a try/finally inside the shape function
+# would restore BEFORE the timed write runs and change what is measured.
+# With the runner-level restore, any shape subset in any order sees the
+# session defaults, not whatever the previous skew shape left behind.
+_MUTATED_CONFS = (
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+)
+
+
+def _snapshot_confs(spark) -> dict[str, str | None]:
+    return {k: spark.conf.get(k, None) for k in _MUTATED_CONFS}
+
+
+def _restore_confs(spark, snap: dict[str, str | None]) -> None:
+    for k, v in snap.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 def _shuffle_write_bytes(spark) -> int | None:
     """Cumulative shuffle-write bytes across all completed stages, via the
     UI REST API (the probe session enables the UI for exactly this). None
@@ -616,23 +644,27 @@ def main() -> None:
     out = {}
     for name, shape in shapes.items():
         times, sbytes = [], []
-        for n in (base_n, base_n * 10):
-            best = float("inf")
-            bytes_run = None
-            for rep in range(2):
-                # shape construction INSIDE the timed region: iterative
-                # shapes (dup_clusters_full) run their loop's jobs during
-                # construction, not at the final write
-                b0 = _shuffle_write_bytes(spark) if rep == 1 else None
-                t0 = time.time()
-                shape(_events(spark, n)).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-                if rep == 1 and b0 is not None:
-                    b1 = _shuffle_write_bytes(spark)
-                    if b1 is not None:
-                        bytes_run = b1 - b0
-            times.append(best)
-            sbytes.append(bytes_run)
+        snap = _snapshot_confs(spark)
+        try:
+            for n in (base_n, base_n * 10):
+                best = float("inf")
+                bytes_run = None
+                for rep in range(2):
+                    # shape construction INSIDE the timed region: iterative
+                    # shapes (dup_clusters_full) run their loop's jobs during
+                    # construction, not at the final write
+                    b0 = _shuffle_write_bytes(spark) if rep == 1 else None
+                    t0 = time.time()
+                    shape(_events(spark, n)).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                    if rep == 1 and b0 is not None:
+                        b1 = _shuffle_write_bytes(spark)
+                        if b1 is not None:
+                            bytes_run = b1 - b0
+                times.append(best)
+                sbytes.append(bytes_run)
+        finally:
+            _restore_confs(spark, snap)
         out[name] = {
             "sec_1x": round(times[0], 3),
             "sec_10x": round(times[1], 3),
