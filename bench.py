@@ -103,6 +103,7 @@ HEADLINE = [
     "x6_dataset_card",          # per-source datasheet (GK-sketch p50 scale form)
     "x1_allpairs_prefix",       # prefix-filtered exact all-pairs similarity join
     "x1_winnowing_fingerprints",  # MOSS winnowing (per-row window-min selection)
+    "x1_winnowing_arrow",       # same selection, numpy-per-Arrow-batch scale form
     "x3_unigram_logprob",       # self-LM cross-entropy (perplexity-proxy filter)
     "x3_bm25_search",           # BM25 disjunctive ranking (inverted-index probe)
     "x1_dup_clusters_exact",    # exact-Jaccard pairs -> 3-round label propagation

@@ -542,6 +542,24 @@ ALLPAIRS_TAU = 0.5
 WINNOW_W = 4
 
 
+def _winnow_gram_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): per-doc word-3-gram md5-prefix hash arrays WITH
+    multiplicity (winnowing selects by position, so repeated grams stay) —
+    the shared input of both winnowing forms. The 32-bit hash range
+    (md5 8-hex prefix) is what lets the Arrow form pack (doc, fp) into one
+    int64 key. `spread()` ahead: the gram/hash build is compute-dense and
+    byte-sized parquet splits under-parallelize it (shingle_base
+    discipline)."""
+    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")  # noqa: E731
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    return (
+        spread(docs)
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", shingles(F.col("text"), 3).alias("grams"))
+        .select("doc_id", F.transform("grams", gram_hash).alias("hs"))
+    )
+
+
 def x1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every word 3-gram, slide a
@@ -558,14 +576,7 @@ def x1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/text.py::shingles). No shuffle, no UDF; embarrassingly
     parallel at any scale. The gram hash is an md5-prefix integer (NOT
     xxhash64) so DuckDB reproduces the selection bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
-    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")  # noqa: E731
-    base = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", shingles(F.col("text"), 3).alias("grams"))
-        .select("doc_id", F.transform("grams", gram_hash).alias("hs"))
-    )
+    base = _winnow_gram_base(load_table(spark, sf_dir, "documents"))
     m = F.size("hs")
     nw = F.greatest(m - F.lit(WINNOW_W - 1), F.lit(1))
     wins = F.transform(
@@ -579,6 +590,95 @@ def x1_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "fp_sum"
         ),
+    )
+
+
+def winnowing_stats_arrow(base: DataFrame) -> DataFrame:
+    """The same winnowing selection as ``x1_winnowing_fingerprints``,
+    batch-vectorized in numpy over Arrow batches — the scale form (the
+    interpreted-HOF selection is O(m*W) slices PER ROW in interpreted
+    eval, measured 107.9 s @10M docs; see SCALING.md). No per-document
+    Python loop anywhere: each Arrow batch flattens every doc's hash
+    array into ONE contiguous int64 vector, takes one
+    ``sliding_window_view(...).min(axis=1)`` pass, selects the in-doc
+    window positions with a repeat/cumsum index construction, handles
+    short docs (m <= W -> one whole-array window, exactly the
+    ``greatest(m-W+1, 1)`` slice semantics) via ``minimum.reduceat``,
+    and dedups per doc by packing (batch-local doc index << 32 | fp)
+    into one int64 ``np.unique`` — valid because the fingerprints are
+    32-bit md5 prefixes by construction. fp sums ride float64 bincount
+    weights: bounded by m * 2^32 << 2^53, so exact.
+
+    Embarrassingly parallel (one pass per Arrow batch, zero shuffle,
+    bytes never on the driver) — identical output contract, shared
+    DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    w = WINNOW_W
+
+    def _select(batches):
+        for pdf in batches:
+            nd = len(pdf)
+            if nd == 0:
+                continue
+            hs_list = [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+            lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64,
+                               count=nd)
+            flat = (np.concatenate(hs_list) if hs_list
+                    else np.empty(0, dtype=np.int64))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # full windows: docs with m >= w contribute m - w + 1 of them
+            counts = np.maximum(lens - w + 1, 0)
+            if flat.size >= w and counts.sum() > 0:
+                sw = np.lib.stride_tricks.sliding_window_view(flat, w).min(axis=1)
+                offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                within = np.arange(counts.sum()) - np.repeat(offs, counts)
+                idx = np.repeat(starts, counts) + within
+                mins = sw[idx]
+                docw = np.repeat(np.arange(nd), counts)
+            else:
+                mins = np.empty(0, dtype=np.int64)
+                docw = np.empty(0, dtype=np.int64)
+            # short docs (1 <= m < w): single window = min of the whole
+            # array (slice(hs, 1, w) truncates) — reduceat over segment
+            # starts gives every doc's min; keep the short ones
+            short = lens < w  # every doc has m >= 1 (size(toks) >= 3 filter)
+            if short.any():
+                # reduceat needs EVERY segment boundary (indexing only the
+                # short docs' starts would span intervening docs), so take
+                # all per-doc minima and keep the short rows
+                seg_min = np.minimum.reduceat(flat, starts)
+                mins = np.concatenate((mins, seg_min[short]))
+                docw = np.concatenate((docw, np.nonzero(short)[0]))
+            key = (docw << np.int64(32)) | mins
+            uniq = np.unique(key)
+            udoc = (uniq >> np.int64(32)).astype(np.int64)
+            ufp = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+            n_fps = np.bincount(udoc, minlength=nd).astype(np.int64)
+            fp_sum = np.bincount(udoc, weights=ufp.astype(np.float64),
+                                 minlength=nd).astype(np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_grams": lens,
+                "n_fps": n_fps,
+                "fp_sum": fp_sum,
+            })
+
+    return base.mapInPandas(
+        _select, "doc_id long, n_grams long, n_fps long, fp_sum long"
+    )
+
+
+def x1_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, Arrow scale form (round-6 — the scaling
+    probe's named fix for the interpreted-HOF cost): same gram base, same
+    selected set, same output columns as ``x1_winnowing_fingerprints``,
+    which stays registered as the pure-SQL-shaped oracle twin. Shares that
+    query's DuckDB oracle verbatim, so the vectorization is proven
+    selection-identical on every verify run."""
+    return winnowing_stats_arrow(
+        _winnow_gram_base(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -1094,6 +1194,7 @@ QUERIES = {
     "x1_ngram_jaccard": x1_ngram_jaccard,
     "x1_allpairs_prefix": x1_allpairs_prefix,
     "x1_winnowing_fingerprints": x1_winnowing_fingerprints,
+    "x1_winnowing_arrow": x1_winnowing_arrow,
     "x1_simhash_neardup": x1_simhash_neardup,
     "x1_simhash_exact": x1_simhash_exact,
     "x1_minhash_exact": x1_minhash_exact,
@@ -1443,3 +1544,7 @@ def _minhash_exact_oracle_sql() -> str:
 
 
 ORACLES["x1_minhash_exact"] = _minhash_exact_oracle_sql()
+
+# the Arrow winnowing form shares the HOF twin's oracle VERBATIM — one
+# selection contract, two execution strategies, both engine-verified
+ORACLES["x1_winnowing_arrow"] = ORACLES["x1_winnowing_fingerprints"]

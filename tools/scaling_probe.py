@@ -366,6 +366,23 @@ def shape_winnowing(df):
     )
 
 
+def shape_winnowing_arrow(df):
+    """x1_winnowing_arrow's core on the SAME synthesized 48-hash docs as
+    shape_winnowing: one numpy sliding-window-min pass per Arrow batch
+    instead of the per-row interpreted-HOF slice chain — the measured
+    answer to SCALING.md's 'compute once at ingest / vectorize' row."""
+    from swiftbulkuploader_spark.operators.dedup import winnowing_stats_arrow
+
+    hs = F.transform(
+        F.sequence(F.lit(1), F.lit(48)),
+        lambda i: F.abs(F.xxhash64(F.col("event_id"), i)) % 100_000_000,
+    )
+    base = df.select(F.col("event_id").alias("doc_id"), hs.alias("hs"))
+    # same per-row output volume as shape_winnowing (no trailing agg), so
+    # the two shapes differ ONLY in the selection strategy being measured
+    return winnowing_stats_arrow(base).select("fp_sum")
+
+
 def shape_pmi_pairs(df):
     """x3_pmi_cooccurrence's core: shifted zip_with pair generation (2
     pairs per token), canonical ordering, map-side-combined (w1, w2)
@@ -570,6 +587,7 @@ SHAPES = {
     "training_manifest": shape_training_manifest,
     "star_components_chain": shape_star_components_chain,
     "winnowing_select": shape_winnowing,
+    "winnowing_select_arrow": shape_winnowing_arrow,
     "pmi_pairs": shape_pmi_pairs,
     "allpairs_naive": shape_allpairs_naive,
     "allpairs_prefix": shape_allpairs_prefix,
