@@ -270,7 +270,8 @@ ORACLES: dict[str, str] = {
 }
 
 
-def connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components_star(edges: DataFrame, max_iter: int = 20,
+                              reliable: bool = False) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris,
     Lattanzi, Mirrokni, Rastogi & Vassilvitskii, SoCC'14 "Connected
     Components in MapReduce and Beyond") — the O(log n)-round algorithm
@@ -295,23 +296,38 @@ def connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame
     shuffle budget per round as label propagation, ~diameter/log(n) fewer
     rounds.
 
-    Memory note (measured): ~log n checkpointed edge frames stay alive
-    until the driver GCs their references, and checkpoint blocks are NOT
-    evictable — a 3M-node path on an 8 GB local JVM exhausts execution
-    memory around round pair ~20. On a cluster, use reliable
-    ``checkpoint()`` (blocks on stable storage, ContextCleaner frees
-    them) or drop references aggressively; the local probe measures the
-    1M-node point where the round frames fit."""
-    sym = (
-        edges.selectExpr("a AS u", "b AS v")
-        .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
+    Memory note (measured): ~log n localCheckpoint'ed edge frames stay
+    alive until the driver GCs their references, and localCheckpoint
+    blocks are NOT evictable — a 3M-node path on an 8 GB local JVM
+    exhausts execution memory around round pair ~20. ``reliable=True``
+    (round 6) swaps every materialization to reliable ``checkpoint()``:
+    round frames go to files under the context's checkpoint dir (set one
+    on durable storage for a cluster; a local temp dir is installed
+    automatically if none is set), so block-manager memory holds NOTHING
+    between rounds and the n-node wall moves from JVM heap to disk —
+    measured past the 3M-node path in the probe table
+    (star_components_chain_reliable). The trade, stated: each round pair
+    writes its edge frame to storage, so per-round latency gains an IO
+    term (~2x on the local probe) — reliable is the
+    survive-arbitrary-scale setting, local the fast default."""
+    spark = edges.sparkSession
+    if reliable and spark.sparkContext.getCheckpointDir() is None:
+        import os
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "spark_graft_ckpt")
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    sym = _ckpt(
+        edges.selectExpr("a AS u", "b AS v").filter(F.col("u") != F.col("v"))
     )
-    sym = (
-        sym.union(sym.selectExpr("v AS u", "u AS v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _ckpt(sym.union(sym.selectExpr("v AS u", "u AS v")).distinct())
 
     def large_star(e: DataFrame) -> DataFrame:
         mins = e.groupBy("u").agg(
@@ -353,7 +369,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame
     for _ in range(max_iter):
         # symmetrize for the large-star view (it reads full neighborhoods)
         both = cur.union(cur.selectExpr("v AS u", "u AS v")).distinct()
-        nxt = small_star(large_star(both)).localCheckpoint(eager=True)
+        nxt = _ckpt(small_star(large_star(both)))
         sig = checksum(nxt)
         cur = nxt
         if sig == prev_sig:

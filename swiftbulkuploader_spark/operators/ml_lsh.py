@@ -86,49 +86,15 @@ def x2_ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_brp_pairs(emb)
 
 
-def x2_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a pyspark.ml KMeans-REFINED coarse quantizer — the
-    documented upgrade path of `similarity._ivf_centroids` ("at scale you'd
-    refine with KMeans") actually realized: Lloyd-refined centroids tighten
-    clusters, so the same N_PROBE probes recover more of the true
-    neighborhood than first-n-by-id centroids.
-
-    Scale shape is identical to x2_ivf_topk — the quantizer swap changes
-    ONLY the (driver-side, bounded: k x dim doubles) centroid table; the
-    query path stays assign -> probe filter -> exact cosine top-10 with
-    cluster-id partition pruning at rest. KMeans itself is the standard
-    distributed Lloyd's (pyspark.ml, seeded). Rows-only check: the refined
-    centroids depend on ml's init sampling, which no SQL engine reproduces;
-    the recall-vs-brute-force property is pinned by tests."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from swiftbulkuploader_spark.operators.similarity import (
-        _query_vector,
-        ivf_search,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # cache the Vector-converted input: Lloyd's re-reads it every iteration
-    # (Spark itself warns when a KMeans input is uncached)
-    vecs = emb.select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    ).persist()
-    km = KMeans(k=16, seed=SEED, maxIter=5, initMode="k-means||")
-    try:
-        centroids = [list(map(float, c)) for c in km.fit(vecs).clusterCenters()]
-    finally:
-        vecs.unpersist()
-
-    q = _query_vector(spark, sf_dir, 0)
-    # same shared query path as x2_ivf_topk — only the quantizer differs
-    return ivf_search(emb, centroids, q)
-
+# x2_ivf_kmeans_topk moved to operators/similarity.py in round 6: the
+# pyspark.ml KMeans quantizer (sampled k-means|| init) forced a rows-only
+# check; the native `lloyd_refined_centroids` runs the same distributed
+# Lloyd's with deterministic seeding + fixed rounds, so the query is now
+# fully DuckDB-oracled there.
 
 QUERIES = {
     "x2_ml_minhash_pairs": x2_ml_minhash_pairs,
     "x2_ml_brp_pairs": x2_ml_brp_pairs,
-    "x2_ivf_kmeans_topk": x2_ivf_kmeans_topk,
 }
 
 ORACLES: dict[str, str] = {}  # estimator-specific hashing/init: rows-only by design

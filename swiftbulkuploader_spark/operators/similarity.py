@@ -284,6 +284,106 @@ def x2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(emb, cents, q)
 
 
+LLOYD_ROUNDS = 2
+
+
+def lloyd_refined_centroids(emb: DataFrame, k: int = N_CENTROIDS,
+                            rounds: int = LLOYD_ROUNDS) -> list[list[float]]:
+    """Distributed Lloyd's k-means refinement with FULLY DETERMINISTIC,
+    engine-reproducible arithmetic (round 6 — replaces the pyspark.ml
+    KMeans whose sampled init forced a rows-only check):
+
+    * init: the first ``k`` vectors by id (the `_ivf_centroids` seed);
+    * assignment: rounded-to-6-dp cosine argmax with ties to the HIGHER
+      cid — the exact `assign_ivf_cluster` contract, executed as a
+      bounded broadcast of the k-row centroid table + max-of-struct
+      aggregation (the x2_pq_codes template; an unrolled k x dim
+      expression would trip janino's 64 KB method limit);
+    * update: per-(cluster, pos) mean via posexplode, ROUNDED TO 6 DP —
+      quantizing each refined centroid so cross-engine sum-order ulps
+      cannot leak into the next round's assignments;
+    * a FIXED round count (the x8_pagerank fixed-budget discipline), so
+      DuckDB replays the whole refinement as ``rounds`` chained CTE
+      blocks;
+    * empty clusters drop (both engines aggregate only over assigned
+      vectors) and the survivors are compactly relabeled in cid order.
+
+    Returns the refined centroids as a plain list — a BOUNDED driver
+    collect (<= k rows of dim doubles, the allowlisted scalar/centroid
+    class) feeding the shared `ivf_search` literal path."""
+    spark = emb.sparkSession
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = (
+        vecs.filter(F.col("vec_id") < k).orderBy("vec_id")
+        .select("v").collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed)],
+        "cid int, cv array<double>",
+    )
+    for _ in range(rounds):
+        sc = F.struct(
+            F.round(
+                F.coalesce(
+                    cosine_similarity(F.col("v"), F.col("cv")), F.lit(-2.0)
+                ),
+                6,
+            ).alias("cos"),
+            F.col("cid").alias("cid"),
+        )
+        asn = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", sc.alias("sc"))
+            .groupBy("vec_id")
+            # struct max compares (cos, cid) left-to-right: equal rounded
+            # cosines resolve to the higher cid, mirroring the oracle's
+            # ORDER BY cos DESC, cid DESC
+            .agg(F.max("sc")["cid"].alias("cluster"))
+        )
+        cents = (
+            vecs.join(asn, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mv"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("pairs", lambda p: p["mv"]).alias("cv"),
+            )
+            # k tiny rows; materialize so the next round's broadcast does
+            # not re-execute the whole previous round's lineage
+            .localCheckpoint(eager=True)
+        )
+    rows = cents.orderBy("cid").collect()  # bounded: <= k centroid rows
+    return [[float(x) for x in r["cv"]] for r in rows]
+
+
+def x2_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a Lloyd-REFINED coarse quantizer — the documented
+    upgrade path of `_ivf_centroids` ("at scale you'd refine with
+    KMeans") realized with deterministic arithmetic end to end, so the
+    query graduates from rows-only (pyspark.ml's sampled init, rounds 1-5)
+    to a full value-hash oracle: first-k seed, 2 fixed Lloyd rounds with
+    6-dp-rounded assignments and centroid means, then the SAME
+    assign -> probe -> exact-cosine-top-10 path as x2_ivf_topk
+    (`ivf_search`), so probe/tie-break semantics can never diverge
+    between the quantizer variants the recall eval compares.
+
+    Scale shape: per round, one bounded k-row broadcast + max-of-struct
+    assignment pass and one (cluster, pos)-keyed mean shuffle (rows x dim,
+    map-side combined) — the standard distributed Lloyd's; the refined
+    centroid table stays k x dim doubles, driver-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_refined_centroids(emb)
+    q = _query_vector(spark, sf_dir, 0)
+    return ivf_search(emb, cents, q)
+
+
 def x2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched kNN join: 8 query vectors x the rest of the corpus, top-5
     neighbors per query — the many-to-many retrieval shape (each training
@@ -1064,3 +1164,75 @@ def _pq_topk_oracle_sql() -> str:
 
 ORACLES["x2_pq_codes"] = _pq_codes_oracle_sql()
 ORACLES["x2_pq_topk"] = _pq_topk_oracle_sql()
+
+
+def _ivf_kmeans_oracle_sql(k: int = N_CENTROIDS, dim: int = 64,
+                           rounds: int = LLOYD_ROUNDS,
+                           n_probe: int = N_PROBE) -> str:
+    """GENERATED Lloyd-refined-IVF oracle: the fixed round count unrolls
+    into chained CTE blocks (the x8_pagerank discipline), each block =
+    rounded-cosine argmax assignment (QUALIFY row_number, ties to higher
+    cid) + 6-dp-rounded per-(cluster, pos) means — exactly the arithmetic
+    `lloyd_refined_centroids` runs, then the shared x2_ivf_topk probe/
+    top-10 recipe over the refined (compactly relabeled) centroids."""
+    blocks = []
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        blocks.append(f"""a{r} AS (
+            SELECT e.vec_id, {prev}.cid,
+                   round(coalesce(list_cosine_similarity(e.v, {prev}.cv),
+                                  CAST(-2.0 AS DOUBLE)), 6) AS cos
+            FROM e CROSS JOIN {prev}
+        ), asn{r} AS (
+            SELECT vec_id, cid AS cluster FROM a{r}
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        ), m{r} AS (
+            SELECT asn{r}.cluster, u.i, round(avg(e.v[u.i]), 6) AS mv
+            FROM asn{r} JOIN e USING (vec_id),
+                 unnest(range(1, {dim + 1})) AS u(i)
+            GROUP BY asn{r}.cluster, u.i
+        ), c{r} AS (
+            SELECT cluster AS cid, list(mv ORDER BY i) AS cv
+            FROM m{r} GROUP BY cluster
+        )""")
+        prev = f"c{r}"
+    chain = ", ".join(blocks)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM e WHERE vec_id < {k}
+        ), {chain}, cf AS (
+            SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, cv
+            FROM {prev}
+        ), q AS (
+            SELECT v AS qv FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT cf.cid FROM cf, q
+            ORDER BY round(coalesce(list_cosine_similarity(cf.cv, q.qv),
+                                    CAST(-2.0 AS DOUBLE)), 6) DESC,
+                     cf.cid DESC
+            LIMIT {n_probe}
+        ), af AS (
+            SELECT e.vec_id, e.v, cf.cid,
+                   round(coalesce(list_cosine_similarity(e.v, cf.cv),
+                                  CAST(-2.0 AS DOUBLE)), 6) AS cos
+            FROM e CROSS JOIN cf
+        ), asnf AS (
+            SELECT vec_id, v, cid AS cluster FROM af
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        )
+        SELECT asnf.vec_id,
+               round(list_cosine_similarity(asnf.v, q.qv), 6) AS cos_sim
+        FROM asnf, probe, q
+        WHERE asnf.cluster = probe.cid
+        ORDER BY cos_sim DESC, asnf.vec_id
+        LIMIT 10
+    """
+
+
+QUERIES["x2_ivf_kmeans_topk"] = x2_ivf_kmeans_topk
+ORACLES["x2_ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()

@@ -144,3 +144,15 @@ class TestStarComponents:
     def test_self_loops_and_duplicates_are_harmless(self, spark):
         star = self._star(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
         assert star == {1: 1, 2: 1}
+
+    def test_reliable_checkpoint_matches_local(self, spark):
+        """reliable=True must be semantics-neutral: same labels as the
+        localCheckpoint default on a chain + cycle + singleton mix, with
+        round frames checkpointed to FILES (a checkpoint dir is installed
+        automatically when none is set) instead of block-manager memory."""
+        pairs = [(i, i + 1) for i in range(60)] + [(100, 101), (101, 100),
+                                                   (200, 200)]
+        assert self._star(spark, pairs, reliable=True) == self._star(
+            spark, pairs
+        )
+        assert spark.sparkContext.getCheckpointDir() is not None

@@ -202,8 +202,10 @@ def test_ivf_kmeans_recall_at_least_first_n_quantizer(spark):
     """The KMeans-refined IVF must return 10 sane rows and achieve recall
     >= 0.5 against brute force on the driver data (the refined quantizer
     should not be WORSE than useless; exact recall is data-dependent)."""
-    from swiftbulkuploader_spark.operators.ml_lsh import x2_ivf_kmeans_topk
-    from swiftbulkuploader_spark.operators.similarity import x2_cosine_topk
+    from swiftbulkuploader_spark.operators.similarity import (
+        x2_cosine_topk,
+        x2_ivf_kmeans_topk,
+    )
 
     sf = "/root/testdata/sf0.001"
     got = x2_ivf_kmeans_topk(spark, sf).collect()

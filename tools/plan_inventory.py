@@ -44,6 +44,8 @@ BOUNDED_BNLJ_OK = {
     "x3_bm25_search",          # 1-row avgdl cross-joined into the scorer
     "x2_pq_codes",             # 128-row (m, k, centroid) codebook broadcast
     "x2_pq_topk",              # same codebook broadcast as x2_pq_codes
+    "x2_ivf_kmeans_topk",      # k=16-row refined-centroid table broadcast
+                               # into the Lloyd assignment cross join
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
     "x3_pmi_cooccurrence",     # 1-row corpus token total cross-joined into

@@ -428,6 +428,25 @@ def shape_star_components_chain(df):
     )
 
 
+def shape_star_components_chain_reliable(df):
+    """connected_components_star(reliable=True) on the same n-node path:
+    round frames checkpoint to FILES instead of non-evictable
+    block-manager memory, which is what moves the local wall past the
+    ~3M-node path an 8 GB JVM hits with localCheckpoint (components.py
+    memory note). Run with base_n 400k so the 10x point is a 4M-node
+    path — BEYOND the documented 3M wall."""
+    from swiftbulkuploader_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = df.select(
+        F.col("event_id").alias("a"), (F.col("event_id") + 1).alias("b")
+    )
+    return connected_components_star(edges, reliable=True).agg(
+        F.countDistinct("component").alias("n_components")
+    )
+
+
 def _allpairs_posts(df):
     # 12 distinct shingles per doc: 2 HOT (consecutive blocks of
     # ALLPAIRS_HOT_DF = 600 docs share them -> df = 600 at every n, the
@@ -586,6 +605,7 @@ SHAPES = {
     "hybrid_search_rrf": shape_hybrid_search,
     "training_manifest": shape_training_manifest,
     "star_components_chain": shape_star_components_chain,
+    "star_components_chain_reliable": shape_star_components_chain_reliable,
     "winnowing_select": shape_winnowing,
     "winnowing_select_arrow": shape_winnowing_arrow,
     "pmi_pairs": shape_pmi_pairs,
