@@ -92,3 +92,47 @@ def stream_rate(spark: SparkSession, attempts_dir: str,
             F.round(F.col("n_ok") / dur.cast("double"), 4).alias("rate_per_s"),
         )
     )
+
+
+def stream_rate_from_rate_source(spark: SparkSession,
+                                 rows_per_second: int = 100,
+                                 window: str = "1 second",
+                                 watermark: str = "5 seconds"):
+    """A8's streaming mapping driven by Spark's built-in ``rate`` source
+    instead of a file directory (round 6): each generated (timestamp,
+    value) row becomes a synthetic successful attempt, flowing through
+    the SAME window/rate aggregation as ``stream_rate``.
+
+    Why it exists: the file-source tests couple to filesystem MODIFICATION
+    time (files are ordered by mtime, so a late-range file written first
+    poisons the watermark — CLAUDE.md round-5 note). The rate source has
+    no such coupling: event time is generated monotonically by the engine,
+    so trigger cadence and the progress counters
+    (``lastProgress["processedRowsPerSecond"]``, ``numInputRows``) can be
+    pinned deterministically. This is also the micro-benchmark harness
+    shape for sink throughput — the reference's uploads/s monitor
+    (bulkupload.py:363-387) without a filesystem in the loop."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        # the same shape the attempts log feeds the window agg: event
+        # time + success flag (rate rows all "succeed")
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit(True).alias("ok"),
+            F.col("value").alias("attempt_id"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    dur = F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start"))
+    return (
+        stream.filter(F.col("ok"))
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_ok"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_ok",
+            F.round(F.col("n_ok") / dur.cast("double"), 4).alias("rate_per_s"),
+        )
+    )

@@ -197,3 +197,47 @@ class TestStreamBatchParityAtScale:
                   if ws + _dt.timedelta(seconds=60) <= final_wm}
         assert closed <= set(streamed), sorted(closed - set(streamed))
         assert len(streamed) >= len(closed) >= 50
+
+
+class TestRateSourceSmoke:
+    def test_rate_source_progress_and_windows(self, spark, tmp_path):
+        """A8's streaming mapping pinned WITHOUT filesystem mtime coupling
+        (the file-source watermark trap, CLAUDE.md): the built-in `rate`
+        source drives the shared window aggregation; trigger progress must
+        report processedRowsPerSecond/numInputRows, and every emitted
+        window must satisfy the rate contract rate_per_s = n_ok / 1s."""
+        import time as _t
+
+        from swiftbulkuploader_spark.streaming.progress import (
+            stream_rate_from_rate_source,
+        )
+
+        q = (
+            stream_rate_from_rate_source(spark, rows_per_second=50)
+            .writeStream.format("memory").queryName("rate_src_rates")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        try:
+            deadline = _t.time() + 60
+            # wait until the engine has processed real input (>= 2 batches
+            # with rows) — no sleep-and-hope on a loaded box
+            while _t.time() < deadline:
+                done = [p for p in q.recentProgress
+                        if p["numInputRows"] > 0]
+                if len(done) >= 2:
+                    break
+                _t.sleep(0.5)
+            assert len(done) >= 2, "rate source produced no batches in 60s"
+            # the A8 streaming counters exist and are sane
+            assert all(p["processedRowsPerSecond"] >= 0 for p in done)
+            assert sum(p["numInputRows"] for p in done) > 0
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM rate_src_rates").collect()
+        assert rows, "no windows emitted"
+        # window contract: 1-second tumbling windows, rate = count / 1s,
+        # and no window can exceed the configured source rate
+        assert all(r["rate_per_s"] == float(r["n_ok"]) for r in rows)
+        assert max(r["n_ok"] for r in rows) <= 50

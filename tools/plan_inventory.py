@@ -53,6 +53,35 @@ BOUNDED_BNLJ_OK = {
 }
 
 
+# queries whose plan deliberately contains EXACT percentile state (grows
+# with distinct values — the plan this engine refuses at 100 TB except
+# where the exactness IS the contract). Everything else gets flagged
+# EXACT-PCTL!, so a composed pipeline can never silently acquire an exact
+# percentile the way the BNLJ allowlist guards quadratic joins.
+EXACT_PERCENTILE_OK = {
+    "x6_quantiles",            # the exact-percentile contract query itself
+                               # (scale default is the GK sketch twin, which
+                               # is what bench.py times)
+    "x6_group_quantiles",      # per-group exact quartiles, same contract
+    "x6_median_disc",          # percentile_disc semantics query
+    "x6_quantiles_approx",     # tolerance twin: computes exact AND sketch
+                               # to bound the sketch error
+    "x6_approx_profile",       # tolerance twin (HLL/GK vs exact)
+    "x6_dataset_card",         # exact-p50 test-scale card; the sketch card
+                               # is the registered scale/bench default
+    "x6_dataset_card_approx",  # tolerance twin of the sketch card
+    "x6_outlier_profile",      # Tukey fences: exact quartiles keep the
+                               # DuckDB oracle bit-comparable; swap
+                               # percentile_approx at 100 TB (SCALING.md)
+    "w9_sliding_median",       # exact median over a ROWS-bounded 10-row
+                               # frame: state is O(frame), not O(distinct)
+}
+
+# exact percentile / percentile_disc in a physical plan; must NOT match
+# approx_percentile / percentile_approx
+_EXACT_PCTL = re.compile(r"(?<![\w_])percentile(_disc)?\(")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_inventory")
@@ -67,6 +96,10 @@ def main() -> None:
     print("documented bounded-broadcast cases (1-row global aggregates, fixed")
     print("small query batches), where a broadcast nested-loop against a")
     print("constant-size build side is O(n*k) and is the intended plan.")
+    print("EXACT percentile state (grows with distinct values) is likewise")
+    print("flagged unless the query is in EXACT_PERCENTILE_OK (the exact-form")
+    print("contract queries and the exact-vs-sketch tolerance twins), so a")
+    print("composed pipeline can never silently acquire one.")
     print()
     print("| query | exchanges | joins | pushed filters | codegen | flags |")
     print("|---|---|---|---|---|---|")
@@ -93,6 +126,9 @@ def main() -> None:
                 flags.append("BNLJ!")
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN!")
+        if _EXACT_PCTL.search(plan):
+            flags.append("pctl-exact-ok" if name in EXACT_PERCENTILE_OK
+                         else "EXACT-PCTL!")
         join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
         print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {' '.join(flags) or '-'} |")
     spark.stop()
