@@ -548,8 +548,16 @@ def _winnow_gram_base(docs: DataFrame) -> DataFrame:
     the shared input of both winnowing forms. The 32-bit hash range
     (md5 8-hex prefix) is what lets the Arrow form pack (doc, fp) into one
     int64 key. `spread()` ahead: the gram/hash build is compute-dense and
-    byte-sized parquet splits under-parallelize it (shingle_base
-    discipline)."""
+    byte-sized parquet splits under-parallelize it.
+
+    `persist()`ed (round 6 — the full shingle_base discipline, closing the
+    'compute once at ingest, persist' gap SCALING.md's winnowing row
+    named): the cache manager keys on the logical plan, so the HOF twin,
+    the Arrow form and any future fingerprint consumer in one session
+    share a single materialization of the gram-hash arrays instead of
+    re-hashing the corpus per query; MEMORY_AND_DISK spills rather than
+    OOMs. At true ingest time the same frame is what a bucketed staging
+    write would persist to the object store."""
     gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")  # noqa: E731
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     return (
@@ -557,6 +565,7 @@ def _winnow_gram_base(docs: DataFrame) -> DataFrame:
         .filter(F.size(toks) >= 3)
         .select("doc_id", shingles(F.col("text"), 3).alias("grams"))
         .select("doc_id", F.transform("grams", gram_hash).alias("hs"))
+        .persist()
     )
 
 
