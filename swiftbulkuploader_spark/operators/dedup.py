@@ -538,6 +538,173 @@ def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(cands, sigs)
 
 
+# Bloom decontamination screen: m-bit filter, 3 xor-multiply position
+# functions (odd a < 2^29 keeps (h XOR b) * a below 2^61 — the
+# x1_minhash_exact overflow budget, replayable in DuckDB integer math)
+BLOOM_M = 16384
+BLOOM_CONSTS = ((179424673, 735632791), (15485863, 694847539),
+                (104395301, 999999937))
+BLOOM_FLAG_MIN = 4  # docs sharing >= 4 bloom-hit shingles get flagged
+
+
+def x1_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a BLOOM FILTER over the eval set's shingles —
+    the production shape when the eval/benchmark suite is too large to
+    broadcast as literal shingle sets but its BITS still fit anywhere:
+    the filter is a fixed m-bit array (here m=16384 -> 2 KB) regardless
+    of eval-set size, so the corpus-side screen is one scan with k=3
+    integer probes per shingle. Spark's own runtime-filter machinery
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects exactly
+    this plan for selective joins; this operator is the explicit,
+    contract-level form of it.
+
+    Execution shape: the set-bit POSITIONS of the probe filter are a tiny
+    table (distinct positions << m), so the per-shingle membership test is
+    three broadcast LEFT SEMI joins on the three position columns — no
+    giant literal, no UDF, and the corpus side never re-shuffles. The
+    false positives of a Bloom filter are normally a tolerance concern;
+    here the position functions are deterministic integer arithmetic
+    (md5-prefix 32-bit shingle hashes + xor-multiply remixes mod 2^32,
+    mod m), so DuckDB replays the EXACT filter, false positives included
+    — per-doc exact-hit and bloom-hit counts hash-match, and the
+    no-false-negative property (n_bloom_hits >= n_exact_hits) is visible
+    row by row in the compared output. At 100 TB the positions table
+    becomes a broadcast byte-array bitset; the plan shape is unchanged.
+
+    Reference basis: the same decontamination contract as
+    x1_contamination / x1_contamination_indexed (eval docs 0-7 vs the
+    rest), counting shared distinct 3-gram shingles instead of
+    containment, flag at >= BLOOM_FLAG_MIN shared."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    posts = (
+        spread(docs)
+        .select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
+        .filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        "sh",
+                        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+
+    def bloom_pos(h, j: int):
+        a, b = BLOOM_CONSTS[j]
+        return (h.bitwiseXOR(F.lit(b)) * F.lit(a)) % F.lit(_MH_MOD) % F.lit(BLOOM_M)
+
+    probe_h = posts.filter(F.col("doc_id") < 8).select("h").distinct()
+    # ONE shared bit array: every position function sets bits in the same
+    # m-bit space (union), exactly a Bloom filter's layout
+    positions = None
+    for j in range(3):
+        pj = probe_h.select(bloom_pos(F.col("h"), j).alias("p"))
+        positions = pj if positions is None else positions.unionByName(pj)
+    positions = positions.distinct()
+
+    corpus = posts.filter(F.col("doc_id") >= 8).select(
+        "doc_id", "h", *[bloom_pos(F.col("h"), j).alias(f"p{j}") for j in range(3)]
+    )
+    hits = corpus
+    for j in range(3):
+        hits = hits.join(
+            F.broadcast(positions.withColumnRenamed("p", f"pp{j}")),
+            F.col(f"p{j}") == F.col(f"pp{j}"),
+            "left_semi",
+        )
+    bloom_counts = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_hits")
+    )
+    exact_counts = (
+        corpus.join(F.broadcast(probe_h), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return (
+        corpus.select("doc_id").distinct()
+        .join(exact_counts, "doc_id", "left")
+        .join(bloom_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) >= BLOOM_FLAG_MIN).alias("flagged"),
+        )
+    )
+
+
+def x1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE shingle-overlap matrix — the dedup-planning report a
+    corpus curator reads before mixing sources (which crawls/dumps share
+    content, and how much): per source, the DISTINCT 3-gram shingle set
+    (md5-prefix 32-bit hashes, set semantics across the source's docs);
+    per source pair, intersection size, Jaccard and containment
+    (|A∩B| / min(|A|,|B|) — catches a small source embedded in a big one,
+    same reasoning as the contamination operators).
+
+    Scale shape: one (source, hash)-distinct aggregation, then a posting
+    join on the 8-byte hash whose fan-out per key is bounded by
+    n_sources^2 — NOT by shingle document frequency, because each source
+    contributes a key at most once — so stopword shingles cannot blow it
+    up (contrast x1_allpairs_prefix, where per-DOC postings need prefix
+    filtering). The complete matrix (zero-overlap pairs included) comes
+    from a bounded n_sources^2 cross join of the per-source size table —
+    an aggregate of a few dozen rows at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    posts = (
+        spread(docs)
+        .select("source", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
+        .filter(F.size(toks) >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    "sh",
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sz = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        posts.alias("x")
+        .join(posts.alias("y"), "h")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    c = F.coalesce("n_common", F.lit(0))
+    return (
+        pairs.join(common, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            c.alias("n_common"),
+            F.round(c / (F.col("n_a") + F.col("n_b") - c), 6).alias("jaccard"),
+            F.round(c / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+    )
+
+
 ALLPAIRS_TAU = 0.5
 WINNOW_W = 4
 
@@ -1204,6 +1371,8 @@ QUERIES = {
     "x1_allpairs_prefix": x1_allpairs_prefix,
     "x1_winnowing_fingerprints": x1_winnowing_fingerprints,
     "x1_winnowing_arrow": x1_winnowing_arrow,
+    "x1_contamination_bloom": x1_contamination_bloom,
+    "x1_source_overlap": x1_source_overlap,
     "x1_simhash_neardup": x1_simhash_neardup,
     "x1_simhash_exact": x1_simhash_exact,
     "x1_minhash_exact": x1_minhash_exact,
@@ -1557,3 +1726,91 @@ ORACLES["x1_minhash_exact"] = _minhash_exact_oracle_sql()
 # the Arrow winnowing form shares the HOF twin's oracle VERBATIM — one
 # selection contract, two execution strategies, both engine-verified
 ORACLES["x1_winnowing_arrow"] = ORACLES["x1_winnowing_fingerprints"]
+
+
+def _contamination_bloom_oracle_sql() -> str:
+    """GENERATED Bloom-screen oracle: the same md5-prefix shingle hashes,
+    the same three xor-multiply position functions into one shared m-bit
+    space, the same >= BLOOM_FLAG_MIN flag — false positives replay
+    exactly, so per-doc exact/bloom hit counts hash-match."""
+    pos_union = "\n            UNION\n            ".join(
+        f"SELECT DISTINCT ((xor(hv, {b}) * {a}) % {_MH_MOD}) % {BLOOM_M} AS p FROM ph"
+        for a, b in BLOOM_CONSTS
+    )
+    in_pos = " AND ".join(
+        f"((xor(hv, {b}) * {a}) % {_MH_MOD}) % {BLOOM_M} IN (SELECT p FROM pos)"
+        for a, b in BLOOM_CONSTS
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3
+        ), h AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+            FROM g
+        ), ph AS (
+            SELECT DISTINCT hv FROM h WHERE doc_id < 8
+        ), pos AS (
+            {pos_union}
+        ), corpus AS (
+            SELECT doc_id, hv FROM h WHERE doc_id >= 8
+        ), bloom_hits AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+            FROM corpus
+            WHERE {in_pos}
+            GROUP BY doc_id
+        ), exact_hits AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+            FROM corpus
+            WHERE hv IN (SELECT hv FROM ph)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(e.n_exact_hits, 0) AS n_exact_hits,
+               coalesce(b.n_bloom_hits, 0) AS n_bloom_hits,
+               coalesce(b.n_bloom_hits, 0) >= {BLOOM_FLAG_MIN} AS flagged
+        FROM (SELECT DISTINCT doc_id FROM corpus) d
+        LEFT JOIN exact_hits e USING (doc_id)
+        LEFT JOIN bloom_hits b USING (doc_id)
+    """
+
+
+ORACLES["x1_contamination_bloom"] = _contamination_bloom_oracle_sql()
+
+ORACLES["x1_source_overlap"] = """
+    WITH t AS (
+        SELECT source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT source, array_to_string(toks[i:i+2], ' ') AS s
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), h AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+        FROM g
+    ), sz AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source
+    ), common AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM h x JOIN h y ON x.hv = y.hv AND x.source < y.source
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+           coalesce(c.n_common, 0) AS n_common,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / (a.n + b.n - coalesce(c.n_common, 0)), 6) AS jaccard,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / least(a.n, b.n), 6) AS containment
+    FROM sz a
+    JOIN sz b ON a.source < b.source
+    LEFT JOIN common c ON c.source_a = a.source AND c.source_b = b.source
+"""

@@ -600,8 +600,10 @@ def x2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return recall_of("ivf", x2_ivf_topk(spark, sf_dir)).unionByName(
-        recall_of("lsh", x2_lsh_bucket_topk(spark, sf_dir))
+    return (
+        recall_of("ivf", x2_ivf_topk(spark, sf_dir))
+        .unionByName(recall_of("ivf_kmeans", x2_ivf_kmeans_topk(spark, sf_dir)))
+        .unionByName(recall_of("lsh", x2_lsh_bucket_topk(spark, sf_dir)))
     )
 
 
@@ -1036,21 +1038,9 @@ ORACLES["x2_lsh_similar_pairs"] = f"""
 # recall@10 oracle (defined AFTER the LSH oracle it nests): each method's
 # oracle SQL nested as a derived table, overlap counted — checks the
 # measurement, not just the inputs
-ORACLES["x2_ann_recall"] = f"""
-    SELECT 'ivf' AS method,
-           CAST(10 AS BIGINT) AS k,
-           CAST(count(*) AS BIGINT) AS n_hits,
-           count(*) / CAST(10.0 AS DOUBLE) AS recall
-    FROM ({ORACLES["x2_cosine_topk"]}) exact
-    JOIN ({ORACLES["x2_ivf_topk"]}) approx USING (vec_id)
-    UNION ALL
-    SELECT 'lsh',
-           CAST(10 AS BIGINT),
-           CAST(count(*) AS BIGINT),
-           count(*) / CAST(10.0 AS DOUBLE)
-    FROM ({ORACLES["x2_cosine_topk"]}) exact
-    JOIN ({ORACLES["x2_lsh_bucket_topk"]}) approx USING (vec_id)
-"""
+# x2_ann_recall's oracle is assembled at the END of this module: since
+# round 6 it nests the GENERATED Lloyd-refined-IVF oracle
+# (_ivf_kmeans_oracle_sql, defined below) alongside the ivf/lsh ones.
 
 
 def _rp_oracle_sql() -> str:
@@ -1236,3 +1226,29 @@ def _ivf_kmeans_oracle_sql(k: int = N_CENTROIDS, dim: int = 64,
 
 QUERIES["x2_ivf_kmeans_topk"] = x2_ivf_kmeans_topk
 ORACLES["x2_ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()
+
+# recall eval: every approximate method joined against the brute-force
+# top-10, each side's SQL nested as a derived table so the recall NUMBERS
+# are engine-checked, not just the inputs (three methods since round 6)
+ORACLES["x2_ann_recall"] = f"""
+    SELECT 'ivf' AS method,
+           CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           count(*) / CAST(10.0 AS DOUBLE) AS recall
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN ({ORACLES["x2_ivf_topk"]}) approx USING (vec_id)
+    UNION ALL
+    SELECT 'ivf_kmeans',
+           CAST(10 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) / CAST(10.0 AS DOUBLE)
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN ({ORACLES["x2_ivf_kmeans_topk"]}) approx USING (vec_id)
+    UNION ALL
+    SELECT 'lsh',
+           CAST(10 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) / CAST(10.0 AS DOUBLE)
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN ({ORACLES["x2_lsh_bucket_topk"]}) approx USING (vec_id)
+"""

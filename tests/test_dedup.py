@@ -448,3 +448,32 @@ class TestOracledTwins:
                for r in x1_simhash_exact(spark, str(tmp_path)).collect()}
         assert got.get((0, 2)) == 0          # identical text: hamming 0
         assert not any(3 in p for p in got)  # unrelated doc unpaired
+
+
+def test_contamination_bloom_no_false_negatives(spark):
+    """Bloom-screen invariant on real data: a Bloom filter can only
+    over-approximate — every doc's bloom-hit count must be >= its exact
+    shared-shingle count, and every exact-contaminated doc must be at
+    least as visible to the bloom screen."""
+    from swiftbulkuploader_spark.operators.dedup import x1_contamination_bloom
+
+    rows = x1_contamination_bloom(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in rows)
+    assert all(
+        r["flagged"] == (r["n_bloom_hits"] >= 4) for r in rows
+    )
+
+
+def test_source_overlap_matrix_is_complete_and_bounded(spark):
+    """The overlap matrix covers EVERY source pair (zero-overlap pairs
+    included) with jaccard <= containment <= 1 and n_common <= min size."""
+    from swiftbulkuploader_spark.operators.dedup import x1_source_overlap
+
+    rows = x1_source_overlap(spark, "/root/testdata/sf0.001").collect()
+    sources = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    k = len(sources)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert r["jaccard"] <= r["containment"] <= 1.0

@@ -46,6 +46,10 @@ BOUNDED_BNLJ_OK = {
     "x2_pq_topk",              # same codebook broadcast as x2_pq_codes
     "x2_ivf_kmeans_topk",      # k=16-row refined-centroid table broadcast
                                # into the Lloyd assignment cross join
+    "x1_source_overlap",       # n_sources^2 pair matrix over the per-source
+                               # SIZE AGGREGATE (a few dozen rows at any
+                               # corpus scale), non-equi < join
+
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
     "x3_pmi_cooccurrence",     # 1-row corpus token total cross-joined into
