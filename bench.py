@@ -117,6 +117,11 @@ HEADLINE = [
     "x1_minhash_exact",         # oracled MinHash-LSH twin (xor-mult remixes)
     "x3_pmi_cooccurrence",      # windowed PMI collocations (linear pair gen)
     "x1_dup_clusters_star",     # Kiveris star closure over the exact pair graph
+    "x1_contamination_bloom",   # Bloom decontamination screen (semi-join probes)
+    "x1_source_overlap",        # cross-source shingle overlap matrix
+    "x2_ivf_kmeans_topk",       # deterministic Lloyd-refined IVF (2 rounds)
+    "x3_source_keywords",       # c-TF-IDF top-5 keywords per source
+    "x7_zorder_locality",       # Morton-key layout audit (codegen bit math)
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import (
@@ -404,7 +405,46 @@ def x3_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE distinctive keywords by class-based tf-idf (c-TF-IDF, the
+    BERTopic labeling recipe with sources as the classes): tf = token
+    occurrences within the source, idf = ln(n_sources / #sources
+    containing the token), top 5 per source — the one-line answer to
+    "what is each crawl/dump actually about" a corpus datasheet wants.
+
+    Scale shape: one (source, token) map-side-combined count shuffle, a
+    token-keyed df aggregate OVER THE TF TABLE (rows ∝ distinct tokens x
+    sources, already collapsed — never re-reads the corpus), a broadcast
+    n_sources literal (metadata-scale driver count, the tfidf N pattern),
+    and a per-source top-5 window on the ROUNDED score with token
+    tie-break (round-before-rank, CLAUDE.md rule 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_ws(F.lower(F.col("text")))
+    toks = (
+        docs.select("source", F.explode(F.split(norm, " ")).alias("tok"))
+        .filter(F.length(F.trim(norm)) > 0)
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = docs.select("source").distinct().count()  # metadata-scale
+    scored = tf.join(dfreq, "tok").select(
+        "source",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
 QUERIES = {
+    "x3_source_keywords": x3_source_keywords,
     "x3_pmi_cooccurrence": x3_pmi_cooccurrence,
     "x3_unigram_logprob": x3_unigram_logprob,
     "x3_chunk_documents": x3_chunk_documents,
@@ -685,4 +725,29 @@ ORACLES["x3_chunk_documents"] = f"""
            CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
            md5(array_to_string(ct, ' ')) AS chunk_fp
     FROM chunked
+"""
+
+ORACLES["x3_source_keywords"] = """
+    WITH t AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), tf AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM t GROUP BY source, tok
+    ), dfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), ns AS (
+        SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+        SELECT tf.source, tf.tok,
+               round(tf.tf * ln(ns.n / dfreq.df), 6) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN ns
+    )
+    SELECT source, tok, score, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY source ORDER BY score DESC, tok ASC
+        ) AS BIGINT) AS rk FROM scored
+    ) WHERE rk <= 5
 """

@@ -143,10 +143,86 @@ def x7_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 16
+
+
+def morton_key(a, b, bits: int = ZORDER_BITS):
+    """Interleave the low ``bits`` of two non-negative ints into one
+    Z-order (Morton) key — the multi-dimensional sort key that makes
+    min/max data skipping work on BOTH dimensions at once. Pure
+    shift/mask Column arithmetic: 2*bits constant terms, fully inside
+    whole-stage codegen (nowhere near the janino 64 KB wall)."""
+    k = F.lit(0).cast("long")
+    for i in range(bits):
+        k = k.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return k
+
+
+def x7_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout audit for the events table: Morton-interleave
+    (user_id, minute-bucket) into one sort key, then report per
+    z-range-bucket min/max of both dimensions — the statistics a
+    lakehouse writer would persist as file-level min/max after sorting by
+    this key. Tight per-bucket ranges in BOTH columns are exactly what
+    lets a scan skip files for either `user_id = ?` or time-range
+    predicates; a single-column sort gives this for one dimension only.
+
+    Scale shape: the key is row-local codegen arithmetic (zero shuffle to
+    compute); the audit itself is one groupBy over ~2^10 buckets. At
+    write time the key feeds `DataFrameWriter.sortBy` /
+    `sortWithinPartitions` — same expression, no new machinery. The
+    oracle replays the bit interleave exactly (integer shift/mask on
+    both engines)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("ka"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("kb", F.expr("us div 60000000").bitwiseAND(F.lit(65535)))
+    z = morton_key(F.col("ka"), F.col("kb"))
+    return (
+        e.withColumn("zb", F.shiftright(z, 22))
+        .groupBy("zb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ka").alias("ua_min"),
+            F.max("ka").alias("ua_max"),
+            F.min("kb").alias("tb_min"),
+            F.max("kb").alias("tb_max"),
+        )
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    """GENERATED Morton oracle: the same interleave terms the Column loop
+    emits, as one integer expression."""
+    terms = " | ".join(
+        f"(((ka >> {i}) & 1) << {2 * i}) | (((kb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+        WITH e AS (
+            SELECT user_id & 65535 AS ka,
+                   (epoch_us(ts) // 60000000) & 65535 AS kb
+            FROM events
+        ), z AS (
+            SELECT ka, kb, ({terms}) >> 22 AS zb FROM e
+        )
+        SELECT zb, CAST(count(*) AS BIGINT) AS n,
+               min(ka) AS ua_min, max(ka) AS ua_max,
+               min(kb) AS tb_min, max(kb) AS tb_max
+        FROM z GROUP BY zb
+    """
+
+
 QUERIES = {
     "x7_m4_downsample": x7_m4_downsample,
     "x7_gap_fill": x7_gap_fill,
     "x7_multi_rollup": x7_multi_rollup,
+    "x7_zorder_locality": x7_zorder_locality,
 }
 
 ORACLES = {
@@ -207,3 +283,5 @@ ORACLES = {
         FROM hourly GROUP BY 1, 2
     """,
 }
+
+ORACLES["x7_zorder_locality"] = _zorder_oracle_sql()
