@@ -146,22 +146,6 @@ def x7_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZORDER_BITS = 16
 
 
-def morton_key(a, b, bits: int = ZORDER_BITS):
-    """Interleave the low ``bits`` of two non-negative ints into one
-    Z-order (Morton) key — the multi-dimensional sort key that makes
-    min/max data skipping work on BOTH dimensions at once. Pure
-    shift/mask Column arithmetic: 2*bits constant terms, fully inside
-    whole-stage codegen (nowhere near the janino 64 KB wall)."""
-    k = F.lit(0).cast("long")
-    for i in range(bits):
-        k = k.bitwiseOR(
-            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return k
-
-
 def x7_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER layout audit for the events table: Morton-interleave
     (user_id, minute-bucket) into one sort key, then report per
@@ -171,18 +155,21 @@ def x7_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets a scan skip files for either `user_id = ?` or time-range
     predicates; a single-column sort gives this for one dimension only.
 
-    Scale shape: the key is row-local codegen arithmetic (zero shuffle to
-    compute); the audit itself is one groupBy over ~2^10 buckets. At
-    write time the key feeds `DataFrameWriter.sortBy` /
-    `sortWithinPartitions` — same expression, no new machinery. The
-    oracle replays the bit interleave exactly (integer shift/mask on
+    Scale shape: the key is `plans.layout.zorder_key` — the SAME Column
+    expression `write_zordered` clusters files with (whose row-group
+    skipping is measured by `minmax_prunable_fraction`, SCALING.md Z-order
+    row) — so the audit reports exactly the locality the write path
+    produces; zero shuffle to compute, one groupBy over ~2^10 buckets.
+    The oracle replays the bit interleave exactly (integer shift/mask on
     both engines)."""
+    from swiftbulkuploader_spark.plans.layout import zorder_key
+
     events = load_table(spark, sf_dir, "events")
     e = events.select(
         F.col("user_id").bitwiseAND(F.lit(65535)).alias("ka"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     ).withColumn("kb", F.expr("us div 60000000").bitwiseAND(F.lit(65535)))
-    z = morton_key(F.col("ka"), F.col("kb"))
+    z = zorder_key(F.col("ka"), F.col("kb"), bits=ZORDER_BITS)
     return (
         e.withColumn("zb", F.shiftright(z, 22))
         .groupBy("zb")
