@@ -477,3 +477,33 @@ def test_source_overlap_matrix_is_complete_and_bounded(spark):
     for r in rows:
         assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
         assert r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_winnowing_arrow_matches_hof_on_edge_docs(spark, tmp_path):
+    """The Arrow selection must equal the HOF form doc-for-doc on the edge
+    shapes the batch vectorization special-cases: m < W (single
+    whole-array window), m == W (one full window), repeated grams
+    (multiplicity preserved), and a mixed batch of all three."""
+    from swiftbulkuploader_spark.operators.dedup import (
+        x1_winnowing_arrow,
+        x1_winnowing_fingerprints,
+    )
+
+    rows = [
+        (0, "a b c"),                      # 1 gram  -> short path
+        (1, "a b c d"),                    # 2 grams -> short path
+        (2, "a b c d e f"),               # 4 grams -> exactly one window
+        (3, "x y x y x y x y x y"),       # repeated grams, full windows
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("s"),
+         "n_chars": F.length("text")}
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    hof = {r["doc_id"]: (r["n_grams"], r["n_fps"], r["fp_sum"])
+           for r in x1_winnowing_fingerprints(spark, sf).collect()}
+    arr = {r["doc_id"]: (r["n_grams"], r["n_fps"], r["fp_sum"])
+           for r in x1_winnowing_arrow(spark, sf).collect()}
+    assert hof == arr and len(hof) == 5

@@ -383,6 +383,80 @@ def shape_winnowing_arrow(df):
     return winnowing_stats_arrow(base).select("fp_sum")
 
 
+def shape_bloom_screen(df):
+    """x1_contamination_bloom's core: 12 synthetic shingle hashes/doc, a
+    fixed 1k-hash probe set -> bounded set-bit position table -> three
+    broadcast left-semi joins + per-doc counts. Linear ratio = the screen
+    is one corpus pass; the filter side is constant-size by construction."""
+    from swiftbulkuploader_spark.operators.dedup import (
+        BLOOM_CONSTS,
+        BLOOM_M,
+        _MH_MOD,
+    )
+
+    hs = F.sequence(F.lit(1), F.lit(12))
+    posts = df.select(
+        F.col("event_id").alias("doc_id"),
+        F.explode(
+            F.transform(hs, lambda i: F.abs(F.xxhash64("event_id", i)) % 4_000_000_000)
+        ).alias("h"),
+    )
+
+    def pos(h, j):
+        a, b = BLOOM_CONSTS[j]
+        return (h.bitwiseXOR(F.lit(b)) * F.lit(a)) % F.lit(_MH_MOD) % F.lit(BLOOM_M)
+
+    spark = df.sparkSession
+    probe = spark.range(1000).select(
+        (F.abs(F.xxhash64("id", F.lit(99))) % 4_000_000_000).alias("h")
+    )
+    positions = None
+    for j in range(3):
+        pj = probe.select(pos(F.col("h"), j).alias("p"))
+        positions = pj if positions is None else positions.unionByName(pj)
+    positions = positions.distinct()
+    hits = posts.select(
+        "doc_id", *[pos(F.col("h"), j).alias(f"p{j}") for j in range(3)]
+    )
+    for j in range(3):
+        hits = hits.join(
+            F.broadcast(positions.withColumnRenamed("p", f"pp{j}")),
+            F.col(f"p{j}") == F.col(f"pp{j}"),
+            "left_semi",
+        )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def shape_source_overlap(df):
+    """x1_source_overlap's core: 200 sources, 12 shingles/doc (2 hot
+    shared across ALL sources) -> per-source DISTINCT postings -> hash
+    join whose per-key fan-out is bounded by n_sources^2, NOT df — the
+    property that makes the matrix safe where a per-doc posting join
+    needs prefix filtering."""
+    hot = [
+        (F.col("event_id") % 2 + 10_000_000_000 + i).alias("k") for i in range(2)
+    ]
+    cold = [
+        (F.abs(F.xxhash64("event_id", F.lit(i))) % 1_000_000_000_000).alias("k")
+        for i in range(10)
+    ]
+    posts = (
+        df.select(
+            (F.col("event_id") % 200).alias("source"),
+            F.explode(F.array(*hot, *cold)).alias("h"),
+        )
+        .distinct()
+    )
+    common = (
+        posts.alias("x")
+        .join(posts.alias("y"), "h")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(F.col("x.source").alias("a"), F.col("y.source").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return common.agg(F.sum("c").alias("s"))
+
+
 def shape_pmi_pairs(df):
     """x3_pmi_cooccurrence's core: shifted zip_with pair generation (2
     pairs per token), canonical ordering, map-side-combined (w1, w2)
@@ -608,6 +682,8 @@ SHAPES = {
     "star_components_chain_reliable": shape_star_components_chain_reliable,
     "winnowing_select": shape_winnowing,
     "winnowing_select_arrow": shape_winnowing_arrow,
+    "bloom_screen": shape_bloom_screen,
+    "source_overlap": shape_source_overlap,
     "pmi_pairs": shape_pmi_pairs,
     "allpairs_naive": shape_allpairs_naive,
     "allpairs_prefix": shape_allpairs_prefix,
