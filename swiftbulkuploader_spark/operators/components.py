@@ -270,7 +270,7 @@ ORACLES: dict[str, str] = {
 }
 
 
-def connected_components_star(edges: DataFrame, max_iter: int = 20,
+def connected_components_star(edges: DataFrame, max_iter: int = 40,
                               reliable: bool = False) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris,
     Lattanzi, Mirrokni, Rastogi & Vassilvitskii, SoCC'14 "Connected
@@ -366,6 +366,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 20,
 
     cur = sym
     prev_sig = checksum(cur)
+    converged = False
     for _ in range(max_iter):
         # symmetrize for the large-star view (it reads full neighborhoods)
         both = cur.union(cur.selectExpr("v AS u", "u AS v")).distinct()
@@ -373,8 +374,19 @@ def connected_components_star(edges: DataFrame, max_iter: int = 20,
         sig = checksum(nxt)
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # returning the star forest of a TRUNCATED run silently labels a
+        # connected graph as many components (caught at max_iter=20 on a
+        # 4M-node path, which needs ~log2(n) ≈ 22 round pairs + settle) —
+        # wrong labels must be loud, not quiet
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "round pairs; raise max_iter (round pairs needed ~ log2 of the "
+            "largest component's node count, plus a few to settle)"
+        )
     # star forest: every remaining edge points a node at its component
     # minimum; centers label themselves
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))

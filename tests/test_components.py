@@ -156,3 +156,20 @@ class TestStarComponents:
             spark, pairs
         )
         assert spark.sparkContext.getCheckpointDir() is not None
+
+    def test_truncated_run_raises_instead_of_mislabeling(self, spark):
+        """A run that exhausts max_iter without reaching the fixed point
+        must RAISE — a truncated star forest silently labels one connected
+        graph as many components (the round-6 4M-path probe caught
+        exactly this at the old max_iter=20 default)."""
+        import pytest as _pytest
+
+        from swiftbulkuploader_spark.operators.components import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "a long, b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components_star(df, max_iter=1)
