@@ -135,8 +135,8 @@ class TestStarComponents:
 
     def test_long_chain_converges_in_log_rounds(self, spark):
         """A 200-node path needs ~200 propagation rounds but must close
-        under the star algorithm's default budget (max_iter=20 round
-        pairs ~ O(log n)) — every node labeled 0."""
+        well under the star algorithm's default budget (~log2 n ≈ 8 of
+        the 40 round pairs) — every node labeled 0."""
         pairs = [(i, i + 1) for i in range(199)]
         star = self._star(spark, pairs)
         assert len(star) == 200 and set(star.values()) == {0}
