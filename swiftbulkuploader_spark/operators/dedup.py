@@ -592,6 +592,11 @@ def x1_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
+        # read five ways below (probe set, three position branches via the
+        # probe set, corpus side of both counts + the doc list) — without a
+        # persist each reference re-executes the shingle explode (no CSE
+        # across union/join branches; the plan showed 58 exchanges)
+        .persist()
     )
 
     def bloom_pos(h, j: int):
@@ -671,6 +676,9 @@ def x1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        # read three ways (size agg + both sides of the self-join):
+        # persist so the shingle explode + distinct runs once
+        .persist()
     )
     sz = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     common = (

@@ -155,23 +155,28 @@ def _pr_round(edges, deg, nodes, n: int, pr):
     )
 
 
-def pagerank_until_converged(edges, rel_tol: float = 4e-3,
-                             max_iter: int = 60, burst: int = 3):
+def pagerank_until_converged(edges, rel_tol: float = 7e-3,
+                             max_iter: int = 60, burst: int = 6):
     """PageRank iterated to a FIXED POINT instead of a fixed round count:
-    bursts of ``burst`` rounds per ``localCheckpoint`` (CLAUDE.md rule 4
-    — shallow lineage between materializations), convergence probed on
-    the MATERIALIZED frame as max |pr_{k+burst} - pr_k| < rel_tol/n
-    (deltas scale as 1/n, so the relative form makes the round count
-    n-independent). Round-6 retuning, the two levers the verify-cost ask
-    named: burst 2 -> 3 (one checkpoint + one delta probe per THREE
-    rounds — the per-burst fixed overhead dominated at small sf) and
-    rel_tol 1e-3 -> 4e-3, which still certifies the UNCHANGED 1e-2/n
-    residual threshold: with the damping contraction (factor d = 0.85
-    toward the fixed point p*), ||p_stop - p*|| <= d^burst/(1 - d^burst)
-    * delta_stop, so the one-round residual is bounded by
-    (1 + d) * d^burst/(1 - d^burst) * delta_stop ≈ 1.85 * delta_stop at
-    burst=3 — 7.4e-3/n < 1e-2/n. Round count at 4e-3 is
-    ~log(1/4e-3)/log(1/0.85) ≈ 34, probed every 3rd.
+    bursts of ``burst`` rounds per ``localCheckpoint``, convergence
+    probed on the MATERIALIZED frame as max |pr_{k+burst} - pr_k| <
+    rel_tol/n (deltas scale as 1/n, so the relative form makes the round
+    count n-independent).
+
+    Round-6 retune, instrumented (SCALING.md "Converged-PageRank verify
+    cost"): the certificate pins a ~48-round floor on the driver graph,
+    so the verify-cost lever is NOT fewer rounds — it is fewer
+    materializations and probes. burst=6 halves both vs burst=3 (the
+    chain is linear, no union branching, so deep-burst lineage is safe —
+    the CLAUDE.md 2-3 guidance targets branching plans), and LARGER
+    bursts tighten the certificate bound: with damping contraction
+    (factor d = 0.85 toward the fixed point p*),
+    ||p_stop - p*|| <= d^burst/(1 - d^burst) * delta_stop, so the
+    one-round residual is bounded by (1 + d) * d^burst/(1 - d^burst) *
+    delta_stop ≈ 1.12 * delta_stop at burst=6 — rel_tol 7e-3 certifies
+    7.9e-3/n < the UNCHANGED 1e-2/n threshold (typical residual is ~4x
+    further under it: the stopping delta sums six contracting per-round
+    deltas, so the last per-round delta is ~delta_stop/3.7).
 
     Returns (ranks, (deg, nodes, n), last_delta) — the graph tables ride
     along so a caller's residual check reuses the checkpointed frames
@@ -205,9 +210,9 @@ def x8_pagerank_converged(spark, sf_dir: str) -> DataFrame:
     the round count is data-dependent (so rank VALUES are not
     engine-reproducible), but the fixed point is — one extra propagation
     round over the converged ranks must move no node by more than 1e-2/n
-    (UNCHANGED across the round-6 rel_tol/burst retune: the 3-round
-    stopping delta bounds the 1-round residual by ~1.85x, so
-    4e-3 * 1.85 = 7.4e-3 < 1e-2 — see pagerank_until_converged).
+    (UNCHANGED across the round-6 rel_tol/burst retune: the 6-round
+    stopping delta bounds the 1-round residual by ~1.12x, so
+    7e-3 * 1.12 = 7.9e-3 < 1e-2 — see pagerank_until_converged).
     The contract emits (node, converged);
     DuckDB reproduces the node set and asserts TRUE — a loop that stalls,
     oscillates, or stops early is a loud hash mismatch, the same

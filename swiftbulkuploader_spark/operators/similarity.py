@@ -312,9 +312,11 @@ def lloyd_refined_centroids(emb: DataFrame, k: int = N_CENTROIDS,
     collect (<= k rows of dim doubles, the allowlisted scalar/centroid
     class) feeding the shared `ivf_search` literal path."""
     spark = emb.sparkSession
+    # read 2x per Lloyd round (assignment + mean join) plus the seed scan:
+    # plan-keyed persist so the cast projection runs once per session
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).persist()
     seed = (
         vecs.filter(F.col("vec_id") < k).orderBy("vec_id")
         .select("v").collect()

@@ -424,7 +424,9 @@ def x3_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(F.split(norm, " ")).alias("tok"))
         .filter(F.length(F.trim(norm)) > 0)
     )
-    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is read twice (df aggregate + the scored join): persist so the
+    # corpus explode+count runs once per session
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_sources = docs.select("source").distinct().count()  # metadata-scale
     scored = tf.join(dfreq, "tok").select(
