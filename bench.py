@@ -122,6 +122,8 @@ HEADLINE = [
     "x2_ivf_kmeans_topk",       # deterministic Lloyd-refined IVF (2 rounds)
     "x3_source_keywords",       # c-TF-IDF top-5 keywords per source
     "x7_zorder_locality",       # Morton-key layout audit (codegen bit math)
+    "x3_bigram_logprob",        # bigram-LM cross-entropy (word-order filter)
+    "x2_mrl_recall",            # Matryoshka truncation recall eval (16/32 dims)
 ]
 
 

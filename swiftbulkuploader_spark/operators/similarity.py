@@ -609,6 +609,64 @@ def x2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = (16, 32)
+
+
+def x2_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al., NeurIPS'22
+    — MRL embeddings are trained so PREFIXES of the vector are usable
+    embeddings): brute-force cosine top-10 using only the first 16 / 32
+    of the 64 dims, scored as recall against the full-dim exact top-10 —
+    the measurement that decides how far an index can truncate (4x/2x
+    smaller vectors, proportionally cheaper scans) before retrieval
+    quality pays.
+
+    Execution shape: `F.slice` on the embedding array inside the same
+    codegen'd cosine — the truncated scan reads the SAME column and just
+    folds fewer terms; at rest the truncation would be a persisted prefix
+    column (or PQ on the prefix). One TakeOrderedAndProject per method,
+    10-row joins for the recall counts; the driver embeddings are NOT
+    MRL-trained, so recall here exercises the measurement, not a quality
+    claim. Oracle nests the full-dim top-10 SQL and DuckDB list slicing
+    (v[1:k]), every cosine rounded to 6 dp with vec_id tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+
+    def topk(dims: int | None) -> DataFrame:
+        vec = F.col("embedding").cast("array<double>")
+        qv = q if dims is None else q[:dims]
+        if dims is not None:
+            vec = F.slice(vec, 1, dims)
+        return (
+            emb.select(
+                "vec_id",
+                F.round(
+                    cosine_similarity(vec, F.array(*[F.lit(v) for v in qv])), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+        )
+
+    # feeds one join per truncation: checkpoint so the full-dim scan runs
+    # once (no CSE across the union branches)
+    exact = topk(None).select("vec_id").localCheckpoint(eager=True)
+    out = None
+    for dims in MRL_DIMS:
+        r = (
+            exact.join(topk(dims).select("vec_id"), "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(f"mrl{dims}").alias("method"),
+                F.lit(10).cast("long").alias("k"),
+                "n_hits",
+                (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 RP_OUT_DIM = 16
 RP_IN_DIM = 64
 
@@ -1254,3 +1312,31 @@ ORACLES["x2_ann_recall"] = f"""
     FROM ({ORACLES["x2_cosine_topk"]}) exact
     JOIN ({ORACLES["x2_lsh_bucket_topk"]}) approx USING (vec_id)
 """
+
+
+def _mrl_recall_oracle_sql() -> str:
+    """GENERATED truncation-recall oracle: full-dim exact top-10 joined
+    against each prefix-sliced top-10, one UNION ALL branch per MRL dim."""
+    branches = []
+    for dims in MRL_DIMS:
+        branches.append(f"""
+    SELECT 'mrl{dims}' AS method,
+           CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           count(*) / CAST(10.0 AS DOUBLE) AS recall
+    FROM ({ORACLES["x2_cosine_topk"]}) exact
+    JOIN (
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[])[1:{dims}],
+                   (SELECT CAST(embedding AS DOUBLE[])[1:{dims}]
+                    FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    ) approx USING (vec_id)""")
+    return "\n    UNION ALL\n".join(branches)
+
+
+QUERIES["x2_mrl_recall"] = x2_mrl_recall
+ORACLES["x2_mrl_recall"] = _mrl_recall_oracle_sql()

@@ -405,6 +405,66 @@ def x3_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x3_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy scoring — one order up from
+    ``x3_unigram_logprob``: P(w2 | w1) with add-one smoothing over the
+    corpus's own bigram/unigram tables, so word-ORDER violations (shuffled
+    or templated text that unigram stats cannot see) score high while
+    fluent prose scores low. The closer self-contained analog of the
+    KenLM filter in CCNet-style pipelines.
+
+    Shape: bigrams form row-locally (shifted zip_with — no posexplode
+    self-join); the (w1, w2) count shuffle is map-side combined; the
+    per-doc scorer joins the bigram table on (w1, w2) — co-partitioned
+    with its own build — then the unigram denominators on w1; vocab size
+    rides a 1-row broadcast. Same 100 TB posting-table argument as
+    unigram/tf-idf; values ship unrounded (9-sig-digit verifier
+    normalization absorbs sum-order ulps). Docs with < 2 tokens have no
+    bigrams and are excluded on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", F.split(norm, " ").alias("t")
+    )
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        toks.filter(n > 1)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = docs.filter(F.length(F.trim(norm)) > 0).select(
+        F.explode(F.split(norm, " ")).alias("w")
+    )
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cuc"))
+    vv = cu.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbc"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log(
+                    (F.col("cbc") + F.lit(1)).cast("double")
+                    / (F.col("cuc") + F.col("v"))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (-F.col("s") / F.col("n_bigrams")).alias("cross_entropy"),
+    )
+
+
 def x3_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE distinctive keywords by class-based tf-idf (c-TF-IDF, the
     BERTopic labeling recipe with sources as the classes): tf = token
@@ -446,6 +506,7 @@ def x3_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "x3_bigram_logprob": x3_bigram_logprob,
     "x3_source_keywords": x3_source_keywords,
     "x3_pmi_cooccurrence": x3_pmi_cooccurrence,
     "x3_unigram_logprob": x3_unigram_logprob,
@@ -752,4 +813,35 @@ ORACLES["x3_source_keywords"] = """
             PARTITION BY source ORDER BY score DESC, tok ASC
         ) AS BIGINT) AS rk FROM scored
     ) WHERE rk <= 5
+"""
+
+ORACLES["x3_bigram_logprob"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), u AS (
+        SELECT unnest(toks) AS w FROM t
+    ), cu AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cuc FROM u GROUP BY w
+    ), vv AS (
+        SELECT CAST(count(*) AS DOUBLE) AS v FROM cu
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2
+    ), cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbc
+        FROM bg GROUP BY w1, w2
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           -(sum(ln(CAST(cb.cbc + 1 AS DOUBLE) / (cu.cuc + vv.v))))
+               / count(*) AS cross_entropy
+    FROM bg
+    JOIN cb USING (w1, w2)
+    JOIN cu ON bg.w1 = cu.w
+    CROSS JOIN vv
+    GROUP BY bg.doc_id
 """
