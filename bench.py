@@ -124,6 +124,7 @@ HEADLINE = [
     "x7_zorder_locality",       # Morton-key layout audit (codegen bit math)
     "x3_bigram_logprob",        # bigram-LM cross-entropy (word-order filter)
     "x2_mrl_recall",            # Matryoshka truncation recall eval (16/32 dims)
+    "x6_ab_test",               # hash-bucketed two-proportion z-test
 ]
 
 

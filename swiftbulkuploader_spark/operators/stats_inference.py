@@ -71,9 +71,74 @@ def x6_top_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x6_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a HASH-ASSIGNED experiment — the
+    measure-the-experiment query every event pipeline runs: users split
+    into A/B by a deterministic hash of user_id (md5-prefix parity, so
+    both engines assign identically and assignment is stable across
+    reruns — the real-world bucketing contract), conversion = the user
+    has >= 1 'purchase' event, pooled-variance z statistic with a
+    |z| > 1.96 significance flag.
+
+    Shape: one distinct-user aggregate (conversion via max-of-boolean),
+    then a 2-group conditional aggregate folded to ONE row — everything
+    after the user rollup is constant-size. Degenerate guards (the
+    x6_ks_drift discipline): an empty arm or a pooled rate of exactly
+    0 or 1 makes the standard error 0/NULL via nullif, so z and
+    `significant` go NULL instead of Inf on BOTH engines. The flag is
+    decided on a 6-dp-rounded |z| (round-before-boolean)."""
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("long") % 2
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.nullif(F.col("n_a"), F.lit(0))
+    p_b = F.col("conv_b") / F.nullif(F.col("n_b"), F.lit(0))
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
+        F.col("n_a") + F.col("n_b"), F.lit(0)
+    )
+    se = F.sqrt(
+        F.nullif(
+            p_pool * (F.lit(1.0) - p_pool)
+            * (F.lit(1.0) / F.nullif(F.col("n_a"), F.lit(0))
+               + F.lit(1.0) / F.nullif(F.col("n_b"), F.lit(0))),
+            F.lit(0.0),
+        )
+    )
+    z = (p_a - p_b) / se
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        z.alias("z_stat"),
+        (F.abs(F.round(z, 6)) > F.lit(1.96)).alias("significant"),
+    )
+
+
 QUERIES = {
     "x6_regression_stats": x6_regression_stats,
     "x6_top_frequent": x6_top_frequent,
+    "x6_ab_test": x6_ab_test,
 }
 
 ORACLES = {
@@ -96,3 +161,36 @@ ORACLES = {
         GROUP BY p_brand
     """,
 }
+
+ORACLES["x6_ab_test"] = """
+    WITH users AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                   AS variant,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+                   AS conv
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM users
+    ), calc AS (
+        SELECT *,
+               conv_a / CAST(nullif(n_a, 0) AS DOUBLE) AS rate_a,
+               conv_b / CAST(nullif(n_b, 0) AS DOUBLE) AS rate_b,
+               (conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE) AS p_pool
+        FROM arms
+    ), zc AS (
+        SELECT *,
+               (rate_a - rate_b)
+               / sqrt(nullif(p_pool * (CAST(1 AS DOUBLE) - p_pool)
+                             * (CAST(1 AS DOUBLE) / nullif(n_a, 0)
+                                + CAST(1 AS DOUBLE) / nullif(n_b, 0)),
+                             CAST(0 AS DOUBLE))) AS z_stat
+        FROM calc
+    )
+    SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_stat,
+           abs(round(z_stat, 6)) > CAST(1.96 AS DOUBLE) AS significant
+    FROM zc
+"""
