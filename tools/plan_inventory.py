@@ -41,6 +41,7 @@ BOUNDED_BNLJ_OK = {
                                # for the cluster assignment
     "x3_unigram_logprob",      # 1-row corpus totals (N, V) cross-joined into
                                # the per-token scorer
+    "x3_bigram_logprob",       # same 1-row vocab-size broadcast, bigram scorer
     "x3_bm25_search",          # 1-row avgdl cross-joined into the scorer
     "x2_pq_codes",             # 128-row (m, k, centroid) codebook broadcast
     "x2_pq_topk",              # same codebook broadcast as x2_pq_codes
