@@ -125,6 +125,7 @@ HEADLINE = [
     "x3_bigram_logprob",        # bigram-LM cross-entropy (word-order filter)
     "x2_mrl_recall",            # Matryoshka truncation recall eval (16/32 dims)
     "x6_ab_test",               # hash-bucketed two-proportion z-test
+    "x7_rate_anomaly",          # rolling z-score anomaly over the hourly rollup
 ]
 
 

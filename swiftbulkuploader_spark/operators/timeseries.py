@@ -272,3 +272,73 @@ ORACLES = {
 }
 
 ORACLES["x7_zorder_locality"] = _zorder_oracle_sql()
+
+
+ANOM_WIN = 24        # trailing hours in the baseline window
+ANOM_Z = 3.0
+
+
+def x7_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event rate — the
+    monitoring query that pages someone: count events per (event_type,
+    hour), compare each hour to the mean/stddev of its TRAILING 24-hour
+    window (ROWS frame, excluding the current row so a spike cannot mask
+    itself), flag |z| > 3.
+
+    Shape: one bucketed aggregate (rows ∝ types x hours, independent of
+    event count) + one per-type window over that aggregate — at any scale
+    the window input is the ROLLUP, never raw events (the
+    x7_multi_rollup argument). Degenerate guards (x6_ks_drift
+    discipline): warmup rows with < 3 trailing hours or a zero/NULL
+    stddev (constant baseline) yield NULL z and NULL flag on both
+    engines via nullif; the flag is decided on a 6-dp-rounded |z|
+    (round-before-boolean)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp(F.col("n").cast("double")).over(w)
+    nw = F.count(F.lit(1)).over(w)
+    z = (F.col("n") - mu) / F.nullif(sd, F.lit(0.0))
+    z = F.when(nw >= 3, z)  # need >= 3 trailing points for a usable sd
+    return hourly.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        z.alias("z_score"),
+        (F.abs(F.round(z, 6)) > F.lit(ANOM_Z)).alias("anomalous"),
+    )
+
+
+ORACLES["x7_rate_anomaly"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT event_type, hour, n,
+               avg(n) OVER tw AS mu,
+               stddev_samp(CAST(n AS DOUBLE)) OVER tw AS sd,
+               count(*) OVER tw AS nw
+        FROM hourly
+        WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           n,
+           CASE WHEN nw >= 3 THEN (n - mu) / nullif(sd, CAST(0 AS DOUBLE)) END
+               AS z_score,
+           abs(round(CASE WHEN nw >= 3
+                          THEN (n - mu) / nullif(sd, CAST(0 AS DOUBLE)) END, 6))
+               > CAST({ANOM_Z} AS DOUBLE) AS anomalous
+    FROM win
+"""
+
+QUERIES["x7_rate_anomaly"] = x7_rate_anomaly

@@ -175,3 +175,43 @@ def test_ks_drift_degenerate_inputs(spark, tmp_path):
     assert r2["drifted"] is None
     o2 = oracle_row(onesided_dir)
     assert o2["n_a"] == 0 and o2["ks_stat"] is None and o2["drifted"] is None
+
+
+def test_ab_test_degenerate_single_arm(spark, tmp_path):
+    """All users in one arm (single user id -> one md5-parity bucket):
+    z and significant must be NULL via the nullif guards, never Inf/error,
+    and the populated arm's counts must still be exact — checked against
+    the DuckDB oracle on the same parquet."""
+    import json
+
+    import duckdb
+
+    from swiftbulkuploader_spark.operators.stats_inference import (
+        ORACLES,
+        x6_ab_test,
+    )
+
+    rows = [(i, "2024-01-01 00:00:00", 7, "purchase" if i % 3 == 0 else "view",
+             1.0, json.dumps({})) for i in range(30)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = x6_ab_test(spark, str(tmp_path)).first()
+    assert (r["n_a"] == 0) != (r["n_b"] == 0)  # exactly one empty arm
+    assert r["n_a"] + r["n_b"] == 1 and r["conv_a"] + r["conv_b"] == 1
+    assert r["z_stat"] is None and r["significant"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    cur = con.execute(ORACLES["x6_ab_test"])
+    o = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+    assert o["z_stat"] is None and o["significant"] is None
+    assert (o["n_a"], o["n_b"]) == (r["n_a"], r["n_b"])
