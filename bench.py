@@ -126,6 +126,7 @@ HEADLINE = [
     "x2_mrl_recall",            # Matryoshka truncation recall eval (16/32 dims)
     "x6_ab_test",               # hash-bucketed two-proportion z-test
     "x7_rate_anomaly",          # rolling z-score anomaly over the hourly rollup
+    "x2_embedding_profile",     # norm/anisotropy embedding-space audit
 ]
 
 

@@ -1340,3 +1340,67 @@ def _mrl_recall_oracle_sql() -> str:
 
 QUERIES["x2_mrl_recall"] = x2_mrl_recall
 ORACLES["x2_mrl_recall"] = _mrl_recall_oracle_sql()
+
+
+def x2_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health datasheet — the one-row audit run before
+    trusting a vector column at scale: L2-norm mean/spread (un-normalized
+    or truncated embeddings surface here first) and the ANISOTROPY signal
+    ||mean vector|| / mean ||vector|| — ~0 for a well-spread space, -> 1
+    when embeddings collapse toward a common direction (the classic
+    "representation collapse / rogue dimension" failure that silently
+    ruins cosine retrieval).
+
+    Shape: one codegen'd fold per row for the norms (no shuffle), one
+    positional avg for the centroid (rows x dim, map-side combined), and
+    the centroid norm collapses to a driver literal (the
+    x2_label_centroid_sim ScalarSubquery pattern — no 1-row BNLJ).
+    Everything is algebraic; the ratio is rounded 6 dp, raw moments ship
+    unrounded under the 9-sig-digit verifier normalization."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    stats = emb.select(nrm.alias("nrm")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg("nrm").alias("avg_norm"),
+        F.stddev_samp("nrm").alias("sd_norm"),
+    )
+    cent = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mv"))
+        .agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("c"))
+        .first()  # bounded: one scalar (ScalarSubquery pattern)
+    )
+    c = float(cent["c"])
+    return stats.select(
+        "n_vectors",
+        "avg_norm",
+        "sd_norm",
+        F.lit(c).alias("centroid_norm"),
+        F.round(F.lit(c) / F.col("avg_norm"), 6).alias("anisotropy"),
+    )
+
+
+QUERIES["x2_embedding_profile"] = x2_embedding_profile
+ORACLES["x2_embedding_profile"] = """
+    WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), norms AS (
+        SELECT sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), cent AS (
+        SELECT u.i AS pos, avg(v[u.i]) AS mv
+        FROM e, unnest(range(1, 65)) AS u(i)
+        GROUP BY u.i
+    ), cn AS (
+        SELECT sqrt(sum(mv * mv)) AS c FROM cent
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           avg(nrm) AS avg_norm,
+           stddev_samp(nrm) AS sd_norm,
+           cn.c AS centroid_norm,
+           round(cn.c / avg(nrm), 6) AS anisotropy
+    FROM norms CROSS JOIN cn
+    GROUP BY cn.c
+"""
