@@ -1373,13 +1373,16 @@ def x2_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("c"))
         .first()  # bounded: one scalar (ScalarSubquery pattern)
     )
-    c = float(cent["c"])
-    return stats.select(
+    # degenerate guard: an empty vector table gives a NULL centroid norm
+    # (and the n_vectors > 0 filter below makes Spark's always-one-row
+    # global aggregate match the oracle's zero-row GROUP BY)
+    c = float(cent["c"]) if cent is not None and cent["c"] is not None else None
+    return stats.filter(F.col("n_vectors") > 0).select(
         "n_vectors",
         "avg_norm",
         "sd_norm",
-        F.lit(c).alias("centroid_norm"),
-        F.round(F.lit(c) / F.col("avg_norm"), 6).alias("anisotropy"),
+        F.lit(c).cast("double").alias("centroid_norm"),
+        F.round(F.lit(c).cast("double") / F.col("avg_norm"), 6).alias("anisotropy"),
     )
 
 
