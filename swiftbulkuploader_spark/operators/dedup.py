@@ -835,6 +835,15 @@ def winnowing_stats_arrow(base: DataFrame) -> DataFrame:
                 seg_min = np.minimum.reduceat(flat, starts)
                 mins = np.concatenate((mins, seg_min[short]))
                 docw = np.concatenate((docw, np.nonzero(short)[0]))
+            # the (doc << 32 | fp) packing is only injective for 32-bit
+            # fingerprints — md5-prefix hashes by construction; any other
+            # hash family must fail loudly, not dedup wrongly
+            if mins.size and (mins.min() < 0 or mins.max() >> np.int64(32)):
+                raise ValueError(
+                    "winnowing_stats_arrow requires 32-bit non-negative "
+                    "fingerprint hashes (md5-prefix); got values outside "
+                    "[0, 2^32)"
+                )
             key = (docw << np.int64(32)) | mins
             uniq = np.unique(key)
             udoc = (uniq >> np.int64(32)).astype(np.int64)
