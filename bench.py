@@ -127,6 +127,7 @@ HEADLINE = [
     "x6_ab_test",               # hash-bucketed two-proportion z-test
     "x7_rate_anomaly",          # rolling z-score anomaly over the hourly rollup
     "x2_embedding_profile",     # norm/anisotropy embedding-space audit
+    "x10_dedup_funnel",         # composed exact->neardup->decontam funnel
 ]
 
 

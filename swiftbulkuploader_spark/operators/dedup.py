@@ -449,7 +449,15 @@ def x1_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape matches the production form: the band join shuffles on
     (band, 4 ints); candidate verification touches band collisions only,
     never n^2; the verify join ships 8-byte hash arrays."""
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_exact_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_exact_pairs(docs: DataFrame) -> DataFrame:
+    """The engine-reproducible MinHash-LSH pair pipeline over an arbitrary
+    (doc_id, text) frame — factored out of ``x1_minhash_exact`` (round 6)
+    so composed pipelines (x10_dedup_funnel) run the same stages over a
+    FILTERED corpus; the generated oracle mirrors via its ``src``
+    parameter."""
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     base = (
         spread(docs)
@@ -575,7 +583,15 @@ def x1_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1_contamination / x1_contamination_indexed (eval docs 0-7 vs the
     rest), counting shared distinct 3-gram shingles instead of
     containment, flag at >= BLOOM_FLAG_MIN shared."""
-    docs = load_table(spark, sf_dir, "documents")
+    return bloom_screen_flags(load_table(spark, sf_dir, "documents"))
+
+
+def bloom_screen_flags(docs: DataFrame) -> DataFrame:
+    """The Bloom decontamination screen over an arbitrary (doc_id, text)
+    frame — factored out of ``x1_contamination_bloom`` (round 6) for the
+    composed x10_dedup_funnel; the generated oracle mirrors via its
+    ``src`` parameter. Probe set = surviving docs with doc_id < 8;
+    output rows cover docs with doc_id >= 8 only."""
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     posts = (
         spread(docs)
@@ -1677,11 +1693,13 @@ ORACLES = {
 ORACLES["x1_contamination_indexed"] = ORACLES["x1_contamination"]
 
 
-def _minhash_exact_oracle_sql() -> str:
+def _minhash_exact_oracle_sql(src: str = "documents") -> str:
     """GENERATED MinHash-twin oracle: the same remix constants (inlined as
     literals from the same Python generator), min aggregation, band
     4-tuple join, and hash-array Jaccard verify — integer arithmetic only,
-    nothing engine-specific anywhere."""
+    nothing engine-specific anywhere. ``src`` parameterizes the corpus
+    relation so composed pipelines can run the same SQL over a filtered
+    CTE (x10_dedup_funnel)."""
     consts = _mh_exact_consts()
     sig_cols = ",\n                   ".join(
         f"min((xor(hv, {b}) * {a}) % {_MH_MOD}) AS s{i}"
@@ -1696,7 +1714,7 @@ def _minhash_exact_oracle_sql() -> str:
         WITH t AS (
             SELECT doc_id,
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-            FROM documents
+            FROM {src}
         ), g AS (
             SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
             FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
@@ -1745,7 +1763,7 @@ ORACLES["x1_minhash_exact"] = _minhash_exact_oracle_sql()
 ORACLES["x1_winnowing_arrow"] = ORACLES["x1_winnowing_fingerprints"]
 
 
-def _contamination_bloom_oracle_sql() -> str:
+def _contamination_bloom_oracle_sql(src: str = "documents") -> str:
     """GENERATED Bloom-screen oracle: the same md5-prefix shingle hashes,
     the same three xor-multiply position functions into one shared m-bit
     space, the same >= BLOOM_FLAG_MIN flag — false positives replay
@@ -1762,7 +1780,7 @@ def _contamination_bloom_oracle_sql() -> str:
         WITH t AS (
             SELECT doc_id,
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-            FROM documents
+            FROM {src}
         ), g AS (
             SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
             FROM t, unnest(range(1, len(toks) - 1)) AS u(i)

@@ -532,3 +532,106 @@ ORACLES["x10_training_manifest"] = f"""
            CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
     FROM placed GROUP BY shard_id, chunk_id
 """
+
+
+def x10_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup funnel report — the per-stage survivor counts a
+    corpus curator signs off before training: exact dedup (min-id
+    survivor per md5 fingerprint), then MinHash-LSH near-dup removal
+    (the engine-reproducible x1_minhash_exact pipeline run over the
+    exact-dedup SURVIVORS; greedy id-ordered rule — the higher id of
+    every verified pair drops), then the Bloom decontamination screen
+    over what remains. One row per stage: (stage, n_docs).
+
+    The point is COMPOSITION under one oracle: the stages reuse the
+    factored operator bodies (`minhash_exact_pairs`,
+    `bloom_screen_flags`), and the DuckDB oracle nests the SAME generated
+    stage SQL (via their `src` parameters) inside the funnel's CTE chain
+    — so the composed pipeline is value-checked end to end, not just its
+    pieces in isolation. Stage frames are localCheckpointed: each feeds
+    both the next stage AND its own count branch, and union branches
+    re-execute their subtree without it (CLAUDE.md rule 4).
+
+    Scale shape: stage 1 is one fingerprint shuffle; stage 2 is the
+    banded LSH (never n^2) restricted to survivors; stage 3 is the
+    constant-size Bloom screen — the funnel adds nothing beyond its
+    stages' own documented costs."""
+    from swiftbulkuploader_spark.functions.text import fingerprint
+    from swiftbulkuploader_spark.operators.dedup import (
+        bloom_screen_flags,
+        minhash_exact_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(s1, "doc_id").localCheckpoint(eager=True)
+    drop2 = minhash_exact_pairs(d1).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    d2 = d1.join(drop2, "doc_id", "left_anti").localCheckpoint(eager=True)
+    flagged = bloom_screen_flags(d2).filter(F.col("flagged")).select("doc_id")
+    d3 = d2.join(flagged, "doc_id", "left_anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_input", docs)
+        .unionByName(stage("1_exact", d1))
+        .unionByName(stage("2_neardup", d2))
+        .unionByName(stage("3_decontam", d3))
+    )
+
+
+QUERIES["x10_dedup_funnel"] = x10_dedup_funnel
+
+
+def _dedup_funnel_oracle_sql() -> str:
+    """ASSEMBLED funnel oracle: nests the minhash-exact and bloom-screen
+    generated SQL (src-parameterized) as derived tables inside the funnel
+    CTE chain, so every stage boundary is the exact stage SQL already
+    verified standalone."""
+    from swiftbulkuploader_spark.operators.dedup import (
+        _FP_DUCK,
+        _contamination_bloom_oracle_sql,
+        _minhash_exact_oracle_sql,
+    )
+
+    return f"""
+        WITH d AS (
+            SELECT * FROM documents
+        ), fp AS (
+            SELECT doc_id, {_FP_DUCK} AS f FROM d
+        ), s1 AS (
+            SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+        ), d1 AS (
+            SELECT d.* FROM d JOIN s1 USING (doc_id)
+        ), pairs AS (
+            SELECT * FROM ({_minhash_exact_oracle_sql(src="d1")}) mh
+        ), d2 AS (
+            SELECT * FROM d1
+            WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+        ), flags AS (
+            SELECT * FROM ({_contamination_bloom_oracle_sql(src="d2")}) bl
+        ), d3 AS (
+            SELECT * FROM d2
+            WHERE doc_id NOT IN (SELECT doc_id FROM flags WHERE flagged)
+        )
+        SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM d
+        UNION ALL
+        SELECT '1_exact', CAST(count(*) AS BIGINT) FROM d1
+        UNION ALL
+        SELECT '2_neardup', CAST(count(*) AS BIGINT) FROM d2
+        UNION ALL
+        SELECT '3_decontam', CAST(count(*) AS BIGINT) FROM d3
+    """
+
+
+ORACLES["x10_dedup_funnel"] = _dedup_funnel_oracle_sql()
