@@ -127,8 +127,10 @@ HEADLINE = [
     "x6_ab_test",               # hash-bucketed two-proportion z-test
     "x7_rate_anomaly",          # rolling z-score anomaly over the hourly rollup
     "x2_embedding_profile",     # norm/anisotropy embedding-space audit
-    "x10_dedup_funnel",         # composed exact->neardup->decontam funnel
 ]
+# x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
+# queries don't bench — it re-times its stages, which are all timed above;
+# its correctness lives in the verify gate)
 
 
 def _bench_pipeline(spark, n_files: int = 2000,
