@@ -811,72 +811,83 @@ def winnowing_stats_arrow(base: DataFrame) -> DataFrame:
 
     Embarrassingly parallel (one pass per Arrow batch, zero shuffle,
     bytes never on the driver) — identical output contract, shared
-    DuckDB oracle."""
-    import numpy as np
-    import pandas as pd
-
-    w = WINNOW_W
+    DuckDB oracle. The batch function is module-level
+    (`winnow_select_batch`) so the vectorization is property-testable
+    against a naive Python reference without a Spark session."""
 
     def _select(batches):
         for pdf in batches:
-            nd = len(pdf)
-            if nd == 0:
-                continue
-            hs_list = [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
-            lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64,
-                               count=nd)
-            flat = (np.concatenate(hs_list) if hs_list
-                    else np.empty(0, dtype=np.int64))
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            # full windows: docs with m >= w contribute m - w + 1 of them
-            counts = np.maximum(lens - w + 1, 0)
-            if flat.size >= w and counts.sum() > 0:
-                sw = np.lib.stride_tricks.sliding_window_view(flat, w).min(axis=1)
-                offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                within = np.arange(counts.sum()) - np.repeat(offs, counts)
-                idx = np.repeat(starts, counts) + within
-                mins = sw[idx]
-                docw = np.repeat(np.arange(nd), counts)
-            else:
-                mins = np.empty(0, dtype=np.int64)
-                docw = np.empty(0, dtype=np.int64)
-            # short docs (1 <= m < w): single window = min of the whole
-            # array (slice(hs, 1, w) truncates) — reduceat over segment
-            # starts gives every doc's min; keep the short ones
-            short = lens < w  # every doc has m >= 1 (size(toks) >= 3 filter)
-            if short.any():
-                # reduceat needs EVERY segment boundary (indexing only the
-                # short docs' starts would span intervening docs), so take
-                # all per-doc minima and keep the short rows
-                seg_min = np.minimum.reduceat(flat, starts)
-                mins = np.concatenate((mins, seg_min[short]))
-                docw = np.concatenate((docw, np.nonzero(short)[0]))
-            # the (doc << 32 | fp) packing is only injective for 32-bit
-            # fingerprints — md5-prefix hashes by construction; any other
-            # hash family must fail loudly, not dedup wrongly
-            if mins.size and (mins.min() < 0 or mins.max() >> np.int64(32)):
-                raise ValueError(
-                    "winnowing_stats_arrow requires 32-bit non-negative "
-                    "fingerprint hashes (md5-prefix); got values outside "
-                    "[0, 2^32)"
-                )
-            key = (docw << np.int64(32)) | mins
-            uniq = np.unique(key)
-            udoc = (uniq >> np.int64(32)).astype(np.int64)
-            ufp = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
-            n_fps = np.bincount(udoc, minlength=nd).astype(np.int64)
-            fp_sum = np.bincount(udoc, weights=ufp.astype(np.float64),
-                                 minlength=nd).astype(np.int64)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "n_grams": lens,
-                "n_fps": n_fps,
-                "fp_sum": fp_sum,
-            })
+            out = winnow_select_batch(pdf)
+            if out is not None:
+                yield out
 
     return base.mapInPandas(
         _select, "doc_id long, n_grams long, n_fps long, fp_sum long"
     )
+
+
+def winnow_select_batch(pdf):
+    """One Arrow batch of (doc_id, hs) -> (doc_id, n_grams, n_fps,
+    fp_sum) via the vectorized numpy selection; None for empty batches.
+    See ``winnowing_stats_arrow`` for the algorithm notes."""
+    import numpy as np
+    import pandas as pd
+
+    w = WINNOW_W
+    nd = len(pdf)
+    if nd == 0:
+        return None
+    hs_list = [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+    lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64,
+                       count=nd)
+    flat = (np.concatenate(hs_list) if hs_list
+            else np.empty(0, dtype=np.int64))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # full windows: docs with m >= w contribute m - w + 1 of them
+    counts = np.maximum(lens - w + 1, 0)
+    if flat.size >= w and counts.sum() > 0:
+        sw = np.lib.stride_tricks.sliding_window_view(flat, w).min(axis=1)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(counts.sum()) - np.repeat(offs, counts)
+        idx = np.repeat(starts, counts) + within
+        mins = sw[idx]
+        docw = np.repeat(np.arange(nd), counts)
+    else:
+        mins = np.empty(0, dtype=np.int64)
+        docw = np.empty(0, dtype=np.int64)
+    # short docs (1 <= m < w): single window = min of the whole
+    # array (slice(hs, 1, w) truncates) — reduceat over segment
+    # starts gives every doc's min; keep the short ones
+    short = lens < w  # every doc has m >= 1 (size(toks) >= 3 filter)
+    if short.any():
+        # reduceat needs EVERY segment boundary (indexing only the
+        # short docs' starts would span intervening docs), so take
+        # all per-doc minima and keep the short rows
+        seg_min = np.minimum.reduceat(flat, starts)
+        mins = np.concatenate((mins, seg_min[short]))
+        docw = np.concatenate((docw, np.nonzero(short)[0]))
+    # the (doc << 32 | fp) packing is only injective for 32-bit
+    # fingerprints — md5-prefix hashes by construction; any other
+    # hash family must fail loudly, not dedup wrongly
+    if mins.size and (mins.min() < 0 or mins.max() >> np.int64(32)):
+        raise ValueError(
+            "winnowing_stats_arrow requires 32-bit non-negative "
+            "fingerprint hashes (md5-prefix); got values outside "
+            "[0, 2^32)"
+        )
+    key = (docw << np.int64(32)) | mins
+    uniq = np.unique(key)
+    udoc = (uniq >> np.int64(32)).astype(np.int64)
+    ufp = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    n_fps = np.bincount(udoc, minlength=nd).astype(np.int64)
+    fp_sum = np.bincount(udoc, weights=ufp.astype(np.float64),
+                         minlength=nd).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"].to_numpy(),
+        "n_grams": lens,
+        "n_fps": n_fps,
+        "fp_sum": fp_sum,
+    })
 
 
 def x1_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:

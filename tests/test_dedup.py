@@ -507,3 +507,60 @@ def test_winnowing_arrow_matches_hof_on_edge_docs(spark, tmp_path):
     arr = {r["doc_id"]: (r["n_grams"], r["n_fps"], r["fp_sum"])
            for r in x1_winnowing_arrow(spark, sf).collect()}
     assert hof == arr and len(hof) == 5
+
+
+def test_winnow_select_batch_property_vs_reference():
+    """PROPERTY test (hypothesis, no Spark in the loop): the vectorized
+    batch selection must equal a naive per-doc Python reference of the
+    winnowing contract — min of each W-window (truncating windows for
+    m < W collapse to one whole-array window), distinct count + sum —
+    for arbitrary 32-bit hash sequences, including duplicates, short
+    docs, and mixed batches."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from swiftbulkuploader_spark.operators.dedup import (
+        WINNOW_W,
+        winnow_select_batch,
+    )
+
+    def reference(hs):
+        m = len(hs)
+        nw = max(m - WINNOW_W + 1, 1)
+        fps = {min(hs[i:i + WINNOW_W]) for i in range(nw)}
+        return m, len(fps), sum(fps)
+
+    docs = st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                 min_size=1, max_size=40),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(docs)
+    def check(batch):
+        pdf = pd.DataFrame({
+            "doc_id": list(range(len(batch))), "hs": batch,
+        })
+        out = winnow_select_batch(pdf)
+        got = {r["doc_id"]: (r["n_grams"], r["n_fps"], r["fp_sum"])
+               for r in out.to_dict("records")}
+        want = {i: reference(hs) for i, hs in enumerate(batch)}
+        assert got == want
+
+    check()
+
+
+def test_winnow_select_batch_rejects_wide_hashes():
+    import pandas as pd
+    import pytest as _pytest
+
+    from swiftbulkuploader_spark.operators.dedup import winnow_select_batch
+
+    # every value oversized -> the selected minima themselves overflow
+    # 32 bits, which is what the packing guard must catch
+    with _pytest.raises(ValueError, match="32-bit"):
+        winnow_select_batch(
+            pd.DataFrame({"doc_id": [0], "hs": [[2**33 + i for i in range(5)]]})
+        )

@@ -239,3 +239,19 @@ class TestProductQuantization:
         assert all(r["qerr"] >= 0.0 for r in rows.values())
         assert all(0 <= r[f"c{m}"] < PQ_K
                    for r in rows.values() for m in range(PQ_M))
+
+
+def test_lloyd_refined_centroids_deterministic(spark):
+    """Two independent runs of the deterministic Lloyd refinement must
+    produce BIT-IDENTICAL centroids (the property that let the query
+    graduate from rows-only to hash-oracled)."""
+    from swiftbulkuploader_spark.catalog import load_table
+    from swiftbulkuploader_spark.operators.similarity import (
+        lloyd_refined_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = lloyd_refined_centroids(emb)
+    b = lloyd_refined_centroids(emb)
+    assert a == b
+    assert len(a) == 16 and all(len(c) == 64 for c in a)

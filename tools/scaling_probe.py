@@ -457,6 +457,41 @@ def shape_source_overlap(df):
     return common.agg(F.sum("c").alias("s"))
 
 
+def shape_bigram_lm(df):
+    """x3_bigram_logprob's core: 32 tokens/doc from a 200k vocab ->
+    row-local shifted-zip_with bigram pairs -> (w1,w2) count shuffle ->
+    per-doc scorer joins (bigram + unigram tables) + 1-row vocab
+    broadcast. The join-heavy big sibling of shape_pmi_pairs; linear
+    ratio = posting tables grow with distinct pairs, joins stay
+    hash-partitioned."""
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 200_000).cast("string"),
+    )
+    docs = df.select(F.col("event_id").alias("doc_id"), toks.alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = docs.select(F.explode("t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cuc"))
+    vv = cu.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbc"))
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(F.sum(F.log((F.col("cbc") + F.lit(1)).cast("double")
+                         / (F.col("cuc") + F.col("v")))).alias("s"))
+    )
+
+
 def shape_pmi_pairs(df):
     """x3_pmi_cooccurrence's core: shifted zip_with pair generation (2
     pairs per token), canonical ordering, map-side-combined (w1, w2)
@@ -685,6 +720,7 @@ SHAPES = {
     "bloom_screen": shape_bloom_screen,
     "source_overlap": shape_source_overlap,
     "pmi_pairs": shape_pmi_pairs,
+    "bigram_lm": shape_bigram_lm,
     "allpairs_naive": shape_allpairs_naive,
     "allpairs_prefix": shape_allpairs_prefix,
     "skew_join_unsalted": shape_skew_join_unsalted,
