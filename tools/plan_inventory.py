@@ -104,7 +104,9 @@ def main() -> None:
     print("EXACT percentile state (grows with distinct values) is likewise")
     print("flagged unless the query is in EXACT_PERCENTILE_OK (the exact-form")
     print("contract queries and the exact-vs-sketch tolerance twins), so a")
-    print("composed pipeline can never silently acquire one.")
+    print("composed pipeline can never silently acquire one. Row-at-a-time")
+    print("Python (BatchEvalPython — a non-Arrow UDF) is flagged with NO")
+    print("allowlist: Python touches data only via Arrow batches here.")
     print()
     print("| query | exchanges | joins | pushed filters | codegen | flags |")
     print("|---|---|---|---|---|---|")
@@ -134,6 +136,11 @@ def main() -> None:
         if _EXACT_PCTL.search(plan):
             flags.append("pctl-exact-ok" if name in EXACT_PERCENTILE_OK
                          else "EXACT-PCTL!")
+        # row-at-a-time Python (non-Arrow UDF eval) is banned outright —
+        # no allowlist: Python may touch data only via Arrow batches
+        # (MapInPandas / ArrowEvalPython / FlatMapGroupsInPandas)
+        if "BatchEvalPython" in plan:
+            flags.append("ROW-PYUDF!")
         join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
         print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {' '.join(flags) or '-'} |")
     spark.stop()
