@@ -3,9 +3,13 @@
 Prints ONE compact JSON line (the LAST line of stdout, < 2 KB — the driver
 captures only a 2000-byte stdout tail, which truncated and unparsed the
 round-5 per-query summary):
-  {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {family: sec, ...}, "uploads_per_sec": R, "n_queries": K,
-   "sf": ..., "detail": "BENCH_LOCAL.json"}
+  {"metric": "total_query_sec", "value": N, "min_total": N, "spread": S,
+   "unit": "sec", "queries": {family: sec, ...}, "uploads_per_sec": R,
+   "n_queries": K, "sf": ..., "detail": "BENCH_LOCAL.json"}
+`min_total`/`spread` are the artifact's built-in error bar (sum of
+per-query min-of-reps vs median-of-reps): read round-over-round ratios
+against this spread AND the ~1.35x same-code machine envelope
+(SCALING.md) before calling anything a regression.
 Per-query timings go to BENCH_LOCAL.json at the repo root (committed per
 round as BENCH_LOCAL_r{N}.json) — round-over-round per-query comparison
 reads that file, not the stdout line.
@@ -134,7 +138,7 @@ HEADLINE = [
 
 
 def _bench_pipeline(spark, n_files: int = 2000,
-                    reps: int = 3) -> tuple[float, float, float]:
+                    reps: int = 3) -> tuple[float, float, float, float]:
     """ingest -> key-transform -> fake-ObjectStore upload -> report over a
     synthetic tree (BASELINE.md's pipeline workload; uploads/s is the
     reference's own headline metric, bulkupload.py:330).
@@ -181,7 +185,8 @@ def _bench_pipeline(spark, n_files: int = 2000,
             assert res2["uploaded"] == n_files and res2["failed"] == 0, res2
         dt = statistics.median(up_samples)
         return (round(dt, 3), round(n_files / dt, 1),
-                round(statistics.median(resume_samples), 3))
+                round(statistics.median(resume_samples), 3),
+                round(min(up_samples), 3))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -214,9 +219,11 @@ def main() -> None:
     # persisted base, so the uploads/s number is attributable to the
     # upload plan alone (round-5 lesson — a single sample taken last in a
     # fully-warmed session was mistaken for an engine regression)
-    pipe_sec, pipe_rate, resume_sec = _bench_pipeline(spark, reps=reps)
+    pipe_sec, pipe_rate, resume_sec, pipe_min = _bench_pipeline(
+        spark, reps=reps)
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         fn = BENCH_OVERRIDES.get(name, registry.QUERIES.get(name))
         # median of n>=3: single-run ±30% JVM/GC swings masqueraded as
@@ -228,11 +235,20 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        timings_min[name] = round(samples[0], 3)
 
     timings["pipeline_upload_2k_files"] = pipe_sec
+    timings_min["pipeline_upload_2k_files"] = pipe_min
     timings["pipeline_resume_noop"] = resume_sec
+    timings_min["pipeline_resume_noop"] = resume_sec
 
     total = round(sum(timings.values()), 3)
+    # min-of-n alongside median-of-n: the artifact carries its own error
+    # bar (round-6 verdict ask #7) — a future ratio vs this round should be
+    # read against spread = median_total/min_total, not as a point estimate
+    # (SCALING.md measured a ~1.35x same-code machine-state envelope)
+    total_min = round(sum(timings_min.values()), 3)
+    spread = round(total / total_min, 3) if total_min else None
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -246,8 +262,11 @@ def main() -> None:
         json.dump({
             "metric": "total_query_sec",
             "value": total,
+            "min_total": total_min,
+            "spread": spread,
             "unit": "sec",
             "queries": timings,
+            "queries_min": timings_min,
             "uploads_per_sec": pipe_rate,
             "reps": reps,
             "sf": sf_val,
@@ -261,6 +280,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
+        "min_total": total_min,
+        "spread": spread,
         "unit": "sec",
         "queries": families,
         "uploads_per_sec": pipe_rate,

@@ -223,6 +223,7 @@ class TestRateSourceSmoke:
             deadline = _t.time() + 60
             # wait until the engine has processed real input (>= 2 batches
             # with rows) — no sleep-and-hope on a loaded box
+            done: list = []  # bound even if the deadline is already past
             while _t.time() < deadline:
                 done = [p for p in q.recentProgress
                         if p["numInputRows"] > 0]
