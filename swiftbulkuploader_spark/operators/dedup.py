@@ -452,12 +452,15 @@ def x1_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_exact_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_exact_pairs(docs: DataFrame) -> DataFrame:
+def minhash_exact_pairs(docs: DataFrame,
+                        min_jaccard: float | None = 0.5) -> DataFrame:
     """The engine-reproducible MinHash-LSH pair pipeline over an arbitrary
     (doc_id, text) frame — factored out of ``x1_minhash_exact`` (round 6)
     so composed pipelines (x10_dedup_funnel) run the same stages over a
     FILTERED corpus; the generated oracle mirrors via its ``src``
-    parameter."""
+    parameter. ``min_jaccard=None`` (round 7) returns EVERY verified
+    candidate with its exact Jaccard — the unthresholded form
+    ``x1_ngram_jaccard`` inspects."""
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     base = (
         spread(docs)
@@ -525,25 +528,33 @@ def minhash_exact_pairs(docs: DataFrame) -> DataFrame:
                 6,
             ),
         )
-        .filter(
-            F.col("c").cast("double") / (F.size("ha") + F.size("hb") - F.col("c"))
-            >= F.lit(0.5)
-        )
     )
+    if min_jaccard is not None:
+        verified = verified.filter(
+            F.col("c").cast("double") / (F.size("ha") + F.size("hb") - F.col("c"))
+            >= F.lit(min_jaccard)
+        )
     return verified.select(
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
     )
 
 
 def x1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for every LSH candidate pair (no threshold) —
-    the similarity histogram a dedup-tuning run inspects. Rows-only (the
-    candidate set is seeded); the oracled exact-pair computation is
-    ``x1_allpairs_prefix`` (all pairs >= tau, engine-verified)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=3)
-    cands = minhash_candidates(sigs)
-    return exact_jaccard(cands, sigs)
+    """Exact n-gram Jaccard for every LSH candidate pair (NO threshold) —
+    the similarity histogram a dedup-tuning run inspects to pick its
+    cutoff. Round 7: recomposed over the DETERMINISTIC candidate generator
+    (``minhash_exact_pairs`` with ``min_jaccard=None`` — 32-bit md5-prefix
+    hashes, xor-multiply remixes, 8x4 banding), graduating the query from
+    rows-only (the old candidates came from seeded xxhash64 minhashes,
+    whose pipeline remains pinned as ``x1_minhash_neardup``) to a full
+    value-hash oracle: DuckDB replays candidate generation AND the exact
+    hash-set Jaccard integer-for-integer.
+
+    Plan shape is the production one: band 4-tuple join (never n^2), then
+    the bounded verify join over band collisions only."""
+    return minhash_exact_pairs(
+        load_table(spark, sf_dir, "documents"), min_jaccard=None
+    )
 
 
 # Bloom decontamination screen: m-bit filter, 3 xor-multiply position
@@ -1686,7 +1697,9 @@ ORACLES = {
                count(*) AS copies, min(doc_id) AS keeper_id
         FROM documents GROUP BY 1 HAVING count(*) > 1
     """,
-    # minhash / ngram / simhash: rows-only by design (seeded-hash specific)
+    # minhash / simhash seeded forms: rows-only by design (seeded-hash
+    # specific); their deterministic twins x1_minhash_exact /
+    # x1_simhash_exact / x1_ngram_jaccard are fully oracled below
     "x1_embedding_neardup": """
         WITH e AS (
             SELECT vec_id, vec_id // 50 AS block,
@@ -1704,13 +1717,15 @@ ORACLES = {
 ORACLES["x1_contamination_indexed"] = ORACLES["x1_contamination"]
 
 
-def _minhash_exact_oracle_sql(src: str = "documents") -> str:
+def _minhash_exact_oracle_sql(src: str = "documents",
+                              min_jaccard: float | None = 0.5) -> str:
     """GENERATED MinHash-twin oracle: the same remix constants (inlined as
     literals from the same Python generator), min aggregation, band
     4-tuple join, and hash-array Jaccard verify — integer arithmetic only,
     nothing engine-specific anywhere. ``src`` parameterizes the corpus
     relation so composed pipelines can run the same SQL over a filtered
-    CTE (x10_dedup_funnel)."""
+    CTE (x10_dedup_funnel); ``min_jaccard=None`` drops the threshold for
+    the unthresholded x1_ngram_jaccard histogram form (round 7)."""
     consts = _mh_exact_consts()
     sig_cols = ",\n                   ".join(
         f"min((xor(hv, {b}) * {a}) % {_MH_MOD}) AS s{i}"
@@ -1720,6 +1735,11 @@ def _minhash_exact_oracle_sql(src: str = "documents") -> str:
         f"SELECT doc_id, {bj} AS bj, s{bj * 4} AS c0, s{bj * 4 + 1} AS c1, "
         f"s{bj * 4 + 2} AS c2, s{bj * 4 + 3} AS c3 FROM sigs"
         for bj in range(8)
+    )
+    threshold = (
+        "" if min_jaccard is None else
+        f"WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) "
+        f">= CAST({min_jaccard} AS DOUBLE)"
     )
     return f"""
         WITH t AS (
@@ -1763,11 +1783,12 @@ def _minhash_exact_oracle_sql(src: str = "documents") -> str:
         FROM pr
         JOIN sz sa ON pr.a = sa.doc_id
         JOIN sz sb ON pr.b = sb.doc_id
-        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+        {threshold}
     """
 
 
 ORACLES["x1_minhash_exact"] = _minhash_exact_oracle_sql()
+ORACLES["x1_ngram_jaccard"] = _minhash_exact_oracle_sql(min_jaccard=None)
 
 # the Arrow winnowing form shares the HOF twin's oracle VERBATIM — one
 # selection contract, two execution strategies, both engine-verified
