@@ -28,8 +28,16 @@ here:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# last reliable=True run's checkpoint-dir footprint (bytes), for the
+# scaling probe / tests: peak = high-water across rounds WITH the explicit
+# superseded-round GC below active; end = after the final round's GC
+CKPT_STATS: dict[str, int] = {}
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
@@ -312,16 +320,64 @@ def connected_components_star(edges: DataFrame, max_iter: int = 40,
     survive-arbitrary-scale setting, local the fast default."""
     spark = edges.sparkSession
     if reliable and spark.sparkContext.getCheckpointDir() is None:
-        import os
         import tempfile
 
         spark.sparkContext.setCheckpointDir(
             os.path.join(tempfile.gettempdir(), "spark_graft_ckpt")
         )
 
+    # Reliable-checkpoint file GC (round 7, from the r6 verdict ask #5 +
+    # advice): Spark NEVER deletes reliable checkpoint files itself unless
+    # the RDD reference is GC'd with
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true — driver-GC
+    # timing, i.e. nondeterministic and default-off — so a 4M-node run
+    # (~40 round-pair frames) accumulates checkpoint data until reboot
+    # (33 GB measured, SCALING.md). Once round n is materialized AND
+    # checksummed, frames <= n-2 are unreachable by construction (each
+    # round derives only from its predecessor): delete their rdd-* dirs
+    # deterministically, keeping current + previous. Local filesystems
+    # only — on a cluster checkpoint dir (hdfs:/s3:) the listdir/rmtree
+    # below would need the Hadoop FS API, so GC is skipped and the
+    # accumulation documented.
+    ckpt_root: str | None = None
+    ckpt_gens: list[list[str]] = []  # rdd-* dirs per materialized frame
+    ckpt_seen: set[str] = set()
+    if reliable:
+        raw = spark.sparkContext.getCheckpointDir()
+        p = raw[len("file:"):] if raw and raw.startswith("file:") else raw
+        if p and os.path.isdir(p):
+            ckpt_root = p
+            CKPT_STATS.clear()
+            CKPT_STATS.update(peak_bytes=0, end_bytes=0, rounds=0)
+
+    def _dir_bytes() -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(ckpt_root):
+            for fn in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+        return total
+
+    def _track_and_gc() -> None:
+        if ckpt_root is None:
+            return
+        names = {e for e in os.listdir(ckpt_root) if e.startswith("rdd-")}
+        ckpt_gens.append(sorted(names - ckpt_seen))
+        ckpt_seen.update(names)
+        CKPT_STATS["peak_bytes"] = max(CKPT_STATS["peak_bytes"], _dir_bytes())
+        CKPT_STATS["rounds"] += 1
+        while len(ckpt_gens) > 2:
+            for d in ckpt_gens.pop(0):
+                shutil.rmtree(os.path.join(ckpt_root, d), ignore_errors=True)
+        CKPT_STATS["end_bytes"] = _dir_bytes()
+
     def _ckpt(df: DataFrame) -> DataFrame:
         if reliable:
-            return df.checkpoint(eager=True)
+            out = df.checkpoint(eager=True)
+            _track_and_gc()
+            return out
         return df.localCheckpoint(eager=True)
 
     sym = _ckpt(

@@ -156,6 +156,21 @@ class TestStarComponents:
             spark, pairs
         )
         assert spark.sparkContext.getCheckpointDir() is not None
+        # round-7 checkpoint-file GC: superseded round frames (rounds
+        # <= n-2) are deleted DETERMINISTICALLY as the run progresses —
+        # end-of-run footprint is the last two generations, not the
+        # whole history (a 60-chain needs ~8 round pairs, so an
+        # unbounded dir would hold ~10 frames)
+        from swiftbulkuploader_spark.operators.components import CKPT_STATS
+
+        assert CKPT_STATS["rounds"] >= 5  # chain of 60 -> several rounds
+        assert 0 < CKPT_STATS["end_bytes"] <= CKPT_STATS["peak_bytes"]
+        # the retained set is bounded: at most 2 generations of rdd-* dirs
+        raw = spark.sparkContext.getCheckpointDir()
+        import os as _os
+        p = raw[len("file:"):] if raw.startswith("file:") else raw
+        live = [e for e in _os.listdir(p) if e.startswith("rdd-")]
+        assert len(live) <= 4  # 2 kept generations x <=2 dirs each
 
     def test_truncated_run_raises_instead_of_mislabeling(self, spark):
         """A run that exhausts max_iter without reaching the fixed point

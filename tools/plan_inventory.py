@@ -86,6 +86,18 @@ EXACT_PERCENTILE_OK = {
 # approx_percentile / percentile_approx
 _EXACT_PCTL = re.compile(r"(?<![\w_])percentile(_disc)?\(")
 
+# the interpreted-HOF winnowing selection signature: a window-min over
+# array slices (transform(sequence(...), array_min(slice(...)))). The only
+# query allowed to carry it is the DuckDB-replayable oracle twin — every
+# OTHER consumer (composed pipelines, corpus prep) must use the Arrow form
+# `winnowing_stats_arrow` (measured 26x faster at 10M docs, SCALING.md), so
+# the shape is flagged HOF-WINNOW! anywhere else (round-7 guard, same
+# pattern as EXACT-PCTL).
+HOF_WINNOW_OK = {
+    "x1_winnowing_fingerprints",  # the oracle twin itself
+}
+_HOF_WINNOW = re.compile(r"array_min\(slice\(")
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -107,6 +119,10 @@ def main() -> None:
     print("composed pipeline can never silently acquire one. Row-at-a-time")
     print("Python (BatchEvalPython — a non-Arrow UDF) is flagged with NO")
     print("allowlist: Python touches data only via Arrow batches here.")
+    print("The interpreted-HOF winnowing selection (array_min-over-slice")
+    print("window minima, 26x slower than the Arrow form at 10M docs) is")
+    print("flagged HOF-WINNOW! outside its oracle twin (HOF_WINNOW_OK), so")
+    print("no composed pipeline can silently pick the interpreted form.")
     print()
     print("| query | exchanges | joins | pushed filters | codegen | flags |")
     print("|---|---|---|---|---|---|")
@@ -141,6 +157,9 @@ def main() -> None:
         # (MapInPandas / ArrowEvalPython / FlatMapGroupsInPandas)
         if "BatchEvalPython" in plan:
             flags.append("ROW-PYUDF!")
+        if _HOF_WINNOW.search(plan):
+            flags.append("hof-winnow-twin-ok" if name in HOF_WINNOW_OK
+                         else "HOF-WINNOW!")
         join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
         print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {' '.join(flags) or '-'} |")
     spark.stop()

@@ -556,6 +556,36 @@ def shape_star_components_chain_reliable(df):
     )
 
 
+def shape_lloyd_refine(df):
+    """Two-round deterministic Lloyd's refinement (the x2_ivf_kmeans_topk
+    quantizer, similarity.py::lloyd_refined_centroids) over n synthetic
+    64-dim embeddings — the one heavyweight operator family without a
+    probe row until round 7. Per round the plan is: (a) assignment — a
+    bounded k-row broadcast + max-of-struct argmax (k*dim FLOPs/row, no
+    shuffle) followed by a vec_id-keyed combine, (b) update — the
+    vecs-with-assignment join plus the posexplode (cluster,pos) mean,
+    whose SHUFFLE carries rows x dim elements before map-side combine
+    collapses each partition to <= k*dim groups. Expectation: wall and
+    shuffle bytes both ~linear in rows (rows x dim dominates); a
+    super-linear ratio would mean the mean shuffle isn't combining
+    map-side."""
+    from swiftbulkuploader_spark.operators import similarity as S
+
+    S._LLOYD_CACHE.clear()  # probe measures training, not the round-7 memo
+    emb = df.select(
+        F.col("event_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 1000)
+            .cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    cents = S.lloyd_refined_centroids(emb, k=16, rounds=2)
+    return df.sparkSession.range(1).select(
+        F.lit(len(cents)).cast("long").alias("k_refined")
+    )
+
+
 def _allpairs_posts(df):
     # 12 distinct shingles per doc: 2 HOT (consecutive blocks of
     # ALLPAIRS_HOT_DF = 600 docs share them -> df = 600 at every n, the
@@ -715,6 +745,7 @@ SHAPES = {
     "training_manifest": shape_training_manifest,
     "star_components_chain": shape_star_components_chain,
     "star_components_chain_reliable": shape_star_components_chain_reliable,
+    "lloyd_refine_2round": shape_lloyd_refine,
     "winnowing_select": shape_winnowing,
     "winnowing_select_arrow": shape_winnowing_arrow,
     "bloom_screen": shape_bloom_screen,
