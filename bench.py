@@ -131,6 +131,8 @@ HEADLINE = [
     "x6_ab_test",               # hash-bucketed two-proportion z-test
     "x7_rate_anomaly",          # rolling z-score anomaly over the hourly rollup
     "x2_embedding_profile",     # norm/anisotropy embedding-space audit
+    "x2_ivf_pq_topk",           # IVFADC: probe-pruned scan + PQ re-rank
+    "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -913,6 +913,81 @@ def x1_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_DIV = 8  # boundary when token_hash % CDC_DIV == 0 -> ~8-token chunks
+
+
+def x1_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level exact dedup — the rolling-
+    hash dedup primitive (Muthitacharoen et al., SOSP'01 LBFS; FastCDC,
+    ATC'16): chunk boundaries are decided by CONTENT (a hash test on the
+    data itself), not byte offsets, so an insertion early in a document
+    shifts chunk boundaries only locally and every untouched chunk still
+    dedups — the property fixed-size blocking lacks. Here the gear is
+    word-granular: a chunk boundary closes after any token whose 32-bit
+    md5-prefix hash ≡ 0 (mod CDC_DIV), giving ~CDC_DIV-token expected
+    chunks; each chunk's text hashes to its content address, and chunks
+    appearing more than once across the corpus are reported with their
+    occurrence/doc counts — the dedup-storage view of a text corpus
+    (shared boilerplate paragraphs surface here even when whole-doc and
+    near-dup checks miss them).
+
+    Execution shape, all linear: posexplode tokens; the boundary flag is
+    a per-row hash test; chunk ids are a per-doc ROWS-window cumsum (the
+    x3_pack_sequences shape — partitioned by doc, never global); chunk
+    reassembly is one (doc, chunk) groupBy with an order-pinned
+    string_agg; the final chunk_hash groupBy is the standard fingerprint
+    shuffle (narrow: hash + counts). At 100 TB every stage partitions by
+    doc or by chunk hash — no wide state, no driver loops. The md5-prefix
+    gear (NOT xxhash64) keeps the whole pipeline engine-replayable:
+    DuckDB reproduces boundaries, chunk texts, and counts exactly."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    tok_rows = (
+        spread(docs)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .withColumn(
+            "flag",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % CDC_DIV == 0
+            ).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        tok_rows
+        .withColumn("chunk_id", F.coalesce(F.sum("flag").over(w), F.lit(0)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        chunks.select(F.md5("chunk_text").alias("chunk_hash"),
+                      "doc_id", "n_tokens")
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+
+
 def allpairs_prefix_pairs(spark: SparkSession, sf_dir: str,
                           tau: float = ALLPAIRS_TAU) -> DataFrame:
     """(a, b, jaccard) for every doc pair with 3-gram Jaccard >= tau,
@@ -1423,6 +1498,7 @@ QUERIES = {
     "x1_prefix_dup_groups": x1_prefix_dup_groups,
     "x1_minhash_neardup": x1_minhash_neardup,
     "x1_ngram_jaccard": x1_ngram_jaccard,
+    "x1_cdc_chunks": x1_cdc_chunks,
     "x1_allpairs_prefix": x1_allpairs_prefix,
     "x1_winnowing_fingerprints": x1_winnowing_fingerprints,
     "x1_winnowing_arrow": x1_winnowing_arrow,
@@ -1789,6 +1865,41 @@ def _minhash_exact_oracle_sql(src: str = "documents",
 
 ORACLES["x1_minhash_exact"] = _minhash_exact_oracle_sql()
 ORACLES["x1_ngram_jaccard"] = _minhash_exact_oracle_sql(min_jaccard=None)
+
+# content-defined chunking: same boundary gear (32-bit md5-prefix mod
+# CDC_DIV), same windowed chunk-id cumsum, same order-pinned reassembly
+ORACLES["x1_cdc_chunks"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ), tok AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+               CASE WHEN CAST(('0x' || substr(md5(toks[i]), 1, 8)) AS BIGINT)
+                         % {CDC_DIV} = 0 THEN 1 ELSE 0 END AS flag
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ), cid AS (
+        SELECT doc_id, pos, tok,
+               coalesce(sum(flag) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM tok
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               count(*) AS n_tokens
+        FROM cid GROUP BY doc_id, chunk_id
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           count(*) AS n_occ,
+           count(DISTINCT doc_id) AS n_docs,
+           min(n_tokens) AS n_tokens
+    FROM chunks
+    GROUP BY md5(chunk_text)
+    HAVING count(*) > 1
+"""
 
 # the Arrow winnowing form shares the HOF twin's oracle VERBATIM — one
 # selection contract, two execution strategies, both engine-verified

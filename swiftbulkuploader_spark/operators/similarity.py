@@ -779,7 +779,8 @@ def _pq_sqdist_lit(q: list[float], offset: int, cent: list[float]) -> Column:
     return term
 
 
-def _pq_best_frame(spark: SparkSession, sf_dir: str, books) -> DataFrame:
+def _pq_best_frame(spark: SparkSession, sf_dir: str, books,
+                   emb: DataFrame | None = None) -> DataFrame:
     """(vec_id, b0..b7) where b{m} = the min (rounded dist, code) struct of
     subspace m — the PQ assignment every consumer reads.
 
@@ -798,7 +799,8 @@ def _pq_best_frame(spark: SparkSession, sf_dir: str, books) -> DataFrame:
         [(m, k, books[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
         "m int, k int, c array<double>",
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     joined = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).join(F.broadcast(cb))
@@ -875,9 +877,77 @@ def x2_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x2_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the composition billion-vector indexes actually serve
+    (Jégou et al., TPAMI 2011, IVFADC): the coarse quantizer prunes the
+    scan to the N_PROBE probed clusters, then Asymmetric Distance
+    Computation ranks ONLY the surviving vectors' 8-byte PQ codes against
+    the un-quantized query. Top-10 by estimated distance, vec_id
+    tie-break; output carries the IVF cluster for observability.
+
+    Scale shape, in order: (1) the cluster id is a persisted partition
+    column at rest, so the probe filter is PARTITION PRUNING — the scan
+    reads ~N_PROBE/N_CENTROIDS of the index; (2) PQ encoding (the
+    broadcast-codebook + min-of-struct pattern of x2_pq_codes — janino-
+    safe) runs over the pruned subset only; (3) the ADC is 8 literal
+    table lookups per row, whole-stage codegen, no shuffle after the
+    pruned scan. Every compared value is rounded to 6 dp before any
+    ordering decision (cluster argmax, probe pick, ADC sum ordering) so
+    the generated DuckDB oracle replays the identical result.
+
+    At true scale codes are PRE-encoded at ingest (the encode stage here
+    exists so the query is self-contained over the raw embeddings table);
+    the serve-path cost is stages (1) + (3) only."""
+    cents = _ivf_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    probe = sorted(
+        range(len(cents)),
+        key=lambda i: (-round(_py_cos(q, cents[i]), 6), -i),
+    )[:N_PROBE]
+    emb = load_table(spark, sf_dir, "embeddings")
+    pruned = (
+        emb.withColumn(
+            "cluster",
+            assign_ivf_cluster(
+                F.col("embedding").cast("array<double>"), cents, round_dp=6
+            ),
+        )
+        .filter(F.col("cluster").isin(probe))
+        .filter(F.col("vec_id") >= 1)
+        # read twice (encode branch + cluster column join) with no CSE
+        # across join branches — plan-keyed persist materializes the
+        # pruned assignment once (shared-base discipline, CLAUDE.md r5)
+        .persist()
+    )
+    based = _pq_best_frame(spark, sf_dir, books, emb=pruned).join(
+        pruned.select("vec_id", "cluster"), "vec_id"
+    )
+    dtab = [
+        [
+            F.round(_pq_sqdist_lit(q, m * PQ_DSUB, books[m][k]), 6)
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    adc = None
+    for m in range(PQ_M):
+        t = F.element_at(F.array(*dtab[m]), F.col(f"b{m}")["k"] + 1)
+        adc = t if adc is None else adc + t
+    return (
+        based.select(
+            "vec_id", F.col("cluster").cast("int").alias("cluster"),
+            adc.alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     "x2_pq_codes": x2_pq_codes,
     "x2_pq_topk": x2_pq_topk,
+    "x2_ivf_pq_topk": x2_ivf_pq_topk,
     "x2_random_projection": x2_random_projection,
     "x2_mmr_rerank": x2_mmr_rerank,
     "x2_ann_recall": x2_ann_recall,
@@ -1245,6 +1315,89 @@ def _pq_topk_oracle_sql() -> str:
 
 ORACLES["x2_pq_codes"] = _pq_codes_oracle_sql()
 ORACLES["x2_pq_topk"] = _pq_topk_oracle_sql()
+
+
+def _ivf_pq_topk_oracle_sql() -> str:
+    """GENERATED IVFADC oracle: the x2_ivf_topk assignment/probe CTEs
+    (first-16 centroids, 6-dp-rounded cosines, higher-cid ties) prune the
+    corpus, then the x2_pq_topk encode + ADC-lookup CTEs rank the pruned
+    set — the same unrolled term order and ORDER BY d, k argmin tie rule
+    as the component oracles, composed."""
+    d_cols, qd_cols = [], []
+    for m in range(PQ_M):
+        terms = " + ".join(
+            f"(f.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            f" * (f.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            for i in range(PQ_DSUB)
+        )
+        d_cols.append(f"round({terms}, 6) AS d{m}")
+        qterms = " + ".join(
+            f"(q.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            f" * (q.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            for i in range(PQ_DSUB)
+        )
+        qd_cols.append(f"round({qterms}, 6) AS qd{m}")
+    d_sql = ",\n                   ".join(d_cols)
+    qd_sql = ",\n                   ".join(qd_cols)
+    bm_ctes = ",\n        ".join(
+        f"""bm{m} AS (
+            SELECT vec_id, k AS c{m}
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, k) = 1
+        )"""
+        for m in range(PQ_M)
+    )
+    joins = " ".join(f"JOIN bm{m} USING (vec_id)" for m in range(PQ_M))
+    lookups = " ".join(
+        f"JOIN qd j{m} ON bm{m}.c{m} = j{m}.k" for m in range(PQ_M)
+    )
+    adc = " + ".join(f"j{m}.qd{m}" for m in range(PQ_M))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM e WHERE vec_id < {N_CENTROIDS}
+        ), q AS (
+            SELECT v FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c.cid FROM c, q
+            ORDER BY round(coalesce(list_cosine_similarity(c.cv, q.v), -2.0), 6) DESC,
+                     c.cid DESC
+            LIMIT {N_PROBE}
+        ), a AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6) AS cos
+            FROM e CROSS JOIN c
+        ), asn AS (
+            SELECT vec_id, v, cid AS cluster FROM a
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        ), f AS (
+            SELECT asn.vec_id, asn.v, asn.cluster
+            FROM asn JOIN probe ON asn.cluster = probe.cid
+            WHERE asn.vec_id >= 1
+        ), cb AS (
+            SELECT vec_id AS k, v FROM e WHERE vec_id < {PQ_K}
+        ), d AS (
+            SELECT f.vec_id, cb.k,
+                   {d_sql}
+            FROM f CROSS JOIN cb
+        ),
+        {bm_ctes},
+        qd AS (
+            SELECT cb.k,
+                   {qd_sql}
+            FROM cb CROSS JOIN q
+        )
+        SELECT f.vec_id, CAST(f.cluster AS INT) AS cluster, {adc} AS adc_dist
+        FROM f {joins} {lookups}
+        ORDER BY adc_dist ASC, f.vec_id ASC
+        LIMIT 10
+    """
+
+
+ORACLES["x2_ivf_pq_topk"] = _ivf_pq_topk_oracle_sql()
 
 
 def _ivf_kmeans_oracle_sql(k: int = N_CENTROIDS, dim: int = 64,
