@@ -940,9 +940,28 @@ def x1_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc or by chunk hash — no wide state, no driver loops. The md5-prefix
     gear (NOT xxhash64) keeps the whole pipeline engine-replayable:
     DuckDB reproduces boundaries, chunk texts, and counts exactly."""
+    chunks = cdc_chunk_frame(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.select(F.md5("chunk_text").alias("chunk_hash"),
+                      "doc_id", "n_tokens")
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens) — the content-defined
+    chunking of an arbitrary (doc_id, text) frame; factored out of
+    ``x1_cdc_chunks`` so the boundary-locality property (an edit shifts
+    chunking only up to the next boundary) is unit-testable on crafted
+    corpora."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     tok_rows = (
         spread(docs)
@@ -960,7 +979,7 @@ def x1_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    chunks = (
+    return (
         tok_rows
         .withColumn("chunk_id", F.coalesce(F.sum("flag").over(w), F.lit(0)))
         .groupBy("doc_id", "chunk_id")
@@ -974,17 +993,6 @@ def x1_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
-    )
-    return (
-        chunks.select(F.md5("chunk_text").alias("chunk_hash"),
-                      "doc_id", "n_tokens")
-        .groupBy("chunk_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.min("n_tokens").alias("n_tokens"),
-        )
-        .filter(F.col("n_occ") > 1)
     )
 
 

@@ -564,3 +564,36 @@ def test_winnow_select_batch_rejects_wide_hashes():
         winnow_select_batch(
             pd.DataFrame({"doc_id": [0], "hs": [[2**33 + i for i in range(5)]]})
         )
+
+
+class TestCdcChunks:
+    """Content-defined chunking (x1_cdc_chunks): the boundary-LOCALITY
+    property that justifies CDC over fixed-size blocking — an insertion
+    perturbs only the chunk it lands in; every later chunk re-aligns at
+    the next content boundary and dedups unchanged."""
+
+    def test_insertion_shifts_only_the_containing_chunk(self, spark):
+        from swiftbulkuploader_spark.operators.dedup import cdc_chunk_frame
+
+        base_toks = [f"w{i}" for i in range(60)]
+        # "zzz" hashes to 3 mod 8 -> NOT a boundary token (pinned above by
+        # the md5-prefix gear both engines share)
+        edited = base_toks[:1] + ["zzz"] + base_toks[1:]
+        docs = spark.createDataFrame(
+            [(0, " ".join(base_toks)), (1, " ".join(edited))],
+            "doc_id long, text string",
+        )
+        rows = cdc_chunk_frame(docs).collect()
+        a = sorted((r.chunk_id, r.chunk_text) for r in rows if r.doc_id == 0)
+        b = sorted((r.chunk_id, r.chunk_text) for r in rows if r.doc_id == 1)
+        # non-boundary insertion: chunk COUNT unchanged
+        assert len(a) == len(b) > 3
+        # only the first chunk (which contains the insertion) differs;
+        # every subsequent chunk is text-identical -> dedups across docs
+        assert a[0][1] != b[0][1]
+        assert a[1:] == b[1:]
+        # token conservation across the chunking
+        n_tok = {r.doc_id: 0 for r in rows}
+        for r in rows:
+            n_tok[r.doc_id] += r.n_tokens
+        assert n_tok == {0: 60, 1: 61}
