@@ -109,6 +109,89 @@ def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QT_LR = 1.0       # batch-GD learning rate
+QT_ROUNDS = 2     # fixed round budget (the Lloyd/pagerank oracle discipline)
+
+
+def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier distributed — the companion to
+    x3_quality_model (which demonstrates inference-at-scan-speed with
+    frozen weights): batch logistic regression by full-gradient descent,
+    distilling the rules-based teacher (the frozen QM_W linear model's
+    keep flag) into learned weights. One row out: the trained weights,
+    training accuracy vs the teacher labels, and n.
+
+    Spark shape — the standard distributed GD: features are computed ONCE
+    (pure codegen Column expressions, each ROUNDED to 6 dp so both engines
+    share exact inputs) and persisted; each round is one scan + ONE 1-row
+    aggregate (partial sums map-side — the gradient is algebraic), whose
+    collect is a bounded 4-scalar fetch (the allowlisted scalar class);
+    the weight update happens INSIDE the aggregate expression
+    (F.round(w - lr*avg(...), 6)) so no Python-rounded value ever reaches
+    a compared column (Python rounds half-even — CLAUDE.md rule on
+    round()). At 100 TB each round costs one corpus scan with a 4-double
+    shuffle — mini-batching or L-BFGS change the arithmetic, not the
+    shape.
+
+    Fully oracle-checked: a FIXED round count and 6-dp-quantized
+    weights/decisions let DuckDB replay the whole training as chained
+    CTEs (round-1 weights -> round-2 weights -> accuracy), the same
+    graduation recipe as the Lloyd quantizer. Round-1 sigmoid inputs are
+    exactly 0 (w0 = 0), so p = 0.5 in both engines; later exp() ulp
+    differences are absorbed by the 6-dp gradient rounding and the
+    verifier's 9-significant-digit normalization — booleans (the teacher
+    label, the accuracy hit test) are decided on rounded z only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_ws(F.col("text")), " ")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is"))
+    )
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    x1 = F.round(F.log(F.lit(1.0) + F.col("n_chars").cast("double")), 6)
+    x2 = F.round(alpha_ratio, 6)
+    x3 = F.round(stop_hits.cast("double") / n_toks, 6)
+    feats = docs.select("doc_id", x1.alias("x1"), x2.alias("x2"), x3.alias("x3"))
+    teacher_z = F.round(
+        F.lit(QM_W[0]) + F.lit(QM_W[1]) * F.col("x1")
+        + F.lit(QM_W[2]) * F.col("x2") + F.lit(QM_W[3]) * F.col("x3"), 6
+    )
+    # read once per GD round + once for the report: shared-base persist
+    feats = feats.withColumn(
+        "y", F.when(teacher_z >= 0.0, 1.0).otherwise(0.0)
+    ).persist()
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(QT_ROUNDS):
+        z6 = F.round(
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
+        )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)) - F.col("y")
+        row = feats.agg(*[
+            F.round(F.lit(w[j]) - F.lit(QT_LR) * F.avg(err * xs[j]), 6)
+            .alias(f"w{j}")
+            for j in range(4)
+        ]).first()  # bounded: one 4-scalar gradient row per round
+        w = [float(row[f"w{j}"]) for j in range(4)]
+
+    zf = F.round(
+        F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
+    )
+    hit = F.when(
+        F.when(zf >= 0.0, 1.0).otherwise(0.0) == F.col("y"), 1.0
+    ).otherwise(0.0)
+    return feats.agg(
+        *[F.lit(w[j]).alias(f"w{j}") for j in range(4)],
+        F.round(F.avg(hit), 6).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def x3_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per document: top-token share,
     distinct-token ratio, top-bigram share — the signals that catch
@@ -517,6 +600,7 @@ QUERIES = {
     "x3_lang_stats": x3_lang_stats,
     "x3_quality_scores": x3_quality_scores,
     "x3_quality_model": x3_quality_model,
+    "x3_quality_train": x3_quality_train,
     "x3_fingerprints": x3_fingerprints,
     "x3_repetition_stats": x3_repetition_stats,
     "x3_stopword_coverage": x3_stopword_coverage,
@@ -845,3 +929,67 @@ ORACLES["x3_bigram_logprob"] = """
     CROSS JOIN vv
     GROUP BY bg.doc_id
 """
+
+
+def _quality_train_oracle_sql() -> str:
+    """GENERATED training oracle: replays the fixed QT_ROUNDS of batch GD
+    as chained 1-row CTEs — round-k weights derive from round-(k-1)'s via
+    the same 6-dp-rounded dot products, sigmoid, and rounded update, then
+    the accuracy CTE re-scores the corpus with the final weights. Literal
+    constants CAST to DOUBLE (bare decimals are DECIMAL in DuckDB and fold
+    exactly — CLAUDE.md rule 3)."""
+    t0, t1, t2, t3 = (f"CAST({v} AS DOUBLE)" for v in QM_W)
+    lr = f"CAST({QT_LR} AS DOUBLE)"
+
+    def z(w0: str, w1: str, w2: str, w3: str) -> str:
+        return f"round({w0} + {w1}*x1 + {w2}*x2 + {w3}*x3, 6)"
+
+    def gd_cte(name: str, src: str, w: tuple[str, str, str, str],
+               from_extra: str, group_by: str) -> str:
+        p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{z(*w)})) - y)"
+        cols = ",\n               ".join(
+            f"round({w[j]} - {lr} * avg({p}{mul}), 6) AS w{j}"
+            for j, mul in enumerate(["", " * x1", " * x2", " * x3"])
+        )
+        return f"""{name} AS (
+        SELECT {cols}
+        FROM {src}{from_extra}
+        {group_by}
+    )"""
+
+    zero = "CAST(0.0 AS DOUBLE)"
+    g1 = gd_cte("g1", "fy", (zero,) * 4, "", "")
+    g2 = gd_cte(
+        "g2", "fy", ("g1.w0", "g1.w1", "g1.w2", "g1.w3"),
+        ", g1", "GROUP BY g1.w0, g1.w1, g1.w2, g1.w3",
+    )
+    zf = z("g2.w0", "g2.w1", "g2.w2", "g2.w3")
+    pred = f"CASE WHEN {zf} >= CAST(0 AS DOUBLE) THEN 1.0 ELSE 0.0 END"
+    return f"""
+    WITH f AS (
+        SELECT doc_id,
+               round(ln(CAST(1.0 AS DOUBLE) + CAST(n_chars AS DOUBLE)), 6) AS x1,
+               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS x2,
+               round(len(list_filter(
+                         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                         t -> t IN ('the','and','of','to','is')))::DOUBLE
+                     / greatest(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 1),
+                     6) AS x3
+        FROM documents
+    ), fy AS (
+        SELECT *,
+               CASE WHEN round({t0} + {t1}*x1 + {t2}*x2 + {t3}*x3, 6)
+                         >= CAST(0 AS DOUBLE)
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM f
+    ), {g1}, {g2}
+    SELECT g2.w0, g2.w1, g2.w2, g2.w3,
+           round(avg(CASE WHEN {pred} = y THEN 1.0 ELSE 0.0 END), 6) AS acc,
+           count(*) AS n
+    FROM fy, g2
+    GROUP BY g2.w0, g2.w1, g2.w2, g2.w3
+"""
+
+
+ORACLES["x3_quality_train"] = _quality_train_oracle_sql()
