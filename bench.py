@@ -133,6 +133,7 @@ HEADLINE = [
     "x2_embedding_profile",     # norm/anisotropy embedding-space audit
     "x2_ivf_pq_topk",           # IVFADC: probe-pruned scan + PQ re-rank
     "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
+    "x3_quality_train",         # distributed logistic-regression training
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;
