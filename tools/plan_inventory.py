@@ -45,6 +45,8 @@ BOUNDED_BNLJ_OK = {
     "x3_bm25_search",          # 1-row avgdl cross-joined into the scorer
     "x2_pq_codes",             # 128-row (m, k, centroid) codebook broadcast
     "x2_pq_topk",              # same codebook broadcast as x2_pq_codes
+    "x2_ivf_pq_topk",          # same codebook broadcast, over the
+                               # probe-pruned subset (IVFADC)
     "x2_ivf_kmeans_topk",      # k=16-row refined-centroid table broadcast
                                # into the Lloyd assignment cross join
     "x1_source_overlap",       # n_sources^2 pair matrix over the per-source
