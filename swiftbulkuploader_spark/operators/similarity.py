@@ -56,11 +56,21 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42) -> lis
     return planes
 
 
+def _lit_vec(values: list[float]) -> Column:
+    """An array<double> literal in ONE Py4J call. `F.lit(list)` builds the
+    identical Literal (same values, same dtype, verified bit-equal) as
+    `F.array(*[F.lit(v) for v in values])` but without the per-element
+    driver round trips — the call-by-call form cost x2_ivf_pq_topk ~6 s
+    of PLAN-BUILD time at 16 centroids x 64 dims + 128 codebook entries
+    (round-7 profile: 8.8 s build / 2.0 s execute)."""
+    return F.lit([float(v) for v in values])
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit signature: bit i set iff dot(vec, plane_i) >= 0. Pure codegen."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        plane_col = _lit_vec(plane)
         bit = F.when(dot_product(vec, plane_col) >= 0, F.lit(2**i).cast("long")).otherwise(0)
         sig = sig + bit
     return sig
@@ -80,7 +90,7 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    qcol = F.array(*[F.lit(v) for v in q])
+    qcol = _lit_vec(q)
     return (
         emb.select(
             "vec_id",
@@ -113,7 +123,7 @@ def x2_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .collect()
     )
-    gcentroid = F.array(*[F.lit(float(r["mv"])) for r in grow])
+    gcentroid = _lit_vec([float(r["mv"]) for r in grow])
     return label_means.select(
         "label",
         F.round(cosine_similarity(F.col("centroid"), gcentroid), 6).alias("centroid_cos"),
@@ -139,7 +149,7 @@ def x2_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sum(a * b for a, b in zip(q, plane)) >= 0:
             qsig |= 1 << i
     probe = [qsig] + [qsig ^ (1 << i) for i in range(N_PLANES_TOPK)]  # multi-probe
-    qcol = F.array(*[F.lit(v) for v in q])
+    qcol = _lit_vec(q)
     return (
         emb.withColumn("sig", lsh_signature(F.col("embedding"), planes))
         .filter(F.col("sig").isin(probe))
@@ -195,7 +205,7 @@ def assign_ivf_cluster(vec: Column, centroids: list[list[float]],
     scored = F.array(*[
         F.struct(
             _maybe_round(
-                F.coalesce(cosine_similarity(vec, F.array(*[F.lit(v) for v in c])), F.lit(-2.0)),
+                F.coalesce(cosine_similarity(vec, _lit_vec(c)), F.lit(-2.0)),
                 round_dp,
             ).alias("cos"),
             F.lit(i).alias("cid"),
@@ -244,7 +254,7 @@ def ivf_search(emb: DataFrame, centroids: list[list[float]], q: list[float],
         range(len(centroids)),
         key=lambda i: (-round(_py_cos(q, centroids[i]), 6), -i),
     )[:n_probe]
-    qcol = F.array(*[F.lit(v) for v in q])
+    qcol = _lit_vec(q)
     return (
         emb.withColumn(
             "cluster",
@@ -480,7 +490,7 @@ def x2_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qrow is None:
         raise ValueError("query doc_id=0 not found")
     qtok = F.array(*[F.lit(t) for t in qrow["t"]])
-    qvec = F.array(*[F.lit(v) for v in _query_vector(spark, sf_dir, 0)])
+    qvec = _lit_vec(_query_vector(spark, sf_dir, 0))
 
     lex_pool = (
         docs.filter(F.col("doc_id") >= 1)
@@ -580,7 +590,7 @@ def x2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F401 - applyInPandas dependency, fail early
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = F.array(*[F.lit(v) for v in _query_vector(spark, sf_dir, 0)])
+    qvec = _lit_vec(_query_vector(spark, sf_dir, 0))
     pool = (
         emb.filter(F.col("vec_id") >= 1)
         .select(
@@ -672,7 +682,7 @@ def x2_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 "vec_id",
                 F.round(
-                    cosine_similarity(vec, F.array(*[F.lit(v) for v in qv])), 6
+                    cosine_similarity(vec, _lit_vec(qv)), 6
                 ).alias("cos_sim"),
             )
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
@@ -767,16 +777,20 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
 
 
 def _pq_sqdist_lit(q: list[float], offset: int, cent: list[float]) -> Column:
-    """Query-to-codebook distance as a pure LITERAL expression: Catalyst
-    constant-folds it with the same Round/arithmetic semantics the
-    per-row path uses — Python's round() (half-even) must never produce
-    a compared value (Spark/DuckDB round half-away)."""
+    """Query-to-codebook distance as ONE double literal. The sum is
+    computed in Python in the SAME sequential term order Catalyst's
+    constant folder would use on the unrolled lit-chain — IEEE-754 double
+    add/mul are deterministic, so the value is bit-identical (verified);
+    the 6-dp ROUNDING still happens Spark-side via the caller's
+    F.round(lit, 6) (Python's half-even round() never touches a compared
+    value — CLAUDE.md rule). The old per-term Column chain cost ~24 Py4J
+    round trips x 128 codebook entries of pure plan-build time."""
     term = None
     for i, c in enumerate(cent):
-        d = F.lit(q[offset + i]) - F.lit(c)
+        d = q[offset + i] - c
         t = d * d
         term = t if term is None else term + t
-    return term
+    return F.lit(term)
 
 
 def _pq_best_frame(spark: SparkSession, sf_dir: str, books,
