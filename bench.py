@@ -134,6 +134,7 @@ HEADLINE = [
     "x2_ivf_pq_topk",           # IVFADC: probe-pruned scan + PQ re-rank
     "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
     "x3_quality_train",         # distributed logistic-regression training
+    "x6_dsir_select",           # DSIR hashed importance-weight selection
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
-from swiftbulkuploader_spark.functions.text import token_count
+from swiftbulkuploader_spark.functions.text import normalize_ws, token_count
 from swiftbulkuploader_spark.operators.oracle_fragments import TOKENS_DUCK
 
 TOKEN_BUDGET = 2048
@@ -635,3 +635,133 @@ def _dedup_funnel_oracle_sql() -> str:
 
 
 ORACLES["x10_dedup_funnel"] = _dedup_funnel_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (round 7)
+
+DSIR_B = 1024          # hashed feature buckets (the paper's hashed n-grams)
+DSIR_TARGET = "src0"   # held-out exemplar domain standing in for the
+                       # high-quality target corpus (e.g. Wikipedia in DSIR)
+
+
+def x6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed-feature importance weights
+    (Xie et al., NeurIPS 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much more
+    likely its tokens are under a TARGET distribution than under the raw
+    corpus distribution, both estimated over B hashed buckets —
+    log w(doc) = sum_tokens [ log p_tgt(b(tok)) - log p_raw(b(tok)) ]
+    with add-one smoothing. Positive log_w = more target-like than the
+    corpus average -> keep. The hashing is the whole trick: a sparse
+    exemplar corpus (here the src0 domain) gives dense, overlapping
+    estimates over B=1024 buckets where a raw unigram LM would be mostly
+    zeros. (The paper's final Gumbel-noise resampling draw is a seeded
+    RNG choice outside the deterministic contract; the threshold keep
+    flag is the deterministic selection rule.)
+
+    Shape, all linear: one token explode feeds the bucket hash
+    (md5-prefix — engine-replayable, same gear as CDC/winnowing); the two
+    distribution tables are (bucket) count shuffles collapsing to <= B
+    rows; totals ride a 1-row broadcast (ScalarSubquery pattern); the
+    per-token scorer is a B-row broadcast join + one per-doc map-side
+    combined sum. At 100 TB this is strictly lighter than the unigram-LM
+    scorer (x3_unigram_logprob, same probe family): the lookup table is
+    FIXED-SIZE (B rows) instead of vocab-sized. log_w ships UNROUNDED
+    (summation-order ulps absorbed by the verifier's 9-significant-digit
+    normalization); `keep` compares the unrounded sum to 0 — a knife-edge
+    disagreement would need cancellation to within ~1e-13 of exactly
+    zero, the same accepted residual class as the Lloyd rounding edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    tok = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", "source", F.explode(F.split(norm, " ")).alias("t")
+    )
+    tokb = tok.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+            % DSIR_B
+        ).alias("b"),
+    )
+    raw = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tokb.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    dist = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    totals = dist.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("ct").cast("double").alias("nt"),
+    )
+    lr_tab = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double")
+                  / (F.col("nt") + F.lit(float(DSIR_B))))
+            - F.log((F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + F.lit(float(DSIR_B))))
+        ).alias("lr"),
+    )
+    per = (
+        tokb.join(F.broadcast(lr_tab), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("log_w"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "log_w",
+            (F.col("log_w") > 0).alias("keep"),
+        )
+    )
+
+
+QUERIES["x6_dsir_select"] = x6_dsir_select
+
+ORACLES["x6_dsir_select"] = f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {DSIR_B} AS b
+        FROM (
+            SELECT doc_id, source,
+                   unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS t
+            FROM documents
+            WHERE length(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g'))) > 0
+        )
+    ), raw AS (
+        SELECT b, count(*) AS cr FROM tk GROUP BY b
+    ), tgt AS (
+        SELECT b, count(*) AS ct FROM tk
+        WHERE source = '{DSIR_TARGET}' GROUP BY b
+    ), dist AS (
+        SELECT raw.b AS b, cr, COALESCE(ct, 0) AS ct
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ), tot AS (
+        SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt
+        FROM dist
+    ), lr AS (
+        SELECT b,
+               ln(CAST(ct + 1 AS DOUBLE) / (nt + {DSIR_B}.0))
+             - ln(CAST(cr + 1 AS DOUBLE) / (nr + {DSIR_B}.0)) AS lr
+        FROM dist CROSS JOIN tot
+    ), per AS (
+        SELECT tk.doc_id AS doc_id, count(*) AS n_tokens, sum(lr.lr) AS log_w
+        FROM tk JOIN lr USING (b)
+        GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(per.n_tokens AS BIGINT) AS n_tokens,
+           per.log_w,
+           per.log_w > 0 AS keep
+    FROM per JOIN documents d USING (doc_id)
+"""

@@ -49,6 +49,9 @@ BOUNDED_BNLJ_OK = {
                                # probe-pruned subset (IVFADC)
     "x2_ivf_kmeans_topk",      # k=16-row refined-centroid table broadcast
                                # into the Lloyd assignment cross join
+    "x6_dsir_select",          # 1-row corpus/target totals cross-joined into
+                               # the B-row log-ratio table (ScalarSubquery
+                               # pattern, same class as x3_unigram_logprob)
     "x1_source_overlap",       # n_sources^2 pair matrix over the per-source
                                # SIZE AGGREGATE (a few dozen rows at any
                                # corpus scale), non-equi < join

@@ -661,6 +661,152 @@ def shape_allpairs_prefix(df):
     )
 
 
+def shape_cdc_chunking(df):
+    """x1_cdc_chunks end-to-end on synthesized 48-token docs via the REAL
+    cdc_chunk_frame (posexplode -> per-row md5 gear test -> per-doc ROWS
+    cumsum -> (doc, chunk) order-pinned reassembly), then the chunk_hash
+    fingerprint aggregate. Token rows = 48n through a doc-partitioned
+    window — the shuffle is (doc_id)-keyed and the chunk-hash exchange is
+    narrow, so wall and shuffle bytes should both be ~linear; the chunk
+    texts are near-unique (5000-token vocab, ~8-token chunks), the
+    no-map-side-collapse worst case for the fingerprint groupBy."""
+    from swiftbulkuploader_spark.operators.dedup import cdc_chunk_frame
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(48)),
+            lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 5000)
+            .cast("string"),
+        ),
+    )
+    docs = df.select(F.col("event_id").alias("doc_id"), text.alias("text"))
+    chunks = cdc_chunk_frame(docs)
+    return (
+        chunks.select(F.md5("chunk_text").alias("h"), "doc_id", "n_tokens")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+
+
+def shape_ivfpq_serve(df):
+    """x2_ivf_pq_topk's SERVE path over n synthesized 64-dim embeddings:
+    coarse 16-centroid argmax assignment (bounded literal broadcast,
+    k*dim FLOPs/row), prune to the 4 probed clusters (~25% of rows — at
+    rest this filter is partition pruning and the assignment is free),
+    PQ-encode the survivors via the janino-safe broadcast-codebook +
+    min-of-struct join (128-row build side), then the 8 literal ADC table
+    lookups and a TakeOrderedAndProject top-10. Everything before the
+    128-fanout encode join is whole-stage codegen with NO shuffle, and
+    the encode exchange collapses to ~1 row/vector map-side — so wall
+    should be ~linear in rows and shuffle bytes ~rows, not rows x 128.
+    The real query's trailing cluster-observability join (which needs the
+    shared-base persist) is omitted: the probe measures the compute
+    stages, not the cache."""
+    from swiftbulkuploader_spark.operators import similarity as S
+
+    def synth_vec(seed):
+        return [((seed * 2654435761 + i * 40503) % 1000) / 1000.0
+                for i in range(64)]
+
+    cents = [synth_vec(s) for s in range(16)]
+    books = [
+        [synth_vec(100 + m * 16 + k)[m * 8:(m + 1) * 8] for k in range(16)]
+        for m in range(8)
+    ]
+    q = synth_vec(999)
+    emb = df.select(
+        F.col("event_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 1000)
+            .cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    probe = sorted(
+        range(16), key=lambda i: (-round(S._py_cos(q, cents[i]), 6), -i)
+    )[:4]
+    pruned = emb.withColumn(
+        "cluster",
+        S.assign_ivf_cluster(
+            F.col("embedding").cast("array<double>"), cents, round_dp=6
+        ),
+    ).filter(F.col("cluster").isin(probe))
+    based = S._pq_best_frame(df.sparkSession, "", books, emb=pruned)
+    dtab = [
+        [F.round(S._pq_sqdist_lit(q, m * 8, books[m][k]), 6) for k in range(16)]
+        for m in range(8)
+    ]
+    adc = None
+    for m in range(8):
+        t = F.element_at(F.array(*dtab[m]), F.col(f"b{m}")["k"] + 1)
+        adc = t if adc is None else adc + t
+    return (
+        based.select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def shape_logreg_train(df):
+    """x3_quality_train's distributed batch-GD shape: 3 synthesized
+    6-dp-rounded features, a teacher label, then 2 fixed gradient rounds —
+    each ONE full scan + ONE 1-row algebraic aggregate (partial sums
+    map-side, a 4-double exchange) whose collect is a bounded 4-scalar
+    fetch — and a final accuracy aggregate. Unlike the contract query the
+    probe does NOT persist the feature frame: each round re-derives it
+    from the range source, which IS the documented 100 TB shape ('each
+    round costs one corpus scan with a 4-double shuffle'). The GD rounds
+    run during shape construction (inside the timed region, like
+    dup_clusters_full). Linear wall ratio = the gradient aggregate
+    combines map-side and nothing accumulates round-over-round."""
+    lr = 1.0
+    feats = df.select(
+        F.round((F.abs(F.xxhash64("event_id", F.lit(1))) % 1000) / 100.0, 6)
+        .alias("x1"),
+        F.round((F.abs(F.xxhash64("event_id", F.lit(2))) % 1000) / 1000.0, 6)
+        .alias("x2"),
+        F.round((F.abs(F.xxhash64("event_id", F.lit(3))) % 1000) / 1000.0, 6)
+        .alias("x3"),
+    )
+    teacher_z = F.round(
+        F.lit(-2.0) + F.lit(0.35) * F.col("x1")
+        + F.lit(1.5) * F.col("x2") + F.lit(2.0) * F.col("x3"), 6
+    )
+    feats = feats.withColumn(
+        "y", F.when(teacher_z >= 0.0, 1.0).otherwise(0.0)
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(2):
+        z6 = F.round(
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
+        )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)) - F.col("y")
+        row = feats.agg(*[
+            F.round(F.lit(w[j]) - F.lit(lr) * F.avg(err * xs[j]), 6)
+            .alias(f"w{j}")
+            for j in range(4)
+        ]).first()  # bounded: one 4-scalar gradient row per round
+        w = [float(row[f"w{j}"]) for j in range(4)]
+    zf = F.round(
+        F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
+    )
+    hit = F.when(
+        F.when(zf >= 0.0, 1.0).otherwise(0.0) == F.col("y"), 1.0
+    ).otherwise(0.0)
+    return feats.agg(
+        F.round(F.avg(hit), 6).alias("acc"), F.count(F.lit(1)).alias("n")
+    )
+
+
 def _skew_fact_dim(df):
     # 90% of fact rows share key 0 (the lang='en' / mega-domain shape);
     # the rest spread uniformly over the 100k-key dim
@@ -746,6 +892,9 @@ SHAPES = {
     "star_components_chain": shape_star_components_chain,
     "star_components_chain_reliable": shape_star_components_chain_reliable,
     "lloyd_refine_2round": shape_lloyd_refine,
+    "cdc_chunking": shape_cdc_chunking,
+    "ivfpq_serve": shape_ivfpq_serve,
+    "logreg_train_2round": shape_logreg_train,
     "winnowing_select": shape_winnowing,
     "winnowing_select_arrow": shape_winnowing_arrow,
     "bloom_screen": shape_bloom_screen,
