@@ -162,3 +162,49 @@ class TestTrainingManifest:
         # survivors: doc 8 only (9 dup of 8, 10 contaminated, 11 low quality)
         assert sum(r["n_docs"] for r in chunks) == 1
         assert len(chunks) == 1 and chunks[0]["chunk_id"] == 0
+
+
+class TestDsirSelect:
+    def test_target_like_docs_score_higher(self, spark, tmp_path):
+        """Crafted corpus: docs made of the target domain's vocabulary must
+        OUTSCORE docs from a disjoint vocabulary — the selection ordering on
+        a corpus where the right answer is unambiguous. (The absolute zero
+        crossing is NOT asserted: at toy scale the +1/B additive smoothing
+        mass dominates both distributions and shifts every weight; the
+        threshold rule only separates target-like from corpus-like once
+        token counts are large against B, which sf-scale corpora are.)"""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            DSIR_TARGET,
+            x6_dsir_select,
+        )
+
+        tgt_vocab = "alpha beta gamma delta epsilon"
+        other_vocab = "zork quux fnord blarg wibble"
+        rows = []
+        # 4 target-domain exemplars (the reference distribution)
+        for i in range(4):
+            rows.append((i, tgt_vocab + " " + tgt_vocab, DSIR_TARGET))
+        # 3 raw docs sharing the target vocabulary -> target-like
+        for i in range(4, 7):
+            rows.append((i, tgt_vocab, "raw_a"))
+        # 3 raw docs from a disjoint vocabulary -> corpus-like only
+        for i in range(7, 10):
+            rows.append((i, other_vocab, "raw_b"))
+        df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+        df = df.withColumns({"lang": F.lit("en"), "n_chars": F.length("text")})
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+
+        out = {r["doc_id"]: r for r in x6_dsir_select(spark, str(tmp_path)).collect()}
+        assert len(out) == 10
+        # same token count (5) on both sides -> direct comparability: every
+        # target-vocab doc outscores every disjoint-vocab doc
+        for i in range(4, 7):
+            for j in range(7, 10):
+                assert out[i]["log_w"] > out[j]["log_w"], (out[i], out[j])
+        # identical docs score identically; keep mirrors the sign exactly
+        assert out[4]["log_w"] == out[5]["log_w"] == out[6]["log_w"]
+        for r in out.values():
+            assert r["keep"] == (r["log_w"] > 0)
+        # weights are per-token sums: the doubled-text exemplars score
+        # exactly twice the single-copy raw docs (same bucket multiset x2)
+        assert abs(out[0]["log_w"] - 2 * out[4]["log_w"]) < 1e-9
