@@ -707,7 +707,11 @@ def shape_ivfpq_serve(df):
     should be ~linear in rows and shuffle bytes ~rows, not rows x 128.
     The real query's trailing cluster-observability join (which needs the
     shared-base persist) is omitted: the probe measures the compute
-    stages, not the cache."""
+    stages, not the cache. vec_id is HASH-derived (not the range id):
+    spark.range's range partitioning co-locates equal ids, which would
+    let Catalyst satisfy the encode groupBy without an exchange — a
+    parquet-backed index has no such guarantee, so the probe must pay
+    (and meter) the one rows-sized encode shuffle the real query pays."""
     from swiftbulkuploader_spark.operators import similarity as S
 
     def synth_vec(seed):
@@ -721,7 +725,7 @@ def shape_ivfpq_serve(df):
     ]
     q = synth_vec(999)
     emb = df.select(
-        F.col("event_id").alias("vec_id"),
+        F.abs(F.xxhash64("event_id")).alias("vec_id"),
         F.transform(
             F.sequence(F.lit(0), F.lit(63)),
             lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 1000)
