@@ -135,6 +135,8 @@ HEADLINE = [
     "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
     "x3_quality_train",         # distributed logistic-regression training
     "x6_dsir_select",           # DSIR hashed importance-weight selection
+    "x6_quality_percentile_filter",  # per-source quality percent_rank cut
+    "x7_twap",                  # time-weighted average (lead-duration window)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

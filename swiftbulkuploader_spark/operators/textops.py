@@ -993,3 +993,81 @@ def _quality_train_oracle_sql() -> str:
 
 
 ORACLES["x3_quality_train"] = _quality_train_oracle_sql()
+
+
+def x6_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality-percentile selection — keep each domain's top
+    half by classifier score. Absolute-threshold filtering (x3_quality_model's
+    keep flag) silently skews the source mixture: a clean encyclopedia
+    domain passes ~everything while a noisy web domain is nearly emptied.
+    Percentile-WITHIN-source is the mixture-preserving form pretraining
+    pipelines actually use (each domain contributes its best X%, relative
+    composition intact) — the quality-side complement of x1_domain_cap's
+    count cap.
+
+    Shape: the frozen linear model (same features/weights as
+    x3_quality_model — scan-speed codegen, no UDF) feeds one percent_rank
+    window partitioned by source. The window shuffle is (source)-keyed —
+    at 100 TB a hot mega-domain makes this the classic skewed-window
+    shape; the standard mitigation (two-pass: per-source GK quantile
+    sketch broadcast back as a threshold) is the documented swap, same
+    argument as the dataset-card sketch default. Determinism: z is
+    rounded to 6 dp BEFORE the window ordering with doc_id tie-breaks
+    (the cosine-ranking discipline), so rank — and hence
+    percent_rank = (rank-1)/(n-1), an exact small-integer ratio — is
+    engine-identical, and `keep` compares those exact ratios to 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_ws(F.col("text")), " ")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is"))
+    )
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    z = (
+        F.lit(QM_W[0])
+        + F.lit(QM_W[1]) * F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+        + F.lit(QM_W[2]) * alpha_ratio
+        + F.lit(QM_W[3]) * (stop_hits.cast("double") / n_toks)
+    )
+    scored = docs.select("doc_id", "source", F.round(z, 6).alias("quality_z"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_z").desc(), F.col("doc_id").asc()
+    )
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id", "source", "quality_z",
+        pr.alias("pr"), (pr <= 0.5).alias("keep"),
+    )
+
+
+QUERIES["x6_quality_percentile_filter"] = x6_quality_percentile_filter
+
+ORACLES["x6_quality_percentile_filter"] = """
+    WITH f AS (
+        SELECT doc_id, source, n_chars,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0.0 END AS alpha_ratio
+        FROM documents
+    ), z AS (
+        SELECT doc_id, source,
+               round(
+                   CAST(-2.0 AS DOUBLE)
+                   + CAST(0.35 AS DOUBLE) * ln(CAST(1 AS DOUBLE) + CAST(n_chars AS DOUBLE))
+                   + CAST(1.5 AS DOUBLE) * alpha_ratio
+                   + CAST(2.0 AS DOUBLE)
+                     * (len(list_filter(toks, t -> t IN ('the','and','of','to','is')))::DOUBLE
+                        / greatest(len(toks), 1)), 6) AS quality_z
+        FROM f
+    )
+    SELECT doc_id, source, quality_z,
+           percent_rank() OVER
+               (PARTITION BY source ORDER BY quality_z DESC, doc_id ASC) AS pr,
+           percent_rank() OVER
+               (PARTITION BY source ORDER BY quality_z DESC, doc_id ASC)
+               <= CAST(0.5 AS DOUBLE) AS keep
+    FROM z
+"""

@@ -342,3 +342,72 @@ ORACLES["x7_rate_anomaly"] = f"""
 """
 
 QUERIES["x7_rate_anomaly"] = x7_rate_anomaly
+
+
+def x7_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average per (user, hour) — the metric that is correct
+    when observations arrive irregularly: a value that held for 50 minutes
+    must count 50x more than one superseded after a minute, which the
+    plain AVG the hourly rollup computes gets wrong. Standard in finance
+    (TWAP) and ops telemetry (gauge averaging over irregular scrapes).
+
+    Each event's value is weighted by how long it remained current: the
+    microseconds until the SAME user's next event in the SAME hour (one
+    lead() over the (user, hour) window — segments never cross the bucket
+    boundary, so the bucket total is exactly the intra-bucket span). The
+    bucket's last event has no successor -> NULL duration -> drops out of
+    both sums; single-event buckets (and zero-span all-simultaneous
+    buckets, via nullif) yield twap NULL rather than a fake average.
+    Durations are exact integer MICROSECONDS (unix_micros both sides —
+    DuckDB epoch_us; fractional-second epoch() would diverge), so the
+    weights are engine-exact and the only doubles are the final
+    value x dur products (summation-order ulps absorbed by the verifier's
+    9-significant-digit normalization).
+
+    Shape: one (user_id, hour)-keyed window shuffle feeding a groupBy on
+    the SAME key — the sort the window already did makes the aggregation
+    partial-free; linear, no skew beyond the per-user event share."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts", "event_id", "value",
+    )
+    w = Window.partitionBy("user_id", "hour").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the NTZ->TZ cast
+    # shifts both subtraction operands identically, so durations are exact
+    dur = (
+        F.unix_micros(F.lead("ts", 1).over(w).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).cast("double")
+    seg = base.withColumn("dur", dur)
+    return (
+        seg.groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value") * F.col("dur"))
+                / F.nullif(F.sum("dur"), F.lit(0.0))
+            ).alias("twap"),
+        )
+    )
+
+
+QUERIES["x7_twap"] = x7_twap
+
+ORACLES["x7_twap"] = """
+    WITH seg AS (
+        SELECT user_id,
+               date_trunc('hour', ts) AS hour,
+               value,
+               CAST(epoch_us(lead(ts, 1) OVER
+                   (PARTITION BY user_id, date_trunc('hour', ts)
+                    ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) AS dur
+        FROM events
+    )
+    SELECT user_id, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value * dur) / nullif(sum(dur), CAST(0 AS DOUBLE)) AS twap
+    FROM seg
+    GROUP BY user_id, hour
+"""

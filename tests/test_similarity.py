@@ -255,3 +255,43 @@ def test_lloyd_refined_centroids_deterministic(spark):
     b = lloyd_refined_centroids(emb)
     assert a == b
     assert len(a) == 16 and all(len(c) == 64 for c in a)
+
+
+class TestLiteralBatching:
+    def test_lit_vec_matches_per_element_form(self, spark):
+        """_lit_vec (one-call array literal) must be bit-identical to the
+        per-element F.array(*[F.lit(v)]) form it replaced for plan-build
+        speed (round 7) — same dtype, same values."""
+        from swiftbulkuploader_spark.operators.similarity import _lit_vec
+
+        vals = [0.123456789, -2.25, 3e-7, 1.0 / 3.0, 1e300]
+        df = spark.range(1).select(
+            F.array(*[F.lit(v) for v in vals]).alias("a"),
+            _lit_vec(vals).alias("b"),
+        )
+        assert df.schema["a"].dataType == df.schema["b"].dataType
+        row = df.select((F.col("a") == F.col("b")).alias("eq")).first()
+        assert row["eq"]
+
+    def test_pq_sqdist_python_fold_matches_catalyst_fold(self, spark):
+        """_pq_sqdist_lit now sums in Python; the value must be
+        BIT-identical to the unrolled lit-chain Catalyst constant-folds
+        (same sequential IEEE-754 term order), including after the 6-dp
+        round the callers apply."""
+        from swiftbulkuploader_spark.operators.similarity import _pq_sqdist_lit
+
+        q = [0.1, 0.2, 0.30000000001, 7e-3, 1.1, 2.2, 3.3, 4.4]
+        c = [0.05, 1.9, 2.0, 1.0 / 3.0, 9.1, 0.25, 0.5, 0.75]
+        chain = None
+        for i in range(8):
+            d = F.lit(q[i]) - F.lit(c[i])
+            t = d * d
+            chain = t if chain is None else chain + t
+        row = spark.range(1).select(
+            chain.alias("spark_fold"),
+            _pq_sqdist_lit(q, 0, c).alias("py_fold"),
+            (chain == _pq_sqdist_lit(q, 0, c)).alias("eq"),
+            (F.round(chain, 6) == F.round(_pq_sqdist_lit(q, 0, c), 6)).alias("eq6"),
+        ).first()
+        assert row["eq"] and row["eq6"]
+        assert row["spark_fold"].hex() == row["py_fold"].hex()
