@@ -137,6 +137,8 @@ HEADLINE = [
     "x6_dsir_select",           # DSIR hashed importance-weight selection
     "x6_quality_percentile_filter",  # per-source quality percent_rank cut
     "x7_twap",                  # time-weighted average (lead-duration window)
+    "x1_dup_span_removal",      # excise duplicated 8-gram spans, keep-first
+    "x6_weighted_sample",       # exponential-key weighted sample (A-ES)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -1492,7 +1492,118 @@ def x1_repeated_passages_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical duplicate-SPAN removal (Lee et al. 2022 §4 "ExactSubstr"):
+    where ``x1_repeated_passages`` only DETECTS corpus-duplicated 8-grams,
+    this operator REWRITES the corpus — every occurrence of a duplicated
+    8-gram except the globally-first one is excised and each document is
+    reassembled from its surviving words, keeping exactly one copy of every
+    duplicated passage corpus-wide (overlapping duplicated grams merge into
+    one excised span via the position-level DISTINCT).
+
+    Reference parity: the reference engine has no corpus ops; this extends
+    the X1 dedup tier per the training-pipeline brief. Provenance: Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    remove repeated substrings, keeping one occurrence; we use word 8-grams
+    as the span unit (their suffix-array unit is bytes) so the whole pass
+    stays a linear explode + two hash shuffles instead of a suffix array.
+
+    "Globally first" = the occurrence minimizing doc_id * 1e6 + start — an
+    integer encoding of lexicographic (doc_id, start) that both engines
+    compare identically (valid while docs stay < 1e6 words; a 100 TB corpus
+    with 64-bit doc ids stays within int64 up to ~9e12 docs).
+
+    Shape & scale: one posexplode of per-doc 8-gram arrays (linear zip_with
+    shingling), ONE map-side-combined groupBy on the gram to find
+    duplicated grams + their keeper occurrence, one shuffle hash join back
+    (the duplicated-gram set is corpus-sized in the worst case, so no
+    broadcast), a position-level DISTINCT confined to excised spans, and a
+    left-anti join + per-doc reassembly shuffle keyed on doc_id. Nothing is
+    quadratic; skewed grams (boilerplate) are exactly the rows being
+    removed. The wide gram strings can be swapped for xxhash64 keys exactly
+    as in ``x1_repeated_passages_hashed`` when shuffle bytes dominate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_col = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    # spread(): the shingling explode is compute-dense and the parquet file
+    # would otherwise arrive as a single partition
+    base = spread(docs).select("doc_id", toks_col.alias("toks"))
+
+    # gram occurrences with their 1-based start position (posexplode is
+    # 0-based; +1 aligns with the oracle's 1-based list indexing)
+    occ = (
+        base.filter(F.size("toks") >= 8)
+        .select("doc_id", F.posexplode(_toks_shingles(F.col("toks"), 8)).alias("p0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("start"),
+            "gram",
+            (F.col("doc_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
+        )
+    )
+    # duplicated grams (>= 2 occurrences corpus-wide, within-doc repeats
+    # included) and the single occurrence each one keeps
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ_key").alias("keep_key"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram", "keep_key")
+    )
+    # word positions covered by a non-keeper occurrence of a duplicated gram
+    covered = (
+        occ.join(dup, "gram")
+        .filter(F.col("occ_key") != F.col("keep_key"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(7))).alias("pos"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("retained_text"),
+    )
+    # every document appears in the output, including fully-excised ones
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("retained_text"), F.lit("")).alias("retained_text"),
+        )
+    )
+
+
+def _toks_shingles(toks: Column, k: int) -> Column:
+    """Word k-shingles from an already-tokenized array — the same linear
+    zip_with construction as functions/text.py::shingles, reusing a token
+    column the caller has already computed (shingles() re-splits the text)."""
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        shifted = F.slice(toks, 1 + j, m)
+        out = F.zip_with(
+            out, shifted,
+            lambda acc, t: F.when(t.isNotNull(), F.concat(acc, F.lit(" "), t)).otherwise(acc),
+        )
+    return out
+
+
 QUERIES = {
+    "x1_dup_span_removal": x1_dup_span_removal,
     "x1_semantic_dedup": x1_semantic_dedup,
     "x1_repeated_passages": x1_repeated_passages,
     "x1_repeated_passages_hashed": x1_repeated_passages_hashed,
@@ -1582,6 +1693,46 @@ ORACLES = {
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM p
         WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    # same 8-gram lattice as x1_repeated_passages; keeper occurrence picked
+    # by the identical doc_id*1e6+start integer encoding; NOT EXISTS is the
+    # anti-join; string_agg ORDER BY pos is the per-doc reassembly
+    "x1_dup_span_removal": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, i AS start,
+                   array_to_string(toks[i:i+7], ' ') AS gram,
+                   doc_id * 1000000 + i AS occ_key
+            FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            WHERE len(toks) >= 8
+        ), dup AS (
+            SELECT gram, min(occ_key) AS keep_key
+            FROM g GROUP BY gram HAVING count(*) >= 2
+        ), cov AS (
+            SELECT DISTINCT g.doc_id, g.start + d.j AS pos
+            FROM g JOIN dup USING (gram), unnest(range(0, 8)) AS d(j)
+            WHERE g.occ_key <> dup.keep_key
+        ), w AS (
+            SELECT doc_id, p.i AS pos, toks[p.i] AS w
+            FROM t, unnest(range(1, len(toks) + 1)) AS p(i)
+        ), kept AS (
+            SELECT w.* FROM w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cov
+                WHERE cov.doc_id = w.doc_id AND cov.pos = w.pos)
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(w, ' ' ORDER BY pos) AS retained_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(agg.retained_text, '') AS retained_text
+        FROM t LEFT JOIN agg USING (doc_id)
     """,
     # lateral-unnest k-gram construction mirrors functions/text.py::shingles
     # for docs of >= 8 tokens (shorter docs are filtered on both sides, so

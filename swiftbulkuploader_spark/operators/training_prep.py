@@ -765,3 +765,67 @@ ORACLES["x6_dsir_select"] = f"""
            per.log_w > 0 AS keep
     FROM per JOIN documents d USING (doc_id)
 """
+
+
+WSAMPLE_N = 200
+
+
+def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): draw a corpus subsample where a document's inclusion
+    probability is proportional to its weight (here n_chars — standing in
+    for any quality/importance weight), the standard one-pass trick for
+    "sample 1B docs from 100B, quality-weighted" without ever materializing
+    cumulative weights. Each doc gets key = -ln(u)/w with u uniform in
+    (0,1); the n smallest keys ARE a weight-proportional sample without
+    replacement (the exponential race: key ~ Exp(w), min of exponentials
+    picks i with prob w_i / sum w).
+
+    Determinism + oracle: u comes from the engine-replayable md5-prefix
+    hash (the x6_global_shuffle gear), u = (h+1)/2^32+1 in (0,1) exactly;
+    the key is rounded to 6 dp BEFORE the ordering decision with doc_id
+    tie-breaks on both sides (the cosine-ranking discipline, CLAUDE.md
+    rule 3).
+
+    Shape & scale: row-local key computation at scan speed, then global
+    top-n via orderBy+limit, which Spark plans as TakeOrderedAndProject —
+    per-partition bounded heaps + a driver merge of n_partitions * n rows,
+    NO global sort shuffle. At 100 TB this is one scan; the reservoir never
+    exceeds n per task."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(4294967297.0)
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(WSAMPLE_N)
+    )
+
+
+QUERIES["x6_weighted_sample"] = x6_weighted_sample
+
+ORACLES["x6_weighted_sample"] = f"""
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS weight,
+           round(
+               -ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) + 1.0) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE), 6) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key, doc_id
+    LIMIT {WSAMPLE_N}
+"""

@@ -597,3 +597,50 @@ class TestCdcChunks:
         for r in rows:
             n_tok[r.doc_id] += r.n_tokens
         assert n_tok == {0: 60, 1: 61}
+
+
+class TestDupSpanRemoval:
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def test_keep_first_excise_rest(self, spark, tmp_path):
+        """A duplicated 8-gram keeps its globally-first occurrence (lowest
+        doc_id, then start) and loses every other one; unique docs are
+        untouched; a within-doc repeat loses only its second copy."""
+        from swiftbulkuploader_spark.operators.dedup import x1_dup_span_removal
+
+        span = "w1 w2 w3 w4 w5 w6 w7 w8"
+        rows = [
+            (0, f"{span} u01 u02"),            # first occurrence -> kept whole
+            (1, f"v01 v02 {span} v03"),        # later occurrence -> excised
+            (2, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  # unique -> untouched
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"),
+        ]
+        self._write(spark, tmp_path, rows)
+        got = {r["doc_id"]: r for r in
+               x1_dup_span_removal(spark, str(tmp_path)).collect()}
+        assert got[0]["retained_text"] == f"{span} u01 u02"
+        assert got[0]["n_removed"] == 0
+        assert got[1]["retained_text"] == "v01 v02 v03"
+        assert got[1]["n_removed"] == 8
+        assert got[2]["n_removed"] == 0
+        # within-doc repeat: second copy excised, first kept
+        assert got[3]["retained_text"] == "x1 x2 x3 x4 x5 x6 x7 x8"
+        assert got[3]["n_removed"] == 8
+
+    def test_overlapping_dup_grams_merge(self, spark, tmp_path):
+        """A shared 9-word run = two overlapping duplicated 8-grams; the
+        excised region is their UNION (9 positions), not 16."""
+        from swiftbulkuploader_spark.operators.dedup import x1_dup_span_removal
+
+        run = "y1 y2 y3 y4 y5 y6 y7 y8 y9"
+        rows = [(4, f"{run} t1"), (5, f"z1 {run}")]
+        self._write(spark, tmp_path, rows)
+        got = {r["doc_id"]: r for r in
+               x1_dup_span_removal(spark, str(tmp_path)).collect()}
+        assert got[4]["n_removed"] == 0          # doc 4 holds both keepers
+        assert got[5]["retained_text"] == "z1"
+        assert got[5]["n_removed"] == 9

@@ -208,3 +208,31 @@ class TestDsirSelect:
         # weights are per-token sums: the doubled-text exemplars score
         # exactly twice the single-copy raw docs (same bucket multiset x2)
         assert abs(out[0]["log_w"] - 2 * out[4]["log_w"]) < 1e-9
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark, tmp_path):
+        """Efraimidis-Spirakis keys: with a 100:1 weight ratio the heavy
+        half of a 2x-oversampled corpus dominates the sample; the draw is
+        bit-stable across invocations and never repeats a doc."""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            WSAMPLE_N,
+            x6_weighted_sample,
+        )
+
+        rows = [(i, "t", "en", "heavy" if i < 200 else "light",
+                 1000 if i < 200 else 10) for i in range(400)]
+        spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        a = x6_weighted_sample(spark, str(tmp_path)).collect()
+        b = x6_weighted_sample(spark, str(tmp_path)).collect()
+        assert a == b                                # deterministic
+        assert len(a) == WSAMPLE_N
+        ids = [r["doc_id"] for r in a]
+        assert len(set(ids)) == WSAMPLE_N            # without replacement
+        heavy = sum(1 for r in a if r["source"] == "heavy")
+        assert heavy > 150                           # weight-proportional
+        keys = [r["es_key"] for r in a]
+        assert keys == sorted(keys)                  # smallest keys win
