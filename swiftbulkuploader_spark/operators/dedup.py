@@ -1549,9 +1549,15 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") >= 2)
         .select("gram", "keep_key")
     )
-    # word positions covered by a non-keeper occurrence of a duplicated gram
+    # word positions covered by a non-keeper occurrence of a duplicated gram.
+    # merge hint: the duplicated-gram set is CORPUS-SIZED in a
+    # boilerplate-heavy regime; Catalyst's post-filter size estimate can
+    # pick a broadcast that OOMs the driver there, and shuffle_hash OOMs
+    # the per-task hash-map build (both reproduced by the span_removal
+    # scaling probe at its 10M/load-1.6 point) — sort-merge spills and is
+    # safe at any duplication rate, costing one extra sort at small scale
     covered = (
-        occ.join(dup, "gram")
+        occ.join(dup.hint("merge"), "gram")
         .filter(F.col("occ_key") != F.col("keep_key"))
         .select(
             "doc_id",
@@ -1562,7 +1568,9 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = base.select(
         "doc_id", F.posexplode("toks").alias("p0", "w")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
-    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    # same reasoning: the covered-position set scales with the excised
+    # volume — never broadcast it
+    kept = words.join(covered.hint("merge"), ["doc_id", "pos"], "left_anti")
     kept_agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

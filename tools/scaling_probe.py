@@ -876,7 +876,66 @@ def shape_skew_join_aqe(df):
     )
 
 
+def shape_span_removal(df):
+    """x1_dup_span_removal's full skeleton: gram explode -> duplicated-gram
+    groupBy with keeper selection -> shuffle hash join back -> position
+    sequence explode + DISTINCT confined to excised spans -> left-anti join
+    against the word lattice -> per-doc sort_array reassembly. The gram key
+    space (_gram_array, 50M keys) gives a birthday-collision dup rate of a
+    few percent at 8M+ grams — the real-corpus regime where most grams are
+    unique and the excision join stays sparse."""
+    occ = (
+        df.select("event_id", F.posexplode(_gram_array()).alias("p0", "gram"))
+        .select(
+            "event_id",
+            (F.col("p0") + 1).alias("start"),
+            "gram",
+            (F.col("event_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
+        )
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ_key").alias("keep_key"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram", "keep_key")
+    )
+    # shuffle_hash hints mirror the real operator: the 10M point here has
+    # gram load factor 1.6 (a boilerplate-stress regime) and the dup set is
+    # tens of millions of rows — the broadcast Catalyst would pick from its
+    # post-filter estimate OOMs the driver (observed before the hint)
+    covered = (
+        occ.join(dup.hint("merge"), "gram")
+        .filter(F.col("occ_key") != F.col("keep_key"))
+        .select(
+            "event_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(7))).alias("pos"),
+        )
+        .distinct()
+    )
+    # the word lattice: ~15 synthetic words/doc (8 grams ~= a 15-word doc)
+    wordarr = F.array(*[
+        (F.abs(F.xxhash64("event_id", F.lit(100 + i))) % 90_000).cast("string")
+        for i in range(15)
+    ])
+    words = (
+        df.select("event_id", F.posexplode(wordarr).alias("p0", "w"))
+        .select("event_id", (F.col("p0") + 1).alias("pos"), "w")
+    )
+    kept = words.join(covered.hint("merge"), ["event_id", "pos"], "left_anti")
+    return kept.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("retained_text"),
+    )
+
+
 SHAPES = {
+    "span_removal": shape_span_removal,
     "range_window_1h": shape_range_window,
     "merge_broadcast_delta": shape_merge_broadcast_delta,
     "pagerank_round": shape_pagerank_round,
