@@ -1605,3 +1605,107 @@ ORACLES["x2_embedding_profile"] = """
     FROM norms CROSS JOIN cn
     GROUP BY cn.c
 """
+
+
+KCENTER_K = 8
+
+
+def x2_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point traversal, Gonzalez 1985) diverse
+    subset selection — the core-set picker for training-data selection and
+    active learning (Sener & Savarese, ICLR'18): starting from the lowest
+    vec_id, repeatedly add the point FARTHEST (max-min cosine distance)
+    from everything selected so far. The selected k points 2-approximate
+    the optimal k-center cover, i.e. they are the maximally-diverse probe
+    set of the embedding space.
+
+    Distributed shape: k-1 bounded rounds; each round is ONE corpus scan
+    computing the running min-distance to the (driver-held, <= k-vector)
+    selected set as literal-vector cosines, then a TakeOrdered(1) argmax —
+    a 1-row bounded collect per round (the allowlisted scalar/centroid
+    class; k = 8 rows total cross the driver). No pairwise matrix, no
+    shuffle at all: the argmax is per-partition top-1 + driver merge. At
+    100 TB the same loop runs k scans; an at-rest deployment would persist
+    the running-min column between rounds instead of re-folding the <= k
+    literal cosines (the fold keeps this contract query stateless — and at
+    k=8 the re-fold is 8 fused codegen cosines, far from the janino
+    64 KB cliff because cosine_similarity is a HOF fold, not unrolled).
+
+    Determinism + oracle: every per-center distance is round(1 - cos, 6)
+    with -2.0 null-cosine sentinel (dist 3.0 — zero vectors sort "far" but
+    deterministically); argmax ties break to the LOWEST vec_id; the greedy
+    unrolls into k-1 chained CTE blocks in DuckDB (the x2_mmr_rerank
+    discipline), each cross-joining the 1-row previous picks. Output:
+    (sel_rank, vec_id, coverage_dist) where coverage_dist is the point's
+    min-distance at selection time (NULL for the seed) — the decreasing
+    coverage radii every k-center audit reads."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]  # bounded: 1 row
+    picks: list[tuple[int, list[float], float | None]] = [
+        (int(seed["vec_id"]), [float(x) for x in seed["v"]], None)
+    ]
+    cur = emb
+    for r in range(2, KCENTER_K + 1):
+        last_id, last_vec, _ = picks[-1]
+        d = F.round(
+            F.lit(1.0)
+            - F.coalesce(
+                cosine_similarity(F.col("v"), _lit_vec(last_vec)), F.lit(-2.0)
+            ),
+            6,
+        )
+        cur = cur.filter(F.col("vec_id") != last_id).withColumn(
+            "mind", d if r == 2 else F.least(F.col("mind"), d)
+        )
+        # bounded: TakeOrdered(1) argmax, one row per round
+        top = cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        picks.append(
+            (int(top["vec_id"]), [float(x) for x in top["v"]], float(top["mind"]))
+        )
+    return spark.createDataFrame(
+        [(i + 1, p[0], p[2]) for i, p in enumerate(picks)],
+        "sel_rank: long, vec_id: long, coverage_dist: double",
+    )
+
+
+def _kcenter_oracle_sql(k: int = KCENTER_K) -> str:
+    """Unrolled greedy: pick CTE p1 is the seed; candidate CTE c_r carries
+    every remaining vector with its running min-distance; p_r is the
+    argmax row. Mirrors the Spark loop's round-then-least fold exactly."""
+    dist = ("round(1 - coalesce(list_cosine_similarity(e.v, p{prev}.v),"
+            " -2.0), 6)")
+    parts = [
+        "p1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings ORDER BY vec_id LIMIT 1)",
+        "c2 AS (SELECT e.vec_id, e.v, "
+        + dist.format(prev=1)
+        + " AS mind FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings) e, p1 WHERE e.vec_id <> p1.vec_id)",
+        "p2 AS (SELECT vec_id, v, mind FROM c2"
+        " ORDER BY mind DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(3, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT e.vec_id, e.v, least(e.mind, "
+            + dist.format(prev=r - 1)
+            + f") AS mind FROM c{r - 1} e, p{r - 1}"
+            f" WHERE e.vec_id <> p{r - 1}.vec_id)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT vec_id, v, mind FROM c{r}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+    selects = ["SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,"
+               " CAST(NULL AS DOUBLE) AS coverage_dist FROM p1"]
+    for r in range(2, k + 1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_rank, vec_id,"
+            f" mind AS coverage_dist FROM p{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+QUERIES["x2_kcenter_select"] = x2_kcenter_select
+ORACLES["x2_kcenter_select"] = _kcenter_oracle_sql()

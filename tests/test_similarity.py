@@ -295,3 +295,37 @@ class TestLiteralBatching:
         ).first()
         assert row["eq"] and row["eq6"]
         assert row["spark_fold"].hex() == row["py_fold"].hex()
+
+
+class TestKCenterSelect:
+    def test_covers_clusters_before_revisiting(self, spark, tmp_path):
+        """Farthest-point traversal on 4 tight orthogonal clusters: the
+        first 4 selections land in 4 DISTINCT clusters (the 2-approx
+        cover guarantee), and the coverage radius never increases."""
+        from swiftbulkuploader_spark.operators.similarity import (
+            KCENTER_K,
+            x2_kcenter_select,
+        )
+
+        rows = []
+        for i in range(12):
+            c = i % 4
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[4 + c] = 0.02 * (i // 4)   # tiny within-cluster spread
+            rows.append((i, v, c))
+        spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        got = sorted(x2_kcenter_select(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["sel_rank"])
+        assert len(got) == KCENTER_K
+        assert got[0]["vec_id"] == 0 and got[0]["coverage_dist"] is None
+        first4 = {r["vec_id"] % 4 for r in got[:4]}
+        assert first4 == {0, 1, 2, 3}            # one pick per cluster
+        dists = [r["coverage_dist"] for r in got[1:]]
+        assert all(a >= b for a, b in zip(dists, dists[1:]))  # monotone
+        # cross-cluster picks sit near distance 1; within-cluster ~0
+        assert all(d > 0.9 for d in dists[:3])
+        assert all(d < 0.1 for d in dists[3:])
