@@ -644,3 +644,58 @@ class TestDupSpanRemoval:
         assert got[4]["n_removed"] == 0          # doc 4 holds both keepers
         assert got[5]["retained_text"] == "z1"
         assert got[5]["n_removed"] == 9
+
+
+def _naive_span_removal(docs: dict[int, str]) -> dict[int, tuple[int, int, str]]:
+    """Oracle-independent reference for x1_dup_span_removal: literal
+    keep-first excision of duplicated word 8-grams, computed with plain
+    Python sets/dicts."""
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        if len(ws) >= 8:
+            for i in range(len(ws) - 7):
+                occ.setdefault(" ".join(ws[i:i + 8]), []).append((d, i + 1))
+    covered: dict[int, set[int]] = {d: set() for d in toks}
+    for gram, places in occ.items():
+        if len(places) < 2:
+            continue
+        keep = min(places)
+        for (d, start) in places:
+            if (d, start) != keep:
+                covered[d].update(range(start, start + 8))
+    out = {}
+    for d, ws in toks.items():
+        kept = [w for i, w in enumerate(ws, start=1) if i not in covered[d]]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_dup_span_removal_matches_naive_reference(spark, tmp_path):
+    """Differential test on seeded random corpora over a tiny vocabulary
+    (duplicated 8-grams arise by chance, overlaps and within-doc repeats
+    included): the distributed plan must agree with the naive reference
+    row-for-row."""
+    import random
+
+    from swiftbulkuploader_spark.operators.dedup import x1_dup_span_removal
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        vocab = ["wa", "wb", "wc"]   # 3^8 = 6561 grams -> real chance dups
+        docs = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24)))
+            for d in range(30)
+        }
+        want = _naive_span_removal(docs)
+        assert any(v[1] > 0 for v in want.values())   # the test must bite
+        sub = tmp_path / f"c{seed}"
+        sub.mkdir()
+        spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in docs.items()],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        ).write.parquet(str(sub / "documents.parquet"))
+        got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["retained_text"])
+               for r in x1_dup_span_removal(spark, str(sub)).collect()}
+        assert got == want, f"seed {seed} diverged"
