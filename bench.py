@@ -140,6 +140,7 @@ HEADLINE = [
     "x1_dup_span_removal",      # excise duplicated 8-gram spans, keep-first
     "x6_weighted_sample",       # exponential-key weighted sample (A-ES)
     "x2_kcenter_select",        # k-center greedy diverse coreset (8 scans)
+    "x6_countmin_est",          # Count-Min sketch est vs exact top tokens
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -816,3 +816,124 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag
     """,
 }
+
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_TOPN = 10
+
+
+def x6_countmin_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) over the corpus token stream, validated in place against exact
+    counts: build the d=4 x w=1024 sketch, then read back estimates for
+    the exact top-10 tokens and report the (always >= 0) overestimate.
+
+    Why it earns a slot next to HLL/GK/approx_top_k: CM is the MERGEABLE
+    fixed-size answer to "how often does token X occur in 100 TB" — the
+    sketch is d*w counters regardless of corpus size, partial aggregation
+    builds it map-side (cell counts are plain sums), and two shards' maps
+    merge by addition. The estimate min_j(cell[j][h_j(x)]) only ever
+    OVER-counts (collisions add), which the overestimate column exhibits.
+
+    Determinism + oracle: row hashes are the engine-replayable md5-prefix
+    family h_j(t) = int(md5(j || ':' || t)[:8]) % w (the DSIR/CDC gear);
+    everything downstream is integer, so the DuckDB replay is hash-exact
+    (no tolerance rows needed — unlike the library HLL/GK sketches, this
+    sketch IS engine-reproducible).
+
+    Shape: one token explode fanned x4 (one row per hash function), ONE
+    map-side-combined groupBy to the <= d*w-row sketch, exact top-10 via
+    the same explode + TakeOrdered, then a broadcast join of the 10-row
+    probe set against the bounded sketch. At 100 TB the only corpus-sized
+    stage is the token scan; every shuffle output is bounded by d*w."""
+    from swiftbulkuploader_spark.functions.text import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = (
+        spread(docs)
+        .filter(F.length(F.trim(norm)) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("t"))
+    )
+    cells = toks.select(
+        "t",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"),
+    ).select(
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("t"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % CM_WIDTH
+        ).alias("pos"),
+    )
+    sketch = cells.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("t").asc())
+        .limit(CM_TOPN)
+    )
+    probes = exact.select(
+        "t", "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"),
+    ).select(
+        "t", "exact_n", "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("t"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % CM_WIDTH
+        ).alias("pos"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "pos"])  # bounded: <= d*w rows
+        .groupBy("t", "exact_n")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            F.col("t").alias("token"),
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+QUERIES["x6_countmin_est"] = x6_countmin_est
+
+_CM_HASH = ("CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8))"
+            f" AS BIGINT) % {CM_WIDTH}")
+
+ORACLES["x6_countmin_est"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), cells AS (
+        SELECT {_CM_HASH} AS pos, j
+        FROM toks, unnest(range(0, {CM_DEPTH})) AS u(j)
+    ), sketch AS (
+        SELECT j, pos, count(*) AS c FROM cells GROUP BY j, pos
+    ), exact AS (
+        SELECT t, count(*) AS exact_n FROM toks GROUP BY t
+        ORDER BY exact_n DESC, t LIMIT {CM_TOPN}
+    ), probes AS (
+        SELECT t, exact_n, j, {_CM_HASH} AS pos
+        FROM exact, unnest(range(0, {CM_DEPTH})) AS u(j)
+    )
+    SELECT p.t AS token,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(min(s.c) AS BIGINT) AS cm_est,
+           CAST(min(s.c) - p.exact_n AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s USING (j, pos)
+    GROUP BY p.t, p.exact_n
+"""

@@ -215,3 +215,29 @@ def test_ab_test_degenerate_single_arm(spark, tmp_path):
     o = dict(zip([d[0] for d in cur.description], cur.fetchone()))
     assert o["z_stat"] is None and o["significant"] is None
     assert (o["n_a"], o["n_b"]) == (r["n_a"], r["n_b"])
+
+
+class TestCountMinEst:
+    def test_exact_regime_and_counts(self, spark, tmp_path):
+        """With a vocabulary tiny next to w=1024 the sketch is collision-
+        free: every estimate equals the exact count (overestimate 0), and
+        the exact counts match a hand count. The CM guarantee est >= exact
+        holds unconditionally."""
+        from swiftbulkuploader_spark.operators.profiling import x6_countmin_est
+
+        docs = [
+            (0, "aa bb aa cc"),
+            (1, "aa bb dd"),
+            (2, "ee aa"),
+        ]
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["token"]: r for r in
+               x6_countmin_est(spark, str(tmp_path)).collect()}
+        assert {t: r["exact_n"] for t, r in got.items()} == {
+            "aa": 4, "bb": 2, "cc": 1, "dd": 1, "ee": 1,
+        }
+        assert all(r["cm_est"] >= r["exact_n"] for r in got.values())
+        assert all(r["overestimate"] == 0 for r in got.values())
