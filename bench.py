@@ -141,6 +141,7 @@ HEADLINE = [
     "x6_weighted_sample",       # exponential-key weighted sample (A-ES)
     "x2_kcenter_select",        # k-center greedy diverse coreset (8 scans)
     "x6_countmin_est",          # Count-Min sketch est vs exact top tokens
+    "x3_ccnet_bucket",          # CCNet head/middle/tail perplexity thirds
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -1520,8 +1520,19 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), a position-level DISTINCT confined to excised spans, and a
     left-anti join + per-doc reassembly shuffle keyed on doc_id. Nothing is
     quadratic; skewed grams (boilerplate) are exactly the rows being
-    removed. The wide gram strings can be swapped for xxhash64 keys exactly
-    as in ``x1_repeated_passages_hashed`` when shuffle bytes dominate.
+    removed.
+
+    The dup-detection shuffles are keyed on ``xxhash64(gram)`` — 8 bytes
+    per row instead of the ~50-byte literal string, the
+    ``x1_repeated_passages_hashed`` optimization — yet the query stays
+    FULLY value-hash oracled (unlike that query's histogram compromise):
+    the output contains no gram keys, only rewritten documents, and
+    rewrites depend on key EQUALITY alone, so the literal-gram DuckDB
+    oracle verifies the hashed plan byte-for-byte. Collision odds
+    ~n_grams^2 / 2^64 (a colliding pair would excise one spurious span)
+    sit far below the row error budget at any realistic corpus size —
+    the same accepted-residual argument as the contamination inverted
+    index.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks_col = F.split(F.lower(normalize_ws(F.col("text"))), " ")
@@ -1537,17 +1548,19 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("p0") + 1).alias("start"),
-            "gram",
+            # hash BEFORE the shuffle: the gram string never leaves the
+            # scan stage; every downstream exchange carries 8-byte keys
+            F.xxhash64("gram").alias("gh"),
             (F.col("doc_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
         )
     )
     # duplicated grams (>= 2 occurrences corpus-wide, within-doc repeats
     # included) and the single occurrence each one keeps
     dup = (
-        occ.groupBy("gram")
+        occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ_key").alias("keep_key"))
         .filter(F.col("n_occ") >= 2)
-        .select("gram", "keep_key")
+        .select("gh", "keep_key")
     )
     # word positions covered by a non-keeper occurrence of a duplicated gram.
     # merge hint: the duplicated-gram set is CORPUS-SIZED in a
@@ -1557,7 +1570,7 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scaling probe at its 10M/load-1.6 point) — sort-merge spills and is
     # safe at any duplication rate, costing one extra sort at small scale
     covered = (
-        occ.join(dup.hint("merge"), "gram")
+        occ.join(dup.hint("merge"), "gh")
         .filter(F.col("occ_key") != F.col("keep_key"))
         .select(
             "doc_id",

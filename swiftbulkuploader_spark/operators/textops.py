@@ -1071,3 +1071,99 @@ ORACLES["x6_quality_percentile_filter"] = """
                <= CAST(0.5 AS DOUBLE) AS keep
     FROM z
 """
+
+
+def x3_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    rank every document WITHIN ITS LANGUAGE by LM cross-entropy and label
+    the thirds head / middle / tail — the partition CCNet publishes and
+    LLaMA-style pipelines consume (train on head+middle, drop or re-weight
+    tail). The LM is the corpus's own add-one-smoothed unigram model (the
+    x3_unigram_logprob scorer), keeping the query self-contained and
+    oracle-exact where CCNet's KenLM would be an opaque artifact.
+
+    Shape: the unigram scorer's token explode + tf join (one token-keyed
+    shuffle, 1-row totals broadcast), then ONE per-language percent_rank
+    window — the x6_quality_percentile_filter pattern: xent rounded to
+    6 dp BEFORE the ordering decision, doc_id tie-breaks, so the rank is
+    engine-exact; pr thresholds at 1/3 and 2/3 are computed from identical
+    integer ranks on both sides. At 100 TB the per-language sort is the
+    scale cost; the at-rest swap is two GK-sketch thresholds per language
+    + a row-local bucket label (the x6_dataset_card discipline), trading
+    exact thirds for O(scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    tok = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", "lang", F.explode(F.split(norm, " ")).alias("t")
+    )
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = tf.agg(
+        F.sum("c").cast("double").alias("corpus_n"),
+        F.count(F.lit(1)).cast("double").alias("vocab_v"),
+    )
+    scored = (
+        tok.join(tf, "t")
+        .crossJoin(F.broadcast(totals))  # bounded: 1-row totals
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("corpus_n") + F.col("vocab_v"))
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(-F.col("s") / F.col("n_tokens"), 6).alias("xent"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("xent").asc(), F.col("doc_id").asc()
+    )
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr < F.lit(1.0) / 3, F.lit("head"))
+        .when(pr < F.lit(2.0) / 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select("doc_id", "lang", "xent", bucket.alias("bucket"))
+
+
+QUERIES["x3_ccnet_bucket"] = x3_ccnet_bucket
+
+ORACLES["x3_ccnet_bucket"] = """
+    WITH tk AS (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), tf AS (
+        SELECT t, count(*) AS c FROM tk GROUP BY t
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS corpus_n,
+               CAST(count(*) AS DOUBLE) AS vocab_v
+        FROM tf
+    ), per AS (
+        SELECT tk.doc_id, tk.lang,
+               count(*) AS n_tokens,
+               sum(ln(CAST(tf.c + 1 AS DOUBLE) / (tot.corpus_n + tot.vocab_v))) AS s
+        FROM tk JOIN tf USING (t) CROSS JOIN tot
+        GROUP BY tk.doc_id, tk.lang
+    ), scored AS (
+        SELECT doc_id, lang, round(-s / n_tokens, 6) AS xent FROM per
+    ), ranked AS (
+        SELECT doc_id, lang, xent,
+               percent_rank() OVER
+                   (PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, xent,
+           CASE WHEN pr < 1.0 / 3 THEN 'head'
+                WHEN pr < 2.0 / 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+"""

@@ -240,3 +240,25 @@ def test_vocab_growth_invariants(spark, tmp_path):
     assert [out[b]["cum_vocab"] for b in (0, 1, 2)] == [3, 3, 4]
     assert [out[b]["cum_tokens"] for b in (0, 1, 2)] == [150, 300, 400]
     assert all(out[b]["n_docs"] == 50 for b in out)
+
+
+class TestCCNetBucket:
+    def test_thirds_are_balanced_and_ordered(self, spark):
+        """Per language: bucket sizes differ by at most 2 (percent_rank
+        thirds), and every head document scores no higher cross-entropy
+        than every tail document — the CCNet partition contract."""
+        from collections import defaultdict
+
+        from swiftbulkuploader_spark.operators.textops import x3_ccnet_bucket
+
+        rows = x3_ccnet_bucket(spark, "/root/testdata/sf0.001").collect()
+        by_lang = defaultdict(lambda: defaultdict(list))
+        for r in rows:
+            by_lang[r["lang"]][r["bucket"]].append(r["xent"])
+        assert by_lang
+        for lang, buckets in by_lang.items():
+            sizes = {b: len(v) for b, v in buckets.items()}
+            assert set(sizes) <= {"head", "middle", "tail"}
+            if sum(sizes.values()) >= 3:
+                assert max(sizes.values()) - min(sizes.values()) <= 2, lang
+                assert max(buckets["head"]) <= min(buckets["tail"]), lang

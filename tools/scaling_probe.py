@@ -889,22 +889,23 @@ def shape_span_removal(df):
         .select(
             "event_id",
             (F.col("p0") + 1).alias("start"),
-            "gram",
+            # mirror the operator: hash before the shuffle, 8-byte keys
+            F.xxhash64("gram").alias("gh"),
             (F.col("event_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
         )
     )
     dup = (
-        occ.groupBy("gram")
+        occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ_key").alias("keep_key"))
         .filter(F.col("n_occ") >= 2)
-        .select("gram", "keep_key")
+        .select("gh", "keep_key")
     )
     # shuffle_hash hints mirror the real operator: the 10M point here has
     # gram load factor 1.6 (a boilerplate-stress regime) and the dup set is
     # tens of millions of rows — the broadcast Catalyst would pick from its
     # post-filter estimate OOMs the driver (observed before the hint)
     covered = (
-        occ.join(dup.hint("merge"), "gram")
+        occ.join(dup.hint("merge"), "gh")
         .filter(F.col("occ_key") != F.col("keep_key"))
         .select(
             "event_id",
