@@ -60,6 +60,9 @@ BOUNDED_BNLJ_OK = {
                                # 1-row totals joined into the 64-bin CDF
     "x3_pmi_cooccurrence",     # 1-row corpus token total cross-joined into
                                # the PMI scorer
+    "x3_ccnet_bucket",         # same 1-row (corpus_n, vocab_v) totals
+                               # broadcast as x3_unigram_logprob, feeding the
+                               # per-language xent scorer
 }
 
 
