@@ -54,7 +54,14 @@ echo "=== pytest done $(date): $(tail -2 /tmp/pytest_rc.txt | head -1)"
 
 # Stage 5: solo bench at sf0.1
 python bench.py > /tmp/bench_rc.json 2>/tmp/bench_rc.err
-if [ -s BENCH_LOCAL.json ] && summary=$(tail -1 /tmp/bench_rc.json | python -c "import json,sys; d=json.loads(sys.stdin.read()); print('%.1f s / %d queries, spread %.2f, %.0f uploads/s' % (d['value'], d['n_queries'], d.get('spread', 0), d.get('uploads_per_sec', 0)))" 2>/dev/null); then
+summarize() {
+    tail -1 /tmp/bench_rc.json | python -c 'import json,sys
+d = json.loads(sys.stdin.read())
+print("%.1f s / %d queries, spread %.2f, %.0f uploads/s"
+      % (d["value"], d["n_queries"], d.get("spread", 0),
+         d.get("uploads_per_sec", 0)))'
+}
+if [ -s BENCH_LOCAL.json ] && summary=$(summarize 2>/dev/null); then
     cp BENCH_LOCAL.json "BENCH_LOCAL_r${ROUND}.json"
     git add BENCH_LOCAL.json "BENCH_LOCAL_r${ROUND}.json" && git commit -q -m "Final round-${ROUND} bench: ${summary}
 
