@@ -935,8 +935,61 @@ def shape_span_removal(df):
     )
 
 
+def shape_kcenter_greedy(df):
+    """x2_kcenter_select's full skeleton (similarity.py): k=8 greedy
+    farthest-point rounds over n synthesized 64-dim vectors. Each round
+    folds the running min-distance against the newest pick's LITERAL
+    vector (one fused-codegen cosine added per round — k stays far from
+    the janino cliff) and takes a TakeOrderedAndProject(1) argmax: a
+    bounded 1-row collect, per-partition top-1 + driver merge, NO shuffle
+    anywhere. The contract query keeps the fold stateless, so round r
+    re-executes the whole lineage: r scans of the corpus by round k-1,
+    O(k^2/2) scan-equivalents total (the docstring's documented trade —
+    an at-rest deployment persists the running-min column and pays k
+    scans). Expectation: wall ~linear in rows at fixed k, and the probe's
+    10x point verifies the re-executed lineage stays scan-bound (ratio
+    ~10, shuffle bytes ~0) rather than degrading super-linearly."""
+    from swiftbulkuploader_spark.operators import similarity as S
+
+    emb = df.select(
+        F.col("event_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 1000)
+            .cast("double") / 1000.0,
+        ).alias("v"),
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]  # bounded: 1 row
+    picks = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
+    cur = emb
+    for r in range(2, 9):
+        last_id, last_vec = picks[-1]
+        d = F.round(
+            F.lit(1.0)
+            - F.coalesce(
+                S.cosine_similarity(F.col("v"), S._lit_vec(last_vec)),
+                F.lit(-2.0),
+            ),
+            6,
+        )
+        cur = cur.filter(F.col("vec_id") != last_id).withColumn(
+            "mind", d if r == 2 else F.least(F.col("mind"), d)
+        )
+        # bounded: TakeOrdered(1) argmax, one row per round
+        top = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((int(top["vec_id"]), [float(x) for x in top["v"]]))
+    return df.sparkSession.range(1).select(
+        F.lit(len(picks)).cast("long").alias("k_selected")
+    )
+
+
 SHAPES = {
     "span_removal": shape_span_removal,
+    "kcenter_greedy": shape_kcenter_greedy,
     "range_window_1h": shape_range_window,
     "merge_broadcast_delta": shape_merge_broadcast_delta,
     "pagerank_round": shape_pagerank_round,
