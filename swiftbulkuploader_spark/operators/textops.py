@@ -1167,3 +1167,72 @@ ORACLES["x3_ccnet_bucket"] = """
                 ELSE 'tail' END AS bucket
     FROM ranked
 """
+
+
+ZIPF_TOP_R = 1000  # head ranks fitted — the log-log-linear regime
+
+
+def x3_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law rank-frequency fit — the corpus-health diagnostic that
+    pairs with the Heaps'-law curve (x3_vocab_growth): natural language
+    has log10(freq) ~ intercept + slope * log10(rank) with slope near -1
+    and high R² over the head ranks; template/boilerplate-heavy or
+    machine-generated corpora bend the line (|slope| drifts, R² drops),
+    so the (slope, r2) pair is a one-row drift alarm for a text source.
+
+    Shape: the x3_unigram_logprob tf table (ONE token-keyed shuffle,
+    map-side combined — the probed inverted-index family), then a
+    TakeOrderedAndProject top-ZIPF_TOP_R by (count desc, term asc) —
+    per-partition bounded heaps + driver merge, NO global sort — and the
+    rank window + OLS run over those <= 1000 rows (bounded, one
+    partition by construction). Fitting the head is the statistically
+    standard choice (the tail departs from the power law) AND the scale
+    choice: vocabulary at 100 TB is billions of junk terms, but the fit
+    input stays fixed-size. OLS via the single-pass algebraic regr_*
+    aggregates (the x6_regression_stats pattern); values ship UNROUNDED —
+    summation-order ulps are absorbed by the verifier's 9-significant-
+    digit normalization (CLAUDE.md rule 3).
+
+    Reference parity: no statistics in the reference beyond counters
+    (bulkupload.py:320-331); §2.9 north-star extension.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    tok = docs.filter(F.length(F.trim(norm)) > 0).select(
+        F.explode(F.split(norm, " ")).alias("t")
+    )
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = tf.orderBy(F.col("c").desc(), F.col("t").asc()).limit(ZIPF_TOP_R)
+    # bounded input: the rank window runs over <= ZIPF_TOP_R rows
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = top.select(F.row_number().over(w).alias("r"), "c")
+    x = F.log10(F.col("r").cast("double"))
+    y = F.log10(F.col("c").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+    )
+
+
+QUERIES["x3_zipf_fit"] = x3_zipf_fit
+
+ORACLES["x3_zipf_fit"] = """
+    WITH tk AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), tf AS (
+        SELECT t, count(*) AS c FROM tk GROUP BY t
+    ), top AS (
+        SELECT t, c FROM tf ORDER BY c DESC, t ASC LIMIT 1000
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY c DESC, t ASC) AS r, c FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fit,
+           regr_slope(log10(CAST(c AS DOUBLE)), log10(CAST(r AS DOUBLE))) AS slope,
+           regr_intercept(log10(CAST(c AS DOUBLE)), log10(CAST(r AS DOUBLE))) AS intercept,
+           regr_r2(log10(CAST(c AS DOUBLE)), log10(CAST(r AS DOUBLE))) AS r2
+    FROM ranked
+"""
