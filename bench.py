@@ -143,6 +143,7 @@ HEADLINE = [
     "x6_countmin_est",          # Count-Min sketch est vs exact top tokens
     "x3_ccnet_bucket",          # CCNet head/middle/tail perplexity thirds
     "x3_zipf_fit",              # Zipf rank-frequency log-log OLS fit
+    "x1_novelty_score",         # per-doc first-introduction 8-gram share
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

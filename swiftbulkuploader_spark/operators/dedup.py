@@ -2172,3 +2172,89 @@ ORACLES["x1_source_overlap"] = """
     JOIN sz b ON a.source < b.source
     LEFT JOIN common c ON c.source_a = a.source AND c.source_b = b.source
 """
+
+
+def x1_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's 8-gram
+    occurrences whose gram is FIRST introduced by that doc (first = the
+    corpus's min doc_id — the ingestion-order proxy every snapshot-ordered
+    crawl pipeline has). The running-freshness diagnostic of RefinedWeb/
+    FineWeb-style curation: a crawl slice whose novel_frac collapses is
+    re-crawling what the corpus already holds, and per-doc novelty ~0
+    flags boilerplate mirrors that document-level dedup missed (the same
+    signal family as x1_repeated_passages, aggregated to the doc instead
+    of the gram).
+
+    Shape: the x1_repeated_passages skeleton — linear zip_with shingling
+    (functions/text.py::shingles), one (gram, doc) pre-aggregated shuffle
+    (two-level, no countDistinct Expand) — then min(doc_id) per gram and
+    a gram-keyed join back: both sides of that join are outputs of the
+    SAME (gram, doc) exchange, so the sort/partitioning is reused, and
+    the build side is the corpus-sized first-doc table at ANY scale (no
+    data-dependent flip — Catalyst sees corpus-sized stats and picks
+    sort-merge; nothing to pin, unlike the span-removal excision joins
+    whose build side only LOOKED small). Final per-doc combine is a
+    narrow doc_id-keyed aggregate. novel_frac = novel/total is a single
+    IEEE division of two exact longs — bit-identical on both engines,
+    shipped unrounded. Docs with < 8 tokens have no grams and are
+    excluded (they carry no novelty evidence either way).
+
+    Reference parity: no corpus statistics in the reference
+    (bulkupload.py is a counter-only uploader); §2.9 north-star extension
+    alongside Lee et al. 2022's repeated-passage analysis."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    grams = (
+        spread(docs)
+        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+        .filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        per_doc.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("occ"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            (F.col("novel_grams").cast("double") / F.col("n_grams"))
+            .alias("novel_frac"),
+        )
+    )
+
+
+QUERIES["x1_novelty_score"] = x1_novelty_score
+
+ORACLES["x1_novelty_score"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8
+    ), per_doc AS (
+        SELECT gram, doc_id, count(*) AS occ FROM g GROUP BY gram, doc_id
+    ), first AS (
+        SELECT gram, min(doc_id) AS first_doc FROM per_doc GROUP BY gram
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.occ) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN p.occ ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN p.occ ELSE 0 END) AS DOUBLE)
+               / CAST(sum(p.occ) AS DOUBLE) AS novel_frac
+    FROM per_doc p JOIN first f USING (gram)
+    GROUP BY p.doc_id
+"""
