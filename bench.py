@@ -144,6 +144,7 @@ HEADLINE = [
     "x3_ccnet_bucket",          # CCNet head/middle/tail perplexity thirds
     "x3_zipf_fit",              # Zipf rank-frequency log-log OLS fit
     "x1_novelty_score",         # per-doc first-introduction 8-gram share
+    "x1_contamination_fraction",  # per-train-doc eval-overlap dirtiness
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

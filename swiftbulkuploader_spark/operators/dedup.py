@@ -2258,3 +2258,89 @@ ORACLES["x1_novelty_score"] = """
     FROM per_doc p JOIN first f USING (gram)
     GROUP BY p.doc_id
 """
+
+
+def x1_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-side contamination fraction — the GPT-3/PaLM "dirtiness" form
+    of decontamination (Brown et al. 2020 Appendix C): for every TRAIN
+    document, the fraction of its distinct shingles that appear anywhere
+    in the eval probe set. The existing x1_contamination family answers
+    the probe-side question (which eval items leak?); this answers the
+    train-side one (which documents to drop or scrub, and how dirty is
+    the corpus overall?) — the number a curation report actually quotes.
+
+    Shape: reads the SAME persisted shingle_base substrate; probe side
+    collapses to a DISTINCT 8-byte-hash set (bounded by the eval gram
+    vocabulary — eval suites are fixed-size, so at 100 TB this side is
+    small and stats-driven join selection broadcasts it; if an eval set
+    ever rivals the corpus, the plan degrades to exactly the
+    x1_contamination_indexed posting join, uniform 8-byte keys, no pin
+    needed because BOTH estimates and reality are large). Corpus side
+    explodes its hash array, one equi-join + per-doc count, then a
+    doc_id-keyed left join backfills zero-hit documents with 0 — every
+    train doc reports, dirty or not. dirty_frac is an exact-long IEEE
+    division, shipped unrounded.
+
+    Reference parity: none (counter-only uploader); §2.9 north-star
+    extension; semantics per Brown et al. 2020 / Chowdhery et al. 2022
+    decontamination appendices."""
+    base = shingle_base(load_table(spark, sf_dir, "documents"))
+    probe_hashes = (
+        base.filter(F.col("doc_id") < 8)
+        .select(F.explode("hs").alias("sh_hash"))
+        .distinct()
+    )
+    corpus = base.filter(F.col("doc_id") >= 8).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("hs").alias("sh_hash")
+    )
+    hits = (
+        corpus.join(probe_hashes, "sh_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        base.filter(F.col("doc_id") >= 8)
+        .select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("dirty_frac"),
+        )
+    )
+
+
+QUERIES["x1_contamination_fraction"] = x1_contamination_fraction
+
+ORACLES["x1_contamination_fraction"] = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 4, 1)),
+                   i -> array_to_string(t[i:least(i + 4, len(t))], ' ')
+               )) AS s
+        FROM (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+            FROM documents
+        )
+    ), probe_grams AS (
+        SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id < 8
+    ), expl AS (
+        SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id >= 8
+    ), hits AS (
+        SELECT e.doc_id, count(*) AS n_overlap
+        FROM expl e JOIN probe_grams p USING (gram)
+        GROUP BY e.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.s) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(c.s) AS dirty_frac
+    FROM sh c LEFT JOIN hits h USING (doc_id)
+    WHERE c.doc_id >= 8
+"""
