@@ -2344,3 +2344,81 @@ ORACLES["x1_contamination_fraction"] = """
     FROM sh c LEFT JOIN hits h USING (doc_id)
     WHERE c.doc_id >= 8
 """
+
+
+# ---------------------------------------------------------------------------
+# X1 — soft dedup: reweight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+
+def x1_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — downweight duplicated content instead of
+    removing it (the sampling-reweight alternative to hard dedup, cf.
+    SoftDeDup, He et al. 2024): every document gets sampling weight
+    1/d where d is the size of its exact-fingerprint duplicate group, so
+    a group of d copies contributes exactly one document's worth of
+    expected training mass while still exposing all d layouts/sources.
+
+    Per source: document counts, how many sit in duplicated groups, raw
+    vs effective (weight-summed) token mass, and the retention ratio —
+    the number a data recipe needs to convert raw crawl mass into
+    deduplicated training-token budgets.
+
+    Scale shape: one window count over the fingerprint shuffle (the same
+    narrow md5 key every exact-dedup form here shuffles on), then a
+    per-source partial+final aggregate; nothing is quadratic in group
+    size and no text leaves the executors after fingerprinting."""
+    from swiftbulkuploader_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    base = docs.select(
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn("dupc", F.count(F.lit(1)).over(w))
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("dupc") > 1).cast("long")).alias("n_dup_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.sum(F.col("n_tokens").cast("double") / F.col("dupc")).alias(
+            "effective_tokens"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "raw_tokens",
+        "effective_tokens",
+        (F.col("effective_tokens") / F.col("raw_tokens")).alias("retention"),
+    )
+
+
+QUERIES["x1_soft_dedup_weights"] = x1_soft_dedup_weights
+
+ORACLES["x1_soft_dedup_weights"] = """
+    WITH d AS (
+        SELECT source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(string_split(
+                        trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               END AS n_tokens
+        FROM documents
+    ), g AS (
+        SELECT source, n_tokens,
+               count(*) OVER (PARTITION BY fp) AS dupc
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dupc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+           sum(CAST(n_tokens AS DOUBLE) / dupc) AS effective_tokens,
+           sum(CAST(n_tokens AS DOUBLE) / dupc) / sum(n_tokens) AS retention
+    FROM g
+    GROUP BY source
+"""

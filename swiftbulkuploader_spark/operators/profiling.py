@@ -937,3 +937,112 @@ ORACLES["x6_countmin_est"] = f"""
     FROM probes p JOIN sketch s USING (j, pos)
     GROUP BY p.t, p.exact_n
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def x6_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007) over the corpus's word-trigram vocabulary: hash
+    every distinct trigram to a uniform [0,1) fraction (md5 top 60 bits,
+    engine-portable), keep the k=256 smallest, and estimate distinct =
+    (k-1)/u_k from the k-th smallest. Unlike the engine-seeded HLL
+    (``x6_hll_mergeable``), the md5-keyed KMV is deterministic across
+    engines, so the sketch VALUE — not just a tolerance band — is
+    oracle-checked, alongside the exact count and the realized relative
+    error.
+
+    Scale shape: trigrams form row-locally; distinct-ing them is one
+    map-side-combined shuffle on the gram; the bottom-k is a
+    TakeOrderedAndProject (per-partition top-k, then a k*partitions
+    merge — never a global sort), so the driver touches exactly k rows.
+    The bottom-k set is also the sketch's merge state: union two runs'
+    sets and re-take the k smallest — the mergeability HLL is prized for,
+    with exact cross-engine replay."""
+    from swiftbulkuploader_spark.functions.text import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        F.split(norm, " ").alias("t")
+    )
+    m = F.size("t") - 2
+    pair = F.zip_with(
+        F.slice("t", 1, m), F.slice("t", 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri = F.zip_with(
+        pair, F.slice("t", 3, m),
+        lambda p, c: F.concat_ws(" ", p, c),
+    )
+    grams = (
+        toks.filter(F.size("t") >= 3)
+        .select(F.explode(tri).alias("g"))
+        .distinct()
+    )
+    u = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    bottom = grams.select(u.alias("u")).orderBy("u").limit(KMV_K)
+    est = bottom.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("u").alias("u_k")
+    )
+    exact = grams.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    # 1-row x 1-row crossJoin: bounded scalar combine (BOUNDED_BNLJ_OK)
+    kmv = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise((F.col("k_used") - 1).cast("double") / F.col("u_k"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_distinct",
+            F.col("k_used").cast("long").alias("k_used"),
+            kmv.alias("kmv_estimate"),
+            (kmv / F.col("exact_distinct") - 1).alias("rel_error"),
+        )
+    )
+
+
+QUERIES["x6_kmv_distinct"] = x6_kmv_distinct
+
+ORACLES["x6_kmv_distinct"] = f"""
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), grams AS (
+        SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                   AS g
+        FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= 3
+    ), hashed AS (
+        SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                   / CAST(1152921504606846976 AS DOUBLE) AS u
+        FROM grams
+    ), bottom AS (
+        SELECT u FROM hashed ORDER BY u LIMIT {KMV_K}
+    ), est AS (
+        SELECT count(*) AS k_used, max(u) AS u_k FROM bottom
+    ), exact AS (
+        SELECT count(*) AS exact_distinct FROM grams
+    ), joined AS (
+        SELECT exact.exact_distinct, est.k_used, est.u_k,
+               CASE WHEN est.k_used < {KMV_K}
+                    THEN CAST(est.k_used AS DOUBLE)
+                    ELSE CAST(est.k_used - 1 AS DOUBLE) / est.u_k
+               END AS kmv
+        FROM est CROSS JOIN exact
+    )
+    SELECT CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(k_used AS BIGINT) AS k_used,
+           kmv AS kmv_estimate,
+           kmv / exact_distinct - 1 AS rel_error
+    FROM joined
+"""

@@ -1236,3 +1236,202 @@ ORACLES["x3_zipf_fit"] = """
            regr_r2(log10(CAST(c AS DOUBLE)), log10(CAST(r AS DOUBLE))) AS r2
     FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# X3 — stupid-backoff trigram LM scoring
+# ---------------------------------------------------------------------------
+
+SB_LAMBDA = 0.4  # Brants et al. 2007 backoff penalty
+
+
+def x3_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM scoring with stupid backoff (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the backoff scheme built
+    for distributed count tables: no discounting mass to renormalize, so
+    the model is JUST the raw n-gram count tables and scoring is pure
+    joins. S(w3|w1w2) = c123/c12 if the trigram was seen, else
+    0.4*c23/c2, else 0.4^2*c3/N, else a 0.4^2/N floor for OOV.
+
+    The count tables train on the even-doc_id half of the corpus and
+    score EVERY doc — held-out docs exercise the backoff chain exactly
+    like web text scored against a Wikipedia-trained KenLM (the
+    CCNet/Gopher quality-filter setup). Per doc: trigram count, mean log
+    score, and how many trigrams resolved at each backoff level (the
+    model-coverage diagnostic).
+
+    Scale shape: trigrams/bigrams form row-locally (shifted-slice
+    zip_with, no self-join); each count table is one map-side-combined
+    shuffle keyed on its gram — the same posting-table partitioning as
+    tf-idf/bigram-LM — and scoring joins are keyed on those same grams,
+    so count-build and probe co-partition; N rides a 1-row broadcast.
+    Nothing is quadratic and the driver sees only the final per-doc rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", F.split(norm, " ").alias("t")
+    )
+    n = F.size("t")
+
+    def grams3(frame: DataFrame) -> DataFrame:
+        m = F.size("t") - 2
+        pair = F.zip_with(
+            F.slice("t", 1, m),
+            F.slice("t", 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        tri = F.zip_with(
+            pair,
+            F.slice("t", 3, m),
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+        return (
+            frame.filter(F.size("t") >= 3)
+            .select("doc_id", F.explode(tri).alias("g"))
+            .select("doc_id", "g.w1", "g.w2", "g.w3")
+        )
+
+    def grams2(frame: DataFrame) -> DataFrame:
+        m = F.size("t") - 1
+        pair = F.zip_with(
+            F.slice("t", 1, m),
+            F.slice("t", 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return (
+            frame.filter(F.size("t") >= 2)
+            .select(F.explode(pair).alias("g"))
+            .select("g.w1", "g.w2")
+        )
+
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    c3 = grams3(train).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c2 = grams2(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nn = c1.agg(F.sum("c1").cast("double").alias("n_train"))
+
+    lam = F.lit(SB_LAMBDA)
+    probe = (
+        grams3(toks)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("d1"), F.col("w2").alias("d2"),
+                F.col("c2").alias("c12"),
+            ),
+            (F.col("w1") == F.col("d1")) & (F.col("w2") == F.col("d2")),
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("b1"), F.col("w2").alias("b2"),
+                F.col("c2").alias("c23"),
+            ),
+            (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")),
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("u2"), F.col("c1").alias("cu2")),
+              F.col("w2") == F.col("u2"), "left")
+        .join(c1.select(F.col("w").alias("u3"), F.col("c1").alias("cu3")),
+              F.col("w3") == F.col("u3"), "left")
+        .crossJoin(F.broadcast(nn))
+    )
+    score = (
+        F.when(F.col("c3").isNotNull(),
+               F.col("c3").cast("double") / F.col("c12"))
+        .when(F.col("c23").isNotNull(),
+              lam * F.col("c23") / F.col("cu2"))
+        .when(F.col("cu3").isNotNull(),
+              lam * lam * F.col("cu3") / F.col("n_train"))
+        .otherwise(lam * lam / F.col("n_train"))
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return (
+        probe.select("doc_id", F.log(score).alias("lns"), level.alias("lv"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.sum("lns") / F.count(F.lit(1))).alias("avg_logscore"),
+            F.sum((F.col("lv") == 0).cast("long")).alias("n_tri_hits"),
+            F.sum((F.col("lv") == 1).cast("long")).alias("n_bigram_backoff"),
+            F.sum((F.col("lv") == 2).cast("long")).alias("n_unigram_backoff"),
+        )
+    )
+
+
+QUERIES["x3_stupid_backoff"] = x3_stupid_backoff
+
+ORACLES["x3_stupid_backoff"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), tri AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= 3
+    ), c3 AS (
+        SELECT w1, w2, w3, count(*) AS c3
+        FROM tri WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+    ), bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2 AND doc_id % 2 = 0
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)
+        GROUP BY w
+    ), nn AS (
+        SELECT CAST(sum(c1) AS DOUBLE) AS n_train FROM c1
+    ), sc AS (
+        SELECT tri.doc_id,
+               CASE
+                 WHEN c3.c3 IS NOT NULL
+                   THEN CAST(c3.c3 AS DOUBLE) / d12.c2
+                 WHEN b23.c2 IS NOT NULL
+                   THEN CAST({SB_LAMBDA} AS DOUBLE) * b23.c2 / u2.c1
+                 WHEN u3.c1 IS NOT NULL
+                   THEN CAST({SB_LAMBDA} AS DOUBLE) * CAST({SB_LAMBDA} AS DOUBLE)
+                        * u3.c1 / nn.n_train
+                 ELSE CAST({SB_LAMBDA} AS DOUBLE) * CAST({SB_LAMBDA} AS DOUBLE)
+                      / nn.n_train
+               END AS s,
+               CASE WHEN c3.c3 IS NOT NULL THEN 0
+                    WHEN b23.c2 IS NOT NULL THEN 1
+                    ELSE 2 END AS lv
+        FROM tri
+        LEFT JOIN c3 USING (w1, w2, w3)
+        LEFT JOIN c2 d12 ON tri.w1 = d12.w1 AND tri.w2 = d12.w2
+        LEFT JOIN c2 b23 ON tri.w2 = b23.w1 AND tri.w3 = b23.w2
+        LEFT JOIN c1 u2 ON tri.w2 = u2.w
+        LEFT JOIN c1 u3 ON tri.w3 = u3.w
+        CROSS JOIN nn
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           sum(ln(s)) / count(*) AS avg_logscore,
+           CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(sum(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bigram_backoff,
+           CAST(sum(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unigram_backoff
+    FROM sc
+    GROUP BY doc_id
+"""

@@ -241,3 +241,36 @@ class TestCountMinEst:
         }
         assert all(r["cm_est"] >= r["exact_n"] for r in got.values())
         assert all(r["overestimate"] == 0 for r in got.values())
+
+
+class TestKMVDistinct:
+    def test_small_universe_is_exact(self, spark, tmp_path):
+        """With fewer distinct trigrams than k the sketch holds the whole
+        set, so the estimate must equal the exact count (rel_error 0)."""
+        rows = [
+            (0, "a b c d e f", "en", "s", 1),   # trigrams: abc bcd cde def
+            (1, "a b c d", "en", "s", 1),       # abc bcd (dups)
+        ]
+        from swiftbulkuploader_spark.operators.profiling import x6_kmv_distinct
+
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x6_kmv_distinct(spark, str(tmp_path)).collect()[0]
+        assert r["exact_distinct"] == 4
+        assert r["k_used"] == 4
+        assert r["kmv_estimate"] == 4.0
+        assert r["rel_error"] == 0.0
+
+    def test_estimate_within_sketch_error(self, spark):
+        """On the smoke corpus (>> k distinct trigrams) the (k-1)/u_k
+        estimate must land within a few standard errors (1/sqrt(k-2) ~
+        6%) of the true cardinality."""
+        from swiftbulkuploader_spark.operators.profiling import KMV_K, x6_kmv_distinct
+
+        r = x6_kmv_distinct(spark, "/root/testdata/sf0.001").collect()[0]
+        assert r["exact_distinct"] > KMV_K
+        assert r["k_used"] == KMV_K
+        assert abs(r["rel_error"]) < 0.25

@@ -699,3 +699,38 @@ def test_dup_span_removal_matches_naive_reference(spark, tmp_path):
         got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["retained_text"])
                for r in x1_dup_span_removal(spark, str(sub)).collect()}
         assert got == want, f"seed {seed} diverged"
+
+
+class TestSoftDedupWeights:
+    def test_weights_sum_to_one_doc_per_group(self, spark, tmp_path):
+        """A group of d exact copies must contribute exactly one doc's
+        token mass to effective_tokens (weight 1/d each), split across
+        the sources holding the copies; unique docs keep weight 1."""
+        import pytest
+
+        from swiftbulkuploader_spark.operators.dedup import x1_soft_dedup_weights
+
+        dup = "alpha beta gamma delta epsilon"          # 5 tokens, 3 copies
+        rows = [
+            (0, dup, "en", "a", 1),
+            (1, dup, "en", "a", 1),
+            (2, "one two three", "en", "a", 1),          # unique, 3 tokens
+            (3, dup, "en", "b", 1),
+            (4, "uno dos tres cuatro", "en", "b", 1),    # unique, 4 tokens
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r for r in
+               x1_soft_dedup_weights(spark, str(tmp_path)).collect()}
+        a, b = got["a"], got["b"]
+        assert (a["n_docs"], a["n_dup_docs"], a["raw_tokens"]) == (3, 2, 13)
+        assert a["effective_tokens"] == pytest.approx(5 / 3 + 5 / 3 + 3)
+        assert a["retention"] == pytest.approx((5 / 3 + 5 / 3 + 3) / 13)
+        assert (b["n_docs"], b["n_dup_docs"], b["raw_tokens"]) == (2, 1, 9)
+        assert b["effective_tokens"] == pytest.approx(5 / 3 + 4)
+        # corpus-wide: effective mass == one copy of dup + the uniques
+        total_eff = a["effective_tokens"] + b["effective_tokens"]
+        assert total_eff == pytest.approx(5 + 3 + 4)

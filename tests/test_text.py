@@ -262,3 +262,50 @@ class TestCCNetBucket:
             if sum(sizes.values()) >= 3:
                 assert max(sizes.values()) - min(sizes.values()) <= 2, lang
                 assert max(buckets["head"]) <= min(buckets["tail"]), lang
+
+
+class TestStupidBackoff:
+    def test_backoff_levels_and_scores(self, spark, tmp_path):
+        """Pin each resolution level of the stupid-backoff chain on a
+        crafted corpus: trigram hit -> c3/c12; bigram backoff ->
+        0.4*c23/c2; unigram backoff -> 0.4^2*c3/N; OOV floor -> 0.4^2/N.
+        Train half = even doc_ids (here just doc 0: 'a b c d d')."""
+        import math
+
+        import pytest
+
+        from swiftbulkuploader_spark.operators.textops import x3_stupid_backoff
+
+        rows = [
+            (0, "a b c d d", "en", "s", 1),   # train: N=5, c(d)=2
+            (1, "a b c", "en", "s", 1),       # trigram hit: s=1
+            (3, "c a b", "en", "s", 1),       # bigram backoff: 0.4*c(a,b)/c(a)
+            (5, "x y d", "en", "s", 1),       # unigram backoff: 0.16*c(d)/N
+            (7, "x y z", "en", "s", 1),       # OOV floor: 0.16/N
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r for r in
+               x3_stupid_backoff(spark, str(tmp_path)).collect()}
+        assert set(got) == {0, 1, 3, 5, 7}
+
+        lam2 = 0.4 * 0.4
+        # doc 0 (train itself): all 3 trigrams are hits with s=1
+        assert got[0]["n_tri_hits"] == 3
+        assert got[0]["avg_logscore"] == pytest.approx(0.0)
+        # trigram hit
+        assert (got[1]["n_tri_hits"], got[1]["n_bigram_backoff"],
+                got[1]["n_unigram_backoff"]) == (1, 0, 0)
+        assert got[1]["avg_logscore"] == pytest.approx(0.0)
+        # bigram backoff
+        assert got[3]["n_bigram_backoff"] == 1
+        assert got[3]["avg_logscore"] == pytest.approx(math.log(0.4 * 1 / 1))
+        # unigram backoff (c(d)=2, N=5)
+        assert got[5]["n_unigram_backoff"] == 1
+        assert got[5]["avg_logscore"] == pytest.approx(math.log(lam2 * 2 / 5))
+        # OOV floor
+        assert got[7]["n_unigram_backoff"] == 1
+        assert got[7]["avg_logscore"] == pytest.approx(math.log(lam2 / 5))

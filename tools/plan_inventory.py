@@ -63,6 +63,10 @@ BOUNDED_BNLJ_OK = {
     "x3_ccnet_bucket",         # same 1-row (corpus_n, vocab_v) totals
                                # broadcast as x3_unigram_logprob, feeding the
                                # per-language xent scorer
+    "x3_stupid_backoff",       # 1-row train-token total (N) cross-joined
+                               # into the trigram scorer
+    "x6_kmv_distinct",         # 1-row bottom-k summary x 1-row exact count
+                               # (two scalar aggregates combined)
 }
 
 
