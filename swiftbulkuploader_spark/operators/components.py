@@ -484,3 +484,147 @@ ORACLES["x1_dup_clusters_star"] = """
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# X8 — triangle counting / transitivity of the near-dup graph
+# ---------------------------------------------------------------------------
+
+# the deterministic pair-graph CTE block shared with the dup-clustering
+# oracle above (t/g/sz/pr/e0: literal 3-gram shingle postings -> naive
+# posting join -> Jaccard >= 0.5 edge set, a < b, one row per pair)
+_E0_CTES = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), e0 AS (
+        SELECT a, b
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+    )"""
+
+
+def x8_triangle_count(spark, sf_dir: str) -> DataFrame:
+    """Triangle count + global transitivity of the deterministic near-dup
+    graph — the cluster-density diagnostic for a dedup pass: a near-dup
+    graph whose components are cliques (transitivity ~1) dedups safely by
+    transitive closure, while low transitivity warns that closure is
+    chaining UNLIKE documents through hub nodes (the classic LSH false-
+    merge failure).
+
+    Algorithm: degree-ordered node-iterator (the MapReduce triangle
+    scheme of Suri & Vassilvitskii WWW'11 / Cohen 2009): orient every
+    edge from the (degree, id)-smaller endpoint to the larger, count
+    directed paths u->v->w whose closing edge u->w exists. Orientation
+    makes the per-node join fan-out O(arboricity) = O(sqrt(m)) instead
+    of O(max_degree) — the reason this scales to a 100 TB corpus's dup
+    graph where a naive wedge join on raw degrees explodes on hub nodes.
+    Each triangle is counted exactly once (its (deg,id)-minimal vertex
+    owns it).
+
+    Edges: ``allpairs_prefix_pairs`` (Jaccard >= 0.5, shared with the
+    dup-clustering family, so the measured prefix-filtered plan exists
+    once). Wedge denominator sum(d*(d-1))/2 comes off the degree table.
+    Output: one row — nodes/edges/wedges/triangles and transitivity =
+    3*tri/wedges (NULL on a wedge-free graph)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    paths = o.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v"
+    )
+    tri = (
+        paths.join(
+            o.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            ["u", "w"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # three 1-row scalar frames combined: bounded BNLJ (BOUNDED_BNLJ_OK)
+    return (
+        nodes.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("transitivity"),
+        )
+    )
+
+
+QUERIES["x8_triangle_count"] = x8_triangle_count
+
+ORACLES["x8_triangle_count"] = _E0_CTES + """
+    , und AS (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM und GROUP BY a
+    ), o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                    THEN e0.a ELSE e0.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                    THEN e0.b ELSE e0.a END AS dst
+        FROM e0
+        JOIN deg da ON e0.a = da.node
+        JOIN deg db ON e0.b = db.node
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM o o1
+        JOIN o o2 ON o1.dst = o2.src
+        JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst
+    ), nodes AS (
+        SELECT count(*) AS n_nodes,
+               CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+        FROM deg
+    ), eds AS (
+        SELECT count(*) AS n_edges FROM e0
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(3 AS DOUBLE) * n_triangles / n_wedges
+           END AS transitivity
+    FROM nodes CROSS JOIN eds CROSS JOIN tri
+"""

@@ -1046,3 +1046,114 @@ ORACLES["x6_kmv_distinct"] = f"""
            kmv / exact_distinct - 1 AS rel_error
     FROM joined
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — Lorenz/Gini concentration of token mass
+# ---------------------------------------------------------------------------
+
+
+def x6_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration per source: the Gini coefficient of the
+    per-document token-count distribution (via the sorted-rank identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n) plus the share of token mass
+    held by the top decile of documents — the "is this source a few huge
+    documents or many small ones" datasheet number that drives chunking
+    and sampling decisions (a G~1 source needs document splitting before
+    uniform sampling makes sense).
+
+    Exact and rounding-free: ranks and token counts are integers, so
+    sum(i*x) is exact 64-bit arithmetic and the only doubles are two
+    final divisions — identical expressions on both engines, no float
+    summation anywhere. Shape: ONE shuffle on source feeds all three
+    windows (asc rank, desc rank, partition count) and the final
+    aggregate; at 100 TB each source's rank sort is the per-partition
+    sort a 1000-executor cluster does locally after the one exchange."""
+    from swiftbulkuploader_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("x"),
+    )
+    wasc = Window.partitionBy("source").orderBy(
+        F.col("x").asc(), F.col("doc_id").asc()
+    )
+    wdesc = Window.partitionBy("source").orderBy(
+        F.col("x").desc(), F.col("doc_id").desc()
+    )
+    wall = Window.partitionBy("source")
+    r = base.select(
+        "source",
+        "x",
+        F.row_number().over(wasc).cast("long").alias("i"),
+        F.row_number().over(wdesc).cast("long").alias("rd"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("x")).alias("swx"),
+        F.sum(
+            F.when(F.col("rd") <= F.expr("cnt div 10"), F.col("x")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("top_tokens"),
+    )
+    nd = F.col("n_docs").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("swx") / (nd * F.col("total_tokens"))
+        - (F.col("n_docs") + 1).cast("double") / F.col("n_docs")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.when(F.col("total_tokens") > 0, gini).alias("gini"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.col("top_tokens").cast("double") / F.col("total_tokens"),
+        ).alias("top_decile_share"),
+    )
+
+
+QUERIES["x6_lorenz_gini"] = x6_lorenz_gini
+
+ORACLES["x6_lorenz_gini"] = """
+    WITH d AS (
+        SELECT source, doc_id,
+               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(string_split(
+                        trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               END AS x
+        FROM documents
+    ), r AS (
+        SELECT source, x,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY x ASC, doc_id ASC) AS i,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY x DESC, doc_id DESC) AS rd,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM d
+    ), agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(x) AS BIGINT) AS total_tokens,
+               CAST(sum(i * x) AS BIGINT) AS swx,
+               CAST(sum(CASE WHEN rd <= cnt // 10 THEN x ELSE 0 END)
+                    AS BIGINT) AS top_tokens
+        FROM r GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           CASE WHEN total_tokens > 0
+                THEN CAST(2 AS DOUBLE) * swx
+                         / (CAST(n_docs AS DOUBLE) * total_tokens)
+                     - CAST(n_docs + 1 AS DOUBLE) / n_docs
+           END AS gini,
+           CASE WHEN total_tokens > 0
+                THEN CAST(top_tokens AS DOUBLE) / total_tokens
+           END AS top_decile_share
+    FROM agg
+"""

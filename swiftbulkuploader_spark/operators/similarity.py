@@ -1709,3 +1709,157 @@ def _kcenter_oracle_sql(k: int = KCENTER_K) -> str:
 
 QUERIES["x2_kcenter_select"] = x2_kcenter_select
 ORACLES["x2_kcenter_select"] = _kcenter_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# X2 — SQ8: per-dimension scalar-quantized search
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 256  # 8-bit codes
+
+
+def x2_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension 8-bit scalar quantization search (the SQ8 index of
+    FAISS/Milvus): train a uniform quantizer per dimension (min/max over
+    the corpus), encode every vector as 64 uint8 codes (16x smaller than
+    float64), and rank candidates by INTEGER squared distance between
+    code vectors — reported against the exact cosine top-10 so the
+    compression/recall trade is measured, not asserted.
+
+    Integer ranking is the point: code-space distances are exact 64-bit
+    arithmetic, so ordering needs no float rounding discipline at all and
+    the oracle compare is hash-exact (contrast the 6-dp-rounded cosine
+    queries). The quantizer trains in ONE pass (a dim-keyed min/max
+    aggregate, 64 rows collected — the bounded ScalarSubquery pattern)
+    and encoding+scan run as pure codegen; top-10 is a
+    TakeOrderedAndProject. At 100 TB: train once, broadcast 2*64 doubles,
+    scan codes — the same shape as the PQ family one shelf over.
+
+    Per result row: vec_id, its integer code distance to the query's
+    codes, and whether it appears in the exact cosine top-10
+    (sum(in_exact10) / 10 = recall@10)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("pos")
+        .collect()
+    )  # bounded: one row per dimension (64)
+    mn = [float(r["mn"]) for r in stats]
+    mx = [float(r["mx"]) for r in stats]
+    mn_l, mx_l = _lit_vec(mn), _lit_vec(mx)
+
+    def codes(vec_col):
+        v = F.transform(vec_col, lambda x: x.cast("double"))
+        z1 = F.zip_with(
+            v, mn_l, lambda x, m: F.struct(x.alias("x"), m.alias("m"))
+        )
+        return F.zip_with(
+            z1,
+            mx_l,
+            lambda s, big: F.when(
+                big > s["m"],
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            (s["x"] - s["m"]) / ((big - s["m"]) / F.lit(256.0))
+                        ),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(255).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    q = _query_vector(spark, sf_dir, 0)
+    # query codes fold driver-side with the IDENTICAL expression order the
+    # engines use: floor((x-mn)/((mx-mn)/256)), clamped — IEEE-identical
+    qc = [
+        (
+            min(max(math.floor((x - m) / ((big - m) / 256.0)), 0), 255)
+            if big > m
+            else 0
+        )
+        for x, m, big in zip(q, mn, mx)
+    ]
+    qc_l = F.lit([int(c) for c in qc])
+
+    dist = F.aggregate(
+        F.zip_with(codes(F.col("embedding")), qc_l, lambda c, t: (c - t) * (c - t)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    top = (
+        emb.select("vec_id", dist.alias("code_dist"))
+        .orderBy(F.col("code_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    qcol = _lit_vec(q)
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    return top.join(F.broadcast(exact), "vec_id", "left").select(
+        "vec_id",
+        "code_dist",
+        F.coalesce("hit", F.lit(0)).cast("long").alias("in_exact10"),
+    )
+
+
+QUERIES["x2_sq8_topk"] = x2_sq8_topk
+
+ORACLES["x2_sq8_topk"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ex AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+    ), st AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i
+    ), codes AS (
+        SELECT ex.vec_id, ex.i,
+               CASE WHEN st.mx > st.mn
+                    THEN CAST(least(greatest(floor(
+                        (ex.x - st.mn) / ((st.mx - st.mn) / CAST(256 AS DOUBLE))
+                    ), 0), 255) AS BIGINT)
+                    ELSE 0 END AS c
+        FROM ex JOIN st USING (i)
+    ), qc AS (
+        SELECT i, c AS t FROM codes WHERE vec_id = 0
+    ), d AS (
+        SELECT codes.vec_id,
+               CAST(sum((codes.c - qc.t) * (codes.c - qc.t)) AS BIGINT)
+                   AS code_dist
+        FROM codes JOIN qc USING (i)
+        GROUP BY codes.vec_id
+    ), top AS (
+        SELECT vec_id, code_dist FROM d
+        ORDER BY code_dist ASC, vec_id ASC LIMIT 10
+    ), exact AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        )
+    )
+    SELECT t.vec_id, t.code_dist,
+           CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS in_exact10
+    FROM top t LEFT JOIN exact x USING (vec_id)
+"""

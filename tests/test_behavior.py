@@ -274,3 +274,30 @@ class TestKMVDistinct:
         assert r["exact_distinct"] > KMV_K
         assert r["k_used"] == KMV_K
         assert abs(r["rel_error"]) < 0.25
+
+
+class TestLorenzGini:
+    def test_uniform_source_has_zero_gini(self, spark, tmp_path):
+        """Equal-sized docs -> perfectly equal Lorenz curve -> gini 0."""
+        import pytest
+
+        from swiftbulkuploader_spark.operators.profiling import x6_lorenz_gini
+
+        rows = [(i, "w x y z", "en", "flat", 1) for i in range(5)]
+        # skewed source: one 16-token doc dominating nine 1-token docs
+        rows += [(10, " ".join(["big"] * 16), "en", "skew", 1)]
+        rows += [(11 + i, "tiny", "en", "skew", 1) for i in range(9)]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r for r in x6_lorenz_gini(spark, str(tmp_path)).collect()}
+        flat, skew = got["flat"], got["skew"]
+        assert (flat["n_docs"], flat["total_tokens"]) == (5, 20)
+        assert flat["gini"] == pytest.approx(0.0)
+        # skew: n=10, sorted x = [1]*9 + [16]; sum=25; sum(i*x)=45+160=205
+        # gini = 2*205/(10*25) - 11/10 = 1.64 - 1.1 = 0.54
+        assert skew["gini"] == pytest.approx(0.54)
+        # top decile (k=1) = the 16-token doc -> 64% of mass
+        assert skew["top_decile_share"] == pytest.approx(16 / 25)

@@ -188,3 +188,54 @@ class TestStarComponents:
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components_star(df, max_iter=1)
+
+
+class TestTriangleCount:
+    def test_known_triangle_graph(self, spark, tmp_path):
+        """3 identical docs form a triangle (clique), 2 more form a lone
+        edge, 1 is isolated: 5 nodes, 4 edges, 3 wedges, 1 triangle,
+        transitivity 1.0."""
+        from swiftbulkuploader_spark.operators.components import x8_triangle_count
+
+        tri = "alpha beta gamma delta epsilon zeta"
+        pair = "one two three four five six"
+        lone = "seven eight nine ten eleven twelve"
+        rows = [
+            (0, tri, "en", "s", 1),
+            (1, tri, "en", "s", 1),
+            (2, tri, "en", "s", 1),
+            (3, pair, "en", "s", 1),
+            (4, pair, "en", "s", 1),
+            (5, lone, "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x8_triangle_count(spark, str(tmp_path)).collect()[0]
+        assert (r["n_nodes"], r["n_edges"]) == (5, 4)
+        assert r["n_wedges"] == 3
+        assert r["n_triangles"] == 1
+        assert r["transitivity"] == 1.0
+
+    def test_open_wedge_has_no_triangle(self, spark, tmp_path):
+        """A path a-b-c (b similar to both ends, ends dissimilar) is one
+        wedge and zero triangles -> transitivity 0."""
+        from swiftbulkuploader_spark.operators.components import x8_triangle_count
+
+        # b shares >=50% Jaccard with a and with c; a and c share almost
+        # nothing: build b as the union of a's and c's shingle vocabularies
+        a = "alpha beta gamma delta alpha beta gamma delta"
+        c = "one two three four one two three four"
+        b = "alpha beta gamma delta one two three four"
+        rows = [(0, a, "en", "s", 1), (1, b, "en", "s", 1), (2, c, "en", "s", 1)]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x8_triangle_count(spark, str(tmp_path)).collect()[0]
+        assert r["n_triangles"] == 0
+        if r["n_wedges"] and r["n_wedges"] > 0:
+            assert r["transitivity"] == 0.0

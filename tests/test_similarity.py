@@ -329,3 +329,42 @@ class TestKCenterSelect:
         # cross-cluster picks sit near distance 1; within-cluster ~0
         assert all(d > 0.9 for d in dists[:3])
         assert all(d < 0.1 for d in dists[3:])
+
+
+class TestSQ8TopK:
+    def test_codes_and_ranking_on_crafted_vectors(self, spark, tmp_path):
+        """Pin the quantizer math end-to-end: per-dim min/max train, uint8
+        codes, integer code distance, ranking with vec_id tie-break."""
+        rows = [
+            (0, [0.0, 0.0], "a"),
+            (1, [0.1, 0.0], "a"),
+            (2, [1.0, 1.0], "b"),
+            (3, [0.9, 1.0], "b"),
+        ]
+        from swiftbulkuploader_spark.operators.similarity import x2_sq8_topk
+
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: string"
+        )
+        df.write.parquet(str(tmp_path / "embeddings.parquet"))
+        got = x2_sq8_topk(spark, str(tmp_path)).collect()
+        by_id = {r["vec_id"]: r["code_dist"] for r in got}
+        # codes: dim stats mn=0, mx=1 -> step=1/256
+        # v0=[0,0] v1=[25,0] (float32(0.1)*256=25.6) v2=[255,255]
+        # v3=[230,255] (float32(0.9)*256=230.39)
+        assert by_id[0] == 0
+        assert by_id[1] == 25 * 25
+        assert by_id[3] == 230 * 230 + 255 * 255
+        assert by_id[2] == 2 * 255 * 255
+        # ranking ascending by code distance
+        assert [r["vec_id"] for r in got] == [0, 1, 3, 2]
+
+    def test_recall_floor_on_smoke_corpus(self, spark):
+        """The query vector itself must rank first at distance 0 and the
+        code-space top-10 must overlap the exact cosine top-10 enough to
+        be a usable index (>= 3/10 on the smoke embeddings)."""
+        from swiftbulkuploader_spark.operators.similarity import x2_sq8_topk
+
+        got = x2_sq8_topk(spark, "/root/testdata/sf0.001").collect()
+        assert got[0]["vec_id"] == 0 and got[0]["code_dist"] == 0
+        assert sum(r["in_exact10"] for r in got) >= 3

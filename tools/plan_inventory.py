@@ -67,6 +67,8 @@ BOUNDED_BNLJ_OK = {
                                # into the trigram scorer
     "x6_kmv_distinct",         # 1-row bottom-k summary x 1-row exact count
                                # (two scalar aggregates combined)
+    "x8_triangle_count",       # three 1-row scalar frames (node/edge/triangle
+                               # totals) combined into the report row
 }
 
 
