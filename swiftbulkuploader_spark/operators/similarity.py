@@ -1863,3 +1863,156 @@ ORACLES["x2_sq8_topk"] = """
                AS in_exact10
     FROM top t LEFT JOIN exact x USING (vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# X2 — cluster-quality metrics over the Lloyd-refined clustering
+# ---------------------------------------------------------------------------
+
+
+def x2_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report for the Lloyd-refined k-means clustering —
+    the index-health check an IVF/SemDeDup deployment runs after (re)training
+    its quantizer: per cluster, member count, COHESION (mean assignment
+    cosine of members to their centroid), the nearest OTHER centroid and
+    its similarity (SEPARATION), and the cohesion-separation margin — a
+    cluster whose margin approaches 0 is indistinct from its neighbor and
+    a candidate for re-training or merging (the silhouette intuition,
+    computed centroid-to-centroid so it stays O(n*k + k^2), never the
+    O(n^2) full silhouette).
+
+    Reuses the SESSION-CACHED quantizer (`lloyd_refined_centroids` /
+    _LLOYD_CACHE) — training is not repeated; this query costs one
+    bounded k-row broadcast assignment pass + a k x k centroid table
+    cross join (16 x 16 — driver-trivial at any corpus scale). The oracle
+    replays the full fixed-round Lloyd chain (the x2_ivf_kmeans_topk CTE
+    discipline) and re-derives the same report."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_refined_centroids(emb)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sc = F.struct(
+        F.round(
+            F.coalesce(cosine_similarity(F.col("v"), F.col("cv")), F.lit(-2.0)), 6
+        ).alias("cos"),
+        F.col("cid").alias("cid"),
+    )
+    asn = (
+        vecs.crossJoin(F.broadcast(cdf))  # bounded: k=16 centroid rows
+        .select("vec_id", sc.alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("m"))
+        .select(F.col("m.cid").alias("cid"), F.col("m.cos").alias("cos"))
+    )
+    intra = asn.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"), F.avg("cos").alias("cohesion")
+    )
+    other = cdf.select(F.col("cid").alias("ocid"), F.col("cv").alias("ocv"))
+    pairs = (
+        cdf.crossJoin(F.broadcast(other))  # bounded: k x k centroid matrix
+        .filter(F.col("cid") != F.col("ocid"))
+        .select(
+            "cid",
+            "ocid",
+            F.round(
+                F.coalesce(
+                    cosine_similarity(F.col("cv"), F.col("ocv")), F.lit(-2.0)
+                ),
+                6,
+            ).alias("ics"),
+        )
+    )
+    nnw = Window.partitionBy("cid").orderBy(
+        F.col("ics").desc(), F.col("ocid").desc()
+    )
+    nn = (
+        pairs.withColumn("rn", F.row_number().over(nnw))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("ocid").alias("nn_cid"), F.col("ics").alias("separation"))
+    )
+    return intra.join(nn, "cid").select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_members",
+        "cohesion",
+        F.col("nn_cid").cast("long").alias("nn_cid"),
+        "separation",
+        (F.col("cohesion") - F.col("separation")).alias("margin"),
+    )
+
+
+def _cluster_quality_oracle_sql(k: int = N_CENTROIDS, dim: int = 64,
+                                rounds: int = LLOYD_ROUNDS) -> str:
+    """GENERATED oracle: the same fixed-round Lloyd CTE chain as
+    `_ivf_kmeans_oracle_sql` (kept verbatim so the two oracles pin the
+    SAME refinement), then final assignments -> per-cluster cohesion and
+    a k x k centroid-pair nearest-neighbor separation."""
+    blocks = []
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        blocks.append(f"""a{r} AS (
+            SELECT e.vec_id, {prev}.cid,
+                   round(coalesce(list_cosine_similarity(e.v, {prev}.cv),
+                                  CAST(-2.0 AS DOUBLE)), 6) AS cos
+            FROM e CROSS JOIN {prev}
+        ), asn{r} AS (
+            SELECT vec_id, cid AS cluster FROM a{r}
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        ), m{r} AS (
+            SELECT asn{r}.cluster, u.i, round(avg(e.v[u.i]), 6) AS mv
+            FROM asn{r} JOIN e USING (vec_id),
+                 unnest(range(1, {dim + 1})) AS u(i)
+            GROUP BY asn{r}.cluster, u.i
+        ), c{r} AS (
+            SELECT cluster AS cid, list(mv ORDER BY i) AS cv
+            FROM m{r} GROUP BY cluster
+        )""")
+        prev = f"c{r}"
+    chain = ", ".join(blocks)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM e WHERE vec_id < {k}
+        ), {chain}, cf AS (
+            SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, cv
+            FROM {prev}
+        ), af AS (
+            SELECT e.vec_id, cf.cid,
+                   round(coalesce(list_cosine_similarity(e.v, cf.cv),
+                                  CAST(-2.0 AS DOUBLE)), 6) AS cos
+            FROM e CROSS JOIN cf
+        ), asnf AS (
+            SELECT vec_id, cid, cos FROM af
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid DESC) = 1
+        ), intra AS (
+            SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+                   avg(cos) AS cohesion
+            FROM asnf GROUP BY cid
+        ), prs AS (
+            SELECT a.cid, b.cid AS ocid,
+                   round(coalesce(list_cosine_similarity(a.cv, b.cv),
+                                  CAST(-2.0 AS DOUBLE)), 6) AS ics
+            FROM cf a JOIN cf b ON a.cid <> b.cid
+        ), nn AS (
+            SELECT cid, ocid AS nn_cid, ics AS separation FROM prs
+            QUALIFY row_number() OVER (PARTITION BY cid
+                                       ORDER BY ics DESC, ocid DESC) = 1
+        )
+        SELECT CAST(intra.cid AS BIGINT) AS cid, intra.n_members,
+               intra.cohesion, CAST(nn.nn_cid AS BIGINT) AS nn_cid,
+               nn.separation, intra.cohesion - nn.separation AS margin
+        FROM intra JOIN nn USING (cid)
+    """
+
+
+QUERIES["x2_cluster_quality"] = x2_cluster_quality
+ORACLES["x2_cluster_quality"] = _cluster_quality_oracle_sql()

@@ -829,3 +829,120 @@ ORACLES["x6_weighted_sample"] = f"""
     ORDER BY es_key, doc_id
     LIMIT {WSAMPLE_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — DoReMi-style excess-loss domain reweighting
+# ---------------------------------------------------------------------------
+
+DOREMI_TEMP = 1.0  # excess-loss temperature (exp(excess / T))
+
+
+def x6_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss domain reweighting in the DoReMi spirit (Xie et al.
+    NeurIPS'23 "Doremi: Optimizing Data Mixtures"): domains where the
+    reference model's loss exceeds the best-achieved loss get UPWEIGHTED
+    proportionally to exp(excess_loss / T), multiplied into the baseline
+    (token-share) mixture and renormalized. The full method iterates this
+    with proxy-model training; this operator is the single reweighting
+    step with the corpus's own add-one unigram LM standing in as the
+    frozen reference scorer (the same self-contained-LM substitution as
+    ``x3_unigram_logprob`` / ``x3_ccnet_bucket``).
+
+    Per source: token mass, baseline share, token-weighted cross-entropy
+    under the corpus LM, excess over the best source, and the final
+    normalized domain weight — upweighted sources are exactly the
+    high-excess-loss ones (pinned by the unit test's easy-vs-hard
+    corpus).
+
+    Scale shape: the posting-table join of the unigram scorer (token-
+    keyed, map-side combined) collapses straight to an n_sources-row
+    aggregate; min/normalize run as windows over that tiny aggregate
+    (the x6_source_mixing bounded-window pattern); nothing after the
+    scan is larger than n_sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    tok = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "source", F.explode(F.split(norm, " ")).alias("t")
+    )
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = tf.agg(
+        F.sum("c").cast("double").alias("corpus_n"),
+        F.count(F.lit(1)).cast("double").alias("vocab_v"),
+    )
+    per_src = (
+        tok.join(tf, "t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("corpus_n") + F.col("vocab_v"))
+                )
+            ).alias("s"),
+        )
+    )
+    # bounded windows: consume the n_sources-row aggregate, never raw rows
+    w_all = Window.partitionBy()
+    xent = -F.col("s") / F.col("n_tokens")
+    base = per_src.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w_all)).alias("base_share"),
+        xent.alias("xent"),
+    )
+    excess = F.col("xent") - F.min("xent").over(w_all)
+    scored = base.select(
+        "source", "n_tokens", "base_share", "xent", excess.alias("excess")
+    )
+    raw = F.col("base_share") * F.exp(F.col("excess") / F.lit(DOREMI_TEMP))
+    return scored.select(
+        "source",
+        "n_tokens",
+        "base_share",
+        "xent",
+        "excess",
+        (raw / F.sum(raw).over(w_all)).alias("domain_weight"),
+    )
+
+
+QUERIES["x6_doremi_weights"] = x6_doremi_weights
+
+ORACLES["x6_doremi_weights"] = f"""
+    WITH tk AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), tf AS (
+        SELECT t, count(*) AS c FROM tk GROUP BY t
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS corpus_n,
+               CAST(count(*) AS DOUBLE) AS vocab_v
+        FROM tf
+    ), per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(ln(CAST(tf.c + 1 AS DOUBLE) / (tot.corpus_n + tot.vocab_v)))
+                   AS s
+        FROM tk JOIN tf USING (t) CROSS JOIN tot
+        GROUP BY source
+    ), base AS (
+        SELECT source, n_tokens,
+               n_tokens / sum(n_tokens) OVER () AS base_share,
+               -s / n_tokens AS xent
+        FROM per_src
+    ), scored AS (
+        SELECT source, n_tokens, base_share, xent,
+               xent - min(xent) OVER () AS excess
+        FROM base
+    )
+    SELECT source, n_tokens, base_share, xent, excess,
+           base_share * exp(excess / CAST({DOREMI_TEMP} AS DOUBLE))
+               / sum(base_share * exp(excess / CAST({DOREMI_TEMP} AS DOUBLE)))
+                     OVER () AS domain_weight
+    FROM scored
+"""

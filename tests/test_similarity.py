@@ -368,3 +368,25 @@ class TestSQ8TopK:
         got = x2_sq8_topk(spark, "/root/testdata/sf0.001").collect()
         assert got[0]["vec_id"] == 0 and got[0]["code_dist"] == 0
         assert sum(r["in_exact10"] for r in got) >= 3
+
+
+class TestClusterQuality:
+    def test_report_invariants_and_cache_reuse(self, spark):
+        """Every cluster reports itself against a DIFFERENT nearest
+        centroid, cohesion is a valid mean of rounded cosines, members
+        partition the corpus, and margin is exactly cohesion-separation.
+        Second call reuses the cached quantizer (deterministic output)."""
+        import pytest
+
+        from swiftbulkuploader_spark.operators.similarity import x2_cluster_quality
+
+        rows = x2_cluster_quality(spark, "/root/testdata/sf0.001").collect()
+        assert 1 <= len(rows) <= 16
+        assert sum(r["n_members"] for r in rows) == 500
+        for r in rows:
+            assert r["nn_cid"] != r["cid"]
+            assert -1.0 <= r["cohesion"] <= 1.0
+            assert -2.0 <= r["separation"] <= 1.0
+            assert r["margin"] == pytest.approx(r["cohesion"] - r["separation"])
+        again = x2_cluster_quality(spark, "/root/testdata/sf0.001").collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

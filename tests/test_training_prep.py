@@ -236,3 +236,36 @@ class TestWeightedSample:
         assert heavy > 150                           # weight-proportional
         keys = [r["es_key"] for r in a]
         assert keys == sorted(keys)                  # smallest keys win
+
+
+class TestDoremiWeights:
+    def test_hard_domain_upweighted(self, spark, tmp_path):
+        """A domain of rare tokens (high LM cross-entropy) must get its
+        mixture share multiplied UP relative to a domain of common tokens;
+        the best (lowest-xent) domain has excess exactly 0; weights
+        renormalize to 1."""
+        import pytest
+
+        from swiftbulkuploader_spark.operators.training_prep import x6_doremi_weights
+
+        easy = "the the the cat cat sat sat mat mat hat"
+        rows = [(i, easy, "en", "easy", 1) for i in range(4)]
+        hard_words = [f"rare{i}{j}" for i in range(4) for j in range(10)]
+        rows += [
+            (10 + i, " ".join(hard_words[i * 10:(i + 1) * 10]), "en", "hard", 1)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r for r in x6_doremi_weights(spark, str(tmp_path)).collect()}
+        easy_r, hard_r = got["easy"], got["hard"]
+        assert easy_r["xent"] < hard_r["xent"]
+        assert easy_r["excess"] == pytest.approx(0.0)
+        assert hard_r["excess"] == pytest.approx(hard_r["xent"] - easy_r["xent"])
+        assert easy_r["domain_weight"] + hard_r["domain_weight"] == pytest.approx(1.0)
+        # upweighting: hard's weight/share ratio strictly exceeds easy's
+        assert (hard_r["domain_weight"] / hard_r["base_share"]
+                > easy_r["domain_weight"] / easy_r["base_share"])

@@ -69,6 +69,8 @@ BOUNDED_BNLJ_OK = {
                                # (two scalar aggregates combined)
     "x8_triangle_count",       # three 1-row scalar frames (node/edge/triangle
                                # totals) combined into the report row
+    "x2_cluster_quality",      # k=16-row centroid broadcast (assignment) +
+                               # k x k centroid pair matrix — both bounded
 }
 
 
