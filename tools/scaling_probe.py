@@ -987,8 +987,57 @@ def shape_kcenter_greedy(df):
     )
 
 
+
+
+def shape_triangle_count(df):
+    """x8_triangle_count's full pipeline (degrees -> (deg,id) orientation ->
+    wedge join -> closure join) on a synthetic HEAVY-TAILED graph: the
+    quadratic node-density transform (u*u div m) concentrates edges on a
+    hub set with degree ~n/sqrt(m) (~12k at 10M edges) — the regime where
+    a naive wedge join on raw degrees does hub_deg^2 (~1.4e8 wedges per
+    hub) and the degree orientation is what bounds the work: hubs sort
+    HIGHEST in (deg, id) order, so oriented edges point INTO them and
+    their out-degree (the squared term) stays ~0. Node space scales with
+    n (m = n/4) so density — and the operator's per-row work — is held
+    constant across the 1x -> 10x step."""
+    n = df.agg(F.max("event_id")).first()[0] + 1
+    m = max(n // 4, 1000)
+    e = (
+        df.selectExpr(
+            f"abs(xxhash64(event_id)) % {m} AS ua",
+            f"abs(xxhash64(event_id, 7)) % {m} AS ub",
+        )
+        .selectExpr(f"(ua * ua) div {m} AS x", f"(ub * ub) div {m} AS y")
+        .filter("x != y")
+        .selectExpr("least(x, y) AS a", "greatest(x, y) AS b")
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    paths = o.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v"
+    )
+    return paths.join(
+        o.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 SHAPES = {
     "span_removal": shape_span_removal,
+    "triangle_count": shape_triangle_count,
     "kcenter_greedy": shape_kcenter_greedy,
     "range_window_1h": shape_range_window,
     "merge_broadcast_delta": shape_merge_broadcast_delta,
