@@ -1435,3 +1435,131 @@ ORACLES["x3_stupid_backoff"] = f"""
     FROM sc
     GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# X3 — distributed BPE merge training
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6  # fixed merge budget (the x8_pagerank fixed-round discipline)
+
+
+def x3_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. ACL'16), the
+    tokenizer-construction step of every LLM data pipeline, as a
+    distributed iterative DataFrame algorithm: per round, count adjacent
+    symbol pairs across the WORD VOCABULARY weighted by word frequency,
+    take the most frequent pair (ties: lexicographic), and merge its
+    occurrences greedily left-to-right in every word. Emits the learned
+    merge table (rank, pair, merged symbol, count) — the artifact a
+    tokenizer ships.
+
+    Cross-engine-identical merging is the trick: words are held in a
+    SPACED SYMBOL STRING (" c  a  t " — every symbol space-wrapped, built
+    by one regexp_replace), so a merge is a plain string replace of
+    " x  y " with " xy " — and Spark's `replace` and DuckDB's `replace`
+    share exact left-to-right non-overlapping semantics, giving the
+    greedy merge bit-identical results with no per-engine fold logic.
+    The oracle replays all rounds as generated chained CTEs.
+
+    Scale shape: training runs over the DISTINCT-WORD table (the classic
+    word-level BPE optimization — corpus size only enters through the
+    one tokenize+count shuffle that builds it), so each round is one
+    map-side-combined (x, y) count shuffle over vocab rows + a bounded
+    1-row argmax collect (TakeOrdered), and the merge itself is a narrow
+    string map. Vocabulary exhaustion (no adjacent pairs left) ends
+    training early on both engines identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    tok = docs.filter(F.length(F.trim(norm)) > 0).select(
+        F.explode(F.split(norm, " ")).alias("t")
+    )
+    words = (
+        tok.groupBy("t")
+        .agg(F.sum(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace("t", "(.)", " $1 ").alias("w0"),
+            F.col("cnt"),
+        )
+        .persist()  # vocab-sized; scanned once per merge round
+    )
+    wcol = F.col("w0")
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.trim(wcol), "  ")
+        n = F.size(syms)
+        pairx = F.zip_with(
+            F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        )
+        top = (
+            words.select(F.explode(pairx).alias("p"), "cnt")
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per round
+        )
+        if not top:
+            break  # vocabulary exhausted: every word is a single symbol
+        x, y, c = top[0]["x"], top[0]["y"], top[0]["c"]
+        merges.append((rank, x, y, x + y, int(c)))
+        wcol = F.replace(wcol, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
+    words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: long, left_sym: string, right_sym: string, "
+        "merged: string, pair_count: long",
+    )
+
+
+def _bpe_train_oracle_sql(rounds: int = BPE_MERGES) -> str:
+    """GENERATED BPE oracle: the fixed merge budget unrolls into chained
+    CTE blocks — pair counts from the spaced-symbol strings, a 1-row
+    argmax, and the same literal string replace. An exhausted round
+    yields an empty m{r} whose NULL replace pattern cascades empties
+    through the remaining blocks, matching the engine's early break."""
+    blocks = []
+    prev = "w0"
+    selects = []
+    for r in range(1, rounds + 1):
+        blocks.append(f"""p{r} AS (
+            SELECT s[i] AS x, s[i + 1] AS y, CAST(sum(cnt) AS BIGINT) AS c
+            FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM {prev}) t{r},
+                 unnest(range(1, len(s))) AS u{r}(i)
+            GROUP BY x, y
+        ), m{r} AS (
+            SELECT x, y, c FROM p{r} ORDER BY c DESC, x, y LIMIT 1
+        ), w{r} AS (
+            SELECT replace(w,
+                       ' ' || (SELECT x FROM m{r}) || '  '
+                           || (SELECT y FROM m{r}) || ' ',
+                       ' ' || (SELECT x || y FROM m{r}) || ' ') AS w,
+                   cnt
+            FROM {prev}
+        )""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, x AS left_sym,"
+            f" y AS right_sym, x || y AS merged, c AS pair_count FROM m{r}"
+        )
+        prev = f"w{r}"
+    chain = ", ".join(blocks)
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH tk AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), wc AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY t
+    ), w0 AS (
+        SELECT regexp_replace(t, '(.)', ' \\1 ', 'g') AS w, cnt FROM wc
+    ), {chain}
+    {union}
+    """
+
+
+QUERIES["x3_bpe_train"] = x3_bpe_train
+ORACLES["x3_bpe_train"] = _bpe_train_oracle_sql()

@@ -309,3 +309,46 @@ class TestStupidBackoff:
         # OOV floor
         assert got[7]["n_unigram_backoff"] == 1
         assert got[7]["avg_logscore"] == pytest.approx(math.log(lam2 / 5))
+
+
+class TestBPETrain:
+    def test_classic_merge_sequence_and_exhaustion(self, spark, tmp_path):
+        """The textbook BPE example: counts hug=3, pug=2, bun=1 must learn
+        (u,g) -> (h,ug) -> (p,ug) -> tie-broken (b,u) -> (bu,n), then
+        exhaust the vocabulary and stop early (5 of 6 budgeted merges)."""
+        from swiftbulkuploader_spark.operators.textops import x3_bpe_train
+
+        rows = [
+            (0, "hug hug hug pug pug bun", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = [tuple(r) for r in x3_bpe_train(spark, str(tmp_path)).collect()]
+        assert got == [
+            (1, "u", "g", "ug", 5),
+            (2, "h", "ug", "hug", 3),
+            (3, "p", "ug", "pug", 2),
+            (4, "b", "u", "bu", 1),   # 1-count tie vs (u,n): lexicographic
+            (5, "bu", "n", "bun", 1),
+        ]
+
+    def test_greedy_left_to_right_on_runs(self, spark, tmp_path):
+        """A run of identical symbols must merge greedily left-to-right:
+        'aaa' with pair (a,a) becomes [aa, a], so round 2 merges (aa, a)."""
+        from swiftbulkuploader_spark.operators.textops import x3_bpe_train
+
+        rows = [(0, "aaa aaa", "en", "s", 1)]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = [tuple(r) for r in x3_bpe_train(spark, str(tmp_path)).collect()]
+        # counting sees both adjacent positions (2 per word x cnt 2 = 4),
+        # but the MERGE is greedy non-overlapping: 'aaa' -> [aa, a]
+        assert got[0] == (1, "a", "a", "aa", 4)
+        assert got[1] == (2, "aa", "a", "aaa", 2)
+        assert len(got) == 2                          # then exhausted

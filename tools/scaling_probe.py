@@ -1035,9 +1035,51 @@ def shape_triangle_count(df):
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+
+
+def shape_bpe_train(df):
+    """x3_bpe_train's full iterative loop (3 merge rounds) over a
+    synthesized DISTINCT-WORD vocabulary of n 8-hex-char words: per round
+    one exploded (x, y) pair-count shuffle over vocab rows (~7 pairs/word,
+    map-side combined to the <=256-pair hex alphabet), a bounded 1-row
+    argmax collect, and a narrow string-replace merge. Linear-per-round in
+    vocab size is the claim; the corpus enters real training only through
+    the one tokenize+count shuffle that builds the vocab table."""
+    from pyspark.sql import functions as FF
+
+    words = df.selectExpr(
+        "substr(md5(cast(event_id as string)), 1, 8) AS t", "1 AS cnt"
+    ).select(
+        FF.regexp_replace("t", "(.)", " $1 ").alias("w0"), "cnt"
+    ).persist()
+    wcol = FF.col("w0")
+    last = None
+    for _ in range(3):
+        syms = FF.split(FF.trim(wcol), "  ")
+        n = FF.size(syms)
+        pairx = FF.zip_with(
+            FF.slice(syms, 1, FF.greatest(n - 1, FF.lit(0))),
+            FF.slice(syms, 2, FF.greatest(n - 1, FF.lit(0))),
+            lambda a, b: FF.struct(a.alias("x"), b.alias("y")),
+        )
+        agg = (
+            words.select(FF.explode(pairx).alias("p"), "cnt")
+            .groupBy("p.x", "p.y")
+            .agg(FF.sum("cnt").alias("c"))
+            .orderBy(FF.col("c").desc(), FF.col("x").asc(), FF.col("y").asc())
+        )
+        top = agg.limit(1).collect()
+        x, y = top[0]["x"], top[0]["y"]
+        wcol = FF.replace(wcol, FF.lit(f" {x}  {y} "), FF.lit(f" {x}{y} "))
+        last = agg
+    words.unpersist()
+    return last.limit(100)
+
+
 SHAPES = {
     "span_removal": shape_span_removal,
     "triangle_count": shape_triangle_count,
+    "bpe_train_3round": shape_bpe_train,
     "kcenter_greedy": shape_kcenter_greedy,
     "range_window_1h": shape_range_window,
     "merge_broadcast_delta": shape_merge_broadcast_delta,
