@@ -1563,3 +1563,93 @@ def _bpe_train_oracle_sql(rounds: int = BPE_MERGES) -> str:
 
 QUERIES["x3_bpe_train"] = x3_bpe_train
 ORACLES["x3_bpe_train"] = _bpe_train_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# X3 — Chao1 vocabulary-richness estimation
+# ---------------------------------------------------------------------------
+
+
+def x3_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation over the word-trigram population:
+    Chao1 richness (Chao 1984, bias-corrected form D + f1*(f1-1)/(2*(f2+1)))
+    and Good-Turing sample coverage (1 - f1/N) from the singleton/doubleton
+    counts of the gram frequency distribution — "how much more corpus do I
+    need before the n-gram tables stop growing", the saturation companion
+    to x3_vocab_growth's Heaps curve and x6_kmv_distinct's cardinality
+    sketch.
+
+    Exact and rounding-free: every input (N, D, f1, f2) is an integer off
+    two map-side-combined aggregations (gram counts, then a
+    frequency-of-frequency rollup whose input is already vocab-sized);
+    the two estimator divisions are the only doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        F.split(norm, " ").alias("t")
+    )
+    m = F.size("t") - 2
+    pair = F.zip_with(
+        F.slice("t", 1, m), F.slice("t", 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri = F.zip_with(
+        pair, F.slice("t", 3, m), lambda p, c: F.concat_ws(" ", p, c)
+    )
+    gc = (
+        toks.filter(F.size("t") >= 3)
+        .select(F.explode(tri).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = gc.agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    chao1 = (
+        F.col("distinct_grams")
+        + F.col("f1").cast("double") * (F.col("f1") - 1)
+        / (F.lit(2.0) * (F.col("f2") + 1))
+    )
+    return agg.select(
+        "n_grams",
+        "distinct_grams",
+        "f1",
+        "f2",
+        chao1.alias("chao1"),
+        (F.lit(1.0) - F.col("f1").cast("double") / F.col("n_grams")).alias(
+            "coverage"
+        ),
+    )
+
+
+QUERIES["x3_chao1_richness"] = x3_chao1_richness
+
+ORACLES["x3_chao1_richness"] = """
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), g AS (
+        SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+        FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= 3
+    ), gc AS (
+        SELECT g, count(*) AS c FROM g GROUP BY g
+    ), agg AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS distinct_grams,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM gc
+    )
+    SELECT n_grams, distinct_grams, f1, f2,
+           distinct_grams
+               + CAST(f1 AS DOUBLE) * (f1 - 1)
+                 / (CAST(2 AS DOUBLE) * (f2 + 1)) AS chao1,
+           CAST(1 AS DOUBLE) - CAST(f1 AS DOUBLE) / n_grams AS coverage
+    FROM agg
+"""

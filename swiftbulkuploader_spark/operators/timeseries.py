@@ -411,3 +411,83 @@ ORACLES["x7_twap"] = """
     FROM seg
     GROUP BY user_id, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# X7 — EWMA recency smoothing
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25  # exactly representable in binary: 0.25/0.75 carry no
+                   # decimal-vs-double literal drift between engines
+
+
+def x7_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the recency-weighted health metric dashboards smooth with (and the
+    one window functions cannot express: the recursion s_t = 0.75*s_{t-1}
+    + 0.25*x_t has no frame-based form). Emitted per user with the plain
+    mean and the recency drift (ewma - mean): a user whose recent values
+    run hot shows positive drift long before the global mean moves.
+
+    The recursion runs as an ORDERED LIST FOLD with identical semantics
+    on both engines — Spark `aggregate` seeded with the first element
+    over the chronologically-sorted value array vs DuckDB `list_reduce`
+    (which seeds the same way) — so the oracle checks the exact float,
+    not a tolerance. Alpha 0.25 keeps every multiply exact-representable.
+
+    Scale shape: one groupBy(user) shuffle builds the sorted array;
+    per-user sequences are session-bounded (the same boundedness contract
+    as x7_sessionize's collect paths). For UNBOUNDED keys the engine's
+    streaming twin is `transformWithState` (streaming/stateful_v2.py) —
+    the same recursion as incremental per-key state instead of an array."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq"),
+            F.avg("value").alias("mean_value"),
+        )
+        .select(
+            "user_id",
+            "mean_value",
+            F.transform("seq", lambda s: s["value"]).alias("vals"),
+        )
+    )
+    n = F.size("vals")
+    ewma = F.aggregate(
+        F.slice("vals", 2, n - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    return per.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.element_at("vals", -1).alias("last_value"),
+        "mean_value",
+        ewma.alias("ewma"),
+        (ewma - F.col("mean_value")).alias("recency_drift"),
+    )
+
+
+QUERIES["x7_ewma_smooth"] = x7_ewma_smooth
+
+ORACLES["x7_ewma_smooth"] = """
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               CAST(count(*) AS BIGINT) AS n_events,
+               avg(value) AS mean_value
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           vals[-1] AS last_value,
+           mean_value,
+           list_reduce(vals, (acc, x) ->
+               acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)) AS ewma,
+           list_reduce(vals, (acc, x) ->
+               acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE))
+               - mean_value AS recency_drift
+    FROM seq
+"""

@@ -83,3 +83,39 @@ class TestStreamSessions:
         for (uid, sno), r in got.items():
             assert r["n_events"] >= 1
             assert r["session_end"] >= r["session_start"]
+
+
+class TestEWMASmooth:
+    def test_recursion_matches_reference(self, spark, tmp_path):
+        """Pin the fold: s1=x1, s_t = 0.75*s_{t-1} + 0.25*x_t over the
+        CHRONOLOGICAL order (not insertion order), and drift = ewma-mean."""
+        from datetime import datetime
+
+        import pytest
+
+        from swiftbulkuploader_spark.operators.timeseries import x7_ewma_smooth
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        # inserted out of order on purpose: sort must be by ts
+        rows = [
+            (3, t(30), 1, "a", 100.0, "{}"),
+            (1, t(10), 1, "a", 10.0, "{}"),
+            (2, t(20), 1, "a", 20.0, "{}"),
+            (4, t(5), 2, "a", 7.0, "{}"),   # single-event user: ewma = value
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id: long, ts: timestamp_ntz, user_id: long, "
+            "event_type: string, value: double, props: string",
+        )
+        df.write.parquet(str(tmp_path / "events.parquet"))
+        got = {r["user_id"]: r for r in x7_ewma_smooth(spark, str(tmp_path)).collect()}
+        s = 10.0
+        s = 0.75 * s + 0.25 * 20.0
+        s = 0.75 * s + 0.25 * 100.0
+        assert got[1]["n_events"] == 3
+        assert got[1]["last_value"] == 100.0
+        assert got[1]["ewma"] == pytest.approx(s)
+        assert got[1]["recency_drift"] == pytest.approx(s - (130.0 / 3))
+        assert got[2]["ewma"] == 7.0 and got[2]["n_events"] == 1
+        assert got[2]["recency_drift"] == pytest.approx(0.0)

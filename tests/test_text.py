@@ -352,3 +352,27 @@ class TestBPETrain:
         assert got[0] == (1, "a", "a", "aa", 4)
         assert got[1] == (2, "aa", "a", "aaa", 2)
         assert len(got) == 2                          # then exhausted
+
+
+class TestChao1Richness:
+    def test_known_frequency_distribution(self, spark, tmp_path):
+        """doc 'a b c d' gives trigrams {abc, bcd} once each; adding a
+        second 'a b c' doc makes abc a doubleton: N=3, D=2, f1=1, f2=1,
+        chao1 = 2 + 1*0/(2*2) = 2, coverage = 1 - 1/3."""
+        import pytest
+
+        from swiftbulkuploader_spark.operators.textops import x3_chao1_richness
+
+        rows = [
+            (0, "a b c d", "en", "s", 1),
+            (1, "a b c", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x3_chao1_richness(spark, str(tmp_path)).collect()[0]
+        assert (r["n_grams"], r["distinct_grams"], r["f1"], r["f2"]) == (3, 2, 1, 1)
+        assert r["chao1"] == pytest.approx(2.0)
+        assert r["coverage"] == pytest.approx(1 - 1 / 3)
