@@ -145,6 +145,17 @@ HEADLINE = [
     "x3_zipf_fit",              # Zipf rank-frequency log-log OLS fit
     "x1_novelty_score",         # per-doc first-introduction 8-gram share
     "x1_contamination_fraction",  # per-train-doc eval-overlap dirtiness
+    "x1_soft_dedup_weights",    # 1/dup_count reweight (raw vs effective mass)
+    "x3_stupid_backoff",        # trigram stupid-backoff LM scoring
+    "x6_kmv_distinct",          # k-minimum-values distinct sketch
+    "x8_triangle_count",        # degree-ordered near-dup-graph triangles
+    "x2_sq8_topk",              # SQ8 integer code-space top-10 + recall
+    "x6_lorenz_gini",           # token-mass Gini + top-decile share
+    "x2_cluster_quality",       # Lloyd cluster cohesion/separation report
+    "x6_doremi_weights",        # excess-loss domain reweighting step
+    "x3_bpe_train",             # 6-round BPE merge training loop
+    "x7_ewma_smooth",           # per-user EWMA list-fold recursion
+    "x3_chao1_richness",        # Chao1 unseen-gram + Good-Turing coverage
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;
