@@ -71,6 +71,9 @@ BOUNDED_BNLJ_OK = {
                                # totals) combined into the report row
     "x2_cluster_quality",      # k=16-row centroid broadcast (assignment) +
                                # k x k centroid pair matrix — both bounded
+    "x6_doremi_weights",       # 1-row (corpus_n, vocab_v) totals broadcast
+                               # into the per-token scorer (ScalarSubquery
+                               # pattern, same class as x3_unigram_logprob)
 }
 
 
