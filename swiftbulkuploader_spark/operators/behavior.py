@@ -338,3 +338,55 @@ ORACLES = {
         FROM per_cat CROSS JOIN tot
     """,
 }
+
+
+def x7_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event-type
+    sequence: P(next = j | current = i) estimated from every consecutive
+    pair in each user's chronologically-ordered stream — the behavioral
+    model behind "what do users do after an error?" and the generator for
+    session simulation / next-action baselines.
+
+    Shape: one per-user window sort (lead), then a groupBy over at most
+    |types|^2 cells with the row-normalizing total as a per-cell window sum
+    over that TINY cell table — raw events are shuffled exactly once on
+    user_id. prob is an exact integer/integer double division, identical on
+    both engines.
+
+    Reference parity: none (the reference has no sequence analytics);
+    north-star extension per SURVEY.md §2.9."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type", 1).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cells = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("cur")
+    return cells.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(wr).cast("double")
+        ).alias("prob"),
+    )
+
+
+QUERIES["x7_markov_transitions"] = x7_markov_transitions
+
+ORACLES["x7_markov_transitions"] = """
+    WITH nx AS (
+        SELECT event_type AS cur,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), cells AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS prob
+    FROM cells
+"""

@@ -628,3 +628,68 @@ ORACLES["x8_triangle_count"] = _E0_CTES + """
            END AS transitivity
     FROM nodes CROSS JOIN eds CROSS JOIN tri
 """
+
+
+def x8_assortativity(spark, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the deterministic near-dup graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list (Newman,
+    PRL 89:208701, 2002). The dedup-graph health metric that complements
+    x8_triangle_count's transitivity: strongly NEGATIVE assortativity means
+    low-degree documents attach to a few hub nodes — the template/boilerplate
+    hub pattern where transitive-closure dedup over-merges — while ~0/positive
+    says duplicate clusters are degree-homogeneous (clique-like) and safe to
+    collapse.
+
+    Shape: the shared prefix-filtered pair generator (one measured plan,
+    dedup.py::allpairs_prefix_pairs), one degree aggregate, two broadcast-size
+    joins of the degree table back onto edges, and a single-pass corr()
+    (mergeable moment state). The two 1-row summaries cross-join at the end
+    (bounded BNLJ, allowlisted). corr rounded to 6 dp on both engines — same
+    margin argument as x6_regression_stats (summation-order ulps ~1e-12 rel).
+    """
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(F.col("da").cast("double").alias("dx"),
+                F.col("db").cast("double").alias("dy"))
+    )
+    s1 = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.avg("d").alias("mean_deg"),
+    )
+    s2 = ed.agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    )
+    return s1.crossJoin(s2)
+
+
+QUERIES["x8_assortativity"] = x8_assortativity
+
+ORACLES["x8_assortativity"] = _E0_CTES + """
+    , und AS (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM und GROUP BY a
+    ), ed AS (
+        SELECT CAST(da.d AS DOUBLE) AS dx, CAST(db.d AS DOUBLE) AS dy
+        FROM und
+        JOIN deg da ON und.a = da.node
+        JOIN deg db ON und.b = db.node
+    ), s1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes, avg(d) AS mean_deg FROM deg
+    ), s2 AS (
+        SELECT CAST(count(*) // 2 AS BIGINT) AS n_edges,
+               round(corr(dx, dy), 6) AS assortativity
+        FROM ed
+    )
+    SELECT n_nodes, mean_deg, n_edges, assortativity
+    FROM s1 CROSS JOIN s2
+"""

@@ -194,3 +194,86 @@ ORACLES["x6_ab_test"] = """
            abs(round(z_stat, 6)) > CAST(1.96 AS DOUBLE) AS significant
     FROM zc
 """
+
+
+def x6_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event_type and hour-of-day — the
+    bounded [0,1] effect-size companion to the chi-square drift test (a
+    10^10-row table makes ANY dependence "significant"; V says whether it is
+    MATERIAL). The profiling question it answers: is traffic mix
+    time-of-day-dependent enough that per-hour stratification matters?
+
+    Chi-square uses the observed-cells-only identity
+    chi2 = N * (sum_cells o^2 / (rowtot * coltot) - 1), which needs NO dense
+    contingency grid (zero cells contribute zero to the sum) — so the plan
+    is one groupBy over at most |types| x 24 cells plus two window marginals
+    on that tiny cell table, and raw events are aggregated exactly once. All
+    cell terms are exact small-integer products divided pairwise; only the
+    final sum carries summation-order ulps.
+
+    V = sqrt(chi2 / (N * (min(r, c) - 1))), r/c = observed category counts.
+
+    Reference parity: none (reference has no statistics beyond counters,
+    bulkupload.py:320-331); north-star extension per SURVEY.md §2.9."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type").alias("r"), F.hour("ts").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    terms = cells.select(
+        "r",
+        "c",
+        "o",
+        (
+            (F.col("o").cast("double") * F.col("o").cast("double"))
+            / (F.sum("o").over(wr).cast("double") * F.sum("o").over(wc).cast("double"))
+        ).alias("term"),
+    )
+    agg = terms.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("r").alias("n_rows"),
+        F.count_distinct("c").alias("n_cols"),
+        F.sum("term").alias("s"),
+    )
+    chi2 = agg["n"].cast("double") * (F.col("s") - F.lit(1.0))
+    dof_min = F.least(F.col("n_rows"), F.col("n_cols")) - F.lit(1)
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.col("n").cast("double") * dof_min.cast("double"))).alias(
+            "cramers_v"
+        ),
+    )
+
+
+QUERIES["x6_cramers_v"] = x6_cramers_v
+
+ORACLES["x6_cramers_v"] = """
+    WITH cells AS (
+        SELECT event_type AS r, hour(ts) AS c, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ), terms AS (
+        SELECT r, c, o,
+               (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+               / (CAST(sum(o) OVER (PARTITION BY r) AS DOUBLE)
+                  * CAST(sum(o) OVER (PARTITION BY c) AS DOUBLE)) AS term
+        FROM cells
+    ), agg AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+               sum(term) AS s
+        FROM terms
+    )
+    SELECT n, n_rows, n_cols,
+           CAST(n AS DOUBLE) * (s - CAST(1 AS DOUBLE)) AS chi2,
+           sqrt(CAST(n AS DOUBLE) * (s - CAST(1 AS DOUBLE))
+                / (CAST(n AS DOUBLE)
+                   * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))) AS cramers_v
+    FROM agg
+"""

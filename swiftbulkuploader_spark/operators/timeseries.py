@@ -471,6 +471,304 @@ def x7_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X7 — dense hourly series: ACF, seasonal decomposition, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 6
+
+
+def _dense_hourly_counts(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, x): the per-type hourly event-count series made
+    DENSE over each type's own [min, max] activity window (missing hours are
+    true zeros, not absent rows) — lag-based statistics are wrong on gappy
+    sequences because row-offset lags silently skip the gaps. Same
+    spine-explode shape as `gap_fill`: rows ∝ types x hours, independent of
+    event count. x is the integer count cast to double so every downstream
+    arithmetic step is identical on both engines (integer sums are exact in
+    double regardless of summation order)."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n0"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 hour"))).alias("bucket"),
+    )
+    return spine.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n0", F.lit(0)).cast("double").alias("x"),
+    )
+
+
+_DENSE_SQL = """
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n0
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT event_type, min(bucket) AS t0, max(bucket) AS t1
+        FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+        FROM spans
+    ), dense AS (
+        SELECT s.event_type, s.bucket, CAST(coalesce(h.n0, 0) AS DOUBLE) AS x
+        FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+    )"""
+
+
+def x7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-rate series, lags 1..6,
+    per event type — the seasonality/burstiness diagnostic run before any
+    forecasting or anomaly model (a daily cycle shows up as a hump at lag 24;
+    white noise stays inside ±2/sqrt(n)).
+
+    Estimator: acf_L = sum_t (x_t - mu)(x_{t-L} - mu) / sum_t (x_t - mu)^2
+    with the full-series mean (the standard biased ACF — denominators shared
+    across lags so the function is positive semidefinite). mu is an EXACT
+    integer-sum / count division, so the centered series is bit-identical on
+    both engines; the remaining cross-engine drift is summation-order ulps
+    absorbed by the verifier's 9-significant-digit normalization.
+
+    Shape: one (type, hour) aggregate (rows ∝ types x hours, never event
+    count), one per-type window sort producing all 6 lag columns in a single
+    pass, one per-type aggregate, then a 6-element explode. At 100 TB the
+    window input is the rollup — ~10^5 rows per type-year — not raw events."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    wp = Window.partitionBy("event_type")
+    mu = F.sum("x").over(wp) / F.count(F.lit(1)).over(wp)
+    cen = dense.select("event_type", "bucket", (F.col("x") - mu).alias("xc"))
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = cen.select(
+        "event_type",
+        "xc",
+        *[F.lag("xc", L).over(wo).alias(f"l{L}") for L in range(1, ACF_MAX_LAG + 1)],
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum(F.col("xc") * F.col("xc")).alias("den"),
+        *[F.sum(F.col("xc") * F.col(f"l{L}")).alias(f"num{L}")
+          for L in range(1, ACF_MAX_LAG + 1)],
+        *[F.count(F.col(f"l{L}")).alias(f"p{L}")
+          for L in range(1, ACF_MAX_LAG + 1)],
+    )
+    rows = agg.select(
+        "event_type",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(L).cast("int").alias("lag"),
+                    F.col(f"p{L}").cast("long").alias("n_pairs"),
+                    (F.col(f"num{L}") / F.nullif(F.col("den"), F.lit(0.0))).alias("acf"),
+                )
+                for L in range(1, ACF_MAX_LAG + 1)
+            ])
+        ).alias("s"),
+    )
+    return rows.select("event_type", "s.lag", "s.n_pairs", "s.acf")
+
+
+QUERIES["x7_acf"] = x7_acf
+
+ORACLES["x7_acf"] = f"""
+    WITH {_DENSE_SQL}
+    , cen AS (
+        SELECT event_type, bucket,
+               x - (sum(x) OVER (PARTITION BY event_type)
+                    / count(*) OVER (PARTITION BY event_type)) AS xc
+        FROM dense
+    ), lagged AS (
+        SELECT event_type, xc,
+               {', '.join(f'lag(xc, {L}) OVER w AS l{L}' for L in range(1, ACF_MAX_LAG + 1))}
+        FROM cen
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ), agg AS (
+        SELECT event_type, sum(xc * xc) AS den,
+               {', '.join(f'sum(xc * l{L}) AS num{L}, count(l{L}) AS p{L}' for L in range(1, ACF_MAX_LAG + 1))}
+        FROM lagged GROUP BY event_type
+    )
+    {' UNION ALL '.join(
+        f'''SELECT event_type, CAST({L} AS INT) AS lag,
+               CAST(p{L} AS BIGINT) AS n_pairs,
+               num{L} / nullif(den, CAST(0 AS DOUBLE)) AS acf FROM agg'''
+        for L in range(1, ACF_MAX_LAG + 1))}
+"""
+
+
+TREND_HALF = 12  # centered moving-average half-width (25-hour window)
+
+
+def x7_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event rate per
+    type: trend (centered 25-hour moving average, NULL until the window is
+    full — no edge bias), detrended = x - trend, seasonal index = mean
+    detrended per hour-of-day, residual = detrended - seasonal. The
+    dashboard/capacity-planning primitive: residuals feed anomaly thresholds
+    that neither re-alarm every rush hour nor miss a real drift.
+
+    Exactness: x is an integer count, so the 25-term trend window sum is
+    EXACT in double. All derived quantities stay in the 25-SCALED INTEGER
+    space (d25 = 25*x - window_sum is integer-valued and exact; its per-hod
+    sum is exact too), so trend = s25/25, seasonal = sum(d25)/(25*m) and
+    residual = d25/25 - seasonal are each single identically-rounded
+    divisions/subtractions of bit-identical operands — NO cross-engine ulp
+    anywhere (a naive avg(detrended) fails the verify: the residual is a
+    near-total cancellation and summation-order noise dominates it).
+
+    Shape: everything is keyed on (type) or (type, hour-of-day) windows over
+    the DENSE ROLLUP (rows ∝ types x hours) — raw events are touched once by
+    the bucketing aggregate; no join, two narrow window passes."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-TREND_HALF, TREND_HALF)
+    )
+    width = 2 * TREND_HALF + 1
+    full = F.count(F.lit(1)).over(wt) == width
+    s25 = F.when(full, F.sum("x").over(wt))
+    step1 = dense.select(
+        "event_type",
+        "bucket",
+        F.hour("bucket").cast("long").alias("hod"),
+        "x",
+        s25.alias("s25"),
+    ).withColumn("d25", F.lit(float(width)) * F.col("x") - F.col("s25"))
+    ws = Window.partitionBy("event_type", "hod")
+    seasonal = F.sum("d25").over(ws) / (
+        F.lit(float(width)) * F.count("d25").over(ws)
+    )
+    return step1.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "hod",
+        "x",
+        (F.col("s25") / F.lit(float(width))).alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("d25") / F.lit(float(width)) - seasonal).alias("residual"),
+    )
+
+
+QUERIES["x7_seasonal_decompose"] = x7_seasonal_decompose
+
+ORACLES["x7_seasonal_decompose"] = f"""
+    WITH {_DENSE_SQL}
+    , t AS (
+        SELECT event_type, bucket, CAST(hour(bucket) AS BIGINT) AS hod, x,
+               CASE WHEN count(*) OVER w = {2 * TREND_HALF + 1}
+                    THEN sum(x) OVER w
+               END AS s25
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN {TREND_HALF} PRECEDING AND {TREND_HALF} FOLLOWING)
+    ), d AS (
+        SELECT *, CAST({2 * TREND_HALF + 1} AS DOUBLE) * x - s25 AS d25 FROM t
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           hod, x,
+           s25 / CAST({2 * TREND_HALF + 1} AS DOUBLE) AS trend,
+           sum(d25) OVER hw
+               / (CAST({2 * TREND_HALF + 1} AS DOUBLE) * count(d25) OVER hw)
+               AS seasonal,
+           d25 / CAST({2 * TREND_HALF + 1} AS DOUBLE)
+               - sum(d25) OVER hw
+                 / (CAST({2 * TREND_HALF + 1} AS DOUBLE) * count(d25) OVER hw)
+               AS residual
+    FROM d
+    WINDOW hw AS (PARTITION BY event_type, hod)
+"""
+
+
+def x7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: S_t = sum_{i<=t} (x_i - mu)
+    over the dense hourly rate series; the hour with the largest |S_t| is the
+    most likely single level-shift point, and |S|_max / (sd * sqrt(n)) is the
+    scale-free evidence score (≈ the Kolmogorov statistic of the sequence;
+    > ~1.3 is suspicious). The batch form of the monitoring primitive behind
+    'did the event rate step-change, and when?'.
+
+    Exactness: mu is an exact integer-sum / count division, each deviation is
+    bit-identical, and the running CUSUM adds them in FRAME ORDER on both
+    engines — the argmax therefore ranks identical doubles; the 6-dp
+    round-before-rank + bucket tie-break follows the repo's ordering rule.
+
+    Shape: one rollup aggregate + two per-type window passes over it + a
+    1-row-per-type argmax filter; rows ∝ types x hours at any event scale."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    wp = Window.partitionBy("event_type")
+    stats = dense.select(
+        "event_type",
+        "bucket",
+        "x",
+        (F.sum("x").over(wp) / F.count(F.lit(1)).over(wp)).alias("mu"),
+        F.stddev_samp("x").over(wp).alias("sd"),
+        F.count(F.lit(1)).over(wp).alias("n_hours"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = stats.withColumn("cusum", F.sum(F.col("x") - F.col("mu")).over(wo))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs("cusum"), 6).desc(), F.col("bucket").asc()
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("cp_bucket"),
+            "cusum",
+            (
+                F.abs("cusum")
+                / F.nullif(F.col("sd") * F.sqrt(F.col("n_hours").cast("double")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+
+
+QUERIES["x7_cusum_changepoint"] = x7_cusum_changepoint
+
+ORACLES["x7_cusum_changepoint"] = f"""
+    WITH {_DENSE_SQL}
+    , stats AS (
+        SELECT event_type, bucket, x,
+               sum(x) OVER p / count(*) OVER p AS mu,
+               stddev_samp(x) OVER p AS sd,
+               count(*) OVER p AS n_hours
+        FROM dense
+        WINDOW p AS (PARTITION BY event_type)
+    ), cus AS (
+        SELECT *,
+               sum(x - mu) OVER (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cusum
+        FROM stats
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(abs(cusum), 6) DESC,
+                                           bucket ASC) AS rn
+        FROM cus
+    )
+    SELECT event_type,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS cp_bucket,
+           cusum,
+           abs(cusum) / nullif(sd * sqrt(CAST(n_hours AS DOUBLE)),
+                               CAST(0 AS DOUBLE)) AS score
+    FROM ranked WHERE rn = 1
+"""
+
 QUERIES["x7_ewma_smooth"] = x7_ewma_smooth
 
 ORACLES["x7_ewma_smooth"] = """

@@ -239,3 +239,54 @@ class TestTriangleCount:
         assert r["n_triangles"] == 0
         if r["n_wedges"] and r["n_wedges"] > 0:
             assert r["transitivity"] == 0.0
+
+
+class TestAssortativity:
+    def _write_docs(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    def test_path_graph_is_disassortative(self, spark, tmp_path):
+        """A path a-b-c (hub-and-spoke in miniature): every edge joins a
+        degree-1 end to the degree-2 middle -> assortativity exactly -1."""
+        from swiftbulkuploader_spark.operators.components import x8_assortativity
+
+        # single-shingle ends, two-shingle middle: jac(a,b) = jac(b,c) = 1/2
+        # (edges at tau=0.5), jac(a,c) = 0 -> a true path graph
+        a = "alpha beta gamma"
+        b = "alpha beta gamma delta"
+        c = "beta gamma delta"
+        self._write_docs(
+            spark, tmp_path,
+            [(0, a, "en", "s", 1), (1, b, "en", "s", 1), (2, c, "en", "s", 1)],
+        )
+        r = x8_assortativity(spark, str(tmp_path)).collect()[0]
+        assert (r["n_nodes"], r["n_edges"]) == (3, 2)
+        assert r["mean_deg"] == pytest.approx(4.0 / 3.0)
+        assert r["assortativity"] == pytest.approx(-1.0)
+
+    def test_regular_components_are_assortative(self, spark, tmp_path):
+        """A 3-clique plus a lone edge: within each edge both endpoints have
+        the same degree (2 resp. 1) -> endpoint degrees perfectly correlated,
+        assortativity +1; mean degree (2+2+2+1+1)/5."""
+        from swiftbulkuploader_spark.operators.components import x8_assortativity
+
+        tri = "alpha beta gamma delta epsilon zeta"
+        pair = "one two three four five six"
+        self._write_docs(
+            spark, tmp_path,
+            [
+                (0, tri, "en", "s", 1),
+                (1, tri, "en", "s", 1),
+                (2, tri, "en", "s", 1),
+                (3, pair, "en", "s", 1),
+                (4, pair, "en", "s", 1),
+            ],
+        )
+        r = x8_assortativity(spark, str(tmp_path)).collect()[0]
+        assert (r["n_nodes"], r["n_edges"]) == (5, 4)
+        assert r["mean_deg"] == pytest.approx(1.6)
+        assert r["assortativity"] == pytest.approx(1.0)

@@ -1,0 +1,207 @@
+"""Crafted-data semantics tests for the dense-hourly-series statistics
+(ACF, seasonal decomposition, CUSUM changepoint), the Markov transition
+matrix, and Cramér's V — each pinned against hand-computed references so the
+DuckDB oracle is checking an implementation whose meaning is independently
+fixed here."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+
+def _hourly(n_per_hour, etype="a", start_uid=1):
+    """One row list with n_per_hour[h] events inside hour h of 2024-01-01."""
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    for h, n in enumerate(n_per_hour):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + timedelta(hours=h, minutes=i),
+                    start_uid,
+                    etype,
+                    1.0,
+                    "{}",
+                )
+            )
+    return rows
+
+
+class TestACF:
+    def test_alternating_series(self, spark, tmp_path):
+        """counts [1,2,1,2,1]: mu=1.4, den=1.2, acf1=-0.8, acf2=17/30."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_acf
+
+        _write_events(spark, tmp_path, _hourly([1, 2, 1, 2, 1]))
+        got = {r["lag"]: r for r in x7_acf(spark, str(tmp_path)).collect()}
+        assert got[1]["n_pairs"] == 4 and got[2]["n_pairs"] == 3
+        assert got[1]["acf"] == pytest.approx(-0.8)
+        assert got[2]["acf"] == pytest.approx(0.68 / 1.2)
+        # lag > series length - 1 has zero pairs -> NULL acf (sum of nothing)
+        assert got[5]["n_pairs"] == 0 and got[5]["acf"] is None
+
+    def test_gap_hours_are_zeros(self, spark, tmp_path):
+        """Events in hours 0 and 2 only: the dense series is [1,0,1]
+        (NOT the gappy 2-row [1,1]): mu=2/3, acf1=-2/3."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_acf
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 2, 0, 0), 1, "a", 1.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        got = {r["lag"]: r for r in x7_acf(spark, str(tmp_path)).collect()}
+        assert got[1]["n_pairs"] == 2
+        assert got[1]["acf"] == pytest.approx(-2.0 / 3.0)
+
+
+class TestSeasonalDecompose:
+    def test_flat_series(self, spark, tmp_path):
+        """A constant 1-event/hour series over 30 hours: trend=1.0 exactly
+        where the 25-hour window is full (rows 12..17), NULL at the edges;
+        seasonal and residual are exactly 0.0 (the integer-space construction
+        makes them bit-exact zeros, not ulps)."""
+        from swiftbulkuploader_spark.operators.timeseries import (
+            x7_seasonal_decompose,
+        )
+
+        _write_events(spark, tmp_path, _hourly([1] * 30))
+        rows = sorted(
+            x7_seasonal_decompose(spark, str(tmp_path)).collect(),
+            key=lambda r: r["bucket"],
+        )
+        assert len(rows) == 30
+        for i, r in enumerate(rows):
+            assert r["x"] == 1.0
+            if 12 <= i <= 17:
+                assert r["trend"] == 1.0
+                assert r["seasonal"] == 0.0
+                assert r["residual"] == 0.0
+            else:
+                assert r["trend"] is None and r["residual"] is None
+
+
+class TestCusumChangepoint:
+    def test_level_shift(self, spark, tmp_path):
+        """counts [1,1,5,5]: mu=3, cusum=[-2,-4,-2,0] -> changepoint at
+        hour 1 with S=-4; score = 4/(sd*sqrt(4)), sd=sqrt(16/3)."""
+        from swiftbulkuploader_spark.operators.timeseries import (
+            x7_cusum_changepoint,
+        )
+
+        _write_events(spark, tmp_path, _hourly([1, 1, 5, 5]))
+        r = x7_cusum_changepoint(spark, str(tmp_path)).collect()[0]
+        assert r["n_hours"] == 4
+        assert r["cp_bucket"] == "2024-01-01 01:00:00"
+        assert r["cusum"] == -4.0
+        assert r["score"] == pytest.approx(4.0 / ((16.0 / 3.0) ** 0.5 * 2.0))
+
+    def test_tie_breaks_to_earliest_hour(self, spark, tmp_path):
+        """counts [2,1,1,2]: mu=1.5, cusum=[0.5,0,-0.5,0] — single max at
+        hour 2; flip to [1,2,2,1]: cusum=[-0.5,0,0.5,0] max at hour 2 too.
+        Use symmetric [2,1,2]: mu=5/3, cusum=[1/3,-1/3,0] -> |S| ties at
+        hours 0 and 1, tie-break picks hour 0."""
+        from swiftbulkuploader_spark.operators.timeseries import (
+            x7_cusum_changepoint,
+        )
+
+        _write_events(spark, tmp_path, _hourly([2, 1, 2]))
+        r = x7_cusum_changepoint(spark, str(tmp_path)).collect()[0]
+        assert r["cp_bucket"] == "2024-01-01 00:00:00"
+        assert r["cusum"] == pytest.approx(1.0 / 3.0)
+
+
+class TestMarkovTransitions:
+    def test_transition_probabilities(self, spark, tmp_path):
+        """user1: a->b->a, user2: b->a, user3: a->c:
+        P(b|a)=P(c|a)=0.5, P(a|b)=1.0; no cross-user pairs."""
+        from swiftbulkuploader_spark.operators.behavior import (
+            x7_markov_transitions,
+        )
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [
+            (1, t0, 1, "a", 0.0, "{}"),
+            (2, t0 + s, 1, "b", 0.0, "{}"),
+            (3, t0 + 2 * s, 1, "a", 0.0, "{}"),
+            (4, t0, 2, "b", 0.0, "{}"),
+            (5, t0 + s, 2, "a", 0.0, "{}"),
+            (6, t0, 3, "a", 0.0, "{}"),
+            (7, t0 + s, 3, "c", 0.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        got = {
+            (r["cur"], r["nxt"]): r
+            for r in x7_markov_transitions(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
+        assert got[("a", "b")]["n"] == 1 and got[("a", "b")]["prob"] == 0.5
+        assert got[("a", "c")]["prob"] == 0.5
+        assert got[("b", "a")]["n"] == 2 and got[("b", "a")]["prob"] == 1.0
+
+    def test_simultaneous_ties_break_on_event_id(self, spark, tmp_path):
+        """Two events at the identical timestamp order by event_id."""
+        from swiftbulkuploader_spark.operators.behavior import (
+            x7_markov_transitions,
+        )
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        rows = [(2, t0, 1, "b", 0.0, "{}"), (1, t0, 1, "a", 0.0, "{}")]
+        _write_events(spark, tmp_path, rows)
+        got = x7_markov_transitions(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert (got[0]["cur"], got[0]["nxt"]) == ("a", "b")
+
+
+class TestCramersV:
+    def test_perfect_association(self, spark, tmp_path):
+        """Each type confined to its own hour: V = 1, chi2 = N."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            x6_cramers_v,
+        )
+
+        rows = [
+            (i, datetime(2024, 1, 1, 0, i, 0), 1, "p", 0.0, "{}") for i in range(3)
+        ] + [
+            (10 + i, datetime(2024, 1, 1, 1, i, 0), 1, "q", 0.0, "{}")
+            for i in range(5)
+        ]
+        _write_events(spark, tmp_path, rows)
+        r = x6_cramers_v(spark, str(tmp_path)).collect()[0]
+        assert (r["n"], r["n_rows"], r["n_cols"]) == (8, 2, 2)
+        assert r["chi2"] == pytest.approx(8.0)
+        assert r["cramers_v"] == pytest.approx(1.0)
+
+    def test_independence(self, spark, tmp_path):
+        """Both types spread evenly over both hours: chi2 = 0, V = 0."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            x6_cramers_v,
+        )
+
+        rows = []
+        eid = 0
+        for etype in ("p", "q"):
+            for h in (0, 1):
+                for i in range(2):
+                    eid += 1
+                    rows.append(
+                        (eid, datetime(2024, 1, 1, h, i, 0), 1, etype, 0.0, "{}")
+                    )
+        _write_events(spark, tmp_path, rows)
+        r = x6_cramers_v(spark, str(tmp_path)).collect()[0]
+        assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+        assert r["cramers_v"] == pytest.approx(0.0, abs=1e-9)

@@ -55,6 +55,8 @@ BOUNDED_BNLJ_OK = {
     "x1_source_overlap",       # n_sources^2 pair matrix over the per-source
                                # SIZE AGGREGATE (a few dozen rows at any
                                # corpus scale), non-equi < join
+    "x8_assortativity",        # two 1-row graph summaries (node stats x edge
+                               # corr) cross-joined for the single-row report
 
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
