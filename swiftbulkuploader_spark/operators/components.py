@@ -693,3 +693,214 @@ ORACLES["x8_assortativity"] = _E0_CTES + """
     SELECT n_nodes, mean_deg, n_edges, assortativity
     FROM s1 CROSS JOIN s2
 """
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def x8_kcore(spark, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=2, fixed 4 rounds) of the deterministic near-dup
+    graph: repeatedly delete nodes whose residual degree is < k, recording
+    the round each node was peeled; survivors form the 2-core with their
+    in-core degree. The dedup-graph triage operator: peel_round 1 nodes are
+    pendant/lone-pair documents (safe one-shot merges), the 2-core is where
+    transitive closure actually chains and deserves the clique-vs-hub audit
+    (x8_triangle_count / x8_assortativity).
+
+    Fixed-round unrolled semantics (the Lloyd/quality-train graduation
+    recipe): each round is one degree aggregate over the residual edge list
+    plus two anti-joins, the frame `localCheckpoint`ed per round (CLAUDE.md
+    rule 4 — deg and the anti-join both reference it). A node stranded
+    edgeless by a peel is caught via the alive-set left join (coalesce(d,0)),
+    not the degree table alone. The oracle replays the identical rounds as
+    chained CTEs, so this is a full value oracle despite the iteration.
+
+    Scale: per round one narrow (node) shuffle over a shrinking edge list;
+    peel cascades beyond 4 rounds would leave sub-k survivors (documented
+    fixed-budget semantics — raise KCORE_ROUNDS for deeper cascades; the
+    crafted path-graph test pins a 2-round cascade)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    cur = e.localCheckpoint(eager=True)
+    alive = (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    peeled = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        und = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+            F.col("a").alias("node"), "d"
+        )
+        peel = (
+            alive.join(deg, "node", "left")
+            .where(F.coalesce("d", F.lit(0)) < KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)  # read 4x: two anti-joins, alive, output
+        )
+        peeled.append(
+            peel.select("node", F.lit(r).cast("int").alias("peel_round"))
+        )
+        alive = alive.join(peel, "node", "left_anti").localCheckpoint(eager=True)
+        cur = (
+            cur.join(peel.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(peel.withColumnRenamed("node", "b"), "b", "left_anti")
+            # USING-join moves the key column first -> (b, a); restore the
+            # (a, b) order or the positional union() above flips directions
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    undf = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    degf = undf.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    out = alive.join(degf, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.lit(0).cast("int").alias("peel_round"),
+        F.coalesce("d", F.lit(0)).cast("long").alias("core_deg"),
+    )
+    for p in peeled:
+        out = out.union(
+            p.select(
+                F.col("node").alias("doc_id"),
+                "peel_round",
+                F.lit(None).cast("long").alias("core_deg"),
+            )
+        )
+    return out
+
+
+def _kcore_oracle_sql() -> str:
+    """GENERATED fixed-round peel replay: the same alive/deg/peel/e chain.
+    Round CTEs are MATERIALIZED — each round references its predecessor and
+    peel set 2-3 times, and DuckDB's default CTE inlining re-expands the
+    expensive e0 pair-generator pipeline exponentially in the round count
+    (observed: 'Too many open files' from ~3^4 re-opened parquet scans)."""
+    parts = [
+        ", alive_0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b FROM e0)",
+        ", e_0 AS MATERIALIZED (SELECT a, b FROM e0)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+    , und_{r} AS (
+        SELECT a, b FROM e_{r - 1} UNION ALL SELECT b AS a, a AS b FROM e_{r - 1}
+    ), deg_{r} AS (
+        SELECT a AS node, count(*) AS d FROM und_{r} GROUP BY a
+    ), peel_{r} AS MATERIALIZED (
+        SELECT al.node FROM alive_{r - 1} al
+        LEFT JOIN deg_{r} dg ON al.node = dg.node
+        WHERE coalesce(dg.d, 0) < {KCORE_K}
+    ), alive_{r} AS MATERIALIZED (
+        SELECT node FROM alive_{r - 1}
+        WHERE node NOT IN (SELECT node FROM peel_{r})
+    ), e_{r} AS MATERIALIZED (
+        SELECT a, b FROM e_{r - 1}
+        WHERE a NOT IN (SELECT node FROM peel_{r})
+          AND b NOT IN (SELECT node FROM peel_{r})
+    )""")
+    last = KCORE_ROUNDS
+    parts.append(f"""
+    , undf AS (
+        SELECT a, b FROM e_{last} UNION ALL SELECT b AS a, a AS b FROM e_{last}
+    ), degf AS (
+        SELECT a AS node, count(*) AS d FROM undf GROUP BY a
+    )
+    SELECT al.node AS doc_id, CAST(0 AS INT) AS peel_round,
+           CAST(coalesce(dg.d, 0) AS BIGINT) AS core_deg
+    FROM alive_{last} al LEFT JOIN degf dg ON al.node = dg.node""")
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+    UNION ALL
+    SELECT node AS doc_id, CAST({r} AS INT) AS peel_round,
+           CAST(NULL AS BIGINT) AS core_deg
+    FROM peel_{r}""")
+    return _E0_CTES + "".join(parts)
+
+
+QUERIES["x8_kcore"] = x8_kcore
+ORACLES["x8_kcore"] = _kcore_oracle_sql()
+
+
+def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
+    """Distance-2 link prediction over the near-dup graph: for every
+    non-adjacent pair sharing >= 1 common neighbor, the three classic scores
+    (Liben-Nowell & Kleinberg CIKM'03) — common-neighbor count, neighborhood
+    Jaccard cn/(da+db-cn), and Adamic-Adar sum 1/ln(deg(m)). The dedup
+    recall auditor: a high-scoring non-edge is a near-dup pair the
+    Jaccard>=0.5 threshold MISSED (borderline rewrite), exactly what you
+    sample for threshold tuning.
+
+    Shape: one wedge self-join through the common neighbor m (fan-out
+    O(deg^2) per node, bounded by the banded pair generator's clique-ish
+    components), one (x, y) aggregate, one anti-join against the edge list,
+    two degree lookups. Every common neighbor has deg >= 2, so ln(deg) > 0 —
+    no division guard needed. cn/jaccard are exact integer-derived
+    divisions; only adamic_adar carries summation-order ulps."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    u1 = und.select(F.col("a").alias("m"), F.col("b").alias("x"))
+    u2 = und.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedges = (
+        u1.join(u2, "m")
+        .where(F.col("x") < F.col("y"))
+        .join(deg.select(F.col("node").alias("m"), F.col("d").alias("dm")), "m")
+    )
+    cand = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.lit(1.0) / F.log(F.col("dm").cast("double"))).alias("adamic_adar"),
+    )
+    non_edges = cand.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_anti"
+    )
+    return (
+        non_edges.join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.col("cn").cast("long").alias("cn"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
+QUERIES["x8_link_prediction"] = x8_link_prediction
+
+ORACLES["x8_link_prediction"] = _E0_CTES + """
+    , und AS (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM und GROUP BY a
+    ), wedges AS (
+        SELECT u1.b AS x, u2.b AS y, dm.d AS dm
+        FROM und u1
+        JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+        JOIN deg dm ON u1.a = dm.node
+    ), cand AS (
+        SELECT x, y, count(*) AS cn,
+               sum(CAST(1 AS DOUBLE) / ln(CAST(dm AS DOUBLE))) AS adamic_adar
+        FROM wedges GROUP BY x, y
+    ), non_edges AS (
+        SELECT c.* FROM cand c
+        ANTI JOIN e0 ON c.x = e0.a AND c.y = e0.b
+    )
+    SELECT ne.x AS a, ne.y AS b, CAST(ne.cn AS BIGINT) AS cn,
+           CAST(ne.cn AS DOUBLE) / CAST(dx.d + dy.d - ne.cn AS DOUBLE) AS jaccard,
+           ne.adamic_adar
+    FROM non_edges ne
+    JOIN deg dx ON ne.x = dx.node
+    JOIN deg dy ON ne.y = dy.node
+"""

@@ -946,3 +946,87 @@ ORACLES["x6_doremi_weights"] = f"""
                      OVER () AS domain_weight
     FROM scored
 """
+
+
+def x10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: band every document into one of four
+    difficulty phases by the frozen quality model's keep-probability
+    (phase 1 = easiest quarter-band, phase 4 = hardest), then lay out a
+    deterministic within-phase shuffle — md5 shuffle key, hash shard, and
+    per-(phase, shard) position. The easy-to-hard schedule loader: training
+    consumes phase 1's shards first, each internally shuffled.
+
+    Composition of two verified primitives (x3_quality_model's scorer and
+    x6_global_shuffle's sharded-shuffle layout) into the schedule a 100 TB
+    run actually writes: phase banding is row-local on FIXED probability
+    thresholds (0.25/0.5/0.75 of the 6-dp-rounded keep_prob — a data-free
+    decision, unlike a global ntile which would need a full sort), shard
+    assignment is hash-local, and the only shuffle is the per-(phase, shard)
+    position sort — one exchange, one output file per (phase, shard).
+
+    Round-before-band: keep_prob is sigmoid(exp) whose ulps differ across
+    engines, so the band is decided on round(keep_prob, 6) (CLAUDE.md
+    rule 3 — booleans/buckets on rounded inputs only)."""
+    from swiftbulkuploader_spark.operators.textops import x3_quality_model
+
+    qm = x3_quality_model(spark, sf_dir).select("doc_id", "keep_prob")
+    rp = F.round(F.col("keep_prob"), 6)
+    phase = (F.lit(4) - F.least(F.floor(rp * F.lit(4.0)).cast("int"), F.lit(3))).cast(
+        "int"
+    )
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    keyed = qm.select(
+        "doc_id", "keep_prob", phase.alias("phase"), key.alias("shuffle_key")
+    )
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+        % F.lit(N_SHARDS)
+    ).cast("int")
+    w = Window.partitionBy("phase", "shard_id").orderBy("shuffle_key")
+    return (
+        keyed.withColumn("shard_id", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "keep_prob", "phase", "shard_id", "pos")
+    )
+
+
+QUERIES["x10_curriculum_order"] = x10_curriculum_order
+
+ORACLES["x10_curriculum_order"] = f"""
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0.0 END AS alpha_ratio
+        FROM documents
+    ), z AS (
+        SELECT doc_id,
+               CAST(-2.0 AS DOUBLE)
+               + CAST(0.35 AS DOUBLE) * ln(CAST(1 AS DOUBLE) + CAST(n_chars AS DOUBLE))
+               + CAST(1.5 AS DOUBLE) * alpha_ratio
+               + CAST(2.0 AS DOUBLE)
+                 * (len(list_filter(toks, t -> t IN ('the','and','of','to','is')))::DOUBLE
+                    / greatest(len(toks), 1)) AS z
+        FROM f
+    ), q AS (
+        SELECT doc_id,
+               CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-round(z, 6))) AS keep_prob
+        FROM z
+    ), ph AS (
+        SELECT doc_id, keep_prob,
+               CAST(4 - least(CAST(floor(round(keep_prob, 6) * CAST(4 AS DOUBLE))
+                                   AS INT), 3) AS INT) AS phase,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM q
+    ), sh AS (
+        SELECT *,
+               CAST(CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT)
+                    % {N_SHARDS} AS INT) AS shard_id
+        FROM ph
+    )
+    SELECT doc_id, keep_prob, phase, shard_id,
+           CAST(row_number() OVER (PARTITION BY phase, shard_id
+                                   ORDER BY shuffle_key) AS INT) AS pos
+    FROM sh
+"""

@@ -290,3 +290,89 @@ class TestAssortativity:
         assert (r["n_nodes"], r["n_edges"]) == (5, 4)
         assert r["mean_deg"] == pytest.approx(1.6)
         assert r["assortativity"] == pytest.approx(1.0)
+
+
+class TestKCore:
+    def _write_docs(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    def test_path_cascade_and_stranded_node(self, spark, tmp_path):
+        """Path a-b-c: ends are degree-1 -> peeled round 1; b is stranded
+        EDGELESS (degree 0, caught by the alive-set coalesce path, not the
+        degree table) -> peeled round 2. Nothing survives."""
+        from swiftbulkuploader_spark.operators.components import x8_kcore
+
+        a = "alpha beta gamma"
+        b = "alpha beta gamma delta"
+        c = "beta gamma delta"
+        self._write_docs(
+            spark, tmp_path,
+            [(0, a, "en", "s", 1), (1, b, "en", "s", 1), (2, c, "en", "s", 1)],
+        )
+        got = {r["doc_id"]: r for r in x8_kcore(spark, str(tmp_path)).collect()}
+        assert got[0]["peel_round"] == 1 and got[2]["peel_round"] == 1
+        assert got[1]["peel_round"] == 2
+        assert all(r["core_deg"] is None for r in got.values())
+
+    def test_triangle_core_survives_pair_peeled(self, spark, tmp_path):
+        """A 3-clique is the 2-core (survives, core_deg 2); a lone identical
+        pair is degree-1 -> peeled in round 1."""
+        from swiftbulkuploader_spark.operators.components import x8_kcore
+
+        tri = "alpha beta gamma delta epsilon zeta"
+        pair = "one two three four five six"
+        self._write_docs(
+            spark, tmp_path,
+            [
+                (0, tri, "en", "s", 1),
+                (1, tri, "en", "s", 1),
+                (2, tri, "en", "s", 1),
+                (3, pair, "en", "s", 1),
+                (4, pair, "en", "s", 1),
+            ],
+        )
+        got = {r["doc_id"]: r for r in x8_kcore(spark, str(tmp_path)).collect()}
+        for d in (0, 1, 2):
+            assert got[d]["peel_round"] == 0 and got[d]["core_deg"] == 2
+        for d in (3, 4):
+            assert got[d]["peel_round"] == 1 and got[d]["core_deg"] is None
+
+
+class TestLinkPrediction:
+    def test_path_endpoints_predicted(self, spark, tmp_path):
+        """Path a-b-c: the only distance-2 non-edge is (a, c) through b:
+        cn=1, jaccard = 1/(1+1-1) = 1, adamic_adar = 1/ln(2)."""
+        import math
+
+        from swiftbulkuploader_spark.operators.components import x8_link_prediction
+
+        a = "alpha beta gamma"
+        b = "alpha beta gamma delta"
+        c = "beta gamma delta"
+        df = spark.createDataFrame(
+            [(0, a, "en", "s", 1), (1, b, "en", "s", 1), (2, c, "en", "s", 1)],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = x8_link_prediction(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["a"], r["b"], r["cn"]) == (0, 2, 1)
+        assert r["jaccard"] == 1.0
+        assert r["adamic_adar"] == pytest.approx(1.0 / math.log(2.0))
+
+    def test_clique_has_no_candidates(self, spark, tmp_path):
+        """In a clique every distance-2 pair is already an edge -> empty."""
+        from swiftbulkuploader_spark.operators.components import x8_link_prediction
+
+        tri = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(0, tri, "en", "s", 1), (1, tri, "en", "s", 1), (2, tri, "en", "s", 1)],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        assert x8_link_prediction(spark, str(tmp_path)).count() == 0

@@ -376,3 +376,34 @@ class TestChao1Richness:
         assert (r["n_grams"], r["distinct_grams"], r["f1"], r["f2"]) == (3, 2, 1, 1)
         assert r["chao1"] == pytest.approx(2.0)
         assert r["coverage"] == pytest.approx(1 - 1 / 3)
+
+
+class TestReadability:
+    def test_flesch_formulas(self, spark, tmp_path):
+        """'The cat sat. The dog ran!': 6 words, 2 sentences, 6 single-vowel
+        -group syllables -> FRE = 206.835 - 1.015*3 - 84.6*1, FKG =
+        0.39*3 + 11.8*1 - 15.59."""
+        from swiftbulkuploader_spark.operators.textops import x3_readability
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!", "en", "s", 25)],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x3_readability(spark, str(tmp_path)).collect()[0]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+        assert r["fre"] == pytest.approx(206.835 - 1.015 * 3.0 - 84.6 * 1.0)
+        assert r["fk_grade"] == pytest.approx(0.39 * 3.0 + 11.8 * 1.0 - 15.59)
+
+    def test_sentence_floor_and_vowel_groups(self, spark, tmp_path):
+        """No terminal punctuation floors sentences at 1; 'beautiful queue'
+        counts vowel GROUPS (eau+i+u=3, ueue=1), not vowels."""
+        from swiftbulkuploader_spark.operators.textops import x3_readability
+
+        df = spark.createDataFrame(
+            [(1, "beautiful queue", "en", "s", 15)],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x3_readability(spark, str(tmp_path)).collect()[0]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (2, 1, 4)

@@ -269,3 +269,31 @@ class TestDoremiWeights:
         # upweighting: hard's weight/share ratio strictly exceeds easy's
         assert (hard_r["domain_weight"] / hard_r["base_share"]
                 > easy_r["domain_weight"] / easy_r["base_share"])
+
+
+class TestCurriculumOrder:
+    def test_band_monotone_and_positions_dense(self, spark):
+        """Phases partition docs by rounded keep_prob bands (every phase-p
+        doc scores >= every phase-(p+1) doc at 6 dp), and pos is a dense
+        1..n sequence within each (phase, shard)."""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            x10_curriculum_order,
+        )
+
+        rows = x10_curriculum_order(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "smoke corpus produced no curriculum rows"
+        assert {r["phase"] for r in rows} <= {1, 2, 3, 4}
+        lo = {}
+        hi = {}
+        for r in rows:
+            p, rp = r["phase"], round(r["keep_prob"], 6)
+            lo[p] = min(lo.get(p, 1.0), rp)
+            hi[p] = max(hi.get(p, 0.0), rp)
+        phases = sorted(lo)
+        for a, b in zip(phases, phases[1:]):
+            assert lo[a] >= hi[b], f"band overlap between phase {a} and {b}"
+        seqs = {}
+        for r in rows:
+            seqs.setdefault((r["phase"], r["shard_id"]), []).append(r["pos"])
+        for key, ps in seqs.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), key
