@@ -825,35 +825,68 @@ QUERIES["x8_kcore"] = x8_kcore
 ORACLES["x8_kcore"] = _kcore_oracle_sql()
 
 
+LP_MAX_DEG = 64    # hub cap: common neighbors above this degree are excluded
+LP_MIN_SHARED = 2  # co-purchase edge: parts co-ordered in >= 2 distinct orders
+
+
 def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
-    """Distance-2 link prediction over the near-dup graph: for every
-    non-adjacent pair sharing >= 1 common neighbor, the three classic scores
-    (Liben-Nowell & Kleinberg CIKM'03) — common-neighbor count, neighborhood
-    Jaccard cn/(da+db-cn), and Adamic-Adar sum 1/ln(deg(m)). The dedup
-    recall auditor: a high-scoring non-edge is a near-dup pair the
-    Jaccard>=0.5 threshold MISSED (borderline rewrite), exactly what you
-    sample for threshold tuning.
+    """Distance-2 link prediction over the CO-PURCHASE graph (parts joined
+    by an edge when they appear together in >= LP_MIN_SHARED distinct
+    orders — the bipartite order->part projection): for every non-adjacent
+    pair sharing >= 1 common neighbor, the three classic scores
+    (Liben-Nowell & Kleinberg CIKM'03) — common-neighbor count,
+    neighborhood Jaccard cn/(da+db-cn), and Adamic-Adar sum 1/ln(deg(m)).
+    This is the item-item recommendation primitive ("parts likely to be
+    ordered together next"), and the min-shared threshold makes the
+    projection itself a thresholded similarity join, so the graph stays
+    sparse as orders scale. (The near-dup document graph is the WRONG
+    substrate here: its components are cliques by construction, so its
+    distance-2 non-edge set is empty — zero verification power.)
 
-    Shape: one wedge self-join through the common neighbor m (fan-out
-    O(deg^2) per node, bounded by the banded pair generator's clique-ish
-    components), one (x, y) aggregate, one anti-join against the edge list,
-    two degree lookups. Every common neighbor has deg >= 2, so ln(deg) > 0 —
-    no division guard needed. cn/jaccard are exact integer-derived
-    divisions; only adamic_adar carries summation-order ulps."""
-    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+    Shape: one order-keyed projection self-join (fan-out bounded by
+    parts-per-order, ~4 in TPC-H-like data), one co-occurrence aggregate,
+    then one wedge self-join through the common neighbor m, one (x, y)
+    aggregate, one anti-join against the edge list, two degree lookups.
+    The wedge fan-out is inherently deg(m)^2 per common neighbor — a hub
+    item (deg ~10^5 at scale) would emit ~10^10 wedges — so common
+    neighbors with deg > LP_MAX_DEG are EXCLUDED before the self-join:
+    standard practice (an item co-bought with everything carries no
+    predictive signal — Adamic-Adar's 1/ln(d) down-weighting taken to its
+    limit), part of the declared semantics, replayed by the oracle, and it
+    bounds the join to LP_MAX_DEG^2 wedges per center. Surviving common
+    neighbors have deg >= 2, so ln(deg) > 0 — no division guard.
+    cn/jaccard are exact integer-derived divisions; only adamic_adar
+    carries summation-order ulps."""
+    from swiftbulkuploader_spark.catalog import load_table
 
-    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    c1 = cells.select("ok", F.col("pk").alias("a"))
+    c2 = cells.select("ok", F.col("pk").alias("b"))
+    e = (
+        c1.join(c2, "ok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= LP_MIN_SHARED)
+        .select("a", "b")
+    )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("a").alias("node"), "d"
     )
-    u1 = und.select(F.col("a").alias("m"), F.col("b").alias("x"))
-    u2 = und.select(F.col("a").alias("m"), F.col("b").alias("y"))
-    wedges = (
-        u1.join(u2, "m")
-        .where(F.col("x") < F.col("y"))
-        .join(deg.select(F.col("node").alias("m"), F.col("d").alias("dm")), "m")
+    # cap BEFORE the self-join: only sub-hub centers generate wedges
+    capped = und.join(
+        deg.where(F.col("d") <= LP_MAX_DEG).select(
+            F.col("node").alias("a"), F.col("d").alias("dm")
+        ),
+        "a",
     )
+    u1 = capped.select(F.col("a").alias("m"), F.col("b").alias("x"), "dm")
+    u2 = capped.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedges = u1.join(u2, "m").where(F.col("x") < F.col("y"))
     cand = wedges.groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("cn"),
         F.sum(F.lit(1.0) / F.log(F.col("dm").cast("double"))).alias("adamic_adar"),
@@ -879,16 +912,26 @@ def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
 
 QUERIES["x8_link_prediction"] = x8_link_prediction
 
-ORACLES["x8_link_prediction"] = _E0_CTES + """
-    , und AS (
+ORACLES["x8_link_prediction"] = f"""
+    WITH cells AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e0 AS (
+        SELECT c1.pk AS a, c2.pk AS b
+        FROM cells c1 JOIN cells c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {LP_MIN_SHARED}
+    ), und AS (
         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
     ), deg AS (
         SELECT a AS node, count(*) AS d FROM und GROUP BY a
+    ), capped AS (
+        SELECT und.a, und.b, dg.d AS dm
+        FROM und JOIN deg dg ON und.a = dg.node
+        WHERE dg.d <= {LP_MAX_DEG}
     ), wedges AS (
-        SELECT u1.b AS x, u2.b AS y, dm.d AS dm
-        FROM und u1
-        JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
-        JOIN deg dm ON u1.a = dm.node
+        SELECT u1.b AS x, u2.b AS y, u1.dm
+        FROM capped u1
+        JOIN capped u2 ON u1.a = u2.a AND u1.b < u2.b
     ), cand AS (
         SELECT x, y, count(*) AS cn,
                sum(CAST(1 AS DOUBLE) / ln(CAST(dm AS DOUBLE))) AS adamic_adar

@@ -343,36 +343,42 @@ class TestKCore:
 
 
 class TestLinkPrediction:
+    def _write_lineitem(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(rows, "l_orderkey: long, l_partkey: long")
+        df.write.parquet(str(tmp_path / "lineitem.parquet"))
+
     def test_path_endpoints_predicted(self, spark, tmp_path):
-        """Path a-b-c: the only distance-2 non-edge is (a, c) through b:
+        """Parts 1-2 co-ordered twice and 2-3 twice (edges), 1-3 never:
+        the only distance-2 non-edge is (1, 3) through part 2:
         cn=1, jaccard = 1/(1+1-1) = 1, adamic_adar = 1/ln(2)."""
         import math
 
         from swiftbulkuploader_spark.operators.components import x8_link_prediction
 
-        a = "alpha beta gamma"
-        b = "alpha beta gamma delta"
-        c = "beta gamma delta"
-        df = spark.createDataFrame(
-            [(0, a, "en", "s", 1), (1, b, "en", "s", 1), (2, c, "en", "s", 1)],
-            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
-        )
-        df.write.parquet(str(tmp_path / "documents.parquet"))
+        rows = [
+            (10, 1), (10, 2),
+            (11, 1), (11, 2),
+            (12, 2), (12, 3),
+            (13, 2), (13, 3),
+        ]
+        self._write_lineitem(spark, tmp_path, rows)
         got = x8_link_prediction(spark, str(tmp_path)).collect()
         assert len(got) == 1
         r = got[0]
-        assert (r["a"], r["b"], r["cn"]) == (0, 2, 1)
+        assert (r["a"], r["b"], r["cn"]) == (1, 3, 1)
         assert r["jaccard"] == 1.0
         assert r["adamic_adar"] == pytest.approx(1.0 / math.log(2.0))
 
     def test_clique_has_no_candidates(self, spark, tmp_path):
-        """In a clique every distance-2 pair is already an edge -> empty."""
+        """Three parts always ordered together form a clique: every
+        distance-2 pair is already an edge -> empty; a single shared order
+        (below LP_MIN_SHARED=2) creates no edge either."""
         from swiftbulkuploader_spark.operators.components import x8_link_prediction
 
-        tri = "alpha beta gamma delta epsilon zeta"
-        df = spark.createDataFrame(
-            [(0, tri, "en", "s", 1), (1, tri, "en", "s", 1), (2, tri, "en", "s", 1)],
-            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
-        )
-        df.write.parquet(str(tmp_path / "documents.parquet"))
+        rows = [
+            (10, 1), (10, 2), (10, 3),
+            (11, 1), (11, 2), (11, 3),
+            (12, 3), (12, 4),  # single co-order: no (3,4) edge
+        ]
+        self._write_lineitem(spark, tmp_path, rows)
         assert x8_link_prediction(spark, str(tmp_path)).count() == 0
