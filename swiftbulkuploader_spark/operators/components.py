@@ -825,8 +825,12 @@ QUERIES["x8_kcore"] = x8_kcore
 ORACLES["x8_kcore"] = _kcore_oracle_sql()
 
 
-LP_MAX_DEG = 64    # hub cap: common neighbors above this degree are excluded
-LP_MIN_SHARED = 2  # co-purchase edge: parts co-ordered in >= 2 distinct orders
+LP_MAX_DEG = 64     # hub cap: common neighbors above this degree are excluded
+LP_MIN_SHARED = 2   # co-purchase edge: parts co-ordered in >= 2 distinct orders
+LP_BASKET_CAP = 256  # orders with more distinct parts are excluded from the
+                     # projection (a mega-basket emits basket^2 pairs and
+                     # carries no pairwise signal — same argument as the
+                     # LP_MAX_DEG wedge cap, one level earlier)
 
 
 def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
@@ -843,8 +847,10 @@ def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
     substrate here: its components are cliques by construction, so its
     distance-2 non-edge set is empty — zero verification power.)
 
-    Shape: one order-keyed projection self-join (fan-out bounded by
-    parts-per-order, ~4 in TPC-H-like data), one co-occurrence aggregate,
+    Shape: one order-keyed projection self-join (fan-out parts-per-order
+    squared — so baskets above LP_BASKET_CAP distinct parts are excluded
+    first; a mega-basket emits basket^2 pairs and carries no pairwise
+    signal), one co-occurrence aggregate,
     then one wedge self-join through the common neighbor m, one (x, y)
     aggregate, one anti-join against the edge list, two degree lookups.
     The wedge fan-out is inherently deg(m)^2 per common neighbor — a hub
@@ -863,6 +869,10 @@ def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
     cells = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    bsize = cells.groupBy("ok").agg(F.count(F.lit(1)).alias("bs"))
+    cells = cells.join(
+        bsize.where(F.col("bs") <= LP_BASKET_CAP).select("ok"), "ok"
+    )
     c1 = cells.select("ok", F.col("pk").alias("a"))
     c2 = cells.select("ok", F.col("pk").alias("b"))
     e = (
@@ -913,8 +923,12 @@ def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
 QUERIES["x8_link_prediction"] = x8_link_prediction
 
 ORACLES["x8_link_prediction"] = f"""
-    WITH cells AS (
+    WITH cells0 AS (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), cells AS (
+        SELECT * FROM cells0
+        WHERE ok IN (SELECT ok FROM cells0
+                     GROUP BY ok HAVING count(*) <= {LP_BASKET_CAP})
     ), e0 AS (
         SELECT c1.pk AS a, c2.pk AS b
         FROM cells c1 JOIN cells c2 ON c1.ok = c2.ok AND c1.pk < c2.pk

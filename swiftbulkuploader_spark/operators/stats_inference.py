@@ -277,3 +277,86 @@ ORACLES["x6_cramers_v"] = """
                    * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))) AS cramers_v
     FROM agg
 """
+
+
+def x6_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event_type and hour-of-day, plus
+    both marginal entropies and the normalized MI — the information-
+    theoretic companion to x6_cramers_v: V measures the strength of the
+    linear-ish association, MI captures ANY dependence and NMI puts it on
+    the [0,1] scale feature-selection pipelines rank by.
+
+    Observed-cells-only identities (zero cells contribute zero, so no
+    dense grid): with rt/ct the window marginals and n the total,
+        MI  = (sum o*ln o)/n + ln n - (sum o*ln rt)/n - (sum o*ln ct)/n
+        H_r = ln n - (sum o*ln rt)/n      (since sum_cells o*ln rt
+                                           = sum_r rt*ln rt)
+        H_c = ln n - (sum o*ln ct)/n
+    One groupBy over <= |types| x 24 cells, two window marginals on the
+    tiny cell table, one single-row aggregate; raw events aggregated once.
+    All ln() inputs are exact integers; only sum order carries ulps."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type").alias("r"), F.hour("ts").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    od = F.col("o").cast("double")
+    t = cells.select(
+        "o",
+        (od * F.log(od)).alias("olno"),
+        (od * F.log(F.sum("o").over(wr).cast("double"))).alias("olnr"),
+        (od * F.log(F.sum("o").over(wc).cast("double"))).alias("olnc"),
+    )
+    agg = t.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum("olno").alias("so"),
+        F.sum("olnr").alias("sr"),
+        F.sum("olnc").alias("sc"),
+    )
+    nd = F.col("n").cast("double")
+    mi = F.col("so") / nd + F.log(nd) - F.col("sr") / nd - F.col("sc") / nd
+    h_row = F.log(nd) - F.col("sr") / nd
+    h_col = F.log(nd) - F.col("sc") / nd
+    return agg.select(
+        "n",
+        mi.alias("mi"),
+        h_row.alias("h_row"),
+        h_col.alias("h_col"),
+        (mi / F.nullif(F.sqrt(h_row * h_col), F.lit(0.0))).alias("nmi"),
+    )
+
+
+QUERIES["x6_mutual_information"] = x6_mutual_information
+
+ORACLES["x6_mutual_information"] = """
+    WITH cells AS (
+        SELECT event_type AS r, hour(ts) AS c, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT o,
+               CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)) AS olno,
+               CAST(o AS DOUBLE)
+                   * ln(CAST(sum(o) OVER (PARTITION BY r) AS DOUBLE)) AS olnr,
+               CAST(o AS DOUBLE)
+                   * ln(CAST(sum(o) OVER (PARTITION BY c) AS DOUBLE)) AS olnc
+        FROM cells
+    ), agg AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               sum(olno) AS so, sum(olnr) AS sr, sum(olnc) AS sc
+        FROM t
+    )
+    SELECT n,
+           so / CAST(n AS DOUBLE) + ln(CAST(n AS DOUBLE))
+               - sr / CAST(n AS DOUBLE) - sc / CAST(n AS DOUBLE) AS mi,
+           ln(CAST(n AS DOUBLE)) - sr / CAST(n AS DOUBLE) AS h_row,
+           ln(CAST(n AS DOUBLE)) - sc / CAST(n AS DOUBLE) AS h_col,
+           (so / CAST(n AS DOUBLE) + ln(CAST(n AS DOUBLE))
+               - sr / CAST(n AS DOUBLE) - sc / CAST(n AS DOUBLE))
+           / nullif(sqrt((ln(CAST(n AS DOUBLE)) - sr / CAST(n AS DOUBLE))
+                         * (ln(CAST(n AS DOUBLE)) - sc / CAST(n AS DOUBLE))),
+                    CAST(0 AS DOUBLE)) AS nmi
+    FROM agg
+"""

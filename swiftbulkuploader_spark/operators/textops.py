@@ -1469,6 +1469,25 @@ def x3_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row argmax collect (TakeOrdered), and the merge itself is a narrow
     string map. Vocabulary exhaustion (no adjacent pairs left) ends
     training early on both engines identically."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: long, left_sym: string, right_sym: string, "
+        "merged: string, pair_count: long",
+    )
+
+
+# merges are deterministic per sf_dir: train once, reuse across the train
+# report and the encoder (the _LLOYD_CACHE memo pattern — caching cannot
+# change values, only skip the recompute)
+_BPE_CACHE: dict[str, list[tuple]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The x3_bpe_train loop, memoized: (rank, x, y, merged, count) rows."""
+    cached = _BPE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(normalize_ws(F.col("text")))
     tok = docs.filter(F.length(F.trim(norm)) > 0).select(
@@ -1507,11 +1526,8 @@ def x3_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rank, x, y, x + y, int(c)))
         wcol = F.replace(wcol, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
     words.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank: long, left_sym: string, right_sym: string, "
-        "merged: string, pair_count: long",
-    )
+    _BPE_CACHE[sf_dir] = merges
+    return merges
 
 
 def _bpe_train_oracle_sql(rounds: int = BPE_MERGES) -> str:
@@ -1524,14 +1540,14 @@ def _bpe_train_oracle_sql(rounds: int = BPE_MERGES) -> str:
     prev = "w0"
     selects = []
     for r in range(1, rounds + 1):
-        blocks.append(f"""p{r} AS (
+        blocks.append(f"""p{r} AS MATERIALIZED (
             SELECT s[i] AS x, s[i + 1] AS y, CAST(sum(cnt) AS BIGINT) AS c
             FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM {prev}) t{r},
                  unnest(range(1, len(s))) AS u{r}(i)
             GROUP BY x, y
-        ), m{r} AS (
+        ), m{r} AS MATERIALIZED (
             SELECT x, y, c FROM p{r} ORDER BY c DESC, x, y LIMIT 1
-        ), w{r} AS (
+        ), w{r} AS MATERIALIZED (
             SELECT replace(w,
                        ' ' || (SELECT x FROM m{r}) || '  '
                            || (SELECT y FROM m{r}) || ' ',
@@ -1727,3 +1743,112 @@ ORACLES["x3_readability"] = r"""
                - CAST(15.59 AS DOUBLE) AS fk_grade
     FROM c
 """
+
+
+def x3_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the LEARNED BPE merge table (x3_bpe_train, memoized via
+    _BPE_CACHE) to the corpus — the tokenizer-apply half that turns the
+    trained artifact into per-document token statistics: subtoken count
+    under the learned vocabulary, word count, and fertility
+    (subtokens/word, THE tokenizer-quality metric — fertility creep on a
+    new corpus slice means the tokenizer no longer fits the data).
+
+    Encoding runs on the DISTINCT-WORD table (same word-level optimization
+    as training: corpus size enters only through the tokenize shuffle),
+    applying the merges in rank order as a chain of literal spaced-symbol
+    string replaces — identical semantics on both engines (the
+    x3_bpe_train trick) — then joins the per-word subtoken counts back to
+    the per-doc token stream. All outputs are exact integers and one exact
+    integer/integer division.
+
+    Oracle: generated — replays the training CTE chain (so the oracle's
+    merge table is DERIVED, not copied from the engine) carrying the
+    original word through the encode chain, then the same join-back.
+    coalesce() keeps exhausted-round replaces as no-ops on both sides."""
+    merges = _bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("t")
+    )
+    wcol = F.regexp_replace("t", "(.)", " $1 ")
+    for _, x, y, _m, _c in merges:
+        wcol = F.replace(wcol, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
+    enc = (
+        toks.select("t").distinct()
+        .select("t", F.size(F.split(F.trim(wcol), "  ")).alias("n_sub"))
+    )
+    return (
+        toks.join(enc, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subtokens",
+            (
+                F.col("n_subtokens").cast("double") / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_MERGES) -> str:
+    """GENERATED encode oracle: the training chain (pair counts -> 1-row
+    argmax -> replace) re-derived from scratch, but carrying the ORIGINAL
+    word `t` through every round so the final subtoken counts join back to
+    the per-doc token stream. Exhausted rounds (empty m{r}) degrade to
+    no-op replaces via coalesce instead of cascading NULL words. Every
+    round CTE is MATERIALIZED: w{r} is referenced twice (by p{r+1} and
+    w{r+1}), so default inlining re-expands the tokenize pipeline 2^R
+    times (the x8_kcore lesson)."""
+    blocks = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        blocks.append(f"""p{r} AS MATERIALIZED (
+            SELECT s[i] AS x, s[i + 1] AS y, CAST(sum(cnt) AS BIGINT) AS c
+            FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM {prev}) t{r},
+                 unnest(range(1, len(s))) AS u{r}(i)
+            GROUP BY x, y
+        ), m{r} AS MATERIALIZED (
+            SELECT x, y FROM p{r} ORDER BY c DESC, x, y LIMIT 1
+        ), w{r} AS MATERIALIZED (
+            SELECT t,
+                   coalesce(replace(w,
+                       ' ' || (SELECT x FROM m{r}) || '  '
+                           || (SELECT y FROM m{r}) || ' ',
+                       ' ' || (SELECT x || y FROM m{r}) || ' '), w) AS w,
+                   cnt
+            FROM {prev}
+        )""")
+        prev = f"w{r}"
+    chain = ", ".join(blocks)
+    return f"""
+    WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), wc AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY t
+    ), w0 AS MATERIALIZED (
+        SELECT t, regexp_replace(t, '(.)', ' \\1 ', 'g') AS w, cnt FROM wc
+    ), {chain}, enc AS (
+        SELECT t, CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS n_sub
+        FROM {prev}
+    )
+    SELECT tk.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(enc.n_sub) AS BIGINT) AS n_subtokens,
+           CAST(sum(enc.n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+    FROM tk JOIN enc USING (t)
+    GROUP BY tk.doc_id
+    """
+
+
+QUERIES["x3_bpe_encode"] = x3_bpe_encode
+ORACLES["x3_bpe_encode"] = _bpe_encode_oracle_sql()

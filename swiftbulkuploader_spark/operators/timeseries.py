@@ -789,3 +789,103 @@ ORACLES["x7_ewma_smooth"] = """
                - mean_value AS recency_drift
     FROM seq
 """
+
+
+# ---------------------------------------------------------------------------
+# X7 — SAX symbolization
+# ---------------------------------------------------------------------------
+
+SAX_FRAME_HOURS = 4
+# N(0,1) quartile breakpoints for alphabet size 4 (Lin et al. DMKD'07)
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def x7_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin, Keogh et al.: Symbolic Aggregate
+    approXimation) of the hourly event-rate series: z-normalize per type,
+    PAA-average into 4-hour frames, map each frame to one of 4 symbols at
+    the N(0,1) quartile breakpoints, and emit the per-day SAX WORD — the
+    representation behind motif discovery, series indexing, and cheap
+    whole-day shape comparison ('abdd' = quiet morning, hot evening).
+
+    Exactness: frame means and the per-type mean are exact integer-sum
+    divisions; only the stddev carries cross-engine ulps, so the symbol
+    decision is made on the 6-dp-ROUNDED z (round-before-bucket, CLAUDE.md
+    rule 3). A degenerate constant series (sd = 0 -> NULL z) maps to '?'
+    explicitly rather than falling through the CASE.
+
+    Shape: one rollup aggregate, a 5-row per-type stats aggregate
+    broadcast back, one (type, day, frame) aggregate and one (type, day)
+    word aggregate — rows ∝ types x hours throughout."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    stats = dense.groupBy("event_type").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        F.stddev_samp("x").alias("sd"),
+    )
+    frames = dense.groupBy(
+        "event_type",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.floor(F.hour("bucket") / F.lit(SAX_FRAME_HOURS)).cast("int").alias("frame"),
+    ).agg((F.sum("x") / F.count(F.lit(1))).alias("fm"))
+    z6 = F.round(
+        (F.col("fm") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+    )
+    lo, mid, hi = SAX_BREAKS
+    sym = (
+        F.when(z6.isNull(), F.lit("?"))
+        .when(z6 < F.lit(lo), F.lit("a"))
+        .when(z6 < F.lit(mid), F.lit("b"))
+        .when(z6 < F.lit(hi), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    syms = frames.join(stats, "event_type").select(
+        "event_type", "day", "frame", sym.alias("sym")
+    )
+    return syms.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame", "sym"))),
+                lambda s: s["sym"],
+            ),
+        ).alias("sax_word"),
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_frames",
+        "sax_word",
+    )
+
+
+QUERIES["x7_sax_symbols"] = x7_sax_symbols
+
+ORACLES["x7_sax_symbols"] = f"""
+    WITH {_DENSE_SQL}
+    , stats AS (
+        SELECT event_type, sum(x) / count(*) AS mu, stddev_samp(x) AS sd
+        FROM dense GROUP BY 1
+    ), frames AS (
+        SELECT event_type, date_trunc('day', bucket) AS day,
+               CAST(hour(bucket) // {SAX_FRAME_HOURS} AS INT) AS frame,
+               sum(x) / count(*) AS fm
+        FROM dense GROUP BY 1, 2, 3
+    ), syms AS (
+        SELECT f.event_type, f.day, f.frame,
+               CASE WHEN z IS NULL THEN '?'
+                    WHEN z < CAST({SAX_BREAKS[0]} AS DOUBLE) THEN 'a'
+                    WHEN z < CAST({SAX_BREAKS[1]} AS DOUBLE) THEN 'b'
+                    WHEN z < CAST({SAX_BREAKS[2]} AS DOUBLE) THEN 'c'
+                    ELSE 'd' END AS sym
+        FROM (
+            SELECT f.*, round((f.fm - s.mu)
+                              / nullif(s.sd, CAST(0 AS DOUBLE)), 6) AS z
+            FROM frames f JOIN stats s USING (event_type)
+        ) f
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           string_agg(sym, '' ORDER BY frame) AS sax_word
+    FROM syms GROUP BY event_type, day
+"""

@@ -407,3 +407,29 @@ class TestReadability:
         df.write.parquet(str(tmp_path / "documents.parquet"))
         r = x3_readability(spark, str(tmp_path)).collect()[0]
         assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (2, 1, 4)
+
+
+class TestBPEEncode:
+    def test_fertility_under_learned_merges(self, spark, tmp_path):
+        """Textbook corpus + two tail words: the 6 merge rounds learn
+        ug, hug, pug, bu, bug, bun (tie-breaks verified in TestBPETrain);
+        encoding then gives hug/pug/bug/bun = 1 subtoken each and
+        hugs = [hug, s] = 2 (no (hug,s) merge budget left)."""
+        from swiftbulkuploader_spark.operators.textops import x3_bpe_encode
+
+        rows = [
+            (0, "hug hug hug pug pug bun", "en", "s", 1),
+            (1, "bug hugs", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r for r in x3_bpe_encode(spark, str(tmp_path)).collect()}
+        assert got[0]["n_words"] == 6
+        assert got[0]["n_subtokens"] == 6      # every word a single token
+        assert got[0]["fertility"] == pytest.approx(1.0)
+        assert got[1]["n_words"] == 2
+        assert got[1]["n_subtokens"] == 3      # bug=1, hugs=[hug,s]=2
+        assert got[1]["fertility"] == pytest.approx(1.5)

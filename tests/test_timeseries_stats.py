@@ -205,3 +205,71 @@ class TestCramersV:
         r = x6_cramers_v(spark, str(tmp_path)).collect()[0]
         assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
         assert r["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestSaxSymbols:
+    def test_step_series_word(self, spark, tmp_path):
+        """One type, 24 hours: 12 hours at 1 event then 12 at 3 ->
+        mu=2, frames [1,1,1,3,3,3], |z| ~ 0.979 beyond the +-0.6745
+        quartile breaks -> SAX word 'aaaddd'."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_sax_symbols
+
+        _write_events(spark, tmp_path, _hourly([1] * 12 + [3] * 12))
+        rows = x7_sax_symbols(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_frames"] == 6
+        assert rows[0]["sax_word"] == "aaaddd"
+
+    def test_constant_series_maps_to_question_marks(self, spark, tmp_path):
+        """sd = 0 (constant series) must yield explicit '?' symbols, not
+        fall through the CASE to 'd'."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_sax_symbols
+
+        _write_events(spark, tmp_path, _hourly([2] * 24))
+        rows = x7_sax_symbols(spark, str(tmp_path)).collect()
+        assert rows[0]["sax_word"] == "??????"
+
+
+class TestMutualInformation:
+    def test_perfect_association(self, spark, tmp_path):
+        """p only in hour 0 (3 events), q only in hour 1 (5): MI equals the
+        marginal entropy H(3/8, 5/8) and NMI = 1."""
+        import math
+
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            x6_mutual_information,
+        )
+
+        rows = [
+            (i, datetime(2024, 1, 1, 0, i, 0), 1, "p", 0.0, "{}") for i in range(3)
+        ] + [
+            (10 + i, datetime(2024, 1, 1, 1, i, 0), 1, "q", 0.0, "{}")
+            for i in range(5)
+        ]
+        _write_events(spark, tmp_path, rows)
+        r = x6_mutual_information(spark, str(tmp_path)).collect()[0]
+        h = math.log(8.0) - (3 * math.log(3.0) + 5 * math.log(5.0)) / 8.0
+        assert r["n"] == 8
+        assert r["mi"] == pytest.approx(h)
+        assert r["h_row"] == pytest.approx(h)
+        assert r["nmi"] == pytest.approx(1.0)
+
+    def test_independence(self, spark, tmp_path):
+        """Both types uniform over both hours: MI ~ 0, NMI ~ 0."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            x6_mutual_information,
+        )
+
+        rows = []
+        eid = 0
+        for etype in ("p", "q"):
+            for h in (0, 1):
+                for i in range(2):
+                    eid += 1
+                    rows.append(
+                        (eid, datetime(2024, 1, 1, h, i, 0), 1, etype, 0.0, "{}")
+                    )
+        _write_events(spark, tmp_path, rows)
+        r = x6_mutual_information(spark, str(tmp_path)).collect()[0]
+        assert r["mi"] == pytest.approx(0.0, abs=1e-12)
+        assert r["nmi"] == pytest.approx(0.0, abs=1e-9)

@@ -1076,7 +1076,88 @@ def shape_bpe_train(df):
     return last.limit(100)
 
 
+def shape_link_prediction(df):
+    """x8_link_prediction's FULL pipeline (basket-capped order->part
+    projection -> co-occurrence >= LP_MIN_SHARED edges -> LP_MAX_DEG wedge
+    cap -> wedge join -> anti-join + CN/Jaccard/Adamic-Adar) at its stress
+    points: co-buying groups of 30 parts give a dense thresholded graph
+    whose group count scales with n (work tracks n, not n^2); one
+    MEGA-ORDER holds 0.2% of all rows (~2k distinct parts at 1M — without
+    LP_BASKET_CAP its projection alone is 4M pairs at 1M and 400M at 10M);
+    and 5% of rows attach a REGIONAL hub part spanning ~50 groups (degree
+    ~10^3 in the thresholded graph — without LP_MAX_DEG it becomes a wedge
+    center with deg^2 fan-out). Linear wall ratio = both caps hold."""
+    from swiftbulkuploader_spark.operators.components import (
+        LP_BASKET_CAP,
+        LP_MAX_DEG,
+        LP_MIN_SHARED,
+    )
+
+    n = df.agg(F.max("event_id")).first()[0] + 1
+    orders = max(n // 5, 100)
+    groups = max(n // 300, 10)
+    regions = max(groups // 50, 2)
+    B = 30
+    part_space = groups * B
+    cells = df.selectExpr(
+        f"CASE WHEN event_id % 500 = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE 1 + abs(xxhash64(event_id, 11)) % {orders} END AS ok",
+        "event_id",
+    ).selectExpr(
+        "ok",
+        f"CASE WHEN ok = 0 THEN abs(xxhash64(event_id, 17)) % {part_space} "
+        f"WHEN event_id % 20 = 0 THEN {part_space} + (ok % {regions}) "
+        f"ELSE ((ok % {groups}) * {B}) + abs(xxhash64(event_id, 13)) % {B} "
+        f"END AS pk",
+    ).distinct()
+    bsize = cells.groupBy("ok").agg(F.count(F.lit(1)).alias("bs"))
+    cells = cells.join(
+        bsize.where(F.col("bs") <= LP_BASKET_CAP).select("ok"), "ok"
+    )
+    c1 = cells.select("ok", F.col("pk").alias("a"))
+    c2 = cells.select("ok", F.col("pk").alias("b"))
+    e = (
+        c1.join(c2, "ok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= LP_MIN_SHARED)
+        .select("a", "b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    capped = und.join(
+        deg.where(F.col("d") <= LP_MAX_DEG).select(
+            F.col("node").alias("a"), F.col("d").alias("dm")
+        ),
+        "a",
+    )
+    u1 = capped.select(F.col("a").alias("m"), F.col("b").alias("x"), "dm")
+    u2 = capped.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedges = u1.join(u2, "m").where(F.col("x") < F.col("y"))
+    cand = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.lit(1.0) / F.log(F.col("dm").cast("double"))).alias("adamic_adar"),
+    )
+    non_edges = cand.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_anti"
+    )
+    return (
+        non_edges.join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            "x", "y", "cn",
+            (F.col("cn").cast("double")
+             / (F.col("dx") + F.col("dy") - F.col("cn")).cast("double")).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
 SHAPES = {
+    "link_prediction": shape_link_prediction,
     "span_removal": shape_span_removal,
     "triangle_count": shape_triangle_count,
     "bpe_train_3round": shape_bpe_train,
