@@ -156,6 +156,21 @@ HEADLINE = [
     "x3_bpe_train",             # 6-round BPE merge training loop
     "x7_ewma_smooth",           # per-user EWMA list-fold recursion
     "x3_chao1_richness",        # Chao1 unseen-gram + Good-Turing coverage
+    "x7_acf",                   # lag-1..6 autocorrelation (dense rollup)
+    "x7_seasonal_decompose",    # 25h-MA trend + hour-of-day seasonal split
+    "x7_cusum_changepoint",     # CUSUM level-shift scan + argmax rank
+    "x7_markov_transitions",    # event-type transition matrix (lead pairs)
+    "x6_cramers_v",             # chi-square effect size (window marginals)
+    "x8_assortativity",         # endpoint-degree Pearson on dup graph
+    "x8_kcore",                 # 4-round k=2 peel (checkpointed rounds)
+    "x8_link_prediction",       # co-purchase wedge scores (capped fan-out)
+    "x3_readability",           # Flesch/FK scan-speed scorer
+    "x10_curriculum_order",     # phase bands + sharded within-phase shuffle
+    "x3_bpe_encode",            # learned-merge tokenizer apply + fertility
+    "x7_sax_symbols",           # per-day SAX words (PAA + quartile breaks)
+    "x6_mutual_information",    # MI/NMI over type x hour cells
+    "x2_pca_power",             # 2-round power-iteration PCA train
+    "x2_pca_project",           # top-component score/residual scan
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

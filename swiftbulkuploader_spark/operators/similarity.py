@@ -2016,3 +2016,194 @@ def _cluster_quality_oracle_sql(k: int = N_CENTROIDS, dim: int = 64,
 
 QUERIES["x2_cluster_quality"] = x2_cluster_quality
 ORACLES["x2_cluster_quality"] = _cluster_quality_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# X2 — PCA by deterministic power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 2  # fixed budget: the Lloyd/quality-train graduation recipe
+
+# (mean, loading, ||w||, n): deterministic per sf_dir -> train once, share
+# between the model report and the projector (_LLOYD_CACHE memo pattern)
+_PCA_CACHE: dict[str, tuple[list[float], list[float], float, int]] = {}
+
+
+def _pca_power(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float], float, int]:
+    """Top principal component of the embedding table by PCA_ROUNDS of
+    power iteration on the centered data, without ever materializing the
+    covariance matrix: per round one scan computes dot_i = (x_i - mu) . v
+    row-locally, and one (pos)-keyed map-side-combined shuffle sums
+    w = sum_i (x_i - mu) * dot_i (rows x dim values -> dim rows, the Lloyd
+    mean-update shape); v' = round(w / ||w||, 6). mu is engine-rounded to
+    6 dp BEFORE centering and every v is engine-rounded per round (the
+    F.round-inside-the-engine discipline — Python round() is half-even),
+    so both engines iterate on exactly shared vectors and only the final
+    unrounded eigenvalue carries summation-order ulps.
+
+    The seed v0 = 1/8 per dimension is exactly representable for dim=64
+    (1/sqrt(64)); a general dim would seed with engine-rounded values.
+    """
+    cached = _PCA_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    mu_rows = (
+        rows.select(F.posexplode("x").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .orderBy("pos")
+        .collect()  # bounded: one row per dimension (64)
+    )
+    mu = [float(r["m"]) for r in mu_rows]
+    dim = len(mu)
+    v = [0.125] * dim
+    norm = 0.0
+    n = emb.count()  # bounded: 1 scalar
+    cx = F.zip_with(F.col("x"), _lit_vec(mu), lambda a, b: a - b)
+    for _ in range(PCA_ROUNDS):
+        dot = F.aggregate(
+            F.zip_with(cx, _lit_vec(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        contrib = rows.select(
+            dot.alias("dot"), F.posexplode(cx).alias("pos", "cv")
+        )
+        wdf = contrib.groupBy("pos").agg(
+            F.sum(F.col("cv") * F.col("dot")).alias("w")
+        )
+        n2 = wdf.agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        vrows = (
+            wdf.crossJoin(n2)  # bounded: dim x 1 rows, collected at build time
+            .select(
+                "pos",
+                F.round(F.col("w") / F.sqrt("n2"), 6).alias("v"),
+                F.sqrt("n2").alias("nrm"),
+            )
+            .orderBy("pos")
+            .collect()  # bounded: one row per dimension (64)
+        )
+        v = [float(r["v"]) for r in vrows]
+        norm = float(vrows[0]["nrm"])
+    out = (mu, v, norm, int(n))
+    _PCA_CACHE[sf_dir] = out
+    return out
+
+
+def x2_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained first-principal-component model: one row per dimension
+    with the 6-dp data mean, the unit loading vector, and the explained
+    variance lambda = ||X_c^T X_c v|| / (n - 1) — the representation-drift
+    / whitening primitive (an embedding batch whose top component grows is
+    collapsing; projecting it out is the first step of all-but-the-top
+    post-processing, Mu & Viswanath ICLR'18).
+
+    Cited scale argument in _pca_power; oracle replays both rounds as
+    generated chained MATERIALIZED CTEs (the x8_kcore lesson: each round
+    is referenced by the next round AND the final select)."""
+    mu, v, norm, n = _pca_power(spark, sf_dir)
+    rows = [(d, mu[d], v[d]) for d in range(len(mu))]
+    out = spark.createDataFrame(rows, "dim: int, mean: double, loading: double")
+    return out.withColumn(
+        "eigenvalue", F.lit(norm / float(n - 1))
+    )
+
+
+def x2_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the learned top component (score) and
+    report the residual norm sqrt(||x - mu||^2 - score^2) — the per-vector
+    'how much does one direction explain me' audit used for outlier
+    screening and for the all-but-the-top correction. Reuses the cached
+    quantizer (_PCA_CACHE), so the projection itself is a pure row-local
+    scan: two literal-vector HOF folds per row, zero shuffles. Both
+    outputs are rounded to 6 dp on both engines (cross-engine delta
+    ~1e-14, five orders inside the margin — the x6_regression_stats
+    argument); the residual's cancellation near zero is clamped by
+    greatest(0, .)."""
+    mu, v, _norm, _n = _pca_power(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cx = F.zip_with(
+        F.col("embedding").cast("array<double>"), _lit_vec(mu), lambda a, b: a - b
+    )
+    score = F.aggregate(
+        F.zip_with(cx, _lit_vec(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    ssq = F.aggregate(
+        F.transform(cx, lambda t: t * t), F.lit(0.0), lambda acc, t: acc + t
+    )
+    return emb.select(
+        "vec_id",
+        F.round(score, 6).alias("score"),
+        F.round(
+            F.sqrt(F.greatest(ssq - score * score, F.lit(0.0))), 6
+        ).alias("residual"),
+    )
+
+
+def _pca_chain_sql() -> str:
+    """GENERATED shared CTE chain: centered values, then per round the
+    per-vec dot, the per-dim w sum, the norm, and the 6-dp-rounded v.
+    MATERIALIZED throughout — c is referenced by every round and each
+    round by the next (default inlining re-expands exponentially)."""
+    parts = ["""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ), u AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(x, 1) AS pos, unnest(x) AS val
+        FROM e
+    ), mu AS MATERIALIZED (
+        SELECT pos, round(avg(val), 6) AS m FROM u GROUP BY pos
+    ), c AS MATERIALIZED (
+        SELECT u.vec_id, u.pos, u.val - mu.m AS cv
+        FROM u JOIN mu USING (pos)
+    ), v0 AS MATERIALIZED (
+        SELECT pos, CAST(0.125 AS DOUBLE) AS v FROM mu
+    )"""]
+    prev = "v0"
+    for r in range(1, PCA_ROUNDS + 1):
+        parts.append(f"""
+    , d{r} AS MATERIALIZED (
+        SELECT c.vec_id, sum(c.cv * {prev}.v) AS dot
+        FROM c JOIN {prev} USING (pos) GROUP BY c.vec_id
+    ), w{r} AS MATERIALIZED (
+        SELECT c.pos, sum(c.cv * d{r}.dot) AS w
+        FROM c JOIN d{r} USING (vec_id) GROUP BY c.pos
+    ), n{r} AS MATERIALIZED (
+        SELECT sqrt(sum(w * w)) AS nrm FROM w{r}
+    ), v{r} AS MATERIALIZED (
+        SELECT pos, round(w / (SELECT nrm FROM n{r}), 6) AS v FROM w{r}
+    )""")
+        prev = f"v{r}"
+    return "".join(parts)
+
+
+ORACLES["x2_pca_power"] = _pca_chain_sql() + f"""
+    SELECT CAST(mu.pos - 1 AS INT) AS dim,
+           mu.m AS mean,
+           v{PCA_ROUNDS}.v AS loading,
+           (SELECT nrm FROM n{PCA_ROUNDS})
+               / CAST((SELECT count(*) FROM e) - 1 AS DOUBLE) AS eigenvalue
+    FROM mu JOIN v{PCA_ROUNDS} USING (pos)
+"""
+
+ORACLES["x2_pca_project"] = _pca_chain_sql() + f"""
+    , proj AS (
+        SELECT c.vec_id,
+               sum(c.cv * v{PCA_ROUNDS}.v) AS score,
+               sum(c.cv * c.cv) AS ssq
+        FROM c JOIN v{PCA_ROUNDS} USING (pos)
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           round(score, 6) AS score,
+           round(sqrt(greatest(ssq - score * score, CAST(0 AS DOUBLE))), 6)
+               AS residual
+    FROM proj
+"""
+
+QUERIES["x2_pca_power"] = x2_pca_power
+QUERIES["x2_pca_project"] = x2_pca_project

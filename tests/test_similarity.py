@@ -390,3 +390,68 @@ class TestClusterQuality:
             assert r["margin"] == pytest.approx(r["cohesion"] - r["separation"])
         again = x2_cluster_quality(spark, "/root/testdata/sf0.001").collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestPcaPower:
+    def _write_embeddings(self, spark, tmp_path, vecs):
+        rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        )
+        df.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def test_single_direction_with_offset_mean(self, spark, tmp_path):
+        """Variation only along dim 0 with a constant +7 offset in dim 1:
+        centering removes the offset, the loading converges to e0 exactly,
+        eigenvalue = sample variance 40/3, scores are the centered dim-0
+        values and residuals are 0."""
+        import pytest as _pt
+
+        from swiftbulkuploader_spark.operators.similarity import (
+            _PCA_CACHE,
+            x2_pca_power,
+            x2_pca_project,
+        )
+
+        _PCA_CACHE.clear()
+        vecs = [
+            (2.0, 7.0, 0.0, 0.0),
+            (-2.0, 7.0, 0.0, 0.0),
+            (4.0, 7.0, 0.0, 0.0),
+            (-4.0, 7.0, 0.0, 0.0),
+        ]
+        self._write_embeddings(spark, tmp_path, vecs)
+        model = {r["dim"]: r for r in x2_pca_power(spark, str(tmp_path)).collect()}
+        assert model[0]["loading"] == _pt.approx(1.0)
+        assert all(model[d]["loading"] == 0.0 for d in (1, 2, 3))
+        assert model[1]["mean"] == _pt.approx(7.0)
+        assert model[0]["eigenvalue"] == _pt.approx(40.0 / 3.0)
+        proj = {r["vec_id"]: r for r in x2_pca_project(spark, str(tmp_path)).collect()}
+        assert proj[0]["score"] == _pt.approx(2.0)
+        assert proj[3]["score"] == _pt.approx(-4.0)
+        assert all(r["residual"] == _pt.approx(0.0) for r in proj.values())
+
+    def test_residual_orthogonal_component(self, spark, tmp_path):
+        """A vector orthogonal to the dominant direction scores ~0 and
+        keeps its full norm as residual."""
+        import pytest as _pt
+
+        from swiftbulkuploader_spark.operators.similarity import (
+            _PCA_CACHE,
+            x2_pca_project,
+        )
+
+        _PCA_CACHE.clear()
+        vecs = [
+            (3.0, 0.0, 0.0, 0.0),
+            (-3.0, 0.0, 0.0, 0.0),
+            (3.0, 0.0, 0.0, 0.0),
+            (-3.0, 0.0, 0.0, 0.0),
+            (0.0, 2.0, 0.0, 0.0),
+            (0.0, -2.0, 0.0, 0.0),
+        ]
+        self._write_embeddings(spark, tmp_path, vecs)
+        proj = {r["vec_id"]: r for r in x2_pca_project(spark, str(tmp_path)).collect()}
+        # dim-1 vectors: tiny score along e0, residual ~ their norm
+        assert abs(proj[4]["score"]) < 0.2
+        assert proj[4]["residual"] == _pt.approx(2.0, abs=0.05)

@@ -1156,7 +1156,44 @@ def shape_link_prediction(df):
     )
 
 
+def shape_pca_power(df):
+    """x2_pca_power's per-round shape at 32 dims: a row-local literal-vector
+    dot fold, then the (pos)-keyed map-side-combined w-sum shuffle
+    (rows x dim values -> dim rows — the Lloyd mean-update shape), with the
+    bounded dim-row collect + renormalize between rounds. 2 full rounds.
+    Linear wall = the update shuffle tracks rows x dim; the collect is O(dim)
+    regardless of n."""
+    dim = 32
+    vexpr = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.abs(F.xxhash64(F.col("event_id"), i)) % 1000) / 500.0 - 1.0,
+    )
+    rows = df.select(vexpr.alias("x"))
+    v = [1.0 / dim ** 0.5] * dim
+    out = None
+    for _ in range(2):
+        vlit = F.lit([float(t) for t in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        contrib = rows.select(dot.alias("dot"), F.posexplode("x").alias("pos", "cv"))
+        wdf = contrib.groupBy("pos").agg(F.sum(F.col("cv") * F.col("dot")).alias("w"))
+        n2 = wdf.agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        vrows = (
+            wdf.crossJoin(n2)
+            .select("pos", F.round(F.col("w") / F.sqrt("n2"), 6).alias("v"))
+            .orderBy("pos")
+            .collect()  # bounded: dim rows
+        )
+        v = [float(r["v"]) for r in vrows]
+        out = wdf
+    return out
+
+
 SHAPES = {
+    "pca_power_2round": shape_pca_power,
     "link_prediction": shape_link_prediction,
     "span_removal": shape_span_removal,
     "triangle_count": shape_triangle_count,
