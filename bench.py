@@ -171,6 +171,8 @@ HEADLINE = [
     "x6_mutual_information",    # MI/NMI over type x hour cells
     "x2_pca_power",             # 2-round power-iteration PCA train
     "x2_pca_project",           # top-component score/residual scan
+    "x7_lttb_downsample",       # parallel LTTB chart downsampling
+    "x7_theil_sen",             # robust median-slope trend (pair join)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

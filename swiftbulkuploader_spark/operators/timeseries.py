@@ -889,3 +889,236 @@ ORACLES["x7_sax_symbols"] = f"""
            string_agg(sym, '' ORDER BY frame) AS sax_word
     FROM syms GROUP BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# X7 — LTTB downsampling and Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKET_HOURS = 6
+
+
+def x7_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    the hourly rate series, in its PARALLEL variant: each 6-hour bucket
+    keeps the point maximizing the triangle area against the NEIGHBOR
+    BUCKETS' mean points (the strictly-sequential original anchors on the
+    previously-selected point — a loop-carried dependency no engine can
+    parallelize; anchoring on bucket means is the standard distributed
+    approximation and what chart servers actually ship). First/last
+    buckets keep their first/last point (LTTB's endpoint rule).
+
+    Exactness: timestamps enter as exact integer epoch-hours and counts as
+    exact integers, so bucket means (integer-sum divisions) and the 2x
+    triangle areas (products/differences of identically-rounded doubles)
+    are bit-identical across engines; the argmax still ranks on the 6-dp
+    round with a timestamp tie-break (house ordering rule). Endpoint
+    buckets select via a sign trick on the same score column (-t / +t)
+    so one window pass handles all three cases.
+
+    Shape: one rollup, one bucket-mean aggregate with lag/lead anchors
+    (rows ∝ buckets), one join back and one per-bucket rank — rows ∝
+    types x hours throughout, independent of event count."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    pts = dense.select(
+        "event_type",
+        "bucket",
+        (F.unix_micros(F.col("bucket").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("t"),
+        "x",
+    )
+    wt = Window.partitionBy("event_type")
+    pts = pts.withColumn(
+        "bid",
+        F.floor((F.col("t") - F.min("t").over(wt)) / F.lit(LTTB_BUCKET_HOURS))
+        .cast("long"),
+    )
+    means = pts.groupBy("event_type", "bid").agg(
+        (F.sum("t") / F.count(F.lit(1))).alias("mt"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mx"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bid")
+    anchors = means.select(
+        "event_type",
+        "bid",
+        F.lag("mt", 1).over(wb).alias("pt"),
+        F.lag("mx", 1).over(wb).alias("px"),
+        F.lead("mt", 1).over(wb).alias("nt"),
+        F.lead("mx", 1).over(wb).alias("nx"),
+    )
+    j = pts.join(anchors, ["event_type", "bid"])
+    area = F.abs(
+        (F.col("t").cast("double") - F.col("pt")) * (F.col("nx") - F.col("px"))
+        - (F.col("nt") - F.col("pt")) * (F.col("x") - F.col("px"))
+    )
+    score = (
+        F.when(F.col("pt").isNull(), -F.col("t").cast("double"))
+        .when(F.col("nt").isNull(), F.col("t").cast("double"))
+        .otherwise(F.round(area, 6))
+    )
+    wr = Window.partitionBy("event_type", "bid").orderBy(
+        score.desc(), F.col("t").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bid").alias("bucket_id"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("sel_bucket"),
+            "x",
+        )
+    )
+
+
+QUERIES["x7_lttb_downsample"] = x7_lttb_downsample
+
+ORACLES["x7_lttb_downsample"] = f"""
+    WITH {_DENSE_SQL}
+    , pts0 AS (
+        SELECT event_type, bucket,
+               CAST(epoch_us(bucket) / 3600000000 AS BIGINT) AS t, x
+        FROM dense
+    ), pts AS (
+        SELECT *,
+               CAST(floor((t - min(t) OVER (PARTITION BY event_type))
+                          / CAST({LTTB_BUCKET_HOURS} AS DOUBLE)) AS BIGINT) AS bid
+        FROM pts0
+    ), means AS (
+        SELECT event_type, bid,
+               sum(t) / count(*) AS mt, sum(x) / count(*) AS mx
+        FROM pts GROUP BY 1, 2
+    ), anchors AS (
+        SELECT event_type, bid,
+               lag(mt, 1) OVER w AS pt, lag(mx, 1) OVER w AS px,
+               lead(mt, 1) OVER w AS nt, lead(mx, 1) OVER w AS nx
+        FROM means
+        WINDOW w AS (PARTITION BY event_type ORDER BY bid)
+    ), scored AS (
+        SELECT p.event_type, p.bid, p.bucket, p.t, p.x,
+               CASE WHEN a.pt IS NULL THEN -CAST(p.t AS DOUBLE)
+                    WHEN a.nt IS NULL THEN CAST(p.t AS DOUBLE)
+                    ELSE round(abs((CAST(p.t AS DOUBLE) - a.pt) * (a.nx - a.px)
+                               - (a.nt - a.pt) * (p.x - a.px)), 6)
+               END AS score
+        FROM pts p JOIN anchors a USING (event_type, bid)
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bid
+                                  ORDER BY score DESC, t ASC) AS rn
+        FROM scored
+    )
+    SELECT event_type, bid AS bucket_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS sel_bucket, x
+    FROM ranked WHERE rn = 1
+"""
+
+
+def x7_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimation per event type over the hourly
+    rate series: slope = MEDIAN of all pairwise slopes (x_j - x_i)/(t_j -
+    t_i), intercept = median of the per-point residual intercepts
+    x_i - slope * t_i. Breakdown point ~29% — the trend line a few burst
+    hours cannot drag, unlike the OLS fit (x3_zipf_fit's regr_* family).
+
+    The medians are POSITIONAL, not percentile functions: sort the pair
+    slopes on (slope, t_i, t_j) and take row (n+1)/2 via row_number — a
+    fully deterministic lower median with engine-identical semantics (and
+    no exact-percentile plan guard needed). Every slope is an exact
+    integer-difference division, so the sort keys are bit-identical.
+
+    Shape note: the pair self-join is O(hours^2) per type — ~260k pairs
+    per type-month — but its input is the ROLLUP, so the cost is
+    independent of event count; at longer horizons the standard fix is
+    windowed Theil-Sen (pairs within a sliding time window), same plan
+    with a range-bounded join."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    pts = dense.select(
+        "event_type",
+        (F.unix_micros(F.col("bucket").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("t"),
+        "x",
+    )
+    a = pts.select("event_type", F.col("t").alias("ti"), F.col("x").alias("xi"))
+    b = pts.select("event_type", F.col("t").alias("tj"), F.col("x").alias("xj"))
+    pairs = a.join(b, "event_type").where(F.col("ti") < F.col("tj")).select(
+        "event_type",
+        "ti",
+        "tj",
+        (
+            (F.col("xj") - F.col("xi"))
+            / (F.col("tj") - F.col("ti")).cast("double")
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type")
+    ws = Window.partitionBy("event_type").orderBy("slope", "ti", "tj")
+    med_slope = (
+        pairs.withColumn("rn", F.row_number().over(ws))
+        .withColumn("np", F.count(F.lit(1)).over(wp))
+        .where(F.col("rn") == F.floor((F.col("np") + F.lit(1)) / F.lit(2)))
+        .select("event_type", F.col("slope").alias("m"), F.col("np").alias("n_pairs"))
+    )
+    resid = pts.join(med_slope, "event_type").select(
+        "event_type",
+        "n_pairs",
+        "t",
+        (F.col("x") - F.col("m") * F.col("t").cast("double")).alias("b0"),
+        F.col("m"),
+    )
+    wi = Window.partitionBy("event_type").orderBy("b0", "t")
+    return (
+        resid.withColumn("rn", F.row_number().over(wi))
+        .withColumn("nh", F.count(F.lit(1)).over(wp))
+        .where(F.col("rn") == F.floor((F.col("nh") + F.lit(1)) / F.lit(2)))
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("n_hours"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("m").alias("slope"),
+            F.col("b0").alias("intercept"),
+        )
+    )
+
+
+QUERIES["x7_theil_sen"] = x7_theil_sen
+
+ORACLES["x7_theil_sen"] = f"""
+    WITH {_DENSE_SQL}
+    , pts AS (
+        SELECT event_type,
+               CAST(epoch_us(bucket) / 3600000000 AS BIGINT) AS t, x
+        FROM dense
+    ), pairs AS (
+        SELECT a.event_type, a.t AS ti, b.t AS tj,
+               (b.x - a.x) / CAST(b.t - a.t AS DOUBLE) AS slope
+        FROM pts a JOIN pts b
+          ON a.event_type = b.event_type AND a.t < b.t
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, ti, tj) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    ), med AS (
+        SELECT event_type, slope AS m, np AS n_pairs
+        FROM ranked WHERE rn = (np + 1) // 2
+    ), resid AS (
+        SELECT p.event_type, med.n_pairs, p.t,
+               p.x - med.m * CAST(p.t AS DOUBLE) AS b0, med.m
+        FROM pts p JOIN med USING (event_type)
+    ), ranked2 AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY b0, t) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nh
+        FROM resid
+    )
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS n_hours,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           m AS slope,
+           b0 AS intercept
+    FROM ranked2 WHERE rn = (nh + 1) // 2
+"""

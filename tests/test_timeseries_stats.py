@@ -30,7 +30,7 @@ def _hourly(n_per_hour, etype="a", start_uid=1):
             rows.append(
                 (
                     eid,
-                    base + timedelta(hours=h, minutes=i),
+                    base + timedelta(hours=h, seconds=i),  # up to 3600/hour
                     start_uid,
                     etype,
                     1.0,
@@ -273,3 +273,47 @@ class TestMutualInformation:
         r = x6_mutual_information(spark, str(tmp_path)).collect()[0]
         assert r["mi"] == pytest.approx(0.0, abs=1e-12)
         assert r["nmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestLttbDownsample:
+    def test_spike_wins_middle_bucket_endpoints_kept(self, spark, tmp_path):
+        """18 hours / 3 buckets: first bucket keeps its FIRST point, last
+        bucket its LAST; the middle bucket keeps the spike hour (area
+        |t - 2.5 - 12x| maximal at the x=9 spike)."""
+        from swiftbulkuploader_spark.operators.timeseries import (
+            x7_lttb_downsample,
+        )
+
+        counts = [1, 1, 1, 1, 1, 1, 1, 9, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2]
+        _write_events(spark, tmp_path, _hourly(counts))
+        rows = {r["bucket_id"]: r
+                for r in x7_lttb_downsample(spark, str(tmp_path)).collect()}
+        assert len(rows) == 3
+        assert rows[0]["sel_bucket"] == "2024-01-01 00:00:00"
+        assert rows[1]["sel_bucket"] == "2024-01-01 07:00:00" and rows[1]["x"] == 9.0
+        assert rows[2]["sel_bucket"] == "2024-01-01 17:00:00"
+
+
+class TestTheilSen:
+    def test_perfect_line(self, spark, tmp_path):
+        """counts [1,2,3,4,5]: every pairwise slope is exactly 1; the
+        intercept is 1 - slope*t0 in absolute epoch-hours."""
+        from datetime import timezone
+
+        from swiftbulkuploader_spark.operators.timeseries import x7_theil_sen
+
+        _write_events(spark, tmp_path, _hourly([1, 2, 3, 4, 5]))
+        r = x7_theil_sen(spark, str(tmp_path)).collect()[0]
+        t0 = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()) // 3600
+        assert (r["n_hours"], r["n_pairs"]) == (5, 10)
+        assert r["slope"] == 1.0
+        assert r["intercept"] == 1.0 - float(t0)
+
+    def test_outlier_does_not_drag_slope(self, spark, tmp_path):
+        """counts [1,2,3,100,5]: OLS slope would be ~+17; the Theil-Sen
+        lower-median slope stays exactly 1."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_theil_sen
+
+        _write_events(spark, tmp_path, _hourly([1, 2, 3, 100, 5]))
+        r = x7_theil_sen(spark, str(tmp_path)).collect()[0]
+        assert r["slope"] == 1.0
