@@ -173,6 +173,9 @@ HEADLINE = [
     "x2_pca_project",           # top-component score/residual scan
     "x7_lttb_downsample",       # parallel LTTB chart downsampling
     "x7_theil_sen",             # robust median-slope trend (pair join)
+    "x1_containment_pairs",     # asymmetric subset-dup containment
+    "x2_knn_accuracy",          # blocked leave-one-out kNN label eval
+    "x7_burstiness",            # Fano/burstiness/peak overdispersion
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -2422,3 +2422,112 @@ ORACLES["x1_soft_dedup_weights"] = """
     FROM g
     GROUP BY source
 """
+
+
+X1_CONT_DF_CAP = 64     # stop-gram cap: shingles in more docs carry no signal
+X1_CONT_MIN_SHARED = 3  # noise floor on shared-shingle count
+X1_CONT_TAU = 0.5       # containment threshold (exact integer division)
+
+
+def x1_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection: pairs where the smaller document's
+    shingle set is >= 50% contained in the larger's — the subset-duplicate
+    case (a doc quoted inside a longer one) that SYMMETRIC Jaccard dedup
+    structurally misses (|A| << |B| caps Jaccard at |A|/|B| no matter how
+    complete the containment; Broder's containment coefficient is the
+    standard fix). `subset_missed` marks exactly those pairs, the audit
+    sample for an ExactSubstr pass.
+
+    Shape: the shared persisted shingle_base substrate, a stop-gram df cap
+    (2 <= df <= 64 — singleton grams can't pair, ubiquitous grams are
+    boilerplate; same cap argument as x8_link_prediction, replayed by the
+    oracle), then a gram-keyed self-join + (a, b) count. BOTH gram joins
+    are pinned sort-merge: their build sides are DATA-DEPENDENT
+    (small on clean corpora, corpus-sized on boilerplate — the
+    x1_dup_span_removal OOM lesson, CLAUDE.md rule 11). containment and
+    jaccard are exact integer divisions — no rounding anywhere."""
+    base = shingle_base(load_table(spark, sf_dir, "documents"))
+    g = base.select("doc_id", F.explode("sh").alias("s"))
+    sz = base.select("doc_id", F.size("sh").alias("n"))
+    dfc = (
+        g.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= X1_CONT_DF_CAP))
+        .select("s")
+    )
+    gg = g.join(dfc.hint("merge"), "s")
+    p1 = gg.select("s", F.col("doc_id").alias("a"))
+    p2 = gg.select("s", F.col("doc_id").alias("b"))
+    pr = (
+        p1.join(p2.hint("merge"), "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= X1_CONT_MIN_SHARED)
+    )
+    out = (
+        pr.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("sa")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("sb")), "b")
+    )
+    cont = F.col("c").cast("double") / F.least("sa", "sb").cast("double")
+    jac = F.col("c").cast("double") / (F.col("sa") + F.col("sb") - F.col("c")).cast("double")
+    return (
+        out.select(
+            "a",
+            "b",
+            F.col("c").cast("long").alias("shared"),
+            F.col("sa").cast("long").alias("size_a"),
+            F.col("sb").cast("long").alias("size_b"),
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+            (jac < F.lit(0.5)).alias("subset_missed"),
+        )
+        .where(F.col("containment") >= F.lit(float(X1_CONT_TAU)))
+    )
+
+
+QUERIES["x1_containment_pairs"] = x1_containment_pairs
+
+ORACLES["x1_containment_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+        FROM documents
+    ), sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 4, 1)),
+                   i -> array_to_string(t[i:least(i + 4, len(t))], ' ')
+               )) AS s
+        FROM t
+    ), g AS MATERIALIZED (
+        SELECT doc_id, unnest(s) AS gram FROM sh
+    ), sz AS (
+        SELECT doc_id, len(s) AS n FROM sh
+    ), dfc AS MATERIALIZED (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(*) >= 2 AND count(*) <= {X1_CONT_DF_CAP}
+    ), gg AS MATERIALIZED (
+        SELECT g.doc_id, g.gram FROM g JOIN dfc USING (gram)
+    ), pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {X1_CONT_MIN_SHARED}
+    ), scored AS (
+        SELECT pr.a, pr.b,
+               CAST(pr.c AS BIGINT) AS shared,
+               CAST(sa.n AS BIGINT) AS size_a,
+               CAST(sb.n AS BIGINT) AS size_b,
+               CAST(pr.c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+                   AS containment,
+               CAST(pr.c AS DOUBLE) / CAST(sa.n + sb.n - pr.c AS DOUBLE)
+                   AS jaccard
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+    )
+    SELECT *, jaccard < CAST(0.5 AS DOUBLE) AS subset_missed
+    FROM scored
+    WHERE containment >= CAST({X1_CONT_TAU} AS DOUBLE)
+"""

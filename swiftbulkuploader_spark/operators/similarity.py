@@ -2207,3 +2207,171 @@ ORACLES["x2_pca_project"] = _pca_chain_sql() + f"""
 
 QUERIES["x2_pca_power"] = x2_pca_power
 QUERIES["x2_pca_project"] = x2_pca_project
+
+
+# ---------------------------------------------------------------------------
+# X2 — blocked kNN classification accuracy
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_CENTROIDS = 32
+
+
+def x2_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label accuracy over the embedding table, BLOCKED
+    by the deterministic coarse quantizer (the x1_semantic_dedup recipe):
+    assign every vector to its nearest of 32 centroids, take each vector's
+    top-5 cosine neighbors WITHIN its cluster, predict by majority vote
+    (ties: smallest label), and report per-label n / correct / accuracy —
+    the label-quality / embedding-quality eval every labeled corpus runs
+    (a low kNN accuracy means labels and geometry disagree).
+
+    Scale shape: the pairwise step is confined to clusters (the shuffle
+    key — at 100 TB a persisted partition column), never global n^2; the
+    assignment is a broadcast join against the 32-row centroid table with
+    a max-of-struct argmax (codegen-safe — the 65s interpreted-expression
+    trap is documented at x1_semantic_dedup). Cosines round to 6 dp before
+    every rank (vec_id tie-break); vote counts are exact integers.
+    In-cluster blocking is the measured recall/speed trade: singleton-
+    cluster vectors have no neighbors and are excluded (n_scored reports
+    coverage)."""
+    import math as _math
+
+    from swiftbulkuploader_spark.functions.vectors import (
+        dot_product_unrolled,
+        l2_norm_unrolled,
+    )
+    from swiftbulkuploader_spark.operators.dedup import spread
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+        )
+    )
+    cents = _ivf_centroids(spark, sf_dir, n=KNN_CENTROIDS)
+    dim = len(cents[0])
+    cnorms = [_math.sqrt(sum(float(v) * float(v) for v in c)) for c in cents]
+    cdf = spark.createDataFrame(
+        [(i, list(c), cn) for i, (c, cn) in enumerate(zip(cents, cnorms))],
+        "cid: int, cv: array<double>, cn: double",
+    )
+    nrm = l2_norm_unrolled("vec", dim)
+    cos = F.round(
+        F.coalesce(
+            F.when(
+                F.col("nrm") * F.col("cn") > 0,
+                dot_product_unrolled("vec", "cv", dim)
+                / (F.col("nrm") * F.col("cn")),
+            ),
+            F.lit(-2.0),
+        ),
+        6,
+    )
+    clustered = (
+        emb.withColumn("nrm", nrm)
+        .join(F.broadcast(cdf))  # bounded: KNN_CENTROIDS rows
+        .select(
+            "vec_id", "label", "vec", "nrm",
+            F.struct(cos.alias("cos"), F.col("cid").alias("cid")).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.first("vec").alias("vec"),
+            F.first("nrm").alias("nrm"),
+            F.max("sc")["cid"].alias("cluster"),
+        )
+        .persist()  # read twice: both sides of the in-cluster self-join
+    )
+    l, r = clustered.alias("l"), clustered.alias("r")
+    pair_cos = F.round(
+        F.when(
+            F.col("l.nrm") * F.col("r.nrm") > 0,
+            dot_product_unrolled("l.vec", "r.vec", dim)
+            / (F.col("l.nrm") * F.col("r.nrm")),
+        ),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.vec_id") != F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vid"),
+            F.col("l.label").alias("y"),
+            F.col("r.vec_id").alias("nid"),
+            F.col("r.label").alias("ny"),
+            pair_cos.alias("cs"),
+        )
+    )
+    wk = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("nid").asc())
+    topk = pairs.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") <= KNN_K
+    )
+    votes = topk.groupBy("vid", "y", "ny").agg(F.count(F.lit(1)).alias("nv"))
+    wv = Window.partitionBy("vid").orderBy(F.col("nv").desc(), F.col("ny").asc())
+    pred = votes.withColumn("rv", F.row_number().over(wv)).where(
+        F.col("rv") == 1
+    )
+    return (
+        pred.groupBy(F.col("y").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.when(F.col("ny") == F.col("y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_scored",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double") / F.col("n_scored").cast("double")
+            ).alias("accuracy"),
+        )
+    )
+
+
+QUERIES["x2_knn_accuracy"] = x2_knn_accuracy
+
+ORACLES["x2_knn_accuracy"] = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE vec_id < {KNN_CENTROIDS}
+    ), a AS (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6) AS cos
+        FROM e CROSS JOIN c
+    ), asn AS MATERIALIZED (
+        SELECT vec_id, label, v, cid AS cluster FROM a
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid DESC) = 1
+    ), pairs AS (
+        SELECT l.vec_id AS vid, l.label AS y, r.vec_id AS nid, r.label AS ny,
+               round(list_cosine_similarity(l.v, r.v), 6) AS cs
+        FROM asn l JOIN asn r
+          ON l.cluster = r.cluster AND l.vec_id <> r.vec_id
+    ), topk AS (
+        SELECT * FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vid
+                                   ORDER BY cs DESC, nid ASC) <= {KNN_K}
+    ), votes AS (
+        SELECT vid, y, ny, count(*) AS nv FROM topk GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT * FROM votes
+        QUALIFY row_number() OVER (PARTITION BY vid
+                                   ORDER BY nv DESC, ny ASC) = 1
+    )
+    SELECT y AS label,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN ny = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN ny = y THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY y
+"""

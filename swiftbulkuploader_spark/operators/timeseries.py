@@ -1122,3 +1122,56 @@ ORACLES["x7_theil_sen"] = f"""
            b0 AS intercept
     FROM ranked2 WHERE rn = (nh + 1) // 2
 """
+
+
+def x7_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile of the hourly event rate per type: Fano factor
+    var/mean (1 = Poisson, >1 = overdispersed/bursty), the Goh-Barabasi
+    burstiness index (sd - mean)/(sd + mean) in [-1, 1], and the
+    peak-to-mean ratio — the three numbers capacity planning reads before
+    trusting an average. mu and max are exact integer-derived values; only
+    the sd/var aggregates carry summation-order ulps (absorbed by the
+    verifier's 9-significant-digit normalization). One rollup + one
+    per-type aggregate; rows ∝ types x hours."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    agg = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        F.stddev_samp("x").alias("sd"),
+        F.var_samp("x").alias("var"),
+        F.max("x").alias("peak"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "mu",
+        "sd",
+        (F.col("var") / F.nullif(F.col("mu"), F.lit(0.0))).alias("fano"),
+        (
+            (F.col("sd") - F.col("mu"))
+            / F.nullif(F.col("sd") + F.col("mu"), F.lit(0.0))
+        ).alias("burstiness"),
+        (F.col("peak") / F.nullif(F.col("mu"), F.lit(0.0))).alias("peak_ratio"),
+    )
+
+
+QUERIES["x7_burstiness"] = x7_burstiness
+
+ORACLES["x7_burstiness"] = f"""
+    WITH {_DENSE_SQL}
+    , agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               sum(x) / count(*) AS mu,
+               stddev_samp(x) AS sd,
+               var_samp(x) AS var,
+               max(x) AS peak
+        FROM dense GROUP BY 1
+    )
+    SELECT event_type, n_hours, mu, sd,
+           var / nullif(mu, CAST(0 AS DOUBLE)) AS fano,
+           (sd - mu) / nullif(sd + mu, CAST(0 AS DOUBLE)) AS burstiness,
+           peak / nullif(mu, CAST(0 AS DOUBLE)) AS peak_ratio
+    FROM agg
+"""

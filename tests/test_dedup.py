@@ -734,3 +734,28 @@ class TestSoftDedupWeights:
         # corpus-wide: effective mass == one copy of dup + the uniques
         total_eff = a["effective_tokens"] + b["effective_tokens"]
         assert total_eff == pytest.approx(5 + 3 + 4)
+
+
+class TestContainmentPairs:
+    def test_subset_duplicate_flagged(self, spark, tmp_path):
+        """An 8-token excerpt of a 16-token doc: all 4 of its 5-shingles
+        are contained (containment 1.0) while Jaccard is only 1/3 — the
+        subset_missed case symmetric dedup cannot see."""
+        from swiftbulkuploader_spark.operators.dedup import x1_containment_pairs
+
+        big = " ".join(f"w{i}" for i in range(1, 17))       # 12 shingles
+        small = " ".join(f"w{i}" for i in range(3, 11))     # 4 shingles, all in big
+        far = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(0, big, "en", "s", 1), (1, small, "en", "s", 1), (2, far, "en", "s", 1)],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        rows = x1_containment_pairs(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["a"], r["b"]) == (0, 1)
+        assert (r["size_a"], r["size_b"], r["shared"]) == (12, 4, 4)
+        assert r["containment"] == 1.0
+        assert r["jaccard"] == pytest.approx(1.0 / 3.0)
+        assert r["subset_missed"] is True

@@ -455,3 +455,37 @@ class TestPcaPower:
         # dim-1 vectors: tiny score along e0, residual ~ their norm
         assert abs(proj[4]["score"]) < 0.2
         assert proj[4]["residual"] == _pt.approx(2.0, abs=0.05)
+
+
+class TestKnnAccuracy:
+    def test_separated_clusters_with_one_mislabel(self, spark, tmp_path):
+        """Two centroid anchors (vec_id < 32) and satellites: clean labels
+        score 1.0; a single mislabeled satellite in cluster 0 is predicted
+        as the cluster majority -> label-1 accuracy 4/5."""
+        import pytest as _pt
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),     # anchor / centroid 0
+            (1, [0.0, 1.0, 0.0, 0.0], 1),     # anchor / centroid 1
+            (100, [1.0, 0.01, 0.0, 0.0], 0),
+            (101, [1.0, 0.02, 0.0, 0.0], 0),
+            (102, [1.0, 0.03, 0.0, 0.0], 0),
+            (103, [1.0, 0.04, 0.0, 0.0], 1),  # mislabeled satellite
+            (200, [0.01, 1.0, 0.0, 0.0], 1),
+            (201, [0.02, 1.0, 0.0, 0.0], 1),
+            (202, [0.03, 1.0, 0.0, 0.0], 1),
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+            "vec_id: long, embedding: array<float>, label: int",
+        )
+        df.write.parquet(str(tmp_path / "embeddings.parquet"))
+        from swiftbulkuploader_spark.operators.similarity import x2_knn_accuracy
+
+        got = {r["label"]: r for r in x2_knn_accuracy(spark, str(tmp_path)).collect()}
+        # label 0: anchor + 3 clean satellites, all predicted 0
+        assert got[0]["n_scored"] == 4 and got[0]["accuracy"] == 1.0
+        # label 1: anchor + 3 clean satellites correct, mislabeled one wrong
+        assert got[1]["n_scored"] == 5
+        assert got[1]["n_correct"] == 4
+        assert got[1]["accuracy"] == _pt.approx(0.8)

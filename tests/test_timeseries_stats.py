@@ -317,3 +317,23 @@ class TestTheilSen:
         _write_events(spark, tmp_path, _hourly([1, 2, 3, 100, 5]))
         r = x7_theil_sen(spark, str(tmp_path)).collect()[0]
         assert r["slope"] == 1.0
+
+
+class TestBurstiness:
+    def test_constant_and_gapped_series(self, spark, tmp_path):
+        """Constant series: fano 0, burstiness -1, peak ratio 1. A gapped
+        [1,0,1] series: mu=2/3, var=1/3 -> fano 0.5, peak ratio 1.5."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_burstiness
+
+        rows = _hourly([1, 1, 1, 1], etype="flat") + [
+            (100, datetime(2024, 1, 1, 0, 0, 0), 2, "gap", 1.0, "{}"),
+            (101, datetime(2024, 1, 1, 2, 0, 0), 2, "gap", 1.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        got = {r["event_type"]: r for r in x7_burstiness(spark, str(tmp_path)).collect()}
+        f = got["flat"]
+        assert (f["fano"], f["burstiness"], f["peak_ratio"]) == (0.0, -1.0, 1.0)
+        g = got["gap"]
+        assert g["n_hours"] == 3
+        assert g["fano"] == pytest.approx(0.5)
+        assert g["peak_ratio"] == pytest.approx(1.5)
