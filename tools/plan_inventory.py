@@ -57,6 +57,9 @@ BOUNDED_BNLJ_OK = {
                                # corpus scale), non-equi < join
     "x8_assortativity",        # two 1-row graph summaries (node stats x edge
                                # corr) cross-joined for the single-row report
+    "x2_knn_accuracy",         # 32-row broadcast centroid table cross-joined
+                               # for the cluster assignment (the
+                               # x1_semantic_dedup pattern)
 
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
