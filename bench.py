@@ -176,6 +176,10 @@ HEADLINE = [
     "x1_containment_pairs",     # asymmetric subset-dup containment
     "x2_knn_accuracy",          # blocked leave-one-out kNN label eval
     "x7_burstiness",            # Fano/burstiness/peak overdispersion
+    "x2_bq_topk",               # 1-bit Hamming search + recall flag
+    "x8_clustering_coeff",      # per-node triangle density (lcc)
+    "x6_jsd_sources",           # per-source JSD vs rest-of-corpus
+    "x7_seasonal_anomaly",      # residual z top-5 (composed decompose)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

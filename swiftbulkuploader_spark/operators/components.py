@@ -961,3 +961,95 @@ ORACLES["x8_link_prediction"] = f"""
     JOIN deg dx ON ne.x = dx.node
     JOIN deg dy ON ne.y = dy.node
 """
+
+
+def x8_clustering_coeff(spark, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the deterministic
+    near-dup graph: lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) —
+    the node-level companion to x8_triangle_count's global transitivity.
+    The dedup read: a node with high degree and LOW lcc is a hub chaining
+    unlike documents (its neighbors are not near-dups of each other),
+    i.e. exactly where transitive-closure dedup over-merges; clique
+    members sit at lcc ~ 1.
+
+    Shape: the same degree-ordered oriented wedge enumeration as the
+    count query (per-node fan-out O(sqrt m)), but keeping the (u, v, w)
+    triangle rows and exploding them so each triangle credits all three
+    corners; one (node) aggregate and one left join back to the degree
+    table. lcc is an exact integer division; degree-1 nodes get NULL
+    (undefined, not 0)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    tri = (
+        o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(o.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
+        .join(o.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"])
+    )
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    lcc = F.when(
+        F.col("d") >= 2,
+        (F.lit(2.0) * F.coalesce("t", F.lit(0)).cast("double"))
+        / (F.col("d") * (F.col("d") - 1)).cast("double"),
+    )
+    return deg.join(per_node, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+        lcc.alias("lcc"),
+    )
+
+
+QUERIES["x8_clustering_coeff"] = x8_clustering_coeff
+
+ORACLES["x8_clustering_coeff"] = _E0_CTES + """
+    , und AS (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM und GROUP BY a
+    ), o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                    THEN e0.a ELSE e0.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                    THEN e0.b ELSE e0.a END AS dst
+        FROM e0
+        JOIN deg da ON e0.a = da.node
+        JOIN deg db ON e0.b = db.node
+    ), tri AS (
+        SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        FROM o o1
+        JOIN o o2 ON o1.dst = o2.src
+        JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst
+    ), per_node AS (
+        SELECT node, count(*) AS t
+        FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node AS doc_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(per_node.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN CAST(2 AS DOUBLE) * coalesce(per_node.t, 0)
+                     / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+           END AS lcc
+    FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+"""

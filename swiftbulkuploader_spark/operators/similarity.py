@@ -2375,3 +2375,117 @@ ORACLES["x2_knn_accuracy"] = f"""
                / CAST(count(*) AS DOUBLE) AS accuracy
     FROM pred GROUP BY y
 """
+
+
+def x2_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization search: threshold every dimension at its
+    corpus mean (sign bits), rank candidates by integer HAMMING distance to
+    the query's bits, report against the exact cosine top-10 — the 64x
+    compression point of the modern binary-embedding serving stack
+    (a Hamming scan is SIMD-trivial and the rerank reads only the
+    survivors). Same measured-recall contract as x2_sq8_topk one shelf
+    over: per result row vec_id, hamming, in_exact10.
+
+    Exactness: the per-dim thresholds are engine-rounded 6-dp means
+    (bounded 64-row collect), the bit decision is a float comparison
+    against that shared literal, and distances are exact integer sums —
+    hash-exact oracle, no float rounding in the ranking at all.
+
+    At 100 TB: thresholds train in one pass (dim-keyed avg), bits pack to
+    8 bytes/vector in storage, and the scan is pure codegen; top-10 is a
+    TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )  # bounded: one row per dimension (64)
+    mu = [float(r["m"]) for r in mu_rows]
+    mu_l = _lit_vec(mu)
+
+    def bits(vec_col):
+        return F.zip_with(
+            vec_col,
+            mu_l,
+            lambda x, m: F.when(x.cast("double") > m, F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("long"),
+        )
+
+    q = _query_vector(spark, sf_dir, 0)
+    qb = [1 if float(x) > m else 0 for x, m in zip(q, mu)]
+    qb_l = F.lit([int(b) for b in qb])
+    ham = F.aggregate(
+        F.zip_with(
+            bits(F.col("embedding")), qb_l,
+            lambda b, t: F.when(b != t, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    top = (
+        emb.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    qcol = _lit_vec(q)
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    return top.join(F.broadcast(exact), "vec_id", "left").select(
+        "vec_id",
+        "hamming",
+        F.coalesce("hit", F.lit(0)).cast("long").alias("in_exact10"),
+    )
+
+
+QUERIES["x2_bq_topk"] = x2_bq_topk
+
+ORACLES["x2_bq_topk"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ex AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+    ), st AS (
+        SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY i
+    ), bits AS (
+        SELECT ex.vec_id, ex.i,
+               CASE WHEN ex.x > st.m THEN 1 ELSE 0 END AS b
+        FROM ex JOIN st USING (i)
+    ), qb AS (
+        SELECT i, b AS t FROM bits WHERE vec_id = 0
+    ), d AS (
+        SELECT bits.vec_id,
+               CAST(sum(CASE WHEN bits.b <> qb.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM bits JOIN qb USING (i)
+        GROUP BY bits.vec_id
+    ), top AS (
+        SELECT vec_id, hamming FROM d
+        ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    ), exact AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        )
+    )
+    SELECT t.vec_id, t.hamming,
+           CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS in_exact10
+    FROM top t LEFT JOIN exact x USING (vec_id)
+"""

@@ -1852,3 +1852,125 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGES) -> str:
 
 QUERIES["x3_bpe_encode"] = x3_bpe_encode
 ORACLES["x3_bpe_encode"] = _bpe_encode_oracle_sql()
+
+
+def x6_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution vs
+    the REST of the corpus — the bounded symmetric drift metric ([0, ln 2])
+    mixture tuning reads before reweighting: a source with high JSD is
+    lexically alien to the blend (and x6_doremi_weights will fight it), a
+    near-zero one is redundant.
+
+    Dense-grid-free identities: with p the source distribution, q the
+    rest, only (source, token) OBSERVED cells are needed —
+        JSD = 0.5*sum_t p ln(2p/(p+q))                    [p>0 cells]
+            + 0.5*[sum_t q ln(2q/(p+q))  (p>0, q>0 cells)
+                   + ln2 * (1 - sum_{t in s} q)]          [p=0 tail]
+    because every token absent from the source contributes q*ln2 exactly.
+    p and q are exact integer divisions; the log sums carry only
+    summation-order ulps (positive terms, no cancellation).
+
+    Shape: one token shuffle to (source, token) counts, three window sums
+    over that VOCAB-BOUNDED table (the all-partition window is O(vocab x
+    sources) rows, independent of corpus size — the x6_source_mixing
+    precedent), one per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "source", F.explode(F.split(norm, " ")).alias("t")
+    )
+    cells = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("t")
+    ws = Window.partitionBy("source")
+    # vocab-bounded input: O(vocab x sources) rows, never raw tokens
+    wall = Window.partitionBy()
+    aug = cells.select(
+        "source",
+        "c",
+        F.sum("c").over(wt).alias("g"),
+        F.sum("c").over(ws).alias("ns"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = (F.col("g") - F.col("c")).cast("double") / (
+        F.col("n") - F.col("ns")
+    ).cast("double")
+    ln2 = F.log(F.lit(2.0))
+    terms = aug.select(
+        "source",
+        "ns",
+        (p * F.log(F.lit(2.0) * p / (p + q))).alias("ta"),
+        F.when(q > 0, q * F.log(F.lit(2.0) * q / (p + q)))
+        .otherwise(F.lit(0.0))
+        .alias("tb"),
+        q.alias("qv"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("ta").alias("sa"),
+        F.sum("tb").alias("sb"),
+        F.sum("qv").alias("sq"),
+    )
+    jsd = F.lit(0.5) * F.col("sa") + F.lit(0.5) * (
+        F.col("sb") + ln2 * (F.lit(1.0) - F.col("sq"))
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        jsd.alias("jsd"),
+        (jsd / ln2).alias("jsd_norm"),
+    )
+
+
+QUERIES["x6_jsd_sources"] = x6_jsd_sources
+
+ORACLES["x6_jsd_sources"] = """
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), cells AS (
+        SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2
+    ), aug AS (
+        SELECT source, c,
+               sum(c) OVER (PARTITION BY t) AS g,
+               sum(c) OVER (PARTITION BY source) AS ns,
+               sum(c) OVER () AS n
+        FROM cells
+    ), terms AS (
+        SELECT source, ns,
+               (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                   * ln(CAST(2 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                        / (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                           + CAST(g - c AS DOUBLE) / CAST(n - ns AS DOUBLE)))
+                   AS ta,
+               CASE WHEN g - c > 0
+                    THEN (CAST(g - c AS DOUBLE) / CAST(n - ns AS DOUBLE))
+                         * ln(CAST(2 AS DOUBLE)
+                              * (CAST(g - c AS DOUBLE) / CAST(n - ns AS DOUBLE))
+                              / (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                                 + CAST(g - c AS DOUBLE) / CAST(n - ns AS DOUBLE)))
+                    ELSE CAST(0 AS DOUBLE) END AS tb,
+               CAST(g - c AS DOUBLE) / CAST(n - ns AS DOUBLE) AS qv
+        FROM aug
+    ), agg AS (
+        SELECT source,
+               CAST(max(ns) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_vocab,
+               sum(ta) AS sa, sum(tb) AS sb, sum(qv) AS sq
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens, n_vocab,
+           CAST(0.5 AS DOUBLE) * sa
+               + CAST(0.5 AS DOUBLE)
+                 * (sb + ln(CAST(2 AS DOUBLE)) * (CAST(1 AS DOUBLE) - sq)) AS jsd,
+           (CAST(0.5 AS DOUBLE) * sa
+               + CAST(0.5 AS DOUBLE)
+                 * (sb + ln(CAST(2 AS DOUBLE)) * (CAST(1 AS DOUBLE) - sq)))
+               / ln(CAST(2 AS DOUBLE)) AS jsd_norm
+    FROM agg
+"""

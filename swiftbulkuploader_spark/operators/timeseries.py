@@ -1175,3 +1175,70 @@ ORACLES["x7_burstiness"] = f"""
            peak / nullif(mu, CAST(0 AS DOUBLE)) AS peak_ratio
     FROM agg
 """
+
+
+SEAS_ANOM_TOPN = 5
+
+
+def x7_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly shortlist: per type, the top-5 hours by
+    |residual z-score| AFTER the trend and hour-of-day seasonal components
+    are removed (composing x7_seasonal_decompose) — the alert page that
+    neither re-fires every rush hour (seasonal handles that) nor misses a
+    genuinely off-cycle spike; `anomalous` marks |z| > 3. The top-N form
+    (not a threshold filter) keeps the result non-degenerate on quiet
+    corpora while staying deterministic: rank on 6-dp-rounded |z| with
+    bucket tie-break, flag decided on the same rounded value.
+
+    Shape: the decompose plan plus one per-type stddev window and one
+    per-type rank — rows ∝ types x hours throughout. Oracle nests the full
+    decompose SQL as a CTE (the composed-pipeline oracle pattern)."""
+    base = x7_seasonal_decompose(spark, sf_dir).where(
+        F.col("residual").isNotNull()
+    )
+    wp = Window.partitionBy("event_type")
+    sd = F.stddev_samp("residual").over(wp)
+    z = F.col("residual") / F.nullif(sd, F.lit(0.0))
+    scored = base.select(
+        "event_type", "bucket", "x", "trend", "seasonal", "residual",
+        z.alias("resid_z"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs("resid_z"), 6).desc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= SEAS_ANOM_TOPN)
+        .select(
+            "event_type",
+            "bucket",
+            "x",
+            "residual",
+            "resid_z",
+            (F.abs(F.round(F.col("resid_z"), 6)) > F.lit(3.0)).alias("anomalous"),
+        )
+    )
+
+
+QUERIES["x7_seasonal_anomaly"] = x7_seasonal_anomaly
+
+ORACLES["x7_seasonal_anomaly"] = f"""
+    WITH base AS ({ORACLES["x7_seasonal_decompose"]}),
+    nn AS (
+        SELECT * FROM base WHERE residual IS NOT NULL
+    ), scored AS (
+        SELECT event_type, bucket, x, residual,
+               residual / nullif(stddev_samp(residual)
+                   OVER (PARTITION BY event_type), CAST(0 AS DOUBLE)) AS resid_z
+        FROM nn
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(abs(resid_z), 6) DESC,
+                                           bucket ASC) AS rn
+        FROM scored
+    )
+    SELECT event_type, bucket, x, residual, resid_z,
+           abs(round(resid_z, 6)) > CAST(3 AS DOUBLE) AS anomalous
+    FROM ranked WHERE rn <= {SEAS_ANOM_TOPN}
+"""

@@ -382,3 +382,32 @@ class TestLinkPrediction:
         ]
         self._write_lineitem(spark, tmp_path, rows)
         assert x8_link_prediction(spark, str(tmp_path)).count() == 0
+
+
+class TestClusteringCoeff:
+    def test_clique_vs_pair(self, spark, tmp_path):
+        """3-clique members: degree 2, 1 triangle, lcc = 1.0; lone-pair
+        members: degree 1, no triangle, lcc undefined (NULL)."""
+        tri = "alpha beta gamma delta epsilon zeta"
+        pair = "one two three four five six"
+        rows = [
+            (0, tri, "en", "s", 1),
+            (1, tri, "en", "s", 1),
+            (2, tri, "en", "s", 1),
+            (3, pair, "en", "s", 1),
+            (4, pair, "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        from swiftbulkuploader_spark.operators.components import x8_clustering_coeff
+
+        got = {r["doc_id"]: r for r in x8_clustering_coeff(spark, str(tmp_path)).collect()}
+        for d in (0, 1, 2):
+            assert (got[d]["degree"], got[d]["n_triangles"]) == (2, 1)
+            assert got[d]["lcc"] == 1.0
+        for d in (3, 4):
+            assert (got[d]["degree"], got[d]["n_triangles"]) == (1, 0)
+            assert got[d]["lcc"] is None

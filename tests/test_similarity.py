@@ -489,3 +489,25 @@ class TestKnnAccuracy:
         assert got[1]["n_scored"] == 5
         assert got[1]["n_correct"] == 4
         assert got[1]["accuracy"] == _pt.approx(0.8)
+
+
+class TestBqTopk:
+    def test_hamming_ranks_and_recall_flag(self, spark, tmp_path):
+        """Mean-threshold bits: v0/v1 share all 4 bits (hamming 0), v2 is
+        the complement (hamming 4); the query (vec 0) tops its own list
+        with in_exact10 = 1."""
+        rows = [
+            (0, [1.0, 1.0, 0.0, 0.0], 0),
+            (1, [1.0, 1.0, 0.0, 0.0], 0),
+            (2, [0.0, 0.0, 1.0, 1.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        )
+        df.write.parquet(str(tmp_path / "embeddings.parquet"))
+        from swiftbulkuploader_spark.operators.similarity import x2_bq_topk
+
+        got = {r["vec_id"]: r for r in x2_bq_topk(spark, str(tmp_path)).collect()}
+        assert got[0]["hamming"] == 0 and got[0]["in_exact10"] == 1
+        assert got[1]["hamming"] == 0
+        assert got[2]["hamming"] == 4

@@ -433,3 +433,44 @@ class TestBPEEncode:
         assert got[1]["n_words"] == 2
         assert got[1]["n_subtokens"] == 3      # bug=1, hugs=[hug,s]=2
         assert got[1]["fertility"] == pytest.approx(1.5)
+
+
+class TestJsdSources:
+    def test_disjoint_and_identical_sources(self, spark, tmp_path):
+        """Disjoint vocabularies: JSD = ln 2 exactly (jsd_norm 1); two
+        sources with identical distributions score ~0 against each other's
+        half of the corpus."""
+        import math
+
+        from swiftbulkuploader_spark.operators.textops import x6_jsd_sources
+
+        rows = [
+            (0, "xx xx xx xx", "en", "sa", 1),
+            (1, "yy yy yy yy", "en", "sb", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r for r in x6_jsd_sources(spark, str(tmp_path)).collect()}
+        for s in ("sa", "sb"):
+            assert got[s]["n_tokens"] == 4 and got[s]["n_vocab"] == 1
+            assert got[s]["jsd"] == pytest.approx(math.log(2.0))
+            assert got[s]["jsd_norm"] == pytest.approx(1.0)
+
+    def test_identical_distributions_score_zero(self, spark, tmp_path):
+        from swiftbulkuploader_spark.operators.textops import x6_jsd_sources
+
+        rows = [
+            (0, "aa bb aa bb", "en", "sa", 1),
+            (1, "aa bb aa bb", "en", "sb", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r for r in x6_jsd_sources(spark, str(tmp_path)).collect()}
+        assert got["sa"]["jsd"] == pytest.approx(0.0, abs=1e-12)
+        assert got["sb"]["jsd_norm"] == pytest.approx(0.0, abs=1e-12)

@@ -337,3 +337,29 @@ class TestBurstiness:
         assert g["n_hours"] == 3
         assert g["fano"] == pytest.approx(0.5)
         assert g["peak_ratio"] == pytest.approx(1.5)
+
+
+class TestSeasonalAnomaly:
+    def test_offcycle_spike_tops_the_list(self, spark, tmp_path):
+        """A 96-hour flat series with one 25x spike at day-2 15:00: the
+        spike hour must rank first with |z| > 3 and anomalous=True, and
+        exactly SEAS_ANOM_TOPN rows come back (top-N, not a filter).
+        (At 72 h the hour-of-day seasonal has only TWO non-null samples
+        per hod, so it splits the spike 50/50 and the spike row TIES its
+        clean sibling — 3+ samples per hod keep the spike dominant.)"""
+        from swiftbulkuploader_spark.operators.timeseries import (
+            SEAS_ANOM_TOPN,
+            x7_seasonal_anomaly,
+        )
+
+        counts = [1] * 96
+        counts[39] = 25   # 2024-01-02 15:00
+        _write_events(spark, tmp_path, _hourly(counts))
+        rows = sorted(
+            x7_seasonal_anomaly(spark, str(tmp_path)).collect(),
+            key=lambda r: -abs(r["resid_z"]),
+        )
+        assert len(rows) == SEAS_ANOM_TOPN
+        assert rows[0]["bucket"] == "2024-01-02 15:00:00"
+        assert rows[0]["resid_z"] > 3.0
+        assert rows[0]["anomalous"] is True
