@@ -180,6 +180,7 @@ HEADLINE = [
     "x8_clustering_coeff",      # per-node triangle density (lcc)
     "x6_jsd_sources",           # per-source JSD vs rest-of-corpus
     "x7_seasonal_anomaly",      # residual z top-5 (composed decompose)
+    "x6_calibration_bins",      # trained-student reliability deciles
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -112,6 +112,19 @@ def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 QT_LR = 1.0       # batch-GD learning rate
 QT_ROUNDS = 2     # fixed round budget (the Lloyd/pagerank oracle discipline)
 
+# (persisted feature frame, trained weights) per sf_dir: training is
+# deterministic, so the calibration report reuses the student instead of
+# re-running GD (the _LLOYD_CACHE memo pattern)
+_QT_CACHE: dict[str, tuple] = {}
+
+
+def _qt_train(spark: SparkSession, sf_dir: str) -> tuple:
+    """(feats, w): the persisted (doc_id, x1..x3, y) frame and the trained
+    QT_ROUNDS-GD weights — x3_quality_train fills the cache as it trains."""
+    if sf_dir not in _QT_CACHE:
+        x3_quality_train(spark, sf_dir)
+    return _QT_CACHE[sf_dir]
+
 
 def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN the quality classifier distributed — the companion to
@@ -178,6 +191,7 @@ def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]).first()  # bounded: one 4-scalar gradient row per round
         w = [float(row[f"w{j}"]) for j in range(4)]
 
+    _QT_CACHE[sf_dir] = (feats, w)
     zf = F.round(
         F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
@@ -964,8 +978,7 @@ def _quality_train_oracle_sql() -> str:
         ", g1", "GROUP BY g1.w0, g1.w1, g1.w2, g1.w3",
     )
     zf = z("g2.w0", "g2.w1", "g2.w2", "g2.w3")
-    pred = f"CASE WHEN {zf} >= CAST(0 AS DOUBLE) THEN 1.0 ELSE 0.0 END"
-    return f"""
+    prefix = f"""
     WITH f AS (
         SELECT doc_id,
                round(ln(CAST(1.0 AS DOUBLE) + CAST(n_chars AS DOUBLE)), 6) AS x1,
@@ -983,7 +996,14 @@ def _quality_train_oracle_sql() -> str:
                          >= CAST(0 AS DOUBLE)
                     THEN 1.0 ELSE 0.0 END AS y
         FROM f
-    ), {g1}, {g2}
+    ), {g1}, {g2}"""
+    return prefix, zf
+
+
+def _quality_train_final_sql() -> str:
+    prefix, zf = _quality_train_oracle_sql()
+    pred = f"CASE WHEN {zf} >= CAST(0 AS DOUBLE) THEN 1.0 ELSE 0.0 END"
+    return f"""{prefix}
     SELECT g2.w0, g2.w1, g2.w2, g2.w3,
            round(avg(CASE WHEN {pred} = y THEN 1.0 ELSE 0.0 END), 6) AS acc,
            count(*) AS n
@@ -992,7 +1012,7 @@ def _quality_train_oracle_sql() -> str:
 """
 
 
-ORACLES["x3_quality_train"] = _quality_train_oracle_sql()
+ORACLES["x3_quality_train"] = _quality_train_final_sql()
 
 
 def x6_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1974,3 +1994,73 @@ ORACLES["x6_jsd_sources"] = """
                / ln(CAST(2 AS DOUBLE)) AS jsd_norm
     FROM agg
 """
+
+
+CALIB_BINS = 10
+
+
+def x6_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the TRAINED quality classifier
+    (x3_quality_train's student, reused via _QT_CACHE) against its teacher
+    labels: decile-bin the predicted keep-probability, report per bin the
+    count, mean predicted probability, empirical positive fraction, and
+    the gap — the calibration table behind ECE and the first artifact to
+    check before thresholding any learned filter (an over-confident bin
+    means the cut keeps junk at exactly that score band).
+
+    Binning is decided on round(p, 6) (round-before-bucket: the sigmoid's
+    exp ulps differ across engines) with the last bin closed at p = 1;
+    frac_pos is an exact 0/1-sum division; mean_p and gap carry only
+    summation-order ulps. Shape: one scan of the persisted feature frame,
+    one <=10-row aggregate. Oracle replays the full GD chain (shared
+    generator with x3_quality_train) and the same binning."""
+    feats, w = _qt_train(spark, sf_dir)
+    z6 = F.round(
+        F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6))
+    b = F.least(
+        F.floor(F.round(p, 6) * F.lit(float(CALIB_BINS))).cast("int"),
+        F.lit(CALIB_BINS - 1),
+    )
+    return (
+        feats.select(b.alias("bin"), p.alias("p"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("p").alias("mean_p"),
+            (F.sum("y") / F.count(F.lit(1))).alias("frac_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "mean_p",
+            "frac_pos",
+            (F.col("mean_p") - F.col("frac_pos")).alias("gap"),
+        )
+    )
+
+
+QUERIES["x6_calibration_bins"] = x6_calibration_bins
+
+
+def _calibration_oracle_sql() -> str:
+    prefix, zf = _quality_train_oracle_sql()
+    p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{zf})))"
+    return f"""{prefix}
+    , scored AS (
+        SELECT least(CAST(floor(round({p}, 6) * CAST({CALIB_BINS} AS DOUBLE))
+                          AS INT), {CALIB_BINS - 1}) AS bin,
+               {p} AS p, y
+        FROM fy, g2
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           avg(p) AS mean_p,
+           sum(y) / count(*) AS frac_pos,
+           avg(p) - sum(y) / count(*) AS gap
+    FROM scored GROUP BY bin
+"""
+
+
+ORACLES["x6_calibration_bins"] = _calibration_oracle_sql()

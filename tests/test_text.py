@@ -474,3 +474,26 @@ class TestJsdSources:
         got = {r["source"]: r for r in x6_jsd_sources(spark, str(tmp_path)).collect()}
         assert got["sa"]["jsd"] == pytest.approx(0.0, abs=1e-12)
         assert got["sb"]["jsd_norm"] == pytest.approx(0.0, abs=1e-12)
+
+
+class TestCalibrationBins:
+    def test_bin_invariants_on_smoke_corpus(self, spark):
+        """Bins partition the corpus: counts sum to n_docs, every mean_p
+        sits inside its decile band (up to the 6-dp edge), frac_pos is a
+        valid fraction, and gap = mean_p - frac_pos."""
+        from swiftbulkuploader_spark.operators.textops import (
+            CALIB_BINS,
+            x6_calibration_bins,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = x6_calibration_bins(spark, sf).collect()
+        assert rows
+        n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        assert sum(r["n"] for r in rows) == n_docs
+        for r in rows:
+            assert 0 <= r["bin"] < CALIB_BINS
+            lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+            assert lo - 1e-6 <= r["mean_p"] <= (hi + 1e-6 if r["bin"] < 9 else 1.0)
+            assert 0.0 <= r["frac_pos"] <= 1.0
+            assert r["gap"] == pytest.approx(r["mean_p"] - r["frac_pos"])
