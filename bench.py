@@ -181,6 +181,8 @@ HEADLINE = [
     "x6_jsd_sources",           # per-source JSD vs rest-of-corpus
     "x7_seasonal_anomaly",      # residual z top-5 (composed decompose)
     "x6_calibration_bins",      # trained-student reliability deciles
+    "x6_class_balanced_weights",  # effective-number source reweighting
+    "x2_ndcg_eval",             # graded nDCG@10 of the Hamming ranking
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

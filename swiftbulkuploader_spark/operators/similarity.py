@@ -2489,3 +2489,143 @@ ORACLES["x2_bq_topk"] = """
                AS in_exact10
     FROM top t LEFT JOIN exact x USING (vec_id)
 """
+
+
+def x2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the binary-quantized (Hamming) ranking against graded
+    exact-cosine relevance — the GRADED retrieval-quality companion to the
+    recall flags on x2_sq8_topk/x2_bq_topk: recall says how many of the
+    true top-10 were retrieved, nDCG says whether the best ones landed at
+    the top. Relevance of the exact rank-j neighbor is 11-j (top hit = 10,
+    tenth = 1, everything else 0), so IDCG is the fixed ideal ladder and
+    nDCG needs only the two BOUNDED top-10 lists — no global ranking of
+    the corpus at any scale (both are TakeOrderedAndProject).
+
+    Exactness: ranks come from integer Hamming and 6-dp-rounded cosine
+    with vec_id tie-breaks (the house ordering rule); DCG terms are
+    integer/log2(integer) with identical operands, ulps inside the
+    9-significant-digit normalization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )  # bounded: one row per dimension (64)
+    mu = [float(r["m"]) for r in mu_rows]
+    mu_l = _lit_vec(mu)
+    q = _query_vector(spark, sf_dir, 0)
+    qb_l = F.lit([1 if float(x) > m else 0 for x, m in zip(q, mu)])
+    bits = F.zip_with(
+        F.col("embedding"), mu_l,
+        lambda x, m: F.when(x.cast("double") > m, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    ham = F.aggregate(
+        F.zip_with(bits, qb_l,
+                   lambda b, t: F.when(b != t, F.lit(1)).otherwise(F.lit(0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql.window import Window
+
+    sys_top = (
+        emb.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+            ),
+        )
+    )
+    qcol = _lit_vec(q)
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+            ).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .withColumn(
+            "rel",
+            F.lit(11)
+            - F.row_number().over(Window.orderBy(F.col("cs").desc(), F.col("vec_id").asc())),
+        )
+        .select("vec_id", "rel")
+    )
+    scored = sys_top.join(F.broadcast(exact), "vec_id", "left").select(
+        "pos", F.coalesce("rel", F.lit(0)).cast("double").alias("rel")
+    )
+    dcg = F.sum(F.col("rel") / F.log2(F.col("pos").cast("double") + F.lit(1.0)))
+    idcg_terms = [
+        (11.0 - j, j + 1.0) for j in range(1, 11)
+    ]
+    idcg = sum(r / math.log2(p) for r, p in idcg_terms)
+    return scored.agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_relevant_retrieved"),
+        dcg.alias("dcg"),
+    ).select(
+        "n_relevant_retrieved",
+        "dcg",
+        F.lit(float(idcg)).alias("idcg"),
+        (F.col("dcg") / F.lit(float(idcg))).alias("ndcg"),
+    )
+
+
+QUERIES["x2_ndcg_eval"] = x2_ndcg_eval
+
+
+ORACLES["x2_ndcg_eval"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ex AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+    ), st AS (
+        SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY i
+    ), bits AS (
+        SELECT ex.vec_id, ex.i,
+               CASE WHEN ex.x > st.m THEN 1 ELSE 0 END AS b
+        FROM ex JOIN st USING (i)
+    ), qb AS (
+        SELECT i, b AS t FROM bits WHERE vec_id = 0
+    ), d AS (
+        SELECT bits.vec_id,
+               CAST(sum(CASE WHEN bits.b <> qb.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM bits JOIN qb USING (i)
+        GROUP BY bits.vec_id
+    ), sys_top AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS pos
+        FROM d ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    ), exact AS (
+        SELECT vec_id, 11 - row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rel
+        FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS cs
+            FROM embeddings
+            ORDER BY cs DESC, vec_id ASC LIMIT 10
+        )
+    ), scored AS (
+        SELECT s.pos, CAST(coalesce(x.rel, 0) AS DOUBLE) AS rel
+        FROM sys_top s LEFT JOIN exact x USING (vec_id)
+    ), idcg AS (
+        SELECT sum((CAST(11 AS DOUBLE) - j) / log2(CAST(j AS DOUBLE) + CAST(1 AS DOUBLE)))
+            AS v
+        FROM generate_series(1, 10) AS g(j)
+    )
+    SELECT CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant_retrieved,
+           sum(rel / log2(CAST(pos AS DOUBLE) + CAST(1 AS DOUBLE))) AS dcg,
+           (SELECT v FROM idcg) AS idcg,
+           sum(rel / log2(CAST(pos AS DOUBLE) + CAST(1 AS DOUBLE)))
+               / (SELECT v FROM idcg) AS ndcg
+    FROM scored
+"""

@@ -1030,3 +1030,57 @@ ORACLES["x10_curriculum_order"] = f"""
                                    ORDER BY shuffle_key) AS INT) AS pos
     FROM sh
 """
+
+
+CB_BETA = 0.999
+
+
+def x6_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced source weights by EFFECTIVE NUMBER of samples (Cui et
+    al. CVPR'19): E_n = (1 - beta^n)/(1 - beta) counts how many
+    NON-REDUNDANT samples n draws contribute (saturating at 1/(1-beta) =
+    1000 — past that, more data from a source adds almost nothing), and the
+    loss/sampling weight is 1/E_n renormalized. The principled alternative
+    to inverse-frequency reweighting when sources overlap internally:
+    single-doc sources get E_n = 1 exactly, huge sources converge to the
+    same ceiling instead of being crushed to ~0.
+
+    Shape: one corpus aggregate to n_sources rows, the normalizing sum as
+    a window over that tiny aggregate (the x6_source_mixing pattern).
+    beta^n = pow() carries engine ulps absorbed by the verifier's 9-digit
+    normalization; everything else is exact divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    one_minus_b = F.lit(1.0) - F.lit(CB_BETA)
+    en = (F.lit(1.0) - F.pow(F.lit(CB_BETA), F.col("n_docs").cast("double"))) / one_minus_b
+    w_all = Window.partitionBy()
+    raw = F.lit(1.0) / F.col("effective_num")
+    out = per.select(
+        "source", F.col("n_docs").cast("long").alias("n_docs"), en.alias("effective_num")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "effective_num",
+        (raw / F.sum(raw).over(w_all)).alias("weight"),
+    )
+
+
+QUERIES["x6_class_balanced_weights"] = x6_class_balanced_weights
+
+ORACLES["x6_class_balanced_weights"] = f"""
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), en AS (
+        SELECT source, n_docs,
+               (CAST(1 AS DOUBLE) - pow(CAST({CB_BETA} AS DOUBLE),
+                                        CAST(n_docs AS DOUBLE)))
+                   / (CAST(1 AS DOUBLE) - CAST({CB_BETA} AS DOUBLE))
+                   AS effective_num
+        FROM per
+    )
+    SELECT source, n_docs, effective_num,
+           (CAST(1 AS DOUBLE) / effective_num)
+               / sum(CAST(1 AS DOUBLE) / effective_num) OVER () AS weight
+    FROM en
+"""

@@ -511,3 +511,32 @@ class TestBqTopk:
         assert got[0]["hamming"] == 0 and got[0]["in_exact10"] == 1
         assert got[1]["hamming"] == 0
         assert got[2]["hamming"] == 4
+
+
+class TestNdcgEval:
+    def test_perfect_agreement_on_tiny_corpus(self, spark, tmp_path):
+        """BQ and exact orderings agree on a 3-vector corpus: dcg is the
+        graded ladder 10,9,8 at positions 1,2,3; idcg stays the fixed
+        10-deep ideal, so ndcg = dcg/idcg < 1 by construction."""
+        import math
+
+        import pytest as _pt
+
+        rows = [
+            (0, [1.0, 1.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.9, 0.0, 0.0], 0),
+            (2, [0.0, 0.0, 1.0, 1.0], 1),
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], l) for i, v, l in rows],
+            "vec_id: long, embedding: array<float>, label: int",
+        )
+        df.write.parquet(str(tmp_path / "embeddings.parquet"))
+        from swiftbulkuploader_spark.operators.similarity import x2_ndcg_eval
+
+        r = x2_ndcg_eval(spark, str(tmp_path)).collect()[0]
+        assert r["n_relevant_retrieved"] == 3
+        idcg = sum((11.0 - j) / math.log2(j + 1.0) for j in range(1, 11))
+        assert r["idcg"] == _pt.approx(idcg)
+        assert r["ndcg"] == _pt.approx(r["dcg"] / idcg)
+        assert 0 < r["ndcg"] < 1

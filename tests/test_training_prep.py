@@ -297,3 +297,32 @@ class TestCurriculumOrder:
             seqs.setdefault((r["phase"], r["shard_id"]), []).append(r["pos"])
         for key, ps in seqs.items():
             assert sorted(ps) == list(range(1, len(ps) + 1)), key
+
+
+class TestClassBalancedWeights:
+    def test_effective_number_saturation(self, spark, tmp_path):
+        """Single-doc source: E_n = 1 exactly; a 3-doc source:
+        E_n = 1 + b + b^2; weights renormalize the inverses."""
+        import pytest
+
+        from swiftbulkuploader_spark.operators.training_prep import (
+            CB_BETA,
+            x6_class_balanced_weights,
+        )
+
+        rows = [(0, "a b c", "en", "small", 1)] + [
+            (i, "x y z", "en", "big", 1) for i in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r
+               for r in x6_class_balanced_weights(spark, str(tmp_path)).collect()}
+        assert got["small"]["effective_num"] == pytest.approx(1.0)
+        e3 = 1.0 + CB_BETA + CB_BETA ** 2
+        assert got["big"]["effective_num"] == pytest.approx(e3)
+        tot = 1.0 + 1.0 / e3
+        assert got["small"]["weight"] == pytest.approx(1.0 / tot)
+        assert got["big"]["weight"] == pytest.approx((1.0 / e3) / tot)
