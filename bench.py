@@ -183,6 +183,8 @@ HEADLINE = [
     "x6_calibration_bins",      # trained-student reliability deciles
     "x6_class_balanced_weights",  # effective-number source reweighting
     "x2_ndcg_eval",             # graded nDCG@10 of the Hamming ranking
+    "x6_poisson_bootstrap",     # scalable bootstrap CI (32 replicas)
+    "x7_hurst",                 # R/S long-range-dependence exponent
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

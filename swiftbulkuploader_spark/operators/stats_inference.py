@@ -360,3 +360,109 @@ ORACLES["x6_mutual_information"] = """
                     CAST(0 AS DOUBLE)) AS nmi
     FROM agg
 """
+
+
+BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds, P(X <= k) for k = 0..5 (beyond -> 6).
+# Written as identical decimal literals on both engines (nearest-double).
+BOOT_CDF = (0.367879441, 0.735758882, 0.919698603,
+            0.981011843, 0.996340153, 0.999405815)
+
+
+def x6_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP confidence interval for the mean
+    order price — the scalable bootstrap (Chamandy et al., Google 2012):
+    instead of resampling n rows with replacement (which needs global
+    coordination), each row enters replica b with an independent
+    Poisson(1) weight, here derived from a 52-bit md5 uniform so both
+    engines draw IDENTICAL weights. One explode to rows x B, one B-group
+    aggregate for the replica means, positional order statistics of the
+    32 means for the ~95% interval (rank 2 / rank 31 — the row_number
+    median discipline, no percentile function).
+
+    Shape: rows x 32 weighted partial sums map-side-combine down to 32
+    groups; at 100 TB this is one pass and a 32-row aggregate regardless
+    of n. Exactness: weights are integers from shared thresholds, replica
+    means are sum-order-ulp doubles (9-digit normalized), and the CI
+    bounds are SELECTED values (order decided on 6-dp-rounded means with
+    replica-id tie-break)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    b = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b")
+    rows = orders.select(F.col("o_orderkey").alias("k"),
+                         F.col("o_totalprice").alias("x"), b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
+                               F.col("b").cast("string"))), 1, 13),
+            16, 10,
+        ).cast("long").cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w = F.lit(6)
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rows.select("b", "x", w.cast("long").alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("x")) / F.sum("w").cast("double")).alias("m")
+        )
+    )
+    wr = Window.orderBy(F.round("m", 6).asc(), F.col("b").asc())
+    ranked = reps.withColumn("rn", F.row_number().over(wr))
+    stats = ranked.agg(
+        F.stddev_samp("m").alias("boot_se"),
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("o_totalprice").alias("mean"),
+    )
+    return base.crossJoin(stats)  # bounded: two 1-row summaries
+
+
+QUERIES["x6_poisson_bootstrap"] = x6_poisson_bootstrap
+
+
+def _boot_oracle_sql() -> str:
+    cdf_case = "CASE " + " ".join(
+        f"WHEN u < CAST({t} AS DOUBLE) THEN {k}"
+        for k, t in enumerate(BOOT_CDF)
+    ) + " ELSE 6 END"
+    return f"""
+    WITH r AS (
+        SELECT o_orderkey AS k, o_totalprice AS x,
+               unnest(range(1, {BOOT_B + 1})) AS b
+        FROM orders
+    ), uw AS (
+        SELECT b, x,
+               CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                          || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+                   / CAST({float(1 << 52)} AS DOUBLE) AS u
+        FROM r
+    ), wts AS (
+        SELECT b, x, CAST({cdf_case} AS BIGINT) AS w FROM uw
+    ), reps AS (
+        SELECT b, sum(w * x) / CAST(sum(w) AS DOUBLE) AS m
+        FROM wts GROUP BY b
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY round(m, 6) ASC, b ASC) AS rn
+        FROM reps
+    ), stats AS (
+        SELECT stddev_samp(m) AS boot_se,
+               max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+               max(CASE WHEN rn = {BOOT_B - 1} THEN m END) AS ci_hi
+        FROM ranked
+    ), base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(o_totalprice) AS mean
+        FROM orders
+    )
+    SELECT n, mean, boot_se, ci_lo, ci_hi FROM base CROSS JOIN stats
+"""
+
+
+ORACLES["x6_poisson_bootstrap"] = _boot_oracle_sql()

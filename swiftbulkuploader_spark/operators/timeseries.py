@@ -1242,3 +1242,122 @@ ORACLES["x7_seasonal_anomaly"] = f"""
            abs(round(resid_z, 6)) > CAST(3 AS DOUBLE) AS anomalous
     FROM ranked WHERE rn <= {SEAS_ANOM_TOPN}
 """
+
+
+HURST_SCALES = (8, 16, 32, 64)
+
+
+def x7_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-rate series per type by rescaled-
+    range (R/S) analysis: split the dense series into full blocks of size
+    s in {8,16,32,64}; per block compute the range of cumulative
+    mean-deviations R and the population stddev S; H is the log2-log2 OLS
+    slope of mean(R/S) on s. H ~ 0.5 = memoryless, > 0.5 = long-range
+    persistence (load trends that compound — capacity planning cares),
+    < 0.5 = mean-reverting. (Z ranges over t >= 1; the Z_0 = 0 anchor
+    convention differs across texts and is fixed identically here and in
+    the oracle.)
+
+    Exactness: block means are exact integer-sum divisions; the cumulative
+    deviations add bit-identical terms in frame order, so R is
+    bit-identical; only S and the scale means carry summation-order ulps
+    (9-digit normalized); the OLS is regr_slope over 4 points (the
+    x3_zipf_fit precedent). Shape: one rollup, a 4x explode, two window
+    passes and two aggregates — rows ∝ 4 x types x hours."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    wt = Window.partitionBy("event_type").orderBy("bucket")
+    idx = dense.select(
+        "event_type", "x", (F.row_number().over(wt) - 1).alias("rn")
+    )
+    scaled = idx.select(
+        "event_type", "x", "rn",
+        F.explode(F.array(*[F.lit(s) for s in HURST_SCALES])).alias("s"),
+    ).withColumn("blk", F.floor(F.col("rn") / F.col("s")).cast("long"))
+    wb = Window.partitionBy("event_type", "s", "blk")
+    step1 = scaled.select(
+        "event_type", "s", "blk", "rn", "x",
+        (F.sum("x").over(wb) / F.count(F.lit(1)).over(wb)).alias("m"),
+        F.count(F.lit(1)).over(wb).alias("bs"),
+    ).where(F.col("bs") == F.col("s"))  # full blocks only
+    wz = (
+        Window.partitionBy("event_type", "s", "blk")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step2 = step1.select(
+        "event_type", "s", "blk",
+        F.sum(F.col("x") - F.col("m")).over(wz).alias("z"),
+        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("sq"),
+    )
+    blocks = step2.groupBy("event_type", "s", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(F.sum("sq") / F.col("s").cast("double")).alias("sd"),
+    ).select(
+        "event_type", "s",
+        (F.col("r") / F.nullif(F.col("sd"), F.lit(0.0))).alias("rs"),
+    )
+    per_scale = blocks.groupBy("event_type", "s").agg(
+        F.avg("rs").alias("mean_rs"),
+        F.count("rs").cast("long").alias("n_blocks"),
+    )
+    return per_scale.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scales"),
+        F.sum("n_blocks").cast("long").alias("n_blocks"),
+        F.regr_slope(
+            F.log2(F.col("mean_rs")), F.log2(F.col("s").cast("double"))
+        ).alias("hurst"),
+        F.regr_intercept(
+            F.log2(F.col("mean_rs")), F.log2(F.col("s").cast("double"))
+        ).alias("log2_c"),
+    )
+
+
+QUERIES["x7_hurst"] = x7_hurst
+
+ORACLES["x7_hurst"] = f"""
+    WITH {_DENSE_SQL}
+    , idx AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+                   AS rn
+        FROM dense
+    ), scaled AS (
+        SELECT event_type, x, rn,
+               unnest([{', '.join(str(s) for s in HURST_SCALES)}]) AS s
+        FROM idx
+    ), blocked AS (
+        SELECT *, CAST(floor(rn / CAST(s AS DOUBLE)) AS BIGINT) AS blk
+        FROM scaled
+    ), step1 AS (
+        SELECT event_type, s, blk, rn, x,
+               sum(x) OVER w / count(*) OVER w AS m,
+               count(*) OVER w AS bs
+        FROM blocked
+        WINDOW w AS (PARTITION BY event_type, s, blk)
+        QUALIFY bs = s
+    ), step2 AS (
+        SELECT event_type, s, blk,
+               sum(x - m) OVER (PARTITION BY event_type, s, blk ORDER BY rn
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS z,
+               (x - m) * (x - m) AS sq
+        FROM step1
+    ), blocks AS (
+        SELECT event_type, s,
+               (max(z) - min(z))
+                   / nullif(sqrt(sum(sq) / CAST(s AS DOUBLE)),
+                            CAST(0 AS DOUBLE)) AS rs
+        FROM step2 GROUP BY event_type, s, blk
+    ), per_scale AS (
+        SELECT event_type, s, avg(rs) AS mean_rs,
+               CAST(count(rs) AS BIGINT) AS n_blocks
+        FROM blocks GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scales,
+           CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+           regr_slope(log2(mean_rs), log2(CAST(s AS DOUBLE))) AS hurst,
+           regr_intercept(log2(mean_rs), log2(CAST(s AS DOUBLE))) AS log2_c
+    FROM per_scale GROUP BY event_type
+"""

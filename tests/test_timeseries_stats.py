@@ -363,3 +363,35 @@ class TestSeasonalAnomaly:
         assert rows[0]["bucket"] == "2024-01-02 15:00:00"
         assert rows[0]["resid_z"] > 3.0
         assert rows[0]["anomalous"] is True
+
+
+class TestHurst:
+    def test_trend_vs_alternation(self, spark, tmp_path):
+        """A monotone ramp (counts 1..128) is maximally persistent
+        (H near 1); a strict alternation [1,2,1,2,...] is strongly
+        anti-persistent (H well below 0.5)."""
+        from swiftbulkuploader_spark.operators.timeseries import x7_hurst
+
+        rows = _hourly(list(range(1, 129)), etype="ramp", start_uid=1)
+        rows += _hourly([1, 2] * 64, etype="alt", start_uid=2)
+        _write_events(spark, tmp_path, rows)
+        got = {r["event_type"]: r for r in x7_hurst(spark, str(tmp_path)).collect()}
+        assert got["ramp"]["n_scales"] == 4
+        assert got["ramp"]["hurst"] > 0.8
+        assert got["alt"]["hurst"] < 0.3
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        """On the smoke orders table: ci_lo < mean < ci_hi, positive
+        bootstrap SE, and two runs agree exactly (hash-derived weights)."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            x6_poisson_bootstrap,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = x6_poisson_bootstrap(spark, sf).collect()[0]
+        b = x6_poisson_bootstrap(spark, sf).collect()[0]
+        assert a == b
+        assert a["boot_se"] > 0
+        assert a["ci_lo"] < a["mean"] < a["ci_hi"]

@@ -60,6 +60,8 @@ BOUNDED_BNLJ_OK = {
     "x2_knn_accuracy",         # 32-row broadcast centroid table cross-joined
                                # for the cluster assignment (the
                                # x1_semantic_dedup pattern)
+    "x6_poisson_bootstrap",    # 1-row corpus mean x 1-row bootstrap stats
+                               # cross-joined for the single-row CI report
 
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
