@@ -185,6 +185,8 @@ HEADLINE = [
     "x2_ndcg_eval",             # graded nDCG@10 of the Hamming ranking
     "x6_poisson_bootstrap",     # scalable bootstrap CI (32 replicas)
     "x7_hurst",                 # R/S long-range-dependence exponent
+    "x7_ccf",                   # pairwise lagged cross-correlation
+    "x7_kaplan_meier",          # censored time-to-first-error curve
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

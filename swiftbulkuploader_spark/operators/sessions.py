@@ -109,3 +109,117 @@ ORACLES = {
         GROUP BY n_events
     """,
 }
+
+
+def x7_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for TIME TO FIRST ERROR per user: each
+    user's duration runs from their first event to their first 'error'
+    (event) or to their last observed event (right-censored — the user
+    left without erroring). The product-limit estimator
+    S(t) = prod_{t_i <= t} (1 - d_i/n_i) is THE standard way to answer
+    'what share of users survive h hours error-free' without the bias of
+    dropping censored users.
+
+    Distributed form: durations are exact integer microseconds; the
+    at-risk count n_i = N - (#durations strictly below t_i) comes from one
+    cumulative window over the duration histogram (no correlated
+    subquery), and the running product is exp(cumsum(ln(1 - d/n))) in
+    duration order — frame-ordered, so both engines accumulate identical
+    terms (ln/exp ulps inside the 9-digit normalization). d_i/n_i is an
+    exact integer division.
+
+    Shape: one per-user aggregate, one duration-histogram aggregate, two
+    ordered windows over the (distinct durations)-sized table."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_end"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("t_err"),
+    )
+    dur_us = (
+        F.unix_micros(F.coalesce("t_err", "t_end").cast("timestamp"))
+        - F.unix_micros(F.col("t0").cast("timestamp"))
+    )
+    durs = per_user.select(
+        dur_us.alias("dur_us"),
+        F.col("t_err").isNotNull().alias("evt"),
+    )
+    hist = durs.groupBy("dur_us").agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum(F.when(F.col("evt"), 1).otherwise(0)).alias("d"),
+    )
+    w_ord = Window.orderBy("dur_us").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.partitionBy()
+    risk = hist.select(
+        "dur_us",
+        "d",
+        (
+            F.sum("n_at_t").over(w_tot)
+            - F.coalesce(F.sum("n_at_t").over(w_ord), F.lit(0))
+        ).alias("n_at_risk"),
+    ).where(F.col("d") > 0)
+    w_run = Window.orderBy("dur_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # a time where EVERY at-risk user errors (d = n) is an exact-zero
+    # factor: ln() blows up, so it's flagged and S pinned to 0 from there
+    frac = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    dead = F.max(F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)).over(w_run)
+    logsum = F.sum(
+        F.when(F.col("d") < F.col("n_at_risk"), F.log(F.lit(1.0) - frac))
+        .otherwise(F.lit(0.0))
+    ).over(w_run)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(logsum))
+    return risk.select(
+        "dur_us",
+        (F.col("dur_us").cast("double") / F.lit(3_600_000_000.0)).alias("dur_hours"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        surv.alias("survival"),
+    )
+
+
+QUERIES["x7_kaplan_meier"] = x7_kaplan_meier
+
+ORACLES["x7_kaplan_meier"] = """
+    WITH per_user AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS t_end,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS t_err
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT epoch_us(coalesce(t_err, t_end)) - epoch_us(t0) AS dur_us,
+               t_err IS NOT NULL AS evt
+        FROM per_user
+    ), hist AS (
+        SELECT dur_us, count(*) AS n_at_t,
+               sum(CASE WHEN evt THEN 1 ELSE 0 END) AS d
+        FROM durs GROUP BY dur_us
+    ), risk AS (
+        SELECT dur_us, d,
+               sum(n_at_t) OVER ()
+                   - coalesce(sum(n_at_t) OVER (ORDER BY dur_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_at_risk
+        FROM hist
+    ), ev AS (
+        SELECT * FROM risk WHERE d > 0
+    )
+    SELECT dur_us,
+           CAST(dur_us AS DOUBLE) / CAST(3600000000 AS DOUBLE) AS dur_hours,
+           CAST(d AS BIGINT) AS d,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                     OVER w = 1
+                THEN CAST(0 AS DOUBLE)
+                ELSE exp(sum(CASE WHEN d < n_at_risk
+                                  THEN ln(CAST(1 AS DOUBLE)
+                                          - CAST(d AS DOUBLE)
+                                            / CAST(n_at_risk AS DOUBLE))
+                                  ELSE CAST(0 AS DOUBLE) END) OVER w)
+           END AS survival
+    FROM ev
+    WINDOW w AS (ORDER BY dur_us ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+"""

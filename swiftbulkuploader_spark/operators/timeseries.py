@@ -1361,3 +1361,94 @@ ORACLES["x7_hurst"] = f"""
            regr_intercept(log2(mean_rs), log2(CAST(s AS DOUBLE))) AS log2_c
     FROM per_scale GROUP BY event_type
 """
+
+
+CCF_MAX_LAG = 6
+
+
+def x7_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every PAIR of event types' hourly
+    rate series at lags -6..+6 — 'do errors follow purchases, and by how
+    many hours?'. ccf(a, b, L) correlates a at hour t with b at hour t-L
+    under the standard full-series normalization
+    sum(xa_c * xb_c,shifted) / sqrt(ssq_a * ssq_b), so the function is
+    comparable across lags (the ACF's cross cousin — ccf(a, a, 0) = 1).
+    Only a < b pairs are emitted: ccf(b, a, L) = ccf(a, b, -L).
+
+    Exactness: means are exact integer-sum divisions, so centered values
+    are bit-identical; the lag alignment joins on exact integer epoch-hour
+    keys; numerators/ssqs carry summation-order ulps (9-digit normalized).
+
+    Shape: one rollup, a 13x lag explode on one side, one (type, hour)
+    equi-join, one (pair, lag) aggregate and a broadcast of the 5-row
+    per-type ssq table — rows ∝ 13 x types x hours."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    wp = Window.partitionBy("event_type")
+    c = dense.select(
+        "event_type",
+        (F.unix_micros(F.col("bucket").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+        (F.col("x") - F.sum("x").over(wp) / F.count(F.lit(1)).over(wp)).alias("xc"),
+    )
+    ssq = c.groupBy("event_type").agg(F.sum(F.col("xc") * F.col("xc")).alias("ssq"))
+    lags = list(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    a = c.select(
+        F.col("event_type").alias("ta"),
+        "h",
+        F.col("xc").alias("xa"),
+        F.explode(F.array(*[F.lit(v) for v in lags])).alias("lag"),
+    ).withColumn("hb", F.col("h") - F.col("lag"))
+    b = c.select(F.col("event_type").alias("tb"), F.col("h").alias("hb"),
+                 F.col("xc").alias("xb"))
+    j = a.join(b, "hb").where(F.col("ta") < F.col("tb"))
+    num = j.groupBy("ta", "tb", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum(F.col("xa") * F.col("xb")).alias("num"),
+    )
+    return (
+        num.join(F.broadcast(ssq.select(F.col("event_type").alias("ta"),
+                                        F.col("ssq").alias("sa"))), "ta")
+        .join(F.broadcast(ssq.select(F.col("event_type").alias("tb"),
+                                     F.col("ssq").alias("sb"))), "tb")
+        .select(
+            "ta", "tb",
+            F.col("lag").cast("int").alias("lag"),
+            "n_overlap",
+            (F.col("num") / F.nullif(F.sqrt(F.col("sa") * F.col("sb")),
+                                     F.lit(0.0))).alias("ccf"),
+        )
+    )
+
+
+QUERIES["x7_ccf"] = x7_ccf
+
+ORACLES["x7_ccf"] = f"""
+    WITH {_DENSE_SQL}
+    , c AS (
+        SELECT event_type,
+               CAST(epoch_us(bucket) / 3600000000 AS BIGINT) AS h,
+               x - (sum(x) OVER (PARTITION BY event_type)
+                    / count(*) OVER (PARTITION BY event_type)) AS xc
+        FROM dense
+    ), ssq AS (
+        SELECT event_type, sum(xc * xc) AS ssq FROM c GROUP BY 1
+    ), a AS (
+        SELECT event_type AS ta, h, xc AS xa,
+               unnest([{', '.join(str(v) for v in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))}]) AS lag
+        FROM c
+    ), j AS (
+        SELECT a.ta, b.event_type AS tb, a.lag, a.xa, b.xc AS xb
+        FROM a JOIN c b ON b.h = a.h - a.lag AND a.ta < b.event_type
+    ), num AS (
+        SELECT ta, tb, lag,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               sum(xa * xb) AS num
+        FROM j GROUP BY 1, 2, 3
+    )
+    SELECT num.ta, num.tb, CAST(num.lag AS INT) AS lag, num.n_overlap,
+           num.num / nullif(sqrt(sa.ssq * sb.ssq), CAST(0 AS DOUBLE)) AS ccf
+    FROM num
+    JOIN ssq sa ON num.ta = sa.event_type
+    JOIN ssq sb ON num.tb = sb.event_type
+"""

@@ -395,3 +395,64 @@ class TestPoissonBootstrap:
         assert a == b
         assert a["boot_se"] > 0
         assert a["ci_lo"] < a["mean"] < a["ci_hi"]
+
+
+class TestCcf:
+    def test_known_lag_recovered(self, spark, tmp_path):
+        """Type 'bb' is type 'aa' delayed by 2 hours: ccf(aa, bb, L)
+        correlates aa(t) with bb(t-L), so the peak sits at L = -2."""
+        counts = [1, 5, 1, 1, 9, 1, 1, 1, 2, 1, 1, 1]
+        rows = _hourly(counts, etype="aa", start_uid=1)
+        shifted = [0, 0] + counts
+        rows += _hourly(shifted, etype="bb", start_uid=2)
+        _write_events(spark, tmp_path, rows)
+        from swiftbulkuploader_spark.operators.timeseries import x7_ccf
+
+        got = {r["lag"]: r["ccf"]
+               for r in x7_ccf(spark, str(tmp_path)).collect()
+               if (r["ta"], r["tb"]) == ("aa", "bb") and r["ccf"] is not None}
+        best = max(got, key=lambda k: got[k])
+        assert best == -2
+        assert got[-2] > 0.9
+
+
+class TestKaplanMeier:
+    def test_product_limit_with_censoring(self, spark, tmp_path):
+        """u1 errors at +1h, u2 at +2h, u3 censored at +2h, u4 censored at
+        +3h: S(1h) = 3/4; at 2h the at-risk set is {u2, u3, u4} (censored-
+        at-t users count as at risk at t), so S(2h) = 3/4 * 2/3 = 1/2."""
+        from swiftbulkuploader_spark.operators.sessions import x7_kaplan_meier
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        h = timedelta(hours=1)
+        rows = [
+            (1, t0, 1, "view", 0.0, "{}"), (2, t0 + h, 1, "error", 0.0, "{}"),
+            (3, t0, 2, "view", 0.0, "{}"), (4, t0 + 2 * h, 2, "error", 0.0, "{}"),
+            (5, t0, 3, "view", 0.0, "{}"), (6, t0 + 2 * h, 3, "click", 0.0, "{}"),
+            (7, t0, 4, "view", 0.0, "{}"), (8, t0 + 3 * h, 4, "click", 0.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        got = sorted(x7_kaplan_meier(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["dur_us"])
+        assert len(got) == 2
+        assert (got[0]["dur_hours"], got[0]["d"], got[0]["n_at_risk"]) == (1.0, 1, 4)
+        assert got[0]["survival"] == pytest.approx(0.75)
+        assert (got[1]["dur_hours"], got[1]["d"], got[1]["n_at_risk"]) == (2.0, 1, 3)
+        assert got[1]["survival"] == pytest.approx(0.5)
+
+    def test_full_mortality_hits_zero(self, spark, tmp_path):
+        """Every user errors: the last event time empties the risk set and
+        S pins to exactly 0 (the ln(0) guard)."""
+        from swiftbulkuploader_spark.operators.sessions import x7_kaplan_meier
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        h = timedelta(hours=1)
+        rows = [
+            (1, t0, 1, "view", 0.0, "{}"), (2, t0 + h, 1, "error", 0.0, "{}"),
+            (3, t0, 2, "view", 0.0, "{}"), (4, t0 + 2 * h, 2, "error", 0.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        got = sorted(x7_kaplan_meier(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["dur_us"])
+        assert got[0]["survival"] == pytest.approx(0.5)
+        assert got[1]["survival"] == 0.0
