@@ -1452,3 +1452,67 @@ ORACLES["x7_ccf"] = f"""
     JOIN ssq sa ON num.ta = sa.event_type
     JOIN ssq sb ON num.tb = sb.event_type
 """
+
+
+LJUNG_CRIT_DF6 = 12.591587  # chi-square 0.95 quantile at 6 dof
+
+
+def x7_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event type, composed directly from
+    x7_acf's output: Q = n(n+2) * sum_k acf_k^2/(n-k) over the 6 computed
+    lags — the 'is the hourly rate white noise at all?' gate run before
+    fitting any AR model (x7_acf shows WHERE the correlation is, Q says
+    whether it is jointly significant). n recovers exactly as
+    n_pairs + lag and (n-k) IS n_pairs, so the statistic is a pure
+    derivation over the 30-row ACF result; the rejection flag compares
+    the 6-dp-rounded Q against the fixed chi-square(6) 0.95 critical
+    value and is NULL when fewer than 6 lags were computable.
+
+    Oracle nests the full ACF SQL as a CTE (composed-pipeline pattern)."""
+    acf = x7_acf(spark, sf_dir).where(F.col("n_pairs") > 0)
+    n = (F.col("n_pairs") + F.col("lag")).cast("double")
+    term = (F.col("acf") * F.col("acf")) / F.col("n_pairs").cast("double")
+    agg = acf.groupBy("event_type").agg(
+        F.max(n).alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.sum(term).alias("s"),
+    )
+    q = F.col("nn") * (F.col("nn") + F.lit(2.0)) * F.col("s")
+    return agg.select(
+        "event_type",
+        F.col("nn").cast("long").alias("n_hours"),
+        "n_lags",
+        q.alias("q_stat"),
+        F.when(
+            F.col("n_lags") == 6,
+            F.round(q, 6) > F.lit(LJUNG_CRIT_DF6),
+        ).alias("white_noise_rejected"),
+    )
+
+
+QUERIES["x7_ljung_box"] = x7_ljung_box
+
+ORACLES["x7_ljung_box"] = f"""
+    WITH base AS ({ORACLES["x7_acf"]}),
+    nn AS (
+        SELECT event_type,
+               CAST(n_pairs + lag AS DOUBLE) AS n,
+               CAST(n_pairs AS DOUBLE) AS nk,
+               acf
+        FROM base WHERE n_pairs > 0
+    ), agg AS (
+        SELECT event_type, max(n) AS n,
+               CAST(count(*) AS BIGINT) AS n_lags,
+               sum(acf * acf / nk) AS s
+        FROM nn GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           n_lags,
+           n * (n + CAST(2 AS DOUBLE)) * s AS q_stat,
+           CASE WHEN n_lags = 6
+                THEN round(n * (n + CAST(2 AS DOUBLE)) * s, 6)
+                     > CAST({LJUNG_CRIT_DF6} AS DOUBLE)
+           END AS white_noise_rejected
+    FROM agg
+"""

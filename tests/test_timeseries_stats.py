@@ -456,3 +456,24 @@ class TestKaplanMeier:
                      key=lambda r: r["dur_us"])
         assert got[0]["survival"] == pytest.approx(0.5)
         assert got[1]["survival"] == 0.0
+
+
+class TestLjungBox:
+    def test_strong_autocorrelation_rejected(self, spark, tmp_path):
+        """A 48-hour ramp has massive joint autocorrelation -> Q far above
+        the chi2(6) critical value; Q recomputes exactly from the ACF
+        output (n = n_pairs + lag, n-k = n_pairs)."""
+        from swiftbulkuploader_spark.operators.timeseries import (
+            x7_acf,
+            x7_ljung_box,
+        )
+
+        _write_events(spark, tmp_path, _hourly(list(range(1, 49))))
+        r = x7_ljung_box(spark, str(tmp_path)).collect()[0]
+        assert (r["n_hours"], r["n_lags"]) == (48, 6)
+        assert r["white_noise_rejected"] is True
+        acf = {a["lag"]: a for a in x7_acf(spark, str(tmp_path)).collect()}
+        q = 48.0 * 50.0 * sum(
+            acf[k]["acf"] ** 2 / acf[k]["n_pairs"] for k in range(1, 7)
+        )
+        assert r["q_stat"] == pytest.approx(q)

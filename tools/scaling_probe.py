@@ -1192,7 +1192,56 @@ def shape_pca_power(df):
     return out
 
 
+def shape_containment_pairs(df):
+    """x1_containment_pairs' gram-join pipeline at stress: (doc, gram) rows
+    with co-citing groups of 30 grams (group count scales with n — constant
+    density), a BOILERPLATE gram present in ~2% of all docs (df >> cap:
+    excluded by the 2<=df<=64 stop-gram filter, which otherwise would emit
+    ~(0.02n)^2 pairs), both gram joins pinned sort-merge like the operator.
+    Linear wall = the df cap holds at the boilerplate stress point."""
+    n = df.agg(F.max("event_id")).first()[0] + 1
+    docs = max(n // 20, 100)          # ~20 gram rows per doc
+    groups = max(docs // 10, 10)      # 10 docs co-citing a 30-gram pool
+    B = 30
+    g = df.selectExpr(
+        f"abs(xxhash64(event_id, 3)) % {docs} AS doc_id",
+        "event_id",
+    ).selectExpr(
+        "doc_id",
+        f"CASE WHEN event_id % 50 = 0 THEN {groups * B} + 1 "
+        f"ELSE ((doc_id % {groups}) * {B}) + abs(xxhash64(event_id, 5)) % {B} "
+        f"END AS gram",
+    ).distinct()
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsz"))
+    dfc = (
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 64))
+        .select("gram")
+    )
+    gg = g.join(dfc.hint("merge"), "gram")
+    p1 = gg.select("gram", F.col("doc_id").alias("a"))
+    p2 = gg.select("gram", F.col("doc_id").alias("b"))
+    pr = (
+        p1.join(p2.hint("merge"), "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    return (
+        pr.join(sz.select(F.col("doc_id").alias("a"), F.col("nsz").alias("sa")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("nsz").alias("sb")), "b")
+        .select(
+            "a", "b", "c",
+            (F.col("c").cast("double") / F.least("sa", "sb").cast("double"))
+            .alias("containment"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )
+
+
 SHAPES = {
+    "containment_pairs": shape_containment_pairs,
     "pca_power_2round": shape_pca_power,
     "link_prediction": shape_link_prediction,
     "span_removal": shape_span_removal,
