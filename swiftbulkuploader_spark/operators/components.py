@@ -1053,3 +1053,80 @@ ORACLES["x8_clustering_coeff"] = _E0_CTES + """
            END AS lcc
     FROM deg LEFT JOIN per_node ON deg.node = per_node.node
 """
+
+
+def x1_lsh_recall_eval(spark, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the deterministic MinHash-LSH banding against the
+    exact all-pairs ground truth at the same tau=0.5 threshold — the number
+    that justifies (or indicts) running LSH instead of the prefix-filtered
+    exact join at scale: n_hit/n_truth is the banding's miss rate made
+    visible (8 bands x 4 rows misses a pair at J=0.5 with probability
+    ~(1-0.5^4)^8 ~ 0.58 — borderline pairs ARE missed, and this query
+    reports exactly how many), while n_hit/n_candidates isolates the
+    32-bit-hash inflation of the LSH side's verify.
+
+    Both pair generators are deterministic, memoized/persisted session
+    bases (_ALLPAIRS_CACHE; the minhash pipeline's shared shingle base),
+    so the eval costs two bounded aggregates and one semi-join over frames
+    the dedup family already materialized. Three 1-row summaries
+    cross-join for the single-row report (bounded BNLJ, allowlisted).
+    Oracle nests BOTH generated pipelines as MATERIALIZED CTEs."""
+    from swiftbulkuploader_spark.catalog import load_table
+    from swiftbulkuploader_spark.operators.dedup import (
+        allpairs_prefix_pairs,
+        minhash_exact_pairs,
+    )
+
+    gt = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    mh = minhash_exact_pairs(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    hit = gt.join(mh, ["a", "b"], "left_semi")
+    s1 = gt.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    s2 = mh.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    s3 = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        s1.crossJoin(s2).crossJoin(s3)  # bounded: three 1-row summaries
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+            ).alias("precision_vs_truth"),
+        )
+    )
+
+
+QUERIES["x1_lsh_recall_eval"] = x1_lsh_recall_eval
+
+
+def _lsh_recall_oracle_sql() -> str:
+    from swiftbulkuploader_spark.operators.dedup import _minhash_exact_oracle_sql
+
+    return f"""
+    WITH gt AS MATERIALIZED (
+        {_E0_CTES} SELECT a, b FROM e0
+    ), mh AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM ({_minhash_exact_oracle_sql()})
+    ), hit AS (
+        SELECT gt.a, gt.b FROM gt SEMI JOIN mh USING (a, b)
+    ), s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM gt),
+    s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM mh),
+    s3 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit)
+    SELECT n_truth, n_candidates, n_hit,
+           CAST(n_hit AS DOUBLE)
+               / nullif(CAST(n_truth AS DOUBLE), CAST(0 AS DOUBLE)) AS recall,
+           CAST(n_hit AS DOUBLE)
+               / nullif(CAST(n_candidates AS DOUBLE), CAST(0 AS DOUBLE))
+               AS precision_vs_truth
+    FROM s1 CROSS JOIN s2 CROSS JOIN s3
+"""
+
+
+ORACLES["x1_lsh_recall_eval"] = _lsh_recall_oracle_sql()

@@ -759,3 +759,34 @@ class TestContainmentPairs:
         assert r["containment"] == 1.0
         assert r["jaccard"] == pytest.approx(1.0 / 3.0)
         assert r["subset_missed"] is True
+
+
+class TestLshRecallEval:
+    def test_identical_docs_always_caught(self, spark, tmp_path):
+        """J=1 pairs agree on every band, so banding recall over a corpus
+        whose only true pairs are exact duplicates is exactly 1: a 3-clique
+        (3 pairs) + a pair (1) = 4 truth pairs, 4 hits."""
+        from swiftbulkuploader_spark.operators.dedup import _ALLPAIRS_CACHE
+        from swiftbulkuploader_spark.operators.components import x1_lsh_recall_eval
+
+        _ALLPAIRS_CACHE.clear()
+        tri = "alpha beta gamma delta epsilon zeta"
+        pair = "one two three four five six"
+        rows = [
+            (0, tri, "en", "s", 1),
+            (1, tri, "en", "s", 1),
+            (2, tri, "en", "s", 1),
+            (3, pair, "en", "s", 1),
+            (4, pair, "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x1_lsh_recall_eval(spark, str(tmp_path)).collect()[0]
+        assert r["n_truth"] == 4
+        assert r["n_hit"] == 4
+        assert r["recall"] == 1.0
+        assert r["n_candidates"] >= 4
+        assert 0.0 < r["precision_vs_truth"] <= 1.0

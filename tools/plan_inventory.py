@@ -62,6 +62,8 @@ BOUNDED_BNLJ_OK = {
                                # x1_semantic_dedup pattern)
     "x6_poisson_bootstrap",    # 1-row corpus mean x 1-row bootstrap stats
                                # cross-joined for the single-row CI report
+    "x1_lsh_recall_eval",      # three 1-row pair-set summaries cross-joined
+                               # for the single-row recall report
 
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
