@@ -1157,3 +1157,76 @@ ORACLES["x6_lorenz_gini"] = """
            END AS top_decile_share
     FROM agg
 """
+
+
+HILL_K = 100
+
+
+def x6_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index: over the top
+    k=100 order statistics of n_chars, alpha = k / sum ln(x_i / x_(k+1)) —
+    the standard answer to 'how heavy is the length tail' that the Zipf
+    fit (rank-frequency) and Gini (mass concentration) don't give:
+    alpha < 2 means infinite variance (a single mega-document can dominate
+    any mean-based budget), alpha > 2 means length-based packing
+    estimates are stable. The flag is decided on the 6-dp-rounded alpha
+    (round-before-boolean).
+
+    Shape: one TakeOrderedAndProject of k+1 rows (n_chars desc, doc_id
+    tie-break) — no global sort — then a 1-row aggregate over the bounded
+    list; ln() operands are exact integers shared by both engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("x"))
+        .where(F.col("x") > 0)
+        .orderBy(F.col("x").desc(), F.col("doc_id").asc())
+        .limit(HILL_K + 1)
+    )
+    w = Window.orderBy(F.col("x").desc(), F.col("doc_id").asc())
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    floor_x = F.max(F.when(F.col("rk") == HILL_K + 1, F.col("x")))
+    agg = ranked.agg(
+        F.count(F.when(F.col("rk") <= HILL_K, 1)).cast("long").alias("k"),
+        floor_x.alias("x_floor"),
+        F.sum(
+            F.when(F.col("rk") <= HILL_K, F.log(F.col("x")))
+        ).alias("sum_ln_top"),
+    )
+    sum_ratio = F.col("sum_ln_top") - F.col("k").cast("double") * F.log("x_floor")
+    alpha = F.col("k").cast("double") / F.nullif(sum_ratio, F.lit(0.0))
+    return agg.select(
+        "k",
+        F.col("x_floor").alias("x_kplus1"),
+        alpha.alias("alpha"),
+        (F.round(alpha, 6) < F.lit(2.0)).alias("infinite_variance"),
+    )
+
+
+QUERIES["x6_hill_tail"] = x6_hill_tail
+
+ORACLES["x6_hill_tail"] = f"""
+    WITH top AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+        FROM documents WHERE n_chars > 0
+        ORDER BY x DESC, doc_id ASC LIMIT {HILL_K + 1}
+    ), ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x DESC, doc_id ASC) AS rk
+        FROM top
+    ), agg AS (
+        SELECT CAST(count(CASE WHEN rk <= {HILL_K} THEN 1 END) AS BIGINT) AS k,
+               max(CASE WHEN rk = {HILL_K + 1} THEN x END) AS x_floor,
+               sum(CASE WHEN rk <= {HILL_K} THEN ln(x) END) AS sum_ln_top
+        FROM ranked
+    )
+    SELECT k, x_floor AS x_kplus1,
+           CAST(k AS DOUBLE)
+               / nullif(sum_ln_top - CAST(k AS DOUBLE) * ln(x_floor),
+                        CAST(0 AS DOUBLE)) AS alpha,
+           round(CAST(k AS DOUBLE)
+               / nullif(sum_ln_top - CAST(k AS DOUBLE) * ln(x_floor),
+                        CAST(0 AS DOUBLE)), 6) < CAST(2 AS DOUBLE)
+               AS infinite_variance
+    FROM agg
+"""

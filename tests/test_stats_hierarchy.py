@@ -119,3 +119,37 @@ def test_pagerank_converges_to_known_fixed_point(spark):
     nxt = {r["node"]: r["pr"]
            for r in _pr_round(edges, deg, nodes, n, ranks).collect()}
     assert all(abs(nxt[k] - got[k]) <= 1e-2 / n for k in got)
+
+
+class TestHillTail:
+    def test_pareto_alpha_recovered(self, spark, tmp_path):
+        """Exact Pareto(alpha=1) order statistics x_i = N/i: the Hill sum
+        is sum ln((N/i)/(N/(k+1))) = sum ln((k+1)/i), so alpha_hat =
+        k / sum ln((k+1)/i) — computable in closed form and ~1.07 for
+        k=100 (the estimator's small-sample bias, deterministic here)."""
+        import math
+
+        import pytest
+
+        from swiftbulkuploader_spark.operators.profiling import (
+            HILL_K,
+            x6_hill_tail,
+        )
+
+        n = 300
+        rows = [
+            (i, "t", "en", "s", int(round(3_000_000 / i))) for i in range(1, n + 1)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        r = x6_hill_tail(spark, str(tmp_path)).collect()[0]
+        assert r["k"] == HILL_K
+        expected = HILL_K / sum(
+            math.log(round(3_000_000 / i) / round(3_000_000 / (HILL_K + 1)))
+            for i in range(1, HILL_K + 1)
+        )
+        assert r["alpha"] == pytest.approx(expected, rel=1e-9)
+        assert r["infinite_variance"] is True
