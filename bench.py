@@ -190,6 +190,8 @@ HEADLINE = [
     "x7_ljung_box",             # portmanteau white-noise gate (composed)
     "x1_lsh_recall_eval",       # banding recall vs exact ground truth
     "x6_hill_tail",             # heavy-tail exponent (top-k Hill)
+    "x9_frame_sample_plan",     # video frame-sampling plan (explode)
+    "x7_entropy_rate",          # Markov-chain predictability (composed)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -390,3 +390,51 @@ ORACLES["x7_markov_transitions"] = """
                / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS prob
     FROM cells
 """
+
+
+def x7_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order behavioral Markov chain (plug-in
+    estimator): H = -sum_ij (n_ij/N) ln p_ij over the observed transition
+    matrix (x7_markov_transitions composed) — the predictability number
+    behind 'how surprising is the next user action', with perplexity
+    exp(H) as its branching-factor reading (1 = deterministic behavior,
+    |types| = uniform chaos). Empirical cell frequencies stand in for the
+    stationary distribution (the standard plug-in; exact on long chains).
+
+    One aggregate over the <= |types|^2-cell transition table; n/N and
+    p are exact integer divisions, ln carries operand-identical ulps.
+    Oracle nests the transition-matrix SQL (composed pattern)."""
+    cells = x7_markov_transitions(spark, sf_dir)
+    tot = Window.partitionBy()
+    h_term = (
+        F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    ) * F.log("prob")
+    agg = cells.select("cur", "nxt", "n", h_term.alias("t")).agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (-F.sum("t")).alias("entropy_rate"),
+    )
+    return agg.select(
+        "n_transitions",
+        "n_cells",
+        "entropy_rate",
+        F.exp("entropy_rate").alias("perplexity"),
+    )
+
+
+QUERIES["x7_entropy_rate"] = x7_entropy_rate
+
+ORACLES["x7_entropy_rate"] = f"""
+    WITH cells AS ({ORACLES["x7_markov_transitions"]}),
+    t AS (
+        SELECT n, prob,
+               (CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) * ln(prob)
+                   AS term
+        FROM cells
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           -sum(term) AS entropy_rate,
+           exp(-sum(term)) AS perplexity
+    FROM t
+"""

@@ -138,3 +138,69 @@ ORACLES: dict[str, str] = {
         FROM px
     """,
 }
+
+
+FRAME_FPS = 24
+FRAME_SAMPLES = 8
+
+
+def x9_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling PLAN for synthetic videos — the multimodal
+    planning half a real pipeline executes with a codec: each media gets a
+    deterministic duration (10 + id % 50 seconds at 24 fps), and the plan
+    emits K=8 uniformly-strided (sample_no, frame_idx, ts_s) rows per
+    video via sequence + explode — no Python, no codec, pure integer
+    arithmetic, so unlike the decode stage this half is fully
+    oracle-checkable (the x9_media_meta honesty split: plumbing real and
+    verified, codecs gated). frame_idx = floor(i * total_frames / K) is
+    exact integer math; ts_s = frame_idx/24 is an exact division.
+
+    At 100 TB the same plan drives ranged reads per frame (the
+    sources/segments.py pattern): rows ∝ videos x K, one narrow explode,
+    zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(10) + F.col("doc_id") % 50).cast("long").alias("duration_s"),
+    )
+    total = (F.col("duration_s") * F.lit(FRAME_FPS)).alias("total_frames")
+    plan = media.select("media_id", "duration_s", total).select(
+        "media_id",
+        "duration_s",
+        "total_frames",
+        F.explode(F.sequence(F.lit(0), F.lit(FRAME_SAMPLES - 1))).alias("sample_no"),
+    )
+    fidx = F.floor(
+        (F.col("sample_no") * F.col("total_frames")) / F.lit(FRAME_SAMPLES)
+    ).cast("long")
+    return plan.select(
+        "media_id",
+        "duration_s",
+        F.col("sample_no").cast("int").alias("sample_no"),
+        fidx.alias("frame_idx"),
+        (fidx.cast("double") / F.lit(float(FRAME_FPS))).alias("ts_s"),
+    )
+
+
+QUERIES["x9_frame_sample_plan"] = x9_frame_sample_plan
+
+ORACLES["x9_frame_sample_plan"] = f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(10 + doc_id % 50 AS BIGINT) AS duration_s
+        FROM documents
+    ), plan AS (
+        SELECT media_id, duration_s,
+               duration_s * {FRAME_FPS} AS total_frames,
+               unnest(range(0, {FRAME_SAMPLES})) AS sample_no
+        FROM media
+    )
+    SELECT media_id, duration_s,
+           CAST(sample_no AS INT) AS sample_no,
+           CAST(floor((sample_no * total_frames)
+                      / CAST({FRAME_SAMPLES} AS DOUBLE)) AS BIGINT) AS frame_idx,
+           CAST(floor((sample_no * total_frames)
+                      / CAST({FRAME_SAMPLES} AS DOUBLE)) AS DOUBLE)
+               / CAST({FRAME_FPS} AS DOUBLE) AS ts_s
+    FROM plan
+"""

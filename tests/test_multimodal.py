@@ -147,3 +147,28 @@ class TestMediaContractQuery:
             assert 0.0 <= r["mean_pixel"] <= 255.0
             assert r["n_bins"] == 4
             assert abs(r["feat_mass"] - 1.0) < 1e-6
+
+
+class TestFrameSamplePlan:
+    def test_uniform_stride_and_bounds(self, spark):
+        """Per video: exactly 8 samples, frame_idx strictly increasing,
+        first at 0, all inside [0, total_frames), ts = idx/24 exactly."""
+        from swiftbulkuploader_spark.operators.media_queries import (
+            FRAME_FPS,
+            FRAME_SAMPLES,
+            x9_frame_sample_plan,
+        )
+
+        rows = x9_frame_sample_plan(spark, "/root/testdata/sf0.001").collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["media_id"], []).append(r)
+        for mid, rs in per.items():
+            rs.sort(key=lambda r: r["sample_no"])
+            assert len(rs) == FRAME_SAMPLES
+            total = rs[0]["duration_s"] * FRAME_FPS
+            idxs = [r["frame_idx"] for r in rs]
+            assert idxs[0] == 0
+            assert all(a < b for a, b in zip(idxs, idxs[1:]))
+            assert all(0 <= i < total for i in idxs)
+            assert all(r["ts_s"] == r["frame_idx"] / FRAME_FPS for r in rs)

@@ -477,3 +477,40 @@ class TestLjungBox:
             acf[k]["acf"] ** 2 / acf[k]["n_pairs"] for k in range(1, 7)
         )
         assert r["q_stat"] == pytest.approx(q)
+
+
+class TestEntropyRate:
+    def test_deterministic_vs_uniform_chains(self, spark, tmp_path):
+        """A strictly alternating a->b->a->... chain has entropy rate 0
+        (perplexity 1); a chain whose every state splits 50/50 has
+        H = ln 2 (perplexity 2)."""
+        import math
+
+        from swiftbulkuploader_spark.operators.behavior import x7_entropy_rate
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        s = timedelta(seconds=1)
+        # user 1: a b a b a  -> transitions ab, ba, ab, ba: all prob 1
+        rows = [(i, t0 + i * s, 1, "ab"[i % 2], 0.0, "{}") for i in range(5)]
+        _write_events(spark, tmp_path, rows)
+        r = x7_entropy_rate(spark, str(tmp_path)).collect()[0]
+        assert r["entropy_rate"] == pytest.approx(0.0, abs=1e-12)
+        assert r["perplexity"] == pytest.approx(1.0)
+
+    def test_fifty_fifty_split(self, spark, tmp_path):
+        """From 'a' the chain goes b/c equally often: H = ln 2."""
+        import math
+
+        from swiftbulkuploader_spark.operators.behavior import x7_entropy_rate
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        s = timedelta(seconds=1)
+        rows = [
+            (1, t0, 1, "a", 0.0, "{}"), (2, t0 + s, 1, "b", 0.0, "{}"),
+            (3, t0, 2, "a", 0.0, "{}"), (4, t0 + s, 2, "c", 0.0, "{}"),
+        ]
+        _write_events(spark, tmp_path, rows)
+        r = x7_entropy_rate(spark, str(tmp_path)).collect()[0]
+        assert r["n_transitions"] == 2 and r["n_cells"] == 2
+        assert r["entropy_rate"] == pytest.approx(math.log(2.0))
+        assert r["perplexity"] == pytest.approx(2.0)
