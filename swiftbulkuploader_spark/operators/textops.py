@@ -1890,10 +1890,13 @@ def x6_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     p and q are exact integer divisions; the log sums carry only
     summation-order ulps (positive terms, no cancellation).
 
-    Shape: one token shuffle to (source, token) counts, three window sums
-    over that VOCAB-BOUNDED table (the all-partition window is O(vocab x
-    sources) rows, independent of corpus size — the x6_source_mixing
-    precedent), one per-source aggregate."""
+    Shape: one token shuffle to (source, token) counts, two PARTITIONED
+    window sums over that VOCAB-BOUNDED table, the global token total as a
+    1-row broadcast cross join (ScalarSubquery pattern — round 8 replaced
+    the previous all-partition window, which funneled the vocab x sources
+    table through one task), one per-source aggregate. Integer total, so
+    the value is bit-identical to the windowed form and the oracle is
+    unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(normalize_ws(F.col("text")))
     toks = docs.filter(F.length(F.trim(norm)) > 0).select(
@@ -1902,15 +1905,15 @@ def x6_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     wt = Window.partitionBy("t")
     ws = Window.partitionBy("source")
-    # vocab-bounded input: O(vocab x sources) rows, never raw tokens
-    wall = Window.partitionBy()
+    # global token total as a 1-row broadcast (exact integer — identical
+    # to the former all-partition window, without the single-task funnel)
+    tot = cells.agg(F.sum("c").alias("n"))
     aug = cells.select(
         "source",
         "c",
         F.sum("c").over(wt).alias("g"),
         F.sum("c").over(ws).alias("ns"),
-        F.sum("c").over(wall).alias("n"),
-    )
+    ).crossJoin(F.broadcast(tot))
     p = F.col("c").cast("double") / F.col("ns").cast("double")
     q = (F.col("g") - F.col("c")).cast("double") / (
         F.col("n") - F.col("ns")

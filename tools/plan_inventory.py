@@ -83,6 +83,9 @@ BOUNDED_BNLJ_OK = {
     "x6_doremi_weights",       # 1-row (corpus_n, vocab_v) totals broadcast
                                # into the per-token scorer (ScalarSubquery
                                # pattern, same class as x3_unigram_logprob)
+    "x6_jsd_sources",          # 1-row global-token-total broadcast into the
+                               # vocab-bounded cell table (round-8 swap of
+                               # the former all-partition window)
 }
 
 
@@ -126,6 +129,76 @@ HOF_WINNOW_OK = {
 }
 _HOF_WINNOW = re.compile(r"array_min\(slice\(")
 
+# queries whose plan deliberately contains an UNPARTITIONED ordered/global
+# window (WindowExec moves its whole input to ONE task). Allowed only when
+# the window's input is bounded BY CONSTRUCTION (a fixed replica count, a
+# top-k row limit, or a coarse-bucket partial table whose size is
+# calendar/grid-bounded, independent of row count) — the bound is stated
+# here and in each query's docstring. Everything else gets UNPART-WIN!
+# (round-8 guard; the round-7 x7_kaplan_meier exact-microsecond histogram
+# is the defect class this mechanically bans).
+BOUNDED_WINDOW_OK = {
+    "x6_poisson_bootstrap",   # 32 bootstrap-replica rows (fixed B)
+    "x6_hill_tail",           # top-101 order statistics (bounded top-k)
+    "x2_hybrid_search",       # two HYBRID_POOL=50-row candidate pools
+                              # (TakeOrderedAndProject before the ranks)
+    "x2_ndcg_eval",           # top-10 ranking rows per query (bounded k)
+    "x3_vocab_growth",        # corpus_size/50-bucket growth curve —
+                              # 5 orders of magnitude below corpus rows
+    "x3_zipf_fit",            # top-ZIPF_TOP_R=1000 head ranks
+    "x6_class_balanced_weights",  # global share over the per-CLASS
+                              # aggregate (bounded label alphabet)
+    "x6_dataset_card",        # corpus-share window over the ~n_sources
+                              # aggregate rows
+    "x6_doremi_weights",      # global windows over the per-DOMAIN
+                              # aggregate (bounded domain count)
+    "x6_hll_mergeable",       # 3-row per-flag sketch table union
+    "x6_ks_drift",            # cumulative CDF over the fixed 64-bin grid
+    "x6_source_mixing",       # global share over the per-SOURCE aggregate
+    "x7_entropy_rate",        # <= |event_types|^2-cell transition matrix
+                              # (bounded category alphabet)
+    "x7_kaplan_meier",        # hour-bucket partial tables of the two-level
+                              # prefix sums (one row per calendar hour of
+                              # duration span; within-bucket windows ARE
+                              # partitioned, <= 3600 rows each)
+}
+
+# windowspecdefinition(part..., order... ASC/DESC NULLS ..., specifiedwindowframe(...))
+_WINDOWSPEC = re.compile(r"windowspecdefinition\(")
+_DIRECTION = ("ASC NULLS FIRST", "ASC NULLS LAST",
+              "DESC NULLS FIRST", "DESC NULLS LAST")
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True if any window spec in the plan has no partition columns (every
+    pre-frame argument carries a sort direction, or there are none — the
+    global-window case). Paren-aware top-level split so expression
+    arguments with embedded commas don't confuse the check."""
+    for m in _WINDOWSPEC.finditer(plan):
+        i, depth = m.end(), 1
+        args, cur = [], []
+        while i < len(plan) and depth > 0:
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                if depth > 0:
+                    cur.append(ch)
+            elif ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        if cur:
+            args.append("".join(cur).strip())
+        pre = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if not any(not a.endswith(_DIRECTION) for a in pre):
+            return True
+    return False
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -151,6 +224,11 @@ def main() -> None:
     print("window minima, 26x slower than the Arrow form at 10M docs) is")
     print("flagged HOF-WINNOW! outside its oracle twin (HOF_WINNOW_OK), so")
     print("no composed pipeline can silently pick the interpreted form.")
+    print("An UNPARTITIONED window (WindowExec funnels its whole input to")
+    print("one task) is flagged UNPART-WIN! unless the query is in")
+    print("BOUNDED_WINDOW_OK — windows whose input is bounded by")
+    print("construction (fixed replica counts, top-k rows, coarse-bucket")
+    print("partial tables), the round-8 guard for the kaplan-meier class.")
     print()
     print("| query | exchanges | joins | pushed filters | codegen | flags |")
     print("|---|---|---|---|---|---|")
@@ -188,6 +266,9 @@ def main() -> None:
         if _HOF_WINNOW.search(plan):
             flags.append("hof-winnow-twin-ok" if name in HOF_WINNOW_OK
                          else "HOF-WINNOW!")
+        if _has_unpartitioned_window(plan):
+            flags.append("win-bounded-ok" if name in BOUNDED_WINDOW_OK
+                         else "UNPART-WIN!")
         join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
         print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {' '.join(flags) or '-'} |")
     spark.stop()
