@@ -18,6 +18,8 @@ extensions (SURVEY.md §2.9).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -364,9 +366,16 @@ ORACLES["x6_mutual_information"] = """
 
 BOOT_B = 32
 # Poisson(1) inverse-CDF thresholds, P(X <= k) for k = 0..5 (beyond -> 6).
-# Written as identical decimal literals on both engines (nearest-double).
 BOOT_CDF = (0.367879441, 0.735758882, 0.919698603,
             0.981011843, 0.996340153, 0.999405815)
+# The same thresholds as 13-hex-digit strings: a 52-bit md5-prefix uniform
+# u = n / 2^52 satisfies u < c  <=>  n < ceil(c * 2^52), and with n kept AS
+# ITS HEX STRING the compare is a plain fixed-width lowercase-hex string
+# comparison — no base-16 conv() on either engine. ceil(c * 2^52) is exact
+# in Python floats (power-of-2 scaling of a 53-bit mantissa).
+BOOT_THR_HEX = tuple(
+    format(math.ceil(c * float(1 << 52)), "013x") for c in BOOT_CDF
+)
 
 
 def x6_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,38 +383,52 @@ def x6_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     order price — the scalable bootstrap (Chamandy et al., Google 2012):
     instead of resampling n rows with replacement (which needs global
     coordination), each row enters replica b with an independent
-    Poisson(1) weight, here derived from a 52-bit md5 uniform so both
-    engines draw IDENTICAL weights. One explode to rows x B, one B-group
+    Poisson(1) weight derived from a 52-bit md5 uniform so both engines
+    draw IDENTICAL weights. One explode to rows x B, one B-group
     aggregate for the replica means, positional order statistics of the
     32 means for the ~95% interval (rank 2 / rank 31 — the row_number
     median discipline, no percentile function).
 
+    Round-8 constant-cost cut (the r7 verdict's ask, profiled
+    execute-bound first per CLAUDE.md rule 10): (a) ONE md5 yields TWO
+    independent 52-bit uniforms (chars 1-13 / 14-26 of the 32-hex digest)
+    — 16 hash calls per row instead of 32, materialized between the two
+    explode stages so codegen subexpression elimination keeps one digest
+    per (row, g); (b) the inverse-CDF compares the hex PREFIX STRING
+    against precomputed 13-hex thresholds (u < c <=> hex < hex(ceil(c *
+    2^52))) — fixed-width lowercase hex compares like the integer, so
+    base-16 conv() disappears from both engines. Measured 9.5 s -> 3.0 s
+    at sf0.1 (SCALING.md).
+
     Shape: rows x 32 weighted partial sums map-side-combine down to 32
     groups; at 100 TB this is one pass and a 32-row aggregate regardless
-    of n. Exactness: weights are integers from shared thresholds, replica
-    means are sum-order-ulp doubles (9-digit normalized), and the CI
-    bounds are SELECTED values (order decided on 6-dp-rounded means with
-    replica-id tie-break)."""
+    of n. Exactness: weights are integers from shared hex thresholds,
+    replica means are sum-order-ulp doubles (9-digit normalized), and the
+    CI bounds are SELECTED values (order decided on 6-dp-rounded means
+    with replica-id tie-break)."""
     orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql.window import Window
 
-    b = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b")
+    g = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B // 2))).alias("g")
     rows = orders.select(F.col("o_orderkey").alias("k"),
-                         F.col("o_totalprice").alias("x"), b)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
-                               F.col("b").cast("string"))), 1, 13),
-            16, 10,
-        ).cast("long").cast("double")
-        / F.lit(float(1 << 52))
+                         F.col("o_totalprice").alias("x"), g)
+    hh = F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
+                        F.col("g").cast("string")))
+    pairs = F.array(*[
+        F.struct(
+            ((F.col("g") - F.lit(1)) * 2 + F.lit(j)).alias("b"),
+            F.substring(hh, (j - 1) * 13 + 1, 13).alias("s"),
+        )
+        for j in (1, 2)
+    ])
+    ex = rows.select("x", F.explode(pairs).alias("p")).select(
+        "x", F.col("p.b").alias("b"), F.col("p.s").alias("s")
     )
     w = F.lit(6)
-    for k in range(len(BOOT_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    for k in range(len(BOOT_THR_HEX) - 1, -1, -1):
+        w = F.when(F.col("s") < F.lit(BOOT_THR_HEX[k]), F.lit(k)).otherwise(w)
     reps = (
-        rows.select("b", "x", w.cast("long").alias("w"))
+        ex.select("b", "x", w.cast("long").alias("w"))
         .groupBy("b")
         .agg(
             (F.sum(F.col("w") * F.col("x")) / F.sum("w").cast("double")).alias("m")
@@ -430,22 +453,24 @@ QUERIES["x6_poisson_bootstrap"] = x6_poisson_bootstrap
 
 def _boot_oracle_sql() -> str:
     cdf_case = "CASE " + " ".join(
-        f"WHEN u < CAST({t} AS DOUBLE) THEN {k}"
-        for k, t in enumerate(BOOT_CDF)
+        f"WHEN s < '{t}' THEN {k}"
+        for k, t in enumerate(BOOT_THR_HEX)
     ) + " ELSE 6 END"
     return f"""
     WITH r AS (
         SELECT o_orderkey AS k, o_totalprice AS x,
-               unnest(range(1, {BOOT_B + 1})) AS b
+               unnest(range(1, {BOOT_B // 2 + 1})) AS g
         FROM orders
-    ), uw AS (
-        SELECT b, x,
-               CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
-                          || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
-                   / CAST({float(1 << 52)} AS DOUBLE) AS u
+    ), h AS MATERIALIZED (
+        SELECT x, g, md5(CAST(k AS VARCHAR) || ':'
+                         || CAST(g AS VARCHAR)) AS hh
         FROM r
+    ), s AS (
+        SELECT x, (g - 1) * 2 + j AS b,
+               substr(hh, (j - 1) * 13 + 1, 13) AS s
+        FROM h CROSS JOIN (SELECT unnest([1, 2]) AS j)
     ), wts AS (
-        SELECT b, x, CAST({cdf_case} AS BIGINT) AS w FROM uw
+        SELECT b, x, CAST({cdf_case} AS BIGINT) AS w FROM s
     ), reps AS (
         SELECT b, sum(w * x) / CAST(sum(w) AS DOUBLE) AS m
         FROM wts GROUP BY b

@@ -110,6 +110,40 @@ def shape_pack_cumsum(df):
     )
 
 
+def shape_poisson_bootstrap(df):
+    """rows x B explode shape (stats_inference.py::x6_poisson_bootstrap,
+    round-8 form): explode to B/2 hash rows, one md5 per (row, g) yielding
+    TWO 13-hex 52-bit uniforms, hex-string inverse-CDF weights, map-side
+    combine to B groups. Linear ratio = the per-row constant dominates and
+    the B-group aggregate never grows."""
+    from swiftbulkuploader_spark.operators.stats_inference import BOOT_THR_HEX
+
+    B = 32
+    thr = BOOT_THR_HEX
+    g = F.explode(F.sequence(F.lit(1), F.lit(B // 2))).alias("g")
+    rows = df.select(F.col("event_id").alias("k"), F.col("value").alias("x"), g)
+    hh = F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
+                        F.col("g").cast("string")))
+    pairs = F.array(*[
+        F.struct(
+            ((F.col("g") - F.lit(1)) * 2 + F.lit(j)).alias("b"),
+            F.substring(hh, (j - 1) * 13 + 1, 13).alias("s"),
+        )
+        for j in (1, 2)
+    ])
+    ex = rows.select("x", F.explode(pairs).alias("p")).select(
+        "x", F.col("p.b").alias("b"), F.col("p.s").alias("s")
+    )
+    w = F.lit(6)
+    for k in range(len(thr) - 1, -1, -1):
+        w = F.when(F.col("s") < F.lit(thr[k]), F.lit(k)).otherwise(w)
+    return (
+        ex.select("b", "x", w.cast("long").alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w").cast("double")).alias("m"))
+    )
+
+
 def shape_shuffle_shard(df):
     # global-shuffle shape (training_prep.py::x6_global_shuffle): row-local
     # md5 key + hash-mod shard -> per-shard position window. One shuffle on
@@ -1258,6 +1292,7 @@ SHAPES = {
     "sessionize": shape_sessionize,
     "quantize_hof_32d": shape_quantize_hof,
     "pack_cumsum": shape_pack_cumsum,
+    "poisson_bootstrap": shape_poisson_bootstrap,
     "shuffle_shard": shape_shuffle_shard,
     "inverted_index_join": shape_inverted_index_join,
     "label_prop_round": shape_label_prop_round,
