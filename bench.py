@@ -189,6 +189,7 @@ HEADLINE = [
     "x7_kaplan_meier",          # censored time-to-first-error curve
     "x7_ljung_box",             # portmanteau white-noise gate (composed)
     "x1_lsh_recall_eval",       # banding recall vs exact ground truth
+    "x1_simhash_recall_eval",   # SimHash fingerprint recall vs same truth
     "x6_hill_tail",             # heavy-tail exponent (top-k Hill)
     "x9_frame_sample_plan",     # video frame-sampling plan (explode)
     "x7_entropy_rate",          # Markov-chain predictability (composed)
@@ -285,18 +286,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    timings_build: dict[str, float] = {}
+    timings_exec: dict[str, float] = {}
     for name in HEADLINE:
         fn = BENCH_OVERRIDES.get(name, registry.QUERIES.get(name))
         # median of n>=3: single-run ±30% JVM/GC swings masqueraded as
-        # regressions in earlier rounds; the median is attributable
-        samples = []
+        # regressions in earlier rounds; the median is attributable.
+        # Each rep splits DataFrame BUILD (the Python/Py4J plan
+        # construction — the x2_ivf_pq_topk trap: 8.8 s of a 8.3 s median
+        # was per-element literal calls) from EXECUTE (analysis +
+        # optimization + run via the noop sink), so a build-bound outlier
+        # is visible in the artifact without manual profiling (round-7
+        # verdict ask #8; CLAUDE.md rule 10).
+        samples, b_samples, e_samples = [], [], []
         for _ in range(reps):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            df = fn(spark, sf_dir)
+            t1 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.time()
+            samples.append(t2 - t0)
+            b_samples.append(t1 - t0)
+            e_samples.append(t2 - t1)
         samples.sort()
+        b_samples.sort()
+        e_samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         timings_min[name] = round(samples[0], 3)
+        timings_build[name] = round(b_samples[len(b_samples) // 2], 3)
+        timings_exec[name] = round(e_samples[len(e_samples) // 2], 3)
 
     timings["pipeline_upload_2k_files"] = pipe_sec
     timings_min["pipeline_upload_2k_files"] = pipe_min
@@ -328,6 +346,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "queries_min": timings_min,
+            "queries_build": timings_build,
+            "queries_exec": timings_exec,
             "uploads_per_sec": pipe_rate,
             "reps": reps,
             "sf": sf_val,

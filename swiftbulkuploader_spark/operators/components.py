@@ -1130,3 +1130,82 @@ def _lsh_recall_oracle_sql() -> str:
 
 
 ORACLES["x1_lsh_recall_eval"] = _lsh_recall_oracle_sql()
+
+
+def x1_simhash_recall_eval(spark, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the SimHash near-dup detector (32-bit oracled
+    fingerprint, 4x8-bit pigeonhole banding, hamming <= 3) against the
+    exact all-pairs Jaccard ground truth at tau=0.5 — the SimHash twin of
+    x1_lsh_recall_eval (the round-7 verdict's ask #5): the banding itself
+    is LOSSLESS for hamming <= 3 by pigeonhole, so what this measures is
+    the FINGERPRINT's recall — how many truly-similar (J >= 0.5) pairs
+    land within 3 bits of each other on a 32-bit SimHash — plus how many
+    hamming-close pairs are NOT Jaccard-similar (precision_vs_truth).
+    That is the pair of numbers that decides between the MinHash and
+    SimHash detectors at scale.
+
+    Both pair generators are deterministic session bases (the allpairs
+    ground truth is the persisted _ALLPAIRS_CACHE frame shared by seven
+    queries; the SimHash side is the oracled x1_simhash_exact plan).
+    Three 1-row summaries cross-join for the single-row report (bounded
+    BNLJ, allowlisted). Oracle nests BOTH generated pipelines as
+    MATERIALIZED CTEs — the x1_lsh_recall_eval pattern."""
+    from swiftbulkuploader_spark.operators.dedup import (
+        allpairs_prefix_pairs,
+        x1_simhash_exact,
+    )
+
+    gt = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    sh = x1_simhash_exact(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    hit = gt.join(sh, ["a", "b"], "left_semi")
+    s1 = gt.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    s2 = sh.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    s3 = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        s1.crossJoin(s2).crossJoin(s3)  # bounded: three 1-row summaries
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+            ).alias("precision_vs_truth"),
+        )
+    )
+
+
+QUERIES["x1_simhash_recall_eval"] = x1_simhash_recall_eval
+
+
+def _simhash_recall_oracle_sql() -> str:
+    from swiftbulkuploader_spark.operators.dedup import ORACLES as _DEDUP_ORACLES
+
+    return f"""
+    WITH gt AS MATERIALIZED (
+        {_E0_CTES} SELECT a, b FROM e0
+    ), sh AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b
+        FROM ({_DEDUP_ORACLES["x1_simhash_exact"]})
+    ), hit AS (
+        SELECT gt.a, gt.b FROM gt SEMI JOIN sh USING (a, b)
+    ), s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM gt),
+    s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM sh),
+    s3 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit)
+    SELECT n_truth, n_candidates, n_hit,
+           CAST(n_hit AS DOUBLE)
+               / nullif(CAST(n_truth AS DOUBLE), CAST(0 AS DOUBLE)) AS recall,
+           CAST(n_hit AS DOUBLE)
+               / nullif(CAST(n_candidates AS DOUBLE), CAST(0 AS DOUBLE))
+               AS precision_vs_truth
+    FROM s1 CROSS JOIN s2 CROSS JOIN s3
+"""
+
+
+ORACLES["x1_simhash_recall_eval"] = _simhash_recall_oracle_sql()

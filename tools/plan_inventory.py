@@ -64,6 +64,7 @@ BOUNDED_BNLJ_OK = {
                                # cross-joined for the single-row CI report
     "x1_lsh_recall_eval",      # three 1-row pair-set summaries cross-joined
                                # for the single-row recall report
+    "x1_simhash_recall_eval",  # same three 1-row summaries, SimHash side
 
     "x6_ks_drift",             # 1-row (midpoint, lo, hi) bounds broadcast +
                                # 1-row totals joined into the 64-bin CDF
