@@ -154,7 +154,19 @@ class SwiftObjectStore(ObjectStore):
 
     Import-gated: python-swiftclient is not available in this environment,
     so construction raises ImportError with the wiring documented. One
-    instance per partition; token refreshed via `connect_with_backoff`.
+    instance per partition; token acquired via `connect_with_backoff` at
+    construction and REFRESHED on an expired-token PUT (http 401) — the
+    reference re-authenticates and retries a failed upload the same way
+    (bulkupload.py:80-107), but there via unbounded linear recursion;
+    here one re-auth (itself backoff-capped) then one retry, and any
+    second failure surfaces to the upload stage's own attempt accounting.
+
+    Call shapes (pinned by tests/test_swift_contract.py against a stubbed
+    swiftclient module):
+      get_auth(auth_url, username, password, auth_version="3")
+      put_container(url, token, container)           # create-if-absent
+      put_object(url, token, container, key, data)
+      head_object(url, token, container, key)        # exists probe
     """
 
     def __init__(self, auth_url: str, username: str, password: str, container: str,
@@ -172,19 +184,31 @@ class SwiftObjectStore(ObjectStore):
         def _connect():
             return swift.get_auth(auth_url, username, password, auth_version="3")
 
+        self._connect = _connect
         self.url, self.token = connect_with_backoff(_connect)
         swift.put_container(self.url, self.token, container)  # create-if-absent
 
-    def put(self, key: str, data: bytes) -> None:  # pragma: no cover
-        self._swift.put_object(self.url, self.token, self.container, key, data)
+    def _is_auth_error(self, e: Exception) -> bool:
+        return getattr(e, "http_status", None) == 401
 
-    def exists(self, key: str) -> bool:  # pragma: no cover
+    def put(self, key: str, data: bytes) -> None:
+        try:
+            self._swift.put_object(self.url, self.token, self.container, key, data)
+        except self._swift.ClientException as e:
+            if not self._is_auth_error(e):
+                raise
+            # expired token: re-auth (backoff-capped) and retry ONCE with
+            # the fresh token (reference bulkupload.py:80-107)
+            self.url, self.token = connect_with_backoff(self._connect)
+            self._swift.put_object(self.url, self.token, self.container, key, data)
+
+    def exists(self, key: str) -> bool:
         try:
             self._swift.head_object(self.url, self.token, self.container, key)
             return True
         except self._swift.ClientException:
             return False
 
-    def get(self, key: str) -> bytes:  # pragma: no cover
+    def get(self, key: str) -> bytes:
         _, body = self._swift.get_object(self.url, self.token, self.container, key)
         return body
