@@ -347,6 +347,16 @@ def connected_components_star(edges: DataFrame, max_iter: int = 40,
         p = raw[len("file:"):] if raw and raw.startswith("file:") else raw
         if p and os.path.isdir(p):
             ckpt_root = p
+            # dirs already present belong to ANOTHER run (a second
+            # reliable=True call in the same app, or any other
+            # df.checkpoint() user sharing the dir): seed them as seen so
+            # they never enter a generation and are never deleted — this
+            # run GCs only dirs it created (round-8, from the r7 advice:
+            # the old code treated every pre-existing rdd-* dir as its own
+            # generation 0 and swept it two generations later)
+            ckpt_seen.update(
+                e for e in os.listdir(p) if e.startswith("rdd-")
+            )
             CKPT_STATS.clear()
             CKPT_STATS.update(peak_bytes=0, end_bytes=0, rounds=0)
 

@@ -1041,11 +1041,15 @@ def x1_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # posting/prefix/verify joins run once per session, not once per consumer
 # (x8_assortativity alone re-executed them ~3x: 12.3 s benched before this
 # memo). Caching cannot change values; the memo is the _LLOYD_CACHE pattern.
+# keyed on (applicationId, sf_dir, tau) — the cached frame is persisted in
+# its session's block manager, so a stopped-and-recreated SparkSession in
+# the same process must MISS (the _LLOYD_CACHE discipline; r7 advice)
 _ALLPAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _allpairs_impl(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
-    cached = _ALLPAIRS_CACHE.get((sf_dir, tau))
+    cache_key = (spark.sparkContext.applicationId, sf_dir, tau)
+    cached = _ALLPAIRS_CACHE.get(cache_key)
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
@@ -1112,7 +1116,7 @@ def _allpairs_impl(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
         )
     )
     out = verified.select("a", "b", "jaccard").persist()
-    _ALLPAIRS_CACHE[(sf_dir, tau)] = out
+    _ALLPAIRS_CACHE[cache_key] = out
     return out
 
 

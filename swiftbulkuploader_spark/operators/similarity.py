@@ -241,6 +241,57 @@ def _py_cos(a: list[float], b: list[float]) -> float:
     return num / den if den else -2.0
 
 
+# (applicationId, centroids, q, n_probe) -> probe id list; the pick is a
+# bounded k-row Spark job, memoized so the IVF family pays it once per
+# session per quantizer (the _LLOYD_CACHE discipline)
+_PROBE_CACHE: dict[tuple, list[int]] = {}
+
+
+def _probe_pick(spark: SparkSession, centroids: list[list[float]],
+                q: list[float], n_probe: int) -> list[int]:
+    """ENGINE-side probe selection (round 8, from the r7 advice): the
+    n_probe nearest centroids by cosine ROUNDED TO 6 DP IN SPARK (cid-desc
+    tie-break), collected from a bounded k-row frame. The previous pick
+    used Python round() (half-even) over a Python-recomputed cosine while
+    the oracle replays DuckDB round (half-away) over
+    list_cosine_similarity — a half-way edge could flip the probe set and
+    hence the whole top-k. Spark and DuckDB both round half-away, so the
+    systematic rounding-mode divergence is gone; what remains is the same
+    summation-order-ulp-at-a-boundary residual every rounded comparison
+    in this module carries. Bounded collect: k centroid rows (PLANS.md
+    allowlist class)."""
+    key = (
+        spark.sparkContext.applicationId,
+        tuple(tuple(c) for c in centroids),
+        tuple(q),
+        n_probe,
+    )
+    cached = _PROBE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    qcol = _lit_vec(q)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cv array<double>",
+    )
+    rows = (
+        cent_df.select(
+            "cid",
+            F.round(
+                F.coalesce(cosine_similarity(F.col("cv"), qcol),
+                           F.lit(-2.0)),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("cid").desc())
+        .limit(n_probe)
+        .collect()
+    )
+    out = [r["cid"] for r in rows]
+    _PROBE_CACHE[key] = out
+    return out
+
+
 def ivf_search(emb: DataFrame, centroids: list[list[float]], q: list[float],
                n_probe: int = N_PROBE, k: int = 10,
                round_dp: int | None = 6) -> DataFrame:
@@ -250,10 +301,7 @@ def ivf_search(emb: DataFrame, centroids: list[list[float]], q: list[float],
     quantizer variants (first-n deterministic, pyspark.ml KMeans-refined)
     call this, so probe/tie-break semantics can never silently diverge
     between the operators the recall eval compares."""
-    probe = sorted(
-        range(len(centroids)),
-        key=lambda i: (-round(_py_cos(q, centroids[i]), 6), -i),
-    )[:n_probe]
+    probe = _probe_pick(emb.sparkSession, centroids, q, n_probe)
     qcol = _lit_vec(q)
     return (
         emb.withColumn(
@@ -915,10 +963,7 @@ def x2_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
-    probe = sorted(
-        range(len(cents)),
-        key=lambda i: (-round(_py_cos(q, cents[i]), 6), -i),
-    )[:N_PROBE]
+    probe = _probe_pick(spark, cents, q, N_PROBE)
     emb = load_table(spark, sf_dir, "embeddings")
     pruned = (
         emb.withColumn(
@@ -2284,11 +2329,19 @@ def x2_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # read twice: both sides of the in-cluster self-join
     )
     l, r = clustered.alias("l"), clustered.alias("r")
+    # -2.0 sentinel for zero-norm vectors (sorts below every real cosine
+    # under DESC on both engines — r7 advice: an unguarded NULL sorts last
+    # in Spark but DuckDB's list_cosine_similarity clamps 0/0 to a finite
+    # value, so the neighbor ranking would diverge the day a zero vector
+    # enters the substrate; the oracle mirrors the SAME norm-guard CASE)
     pair_cos = F.round(
-        F.when(
-            F.col("l.nrm") * F.col("r.nrm") > 0,
-            dot_product_unrolled("l.vec", "r.vec", dim)
-            / (F.col("l.nrm") * F.col("r.nrm")),
+        F.coalesce(
+            F.when(
+                F.col("l.nrm") * F.col("r.nrm") > 0,
+                dot_product_unrolled("l.vec", "r.vec", dim)
+                / (F.col("l.nrm") * F.col("r.nrm")),
+            ),
+            F.lit(-2.0),
         ),
         6,
     )
@@ -2353,8 +2406,14 @@ ORACLES["x2_knn_accuracy"] = f"""
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos DESC, cid DESC) = 1
     ), pairs AS (
+        -- norm-guard CASE, not coalesce: this DuckDB clamps a zero-norm
+        -- cosine to a finite value instead of NULL, so the -2.0 sentinel
+        -- must come from the same guard the Spark side evaluates
         SELECT l.vec_id AS vid, l.label AS y, r.vec_id AS nid, r.label AS ny,
-               round(list_cosine_similarity(l.v, r.v), 6) AS cs
+               round(CASE WHEN list_inner_product(l.v, l.v)
+                               * list_inner_product(r.v, r.v) > 0
+                          THEN list_cosine_similarity(l.v, r.v)
+                          ELSE -2.0 END, 6) AS cs
         FROM asn l JOIN asn r
           ON l.cluster = r.cluster AND l.vec_id <> r.vec_id
     ), topk AS (

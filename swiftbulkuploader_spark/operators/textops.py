@@ -115,15 +115,19 @@ QT_ROUNDS = 2     # fixed round budget (the Lloyd/pagerank oracle discipline)
 # (persisted feature frame, trained weights) per sf_dir: training is
 # deterministic, so the calibration report reuses the student instead of
 # re-running GD (the _LLOYD_CACHE memo pattern)
-_QT_CACHE: dict[str, tuple] = {}
+# keyed on (applicationId, sf_dir) — the cached feats is a persisted
+# DataFrame bound to its session, so a stopped-and-recreated SparkSession
+# in the same process must MISS (the _LLOYD_CACHE discipline; r7 advice)
+_QT_CACHE: dict[tuple, tuple] = {}
 
 
 def _qt_train(spark: SparkSession, sf_dir: str) -> tuple:
     """(feats, w): the persisted (doc_id, x1..x3, y) frame and the trained
     QT_ROUNDS-GD weights — x3_quality_train fills the cache as it trains."""
-    if sf_dir not in _QT_CACHE:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QT_CACHE:
         x3_quality_train(spark, sf_dir)
-    return _QT_CACHE[sf_dir]
+    return _QT_CACHE[key]
 
 
 def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +195,7 @@ def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]).first()  # bounded: one 4-scalar gradient row per round
         w = [float(row[f"w{j}"]) for j in range(4)]
 
-    _QT_CACHE[sf_dir] = (feats, w)
+    _QT_CACHE[(spark.sparkContext.applicationId, sf_dir)] = (feats, w)
     zf = F.round(
         F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6

@@ -150,8 +150,19 @@ class TestStarComponents:
         localCheckpoint default on a chain + cycle + singleton mix, with
         round frames checkpointed to FILES (a checkpoint dir is installed
         automatically when none is set) instead of block-manager memory."""
+        import os as _os
+
         pairs = [(i, i + 1) for i in range(60)] + [(100, 101), (101, 100),
                                                    (200, 200)]
+
+        def _rdd_dirs():
+            raw = spark.sparkContext.getCheckpointDir()
+            if raw is None:
+                return set()
+            p = raw[len("file:"):] if raw.startswith("file:") else raw
+            return {e for e in _os.listdir(p) if e.startswith("rdd-")}
+
+        before = _rdd_dirs()
         assert self._star(spark, pairs, reliable=True) == self._star(
             spark, pairs
         )
@@ -160,17 +171,44 @@ class TestStarComponents:
         # <= n-2) are deleted DETERMINISTICALLY as the run progresses —
         # end-of-run footprint is the last two generations, not the
         # whole history (a 60-chain needs ~8 round pairs, so an
-        # unbounded dir would hold ~10 frames)
+        # unbounded dir would hold ~10 frames). Measured as a DELTA vs
+        # the dirs present before the run, which the GC must not touch.
         from swiftbulkuploader_spark.operators.components import CKPT_STATS
 
         assert CKPT_STATS["rounds"] >= 5  # chain of 60 -> several rounds
         assert 0 < CKPT_STATS["end_bytes"] <= CKPT_STATS["peak_bytes"]
         # the retained set is bounded: at most 2 generations of rdd-* dirs
-        raw = spark.sparkContext.getCheckpointDir()
+        created_live = _rdd_dirs() - before
+        assert len(created_live) <= 4  # 2 kept generations x <=2 dirs each
+
+    def test_reliable_gc_spares_foreign_checkpoint_dirs(self, spark):
+        """The checkpoint-file GC must only delete dirs THIS run created:
+        a pre-existing rdd-* dir (another run in the same app, or any
+        other df.checkpoint() user sharing the dir) survives the whole
+        run untouched (round-8, from the r7 advice — the old code swept
+        foreign dirs as its own generation 0)."""
         import os as _os
+
+        # ensure a checkpoint dir exists (first reliable run installs one)
+        self._star(spark, [(1, 2)], reliable=True)
+        raw = spark.sparkContext.getCheckpointDir()
         p = raw[len("file:"):] if raw.startswith("file:") else raw
-        live = [e for e in _os.listdir(p) if e.startswith("rdd-")]
-        assert len(live) <= 4  # 2 kept generations x <=2 dirs each
+        foreign = _os.path.join(p, "rdd-999999")
+        _os.makedirs(foreign, exist_ok=True)
+        sentinel = _os.path.join(foreign, "part-00000")
+        with open(sentinel, "w") as fh:
+            fh.write("someone else's checkpoint")
+        try:
+            # >=3 GC generations so a foreign gen-0 WOULD have been swept
+            pairs = [(i, i + 1) for i in range(60)]
+            self._star(spark, pairs, reliable=True)
+            assert _os.path.isfile(sentinel), (
+                "GC deleted a checkpoint dir it did not create"
+            )
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(foreign, ignore_errors=True)
 
     def test_truncated_run_raises_instead_of_mislabeling(self, spark):
         """A run that exhausts max_iter without reaching the fixed point

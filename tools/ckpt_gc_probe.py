@@ -33,10 +33,15 @@ from swiftbulkuploader_spark.session import get_spark  # noqa: E402
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ckpt_gc_probe.json"
-    ckpt_dir = "/tmp/spark_graft_ckpt"
-    shutil.rmtree(ckpt_dir, ignore_errors=True)  # clean slate for the meter
+    # probe-PRIVATE checkpoint dir (round-8, from the r7 advice): clearing
+    # the shared default root would delete a concurrent session's reliable
+    # checkpoint data mid-flight; mkdtemp is ours alone to create and rm
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="ckpt_gc_probe_")
     spark = get_spark("ckpt_gc_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
     edges = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
