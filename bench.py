@@ -193,6 +193,12 @@ HEADLINE = [
     "x6_hill_tail",             # heavy-tail exponent (top-k Hill)
     "x9_frame_sample_plan",     # video frame-sampling plan (explode)
     "x7_entropy_rate",          # Markov-chain predictability (composed)
+    "x8_modularity",            # source-partition modularity of dup graph
+    "x8_component_sizes",       # dup-component size histogram (star closure)
+    "x2_pq_distortion",         # per-subspace PQ quantization error report
+    "x6_chi2_keywords",         # chi-square domain-signature tokens
+    "x7_peak_detection",        # strict-local-max + z>=2 hourly peaks
+    "x7_retention_cohorts",     # cohort-day retention triangle
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -1219,3 +1219,192 @@ def _simhash_recall_oracle_sql() -> str:
 
 
 ORACLES["x1_simhash_recall_eval"] = _simhash_recall_oracle_sql()
+
+
+def x8_modularity(spark, sf_dir: str) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the near-dup graph —
+    the cross-source duplication diagnostic a mixture owner reads before
+    dedup: Q near its maximum means duplicate pairs stay inside their
+    source (dedup per-source is safe and cheap); Q near 0 means dup edges
+    cross sources no more than the degree null model predicts (global
+    dedup is required, per-source passes would miss the mass).
+    Q = sum_s [ m_s/m - (D_s/2m)^2 ] over communities = `source` labels
+    (Newman & Girvan 2004; attribute partition, not a detected one).
+
+    Scale shape: edges are the shared prefix-filtered exact-Jaccard pair
+    frame (_ALLPAIRS_CACHE — the substrate every x8 query reuses); two
+    broadcast joins attach endpoint sources (documents is the dimension
+    side); everything aggregates to one row per source (bounded label
+    alphabet). EXACTNESS: m, m_s, D_s and their totals are integers, and
+    Q_total is computed FROM the integer totals (sum_m_intra/m -
+    sum_Dsq/(4 m^2)) — one division expression per output value, no
+    float summation anywhere, so both engines produce bit-identical
+    doubles. The 1-row totals attach via broadcast cross join (bounded
+    BNLJ, allowlisted).
+
+    Reference parity: no graph analytics in the reference (§2.9
+    north-star extension)."""
+    from swiftbulkuploader_spark.catalog import load_table
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ej = (
+        e.join(
+            F.broadcast(src.select(F.col("doc_id").alias("a"),
+                                   F.col("source").alias("sa"))), "a"
+        ).join(
+            F.broadcast(src.select(F.col("doc_id").alias("b"),
+                                   F.col("source").alias("sb"))), "b"
+        )
+    )
+    und = ej.select(F.col("sa").alias("s")).union(
+        ej.select(F.col("sb").alias("s"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg_sum"))
+    intra = (
+        ej.filter(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_intra_edges"))
+    )
+    per_s = deg.join(intra, "s", "left").na.fill({"n_intra_edges": 0})
+    totals = ej.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)).alias(
+            "m_intra_total"
+        ),
+    )
+    dsq = deg.agg(F.sum(F.col("deg_sum") * F.col("deg_sum")).alias("sum_dsq"))
+    md = F.col("m").cast("double")
+    out = (
+        per_s.crossJoin(F.broadcast(totals))  # bounded: 1-row totals
+        .crossJoin(F.broadcast(dsq))
+        .select(
+            F.col("s").alias("source"),
+            F.col("n_intra_edges").cast("long").alias("n_intra_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            (F.col("n_intra_edges").cast("double") / md).alias("frac_intra"),
+            (
+                (F.col("deg_sum").cast("double") / (F.lit(2.0) * md))
+                * (F.col("deg_sum").cast("double") / (F.lit(2.0) * md))
+            ).alias("expected_frac"),
+            (
+                F.col("m_intra_total").cast("double") / md
+                - F.col("sum_dsq").cast("double")
+                / (F.lit(4.0) * md * md)
+            ).alias("q_total"),
+        )
+    )
+    return out
+
+
+QUERIES["x8_modularity"] = x8_modularity
+
+ORACLES["x8_modularity"] = _E0_CTES + """
+    , ej AS (
+        SELECT e0.a, e0.b, da.source AS sa, db.source AS sb
+        FROM e0
+        JOIN documents da ON e0.a = da.doc_id
+        JOIN documents db ON e0.b = db.doc_id
+    ), und AS (
+        SELECT sa AS s FROM ej UNION ALL SELECT sb AS s FROM ej
+    ), deg AS (
+        SELECT s, count(*) AS deg_sum FROM und GROUP BY s
+    ), intra AS (
+        SELECT sa AS s, count(*) AS n_intra_edges
+        FROM ej WHERE sa = sb GROUP BY sa
+    ), totals AS (
+        SELECT count(*) AS m,
+               sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS m_intra_total
+        FROM ej
+    ), dsq AS (
+        SELECT sum(deg_sum * deg_sum) AS sum_dsq FROM deg
+    )
+    SELECT d.s AS source,
+           CAST(coalesce(i.n_intra_edges, 0) AS BIGINT) AS n_intra_edges,
+           CAST(d.deg_sum AS BIGINT) AS deg_sum,
+           CAST(coalesce(i.n_intra_edges, 0) AS DOUBLE)
+               / CAST(t.m AS DOUBLE) AS frac_intra,
+           (CAST(d.deg_sum AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(t.m AS DOUBLE)))
+               * (CAST(d.deg_sum AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(t.m AS DOUBLE)))
+               AS expected_frac,
+           CAST(t.m_intra_total AS DOUBLE) / CAST(t.m AS DOUBLE)
+               - CAST(q.sum_dsq AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(t.m AS DOUBLE) * CAST(t.m AS DOUBLE))
+               AS q_total
+    FROM deg d
+    LEFT JOIN intra i ON d.s = i.s
+    CROSS JOIN totals t CROSS JOIN dsq q
+"""
+
+
+def x8_component_sizes(spark, sf_dir: str) -> DataFrame:
+    """Component-size distribution of the near-dup graph — the first
+    number a dedup report leads with: lots of size-2/3 clusters means
+    routine duplication (safe to collapse), while a heavy tail or one
+    giant component is the LSH false-merge alarm that x8_triangle_count's
+    transitivity then explains. Output: one row per distinct component
+    size with the component count and total docs bound in components of
+    that size.
+
+    Scale shape: the same star-closure labels as x1_dup_clusters_star
+    (O(log n) rounds over the shared _ALLPAIRS_CACHE edge frame), then
+    two tiny aggregates (component -> size -> histogram). The oracle
+    replays the TRUE transitive closure via a recursive CTE, so this also
+    re-certifies the star fixed point, histogram-shaped."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    comp = connected_components_star(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+QUERIES["x8_component_sizes"] = x8_component_sizes
+
+ORACLES["x8_component_sizes"] = """
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), e0 AS (
+        SELECT a, b
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+    ), edges AS (
+        SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+    ), reach(node, label) AS (
+        SELECT DISTINCT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.a AS node, r.label
+        FROM edges e JOIN reach r ON e.b = r.node
+    ), comp AS (
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    ), csz AS (
+        SELECT component, count(*) AS csize FROM comp GROUP BY component
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs
+    FROM csz GROUP BY csize
+"""

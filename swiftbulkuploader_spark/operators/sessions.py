@@ -310,3 +310,77 @@ ORACLES["x7_kaplan_meier"] = """
            END AS survival
     FROM ev e JOIN eb_off o ON e.bkt = o.bkt
 """
+
+
+def x7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users cohorted by their FIRST
+    active day, each cohort's share of users still active N days later —
+    the (cohort_day, day_offset) triangle every product-analytics review
+    starts from, and the behavioral twin of x7_kaplan_meier's duration
+    curve (that one measures time-to-error, this one measures coming
+    back).
+
+    Shape: one (user, day) dedup aggregate over raw events, one per-user
+    min for the cohort day, one user-keyed join, then a (cohort, offset)
+    aggregate — the output is bounded by days^2 (the activity-span
+    triangle), independent of user and event count. All counts and date
+    diffs are exact integers; retention is one integer division per
+    output row (bit-identical across engines).
+
+    Reference parity: none (the reference has no time analytics); §2.9
+    north-star extension."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = ud.join(first, "user_id").select(
+        "user_id", "d0", F.datediff("day", "d0").alias("day_offset")
+    )
+    per = j.groupBy("d0", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    size = first.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        per.join(size, "d0")
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+QUERIES["x7_retention_cohorts"] = x7_retention_cohorts
+
+ORACLES["x7_retention_cohorts"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first AS (
+        SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id
+    ), j AS (
+        SELECT ud.user_id, f.d0,
+               date_diff('day', f.d0, ud.day) AS day_offset
+        FROM ud JOIN first f ON ud.user_id = f.user_id
+    ), per AS (
+        SELECT d0, day_offset, CAST(count(*) AS BIGINT) AS n_active
+        FROM j GROUP BY d0, day_offset
+    ), sz AS (
+        SELECT d0, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY d0
+    )
+    SELECT strftime(per.d0, '%Y-%m-%d') AS cohort_day,
+           CAST(per.day_offset AS INT) AS day_offset,
+           per.n_active,
+           sz.cohort_size,
+           CAST(per.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+               AS retention
+    FROM per JOIN sz ON per.d0 = sz.d0
+"""

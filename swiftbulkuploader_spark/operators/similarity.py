@@ -2688,3 +2688,115 @@ ORACLES["x2_ndcg_eval"] = """
                / (SELECT v FROM idcg) AS ndcg
     FROM scored
 """
+
+
+def x2_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-distortion report, per subspace — the eval twin of
+    x2_pq_codes the way x2_cluster_quality is Lloyd's: which of the 8
+    subspaces loses the most energy to quantization (avg/max squared
+    error and its share of total error) is what decides codebook size per
+    subspace (k) and whether OPQ-style rotation is worth training before
+    committing a billion vectors to 8-byte codes.
+
+    Scale shape: the same broadcast-codebook + min-of-struct assignment
+    as every PQ consumer (_pq_best_frame, janino-safe), one explode to
+    (vec, subspace) pairs, a map-side-combined 8-group aggregate, and a
+    1-row broadcast of the total for the share column (bounded BNLJ).
+    Distortions are the 6-dp-rounded assignment distances, so they are
+    summed in SCALED-INTEGER space (x 1e6, exact BIGINTs — the CLAUDE.md
+    11a cancellation discipline): every aggregate is order-independent
+    and the derived avg/share doubles are bit-identical on both engines
+    (a raw double sum differed in the 9th significant digit at sf0.1)."""
+    books = _pq_codebooks(spark, sf_dir)
+    based = _pq_best_frame(spark, sf_dir, books)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(m).alias("m"), F.col(f"b{m}")["d"].alias("dd"))
+            for m in range(PQ_M)
+        ])
+    ).alias("p")
+    ud = based.select(pairs).select(
+        F.col("p.m").alias("m"),
+        F.round(F.col("p.dd") * F.lit(1_000_000.0), 0).cast("long").alias("di"),
+        F.col("p.dd").alias("dd"),
+    )
+    per_m = ud.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("di").alias("sum_i"),
+        F.max("dd").alias("max_sqdist"),
+    )
+    tot = per_m.agg(F.sum("sum_i").alias("total_i"))  # 8-row input
+    return (
+        per_m.crossJoin(F.broadcast(tot))  # bounded: 1-row total
+        .select(
+            F.col("m").cast("int").alias("m"),
+            "n_vecs",
+            (
+                F.col("sum_i").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_vecs").cast("double")
+            ).alias("avg_sqdist"),
+            "max_sqdist",
+            (
+                F.col("sum_i").cast("double")
+                / F.col("total_i").cast("double")
+            ).alias("err_share"),
+        )
+    )
+
+
+QUERIES["x2_pq_distortion"] = x2_pq_distortion
+
+
+def _pq_distortion_oracle_sql() -> str:
+    """Reuses the generated encode CTEs (same unrolled term order, same
+    QUALIFY argmin), unpivots the 8 per-subspace errors, then replays the
+    8-group aggregate and the sum-of-group-sums total — matching Spark's
+    association so only pure-sum ulps remain."""
+    d_cols = []
+    for m in range(PQ_M):
+        terms = " + ".join(
+            f"(e.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            f" * (e.v[{m * PQ_DSUB + i + 1}] - cb.v[{m * PQ_DSUB + i + 1}])"
+            for i in range(PQ_DSUB)
+        )
+        d_cols.append(f"round({terms}, 6) AS d{m}")
+    d_sql = ",\n                   ".join(d_cols)
+    unions = "\n        UNION ALL ".join(
+        f"SELECT vec_id, k, {m} AS m, d{m} AS dd FROM d"
+        for m in range(PQ_M)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cb AS (
+            SELECT vec_id AS k, v FROM e WHERE vec_id < {PQ_K}
+        ), d AS (
+            SELECT e.vec_id, cb.k,
+                   {d_sql}
+            FROM e CROSS JOIN cb
+        ), u AS (
+        {unions}
+        ), best AS (
+            SELECT vec_id, m,
+                   CAST(round(dd * 1000000, 0) AS BIGINT) AS di, dd
+            FROM u
+            QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dd, k) = 1
+        ), per_m AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+                   sum(di) AS sum_i, max(dd) AS max_sqdist
+            FROM best GROUP BY m
+        ), tot AS (
+            SELECT sum(sum_i) AS total_i FROM per_m
+        )
+        SELECT CAST(m AS INT) AS m, n_vecs,
+               CAST(sum_i AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   / CAST(n_vecs AS DOUBLE) AS avg_sqdist,
+               max_sqdist,
+               CAST(sum_i AS DOUBLE) / CAST(total_i AS DOUBLE) AS err_share
+        FROM per_m CROSS JOIN tot
+    """
+
+
+ORACLES["x2_pq_distortion"] = _pq_distortion_oracle_sql()

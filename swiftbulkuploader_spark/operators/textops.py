@@ -2071,3 +2071,121 @@ def _calibration_oracle_sql() -> str:
 
 
 ORACLES["x6_calibration_bins"] = _calibration_oracle_sql()
+
+
+CHI2_TOP_K = 5
+
+
+def x6_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square keyword selection per source — the statistical twin of
+    the c-TF-IDF keywords (x3_source_keywords): for every (source, token)
+    2x2 contingency table (in-source vs rest, this-token vs others), the
+    chi-square score ranks tokens by how strongly their frequency
+    DEVIATES from source-independence, the classic feature-selection
+    statistic for domain signatures / classifier vocabularies. Only
+    over-represented tokens qualify (observed > expected, the integer
+    cross-product test c*n > g*ns), top CHI2_TOP_K per source.
+
+    Scale shape: ONE token-keyed shuffle to (source, token) cells (the
+    x6_jsd_sources substrate), per-token and per-source marginals as
+    PARTITIONED window sums over the vocab-bounded cell table, grand
+    total via 1-row broadcast (bounded BNLJ), and the top-k rank windows
+    are PARTITIONED by source. Exactness: all four cell counts are exact
+    integers; chi2 is one fixed-shape double expression (casts and
+    parenthesization mirrored in the oracle, so both engines round the
+    identical double), 6-dp-rounded BEFORE the rank decision with a
+    token tie-break (CLAUDE.md rule 3).
+
+    Reference parity: no text analytics in the reference (§2.9
+    north-star extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "source", F.explode(F.split(norm, " ")).alias("t")
+    )
+    cells = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("t")
+    ws = Window.partitionBy("source")
+    tot = cells.agg(F.sum("c").alias("n"))  # 1-row broadcast
+    aug = cells.select(
+        "source",
+        "t",
+        "c",
+        F.sum("c").over(wt).alias("g"),
+        F.sum("c").over(ws).alias("ns"),
+    ).crossJoin(F.broadcast(tot))
+    # 2x2 cells: a = in-source this-token, b = elsewhere this-token,
+    # cc = in-source other-tokens, d = elsewhere other-tokens
+    a = F.col("c")
+    b = F.col("g") - F.col("c")
+    cc = F.col("ns") - F.col("c")
+    d = F.col("n") - F.col("g") - F.col("ns") + F.col("c")
+    diff = (a * d - b * cc).cast("double")  # |ad-bc| <= n^2, exact BIGINT
+    denom = (
+        (a + b).cast("double")
+        * (cc + d).cast("double")
+        * (a + cc).cast("double")
+        * (b + d).cast("double")
+    )
+    chi2 = F.round(F.col("n").cast("double") * (diff * diff) / denom, 6)
+    scored = aug.filter(
+        F.col("c") * F.col("n") > F.col("g") * F.col("ns")  # over-represented
+    ).select("source", "t", "c", "g", chi2.alias("chi2"))
+    w_rk = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= CHI2_TOP_K)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("t").alias("token"),
+            "chi2",
+            F.col("c").cast("long").alias("n_in_source"),
+            F.col("g").cast("long").alias("n_total_tok"),
+        )
+    )
+
+
+QUERIES["x6_chi2_keywords"] = x6_chi2_keywords
+
+ORACLES["x6_chi2_keywords"] = f"""
+    WITH tk AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), cells AS (
+        SELECT source, t, count(*) AS c FROM tk GROUP BY source, t
+    ), aug AS (
+        SELECT source, t, c,
+               sum(c) OVER (PARTITION BY t) AS g,
+               sum(c) OVER (PARTITION BY source) AS ns,
+               (SELECT sum(c) FROM cells) AS n
+        FROM cells
+    ), scored AS (
+        SELECT source, t, c, g,
+               round(CAST(n AS DOUBLE)
+                     * ((CAST(c * (n - g - ns + c) - (g - c) * (ns - c)
+                              AS DOUBLE))
+                        * (CAST(c * (n - g - ns + c) - (g - c) * (ns - c)
+                                AS DOUBLE)))
+                     / (CAST(c + (g - c) AS DOUBLE)
+                        * CAST((ns - c) + (n - g - ns + c) AS DOUBLE)
+                        * CAST(c + (ns - c) AS DOUBLE)
+                        * CAST((g - c) + (n - g - ns + c) AS DOUBLE)),
+                     6) AS chi2
+        FROM aug
+        WHERE c * n > g * ns
+    )
+    SELECT source, CAST(rk AS INT) AS rk, t AS token, chi2,
+           CAST(c AS BIGINT) AS n_in_source,
+           CAST(g AS BIGINT) AS n_total_tok
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY chi2 DESC, t ASC) AS rk
+        FROM scored
+    )
+    WHERE rk <= {CHI2_TOP_K}
+"""

@@ -1516,3 +1516,94 @@ ORACLES["x7_ljung_box"] = f"""
            END AS white_noise_rejected
     FROM agg
 """
+
+
+PEAK_Z = 2.0
+
+
+def x7_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection over the dense hourly rate series: an hour is a peak
+    if it is a STRICT local maximum (higher than both neighbor hours) AND
+    its z-score clears PEAK_Z — the load-spike report an on-call pipeline
+    owner reads next to x7_rate_anomaly's rolling form (this one uses the
+    full-series mean, so recurring daily crests rank against the whole
+    window, not a trailing one).
+
+    Exactness: mean and stddev derive from EXACT integer window sums
+    (sx, sxx over integer-valued doubles — no Welford single-pass state,
+    which accumulates engine-specific ulps): var = (sxx - sx*sx/n)/(n-1)
+    is one fixed-shape double expression, so z is bit-identical on both
+    engines, and the peak decision compares round(z, 6) (round-before-
+    decision, CLAUDE.md rule 3). Boundary hours (no neighbor) never
+    qualify.
+
+    Shape: the shared types x hours rollup (_dense_hourly_counts), one
+    per-type ordered window for lag/lead, per-type window sums — all
+    PARTITIONED by event_type, rollup-bounded (SCALING.md family note)."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    n = F.count(F.lit(1)).over(wp).cast("double")
+    sx = F.sum("x").over(wp)
+    sxx = F.sum(F.col("x") * F.col("x")).over(wp)
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    sd = F.sqrt(var)
+    aug = dense.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.lag("x").over(wo).alias("xp"),
+        F.lead("x").over(wo).alias("xn"),
+        mean.alias("mu"),
+        sd.alias("sd"),
+    )
+    z = F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        aug.filter(
+            F.col("xp").isNotNull()
+            & F.col("xn").isNotNull()
+            & (F.col("x") > F.col("xp"))
+            & (F.col("x") > F.col("xn"))
+            & (F.col("sd") > 0)
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("x").cast("long").alias("n_events"),
+            F.col("mu").alias("series_mean"),
+            z.alias("zscore"),
+        )
+        .filter(F.col("zscore") >= F.lit(PEAK_Z))
+    )
+
+
+QUERIES["x7_peak_detection"] = x7_peak_detection
+
+ORACLES["x7_peak_detection"] = f"""
+    WITH {_DENSE_SQL}
+    , aug AS (
+        SELECT event_type, bucket, x,
+               lag(x) OVER w AS xp,
+               lead(x) OVER w AS xn,
+               sum(x) OVER p / CAST(count(*) OVER p AS DOUBLE) AS mu,
+               sqrt((sum(x * x) OVER p
+                     - sum(x) OVER p * sum(x) OVER p
+                       / CAST(count(*) OVER p AS DOUBLE))
+                    / (CAST(count(*) OVER p AS DOUBLE) - CAST(1 AS DOUBLE)))
+                   AS sd
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
+               p AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(x AS BIGINT) AS n_events,
+           mu AS series_mean,
+           round((x - mu) / sd, 6) AS zscore
+    FROM aug
+    WHERE xp IS NOT NULL AND xn IS NOT NULL
+      AND x > xp AND x > xn AND sd > 0
+      AND round((x - mu) / sd, 6) >= CAST({PEAK_Z} AS DOUBLE)
+"""

@@ -87,6 +87,12 @@ BOUNDED_BNLJ_OK = {
     "x6_jsd_sources",          # 1-row global-token-total broadcast into the
                                # vocab-bounded cell table (round-8 swap of
                                # the former all-partition window)
+    "x8_modularity",           # two 1-row totals (m, sum_dsq) cross-joined
+                               # into the bounded per-source report
+    "x2_pq_distortion",        # 128-row codebook broadcast (_pq_best_frame)
+                               # + 1-row total into the 8-row report
+    "x6_chi2_keywords",        # 1-row grand-total broadcast into the
+                               # vocab-bounded cell table (jsd pattern)
 }
 
 
