@@ -199,6 +199,8 @@ HEADLINE = [
     "x6_chi2_keywords",         # chi-square domain-signature tokens
     "x7_peak_detection",        # strict-local-max + z>=2 hourly peaks
     "x7_retention_cohorts",     # cohort-day retention triangle
+    "x2_label_auc",             # exact Mann-Whitney AUC of cosine ranking
+    "x2_mmd_drift",             # RBF-kernel MMD two-sample drift report
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -2800,3 +2800,296 @@ def _pq_distortion_oracle_sql() -> str:
 
 
 ORACLES["x2_pq_distortion"] = _pq_distortion_oracle_sql()
+
+
+def x2_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space separability as an exact ROC-AUC: score every
+    corpus vector by cosine to the query (vec_id 0), label it positive if
+    it shares the query's class label, and compute the Mann-Whitney AUC
+    of that ranking — the threshold-free answer to 'does distance in this
+    embedding space encode the label?', the eval run before trusting
+    embeddings for semantic dedup or kNN labeling (first tried over the
+    trained quality student, whose teacher labels are single-class at
+    test SFs — an AUC there verifies nothing; the embedding substrate has
+    real class structure at every SF).
+
+    Estimator: average-rank Mann-Whitney — AUC = (sum of positive ranks -
+    P(P+1)/2) / (P*N), ties sharing their mean rank. Scores are 6-dp-
+    rounded cosines on the INTEGER grid si = round(cos,6)*1e6 (round-
+    before-decision; zero-norm sentinel -2.0 via the same norm guard both
+    engines evaluate), so tie groups, doubled rank sums, and P/N are all
+    exact integers — the final AUC is one integer-ratio double,
+    bit-identical across engines.
+
+    Scale shape: one scan + a <=2e6+1-row score-grid histogram; the rank
+    prefix sum runs TWO-LEVEL over the bounded grid (within-bucket
+    windows partitioned by the 1000-wide score bucket, bucket-level
+    window over <=2001 partials — the x7_kaplan_meier pattern), so no
+    unbounded single-partition window exists. The oracle replays a flat
+    cumulative window — associativity is free in integer space."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    qrow = emb.filter(F.col("vec_id") == 0).select("label").first()
+    if qrow is None:
+        raise ValueError("query vec_id=0 not found")
+    q_label = qrow["label"]
+    qcol = _lit_vec(q)
+    cos = F.round(
+        F.coalesce(
+            cosine_similarity(F.col("embedding").cast("array<double>"), qcol),
+            F.lit(-2.0),
+        ),
+        6,
+    )
+    si = F.round(cos * F.lit(1_000_000.0), 0).cast("long")
+    y = F.when(F.col("label") == F.lit(q_label), 1).otherwise(0)
+    grp = (
+        emb.filter(F.col("vec_id") >= 1)
+        .select(si.alias("si"), y.alias("y"))
+        .groupBy("si")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("y").cast("long").alias("pos_g"),
+        )
+        .withColumn("bkt", F.expr("si div 1000"))
+    )
+    b_tot = grp.groupBy("bkt").agg(F.sum("n_g").alias("b_n"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    b_off = b_tot.select(
+        "bkt",
+        F.coalesce(F.sum("b_n").over(w_bkt), F.lit(0)).alias("n_before_bkt"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("si").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = grp.join(F.broadcast(b_off), "bkt").select(
+        "si",
+        "n_g",
+        "pos_g",
+        (
+            F.col("n_before_bkt")
+            + F.coalesce(F.sum("n_g").over(w_in), F.lit(0))
+        ).alias("before"),
+    )
+    tot = pre.agg(
+        F.sum(
+            F.col("pos_g")
+            * (F.lit(2) * F.col("before") + F.col("n_g") + F.lit(1))
+        ).alias("s2r"),
+        F.sum("pos_g").alias("npos"),
+        F.sum("n_g").alias("ntot"),
+    )
+    auc = (
+        (F.col("s2r") - F.col("npos") * (F.col("npos") + F.lit(1)))
+        .cast("double")
+        / F.nullif(
+            F.lit(2.0)
+            * F.col("npos").cast("double")
+            * (F.col("ntot") - F.col("npos")).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return tot.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        (F.col("ntot") - F.col("npos")).cast("long").alias("n_neg"),
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+QUERIES["x2_label_auc"] = x2_label_auc
+
+ORACLES["x2_label_auc"] = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), q AS (
+        SELECT v AS qv, label AS ql FROM e WHERE vec_id = 0
+    ), scored AS (
+        SELECT CAST(round(
+                   round(CASE WHEN list_inner_product(e.v, e.v) > 0
+                              THEN list_cosine_similarity(e.v, q.qv)
+                              ELSE -2.0 END, 6)
+                   * CAST(1000000 AS DOUBLE), 0) AS BIGINT) AS si,
+               CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS y
+        FROM e CROSS JOIN q
+        WHERE e.vec_id >= 1
+    ), grp AS (
+        SELECT si, count(*) AS n_g, CAST(sum(y) AS BIGINT) AS pos_g
+        FROM scored GROUP BY si
+    ), pre AS (
+        SELECT si, n_g, pos_g,
+               coalesce(sum(n_g) OVER (ORDER BY si
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM grp
+    ), tot AS (
+        SELECT sum(pos_g * (2 * before + n_g + 1)) AS s2r,
+               sum(pos_g) AS npos, sum(n_g) AS ntot
+        FROM pre
+    )
+    SELECT CAST(npos AS BIGINT) AS n_pos,
+           CAST(ntot - npos AS BIGINT) AS n_neg,
+           CAST(s2r - npos * (npos + 1) AS DOUBLE)
+               / nullif(CAST(2 AS DOUBLE) * CAST(npos AS DOUBLE)
+                        * CAST(ntot - npos AS DOUBLE), CAST(0 AS DOUBLE))
+               AS auc,
+           CAST(2 AS DOUBLE)
+               * (CAST(s2r - npos * (npos + 1) AS DOUBLE)
+                  / nullif(CAST(2 AS DOUBLE) * CAST(npos AS DOUBLE)
+                           * CAST(ntot - npos AS DOUBLE), CAST(0 AS DOUBLE)))
+               - CAST(1 AS DOUBLE) AS gini
+    FROM tot
+"""
+
+
+MMD_N = 256       # bounded sample per side
+MMD_SIGMA2 = 1.0  # RBF bandwidth (median heuristic on unit-norm vectors)
+
+
+def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample drift test — squared Maximum Mean Discrepancy
+    (Gretton et al., JMLR 2012) with an RBF kernel, over two bounded
+    deterministic samples per comparison: the distribution-level
+    embedding-drift metric that catches what per-dimension z-scores
+    (x2_norm_zscore) miss (covariance/shape shifts with unchanged
+    marginals). Two rows: the even/odd vec_id NULL SPLIT (same
+    distribution — MMD^2 should sit at the V-statistic bias floor) and
+    the LABEL SPLIT (query's class vs rest — positive MMD^2 iff the space
+    encodes the label), so the report carries its own calibration
+    baseline.
+
+    Scale stance: MMD is quadratic BY DEFINITION, so each side is a
+    deterministic MMD_N-row sample (min vec_ids — TakeOrderedAndProject,
+    no global sort) and the three kernel-mean cross joins are bounded at
+    MMD_N^2 pairs regardless of corpus size (the bounded-BNLJ class; at
+    100 TB the samples are still MMD_N rows). Exactness: squared
+    distances come from dot products (||x-y||^2 = nx + ny - 2 x.y,
+    unrolled codegen); each kernel mean is rounded to 8 dp BEFORE the
+    MMD combination — the near-total-cancellation discipline (CLAUDE.md
+    11a): the null split's means agree to ~1e-3, so an unrounded
+    difference would sit entirely inside summation-order noise."""
+    from swiftbulkuploader_spark.functions.vectors import dot_product_unrolled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrow = base.filter(F.col("vec_id") == 0).select("label").first()
+    if qrow is None:
+        raise ValueError("query vec_id=0 not found")
+    q_label = qrow["label"]
+
+    def side(flt, name):
+        return (
+            base.filter(flt)
+            .orderBy("vec_id")
+            .limit(MMD_N)
+            .select(
+                F.col("vec_id").alias(f"id_{name}"),
+                F.col("v").alias(f"v{name}"),
+                dot_product_unrolled("v", "v", dim).alias(f"n{name}"),
+            )
+        )
+
+    def kmean(xa, xb, na, nb, a, b):
+        sq = F.col(na) + F.col(nb) - F.lit(2.0) * dot_product_unrolled(a, b, dim)
+        k = F.exp(-sq / F.lit(2.0 * MMD_SIGMA2))
+        return xa.crossJoin(xb).agg(  # bounded: MMD_N x MMD_N pairs
+            F.round(F.avg(k), 8).alias("km"),
+            F.count(F.lit(1)).alias("np"),
+        )
+
+    def mmd_row(fa, fb, tag):
+        xa, xb = side(fa, "a"), side(fb, "b")
+        xa2 = side(fa, "a2")
+        xb2 = side(fb, "b2")
+        kaa = kmean(xa, xa2, "na", "na2", "va", "va2").select(
+            F.col("km").alias("k_aa"), (F.col("np") ** 0.5).cast("long").alias("n_a")
+        )
+        kbb = kmean(xb, xb2, "nb", "nb2", "vb", "vb2").select(
+            F.col("km").alias("k_bb"), (F.col("np") ** 0.5).cast("long").alias("n_b")
+        )
+        kab = kmean(xa, xb, "na", "nb", "va", "vb").select(
+            F.col("km").alias("k_ab")
+        )
+        return (
+            kaa.crossJoin(kbb).crossJoin(kab)  # bounded: 1-row frames
+            .select(
+                F.lit(tag).alias("comparison"),
+                "n_a",
+                "n_b",
+                "k_aa",
+                "k_bb",
+                "k_ab",
+                (
+                    F.col("k_aa") + F.col("k_bb")
+                    - F.lit(2.0) * F.col("k_ab")
+                ).alias("mmd2"),
+            )
+        )
+
+    null_split = mmd_row(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") % 2 == 0),
+        (F.col("vec_id") >= 1) & (F.col("vec_id") % 2 == 1),
+        "null_split",
+    )
+    label_split = mmd_row(
+        (F.col("vec_id") >= 1) & (F.col("label") == F.lit(q_label)),
+        (F.col("vec_id") >= 1) & (F.col("label") != F.lit(q_label)),
+        "label_split",
+    )
+    return null_split.unionByName(label_split)
+
+
+QUERIES["x2_mmd_drift"] = x2_mmd_drift
+
+
+def _mmd_oracle_sql() -> str:
+    k = ("exp(-(a.n2 + b.n2 - 2 * list_inner_product(a.v, b.v))"
+         f" / (CAST(2 AS DOUBLE) * CAST({MMD_SIGMA2} AS DOUBLE)))")
+    sides = {
+        "ea": "vec_id >= 1 AND vec_id % 2 = 0",
+        "eb": "vec_id >= 1 AND vec_id % 2 = 1",
+        "la": "vec_id >= 1 AND label = (SELECT ql FROM q)",
+        "lb": "vec_id >= 1 AND label <> (SELECT ql FROM q)",
+    }
+    side_ctes = ",\n    ".join(
+        f"""{name} AS (
+        SELECT vec_id, v, list_inner_product(v, v) AS n2
+        FROM e WHERE {flt} ORDER BY vec_id LIMIT {MMD_N}
+    )"""
+        for name, flt in sides.items()
+    )
+
+    def km(a, b):
+        return (f"(SELECT round(avg({k}), 8) FROM {a} a CROSS JOIN {b} b)")
+
+    def row(a, b, tag):
+        return f"""
+        SELECT '{tag}' AS comparison,
+               (SELECT CAST(count(*) AS BIGINT) FROM {a}) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM {b}) AS n_b,
+               {km(a, a)} AS k_aa,
+               {km(b, b)} AS k_bb,
+               {km(a, b)} AS k_ab,
+               {km(a, a)} + {km(b, b)}
+                   - CAST(2 AS DOUBLE) * {km(a, b)} AS mmd2"""
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), q AS (
+        SELECT label AS ql FROM e WHERE vec_id = 0
+    ), {side_ctes}
+    {row("ea", "eb", "null_split")}
+    UNION ALL
+    {row("la", "lb", "label_split")}
+"""
+
+
+ORACLES["x2_mmd_drift"] = _mmd_oracle_sql()

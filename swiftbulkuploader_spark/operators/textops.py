@@ -2189,3 +2189,4 @@ ORACLES["x6_chi2_keywords"] = f"""
     )
     WHERE rk <= {CHI2_TOP_K}
 """
+

@@ -93,6 +93,9 @@ BOUNDED_BNLJ_OK = {
                                # + 1-row total into the 8-row report
     "x6_chi2_keywords",        # 1-row grand-total broadcast into the
                                # vocab-bounded cell table (jsd pattern)
+    "x2_mmd_drift",            # MMD_N=256-row sample cross joins (the
+                               # quadratic kernel is bounded by design)
+                               # + 1-row kernel-mean combinations
 }
 
 
@@ -168,6 +171,10 @@ BOUNDED_WINDOW_OK = {
                               # prefix sums (one row per calendar hour of
                               # duration span; within-bucket windows ARE
                               # partitioned, <= 3600 rows each)
+    "x2_label_auc",           # bucket-level window of the two-level rank
+                              # prefix over the 6-dp score grid (<= 2001
+                              # partial rows; within-bucket windows ARE
+                              # partitioned, <= 1000 rows each)
 }
 
 # windowspecdefinition(part..., order... ASC/DESC NULLS ..., specifiedwindowframe(...))
