@@ -201,6 +201,10 @@ HEADLINE = [
     "x7_retention_cohorts",     # cohort-day retention triangle
     "x2_label_auc",             # exact Mann-Whitney AUC of cosine ranking
     "x2_mmd_drift",             # RBF-kernel MMD two-sample drift report
+    "x7_holt_linear",           # Holt level+trend fold over hourly rollup
+    "x1_dedup_survivorship",    # per-source kept/dropped dedup accounting
+    "x1_threshold_sweep",       # near-dup pair counts at tau 0.5..0.9
+    "x3_type_token_ratio",      # lexical diversity (TTR/Guiraud/Herdan)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -2549,3 +2549,162 @@ ORACLES["x1_containment_pairs"] = f"""
     FROM scored
     WHERE containment >= CAST({X1_CONT_TAU} AS DOUBLE)
 """
+
+
+def x1_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivorship of the exact keep-best dedup — the mixture
+    accounting a corpus owner reads AFTER deduping: which sources lose
+    docs (their content exists elsewhere, often higher-quality) and what
+    share of each source's character mass survives. Keeper per exact
+    fingerprint group = highest n_chars, doc_id tie-break (the
+    x1_dedup_keep_best policy on full-text md5 fingerprints).
+
+    Shape: one fingerprint groupBy (max_by keeper — no window, no
+    self-join), one broadcast-size join back on the fingerprint, one
+    per-source aggregate. Every output is an exact integer or an integer
+    ratio (bit-identical across engines).
+
+    Reference parity: none (reference dedups nothing); §2.9 extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(normalize_ws(F.col("text")))))
+    base = docs.select("doc_id", "source", "n_chars", fp.alias("fp"))
+    # scalar composite key (n_chars desc, doc_id asc): DuckDB v1.0.0's
+    # arg_max has no struct-key overload, so both engines rank on
+    # n_chars * 1e12 - doc_id (doc_id << 1e12 by construction)
+    keep = base.groupBy("fp").agg(
+        F.expr(
+            "max_by(doc_id, n_chars * 1000000000000 - doc_id)"
+        ).alias("keeper_id")
+    )
+    flagged = base.join(keep, "fp").select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        (
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("kept_frac"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+
+
+QUERIES["x1_dedup_survivorship"] = x1_dedup_survivorship
+
+ORACLES["x1_dedup_survivorship"] = f"""
+    WITH base AS (
+        SELECT doc_id, source, n_chars, {_FP_DUCK} AS fp FROM documents
+    ), keep AS (
+        SELECT fp, arg_max(doc_id, n_chars * 1000000000000 - doc_id)
+                   AS keeper_id
+        FROM base GROUP BY fp
+    ), flagged AS (
+        SELECT b.source, b.n_chars,
+               b.doc_id = k.keeper_id AS kept
+        FROM base b JOIN keep k ON b.fp = k.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS kept_frac,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept
+    FROM flagged GROUP BY source
+"""
+
+
+SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def x1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD SWEEP: pair and affected-doc counts at Jaccard
+    cutoffs 0.5..0.9, from ONE pass over the shared exact-Jaccard pair
+    frame (_ALLPAIRS_CACHE, tau=0.5 — every sweep point is a filter of
+    it) — the tuning curve read before fixing a dedup threshold: where
+    the pair count knees is where near-dups separate from topical
+    similarity. n_docs_affected counts distinct docs in >= tau pairs
+    (the mass a dedup at that tau would touch).
+
+    Shape: explode 5 threshold literals over the cached pair frame, union
+    endpoints, one distinct + two aggregates. Jaccard is an exact integer
+    ratio, each cutoff a DOUBLE literal — the >= decision is bit-identical
+    across engines."""
+    pairs = _allpairs_impl(spark, sf_dir, tau=0.5)  # (a, b, jaccard)
+    taus = F.explode(
+        F.array(*[F.lit(float(t)) for t in SWEEP_TAUS])
+    ).alias("tau")
+    hit = pairs.select("a", "b", "jaccard", taus).filter(
+        F.col("jaccard") >= F.col("tau")
+    )
+    n_pairs = hit.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs_hit = (
+        hit.select("tau", F.col("a").alias("d"))
+        .union(hit.select("tau", F.col("b").alias("d")))
+        .distinct()
+        .groupBy("tau")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_affected"))
+    )
+    return n_pairs.join(docs_hit, "tau").select(
+        "tau", "n_pairs", "n_docs_affected"
+    )
+
+
+QUERIES["x1_threshold_sweep"] = x1_threshold_sweep
+
+
+def _threshold_sweep_oracle_sql() -> str:
+    taus = ", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_TAUS)
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), ej AS (
+        SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+    ), hit AS (
+        SELECT a, b, jaccard, tau
+        FROM ej, unnest([{taus}]) AS u(tau)
+        WHERE jaccard >= tau
+    ), np AS (
+        SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM hit GROUP BY tau
+    ), nd AS (
+        SELECT tau, CAST(count(*) AS BIGINT) AS n_docs_affected
+        FROM (SELECT DISTINCT tau, d
+              FROM (SELECT tau, a AS d FROM hit
+                    UNION ALL SELECT tau, b AS d FROM hit))
+        GROUP BY tau
+    )
+    SELECT np.tau, np.n_pairs, nd.n_docs_affected
+    FROM np JOIN nd ON np.tau = nd.tau
+"""
+
+
+ORACLES["x1_threshold_sweep"] = _threshold_sweep_oracle_sql()

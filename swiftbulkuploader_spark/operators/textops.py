@@ -2190,3 +2190,66 @@ ORACLES["x6_chi2_keywords"] = f"""
     WHERE rk <= {CHI2_TOP_K}
 """
 
+
+
+def x3_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio plus its
+    length-robust variants — root TTR (Guiraud) and log TTR (Herdan's C)
+    — the quick screen for template/boilerplate-heavy sources (low
+    diversity at a given size) read next to x3_vocab_growth's corpus
+    curve and x6_jsd_sources' divergence.
+
+    Shape: one (source, token) dedup aggregate for types + one token
+    count per source (two-level, no countDistinct Expand — the
+    dedup.py:1443 discipline), joined on the bounded source table. All
+    inputs are exact integers; the three ratios are fixed-shape double
+    expressions (sqrt/ln of exact integers — bit-identical engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "source", F.explode(F.split(norm, " ")).alias("t")
+    )
+    n_toks = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    n_types = (
+        toks.select("source", "t").distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    tok_d = F.col("n_tokens").cast("double")
+    typ_d = F.col("n_types").cast("double")
+    return n_toks.join(n_types, "source").select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        (typ_d / tok_d).alias("ttr"),
+        (typ_d / F.sqrt(tok_d)).alias("root_ttr"),
+        (F.log(typ_d) / F.log(tok_d)).alias("log_ttr"),
+    )
+
+
+QUERIES["x3_type_token_ratio"] = x3_type_token_ratio
+
+ORACLES["x3_type_token_ratio"] = """
+    WITH tk AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+    ), ntk AS (
+        SELECT source, count(*) AS n_tokens FROM tk GROUP BY source
+    ), nty AS (
+        SELECT source, count(*) AS n_types
+        FROM (SELECT DISTINCT source, t FROM tk) GROUP BY source
+    )
+    SELECT ntk.source,
+           CAST(ntk.n_tokens AS BIGINT) AS n_tokens,
+           CAST(nty.n_types AS BIGINT) AS n_types,
+           CAST(nty.n_types AS DOUBLE) / CAST(ntk.n_tokens AS DOUBLE) AS ttr,
+           CAST(nty.n_types AS DOUBLE) / sqrt(CAST(ntk.n_tokens AS DOUBLE))
+               AS root_ttr,
+           ln(CAST(nty.n_types AS DOUBLE)) / ln(CAST(ntk.n_tokens AS DOUBLE))
+               AS log_ttr
+    FROM ntk JOIN nty ON ntk.source = nty.source
+"""

@@ -1607,3 +1607,115 @@ ORACLES["x7_peak_detection"] = f"""
       AND x > xp AND x > xn AND sd > 0
       AND round((x - mu) / sd, 6) >= CAST({PEAK_Z} AS DOUBLE)
 """
+
+
+HOLT_ALPHA = 0.25  # level gain;  binary-exact (0.25/0.75)
+HOLT_BETA = 0.25   # trend gain
+
+
+def x7_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per event type over
+    the dense hourly series — the one-step-ahead forecaster a rate
+    dashboard runs where plain EWMA (x7_ewma_smooth) lags any trending
+    series by construction: Holt tracks level AND trend
+    (l_t = a*x_t + (1-a)(l+b); b_t = g(l_t - l) + (1-g) b, classic init
+    l0 = x_0, b0 = x_1 - x_0) and forecasts l + b.
+
+    Exactness: the recursion is an ORDERED LIST FOLD with a STRUCT
+    accumulator on the Spark side (`aggregate` with an explicit (l, b)
+    init; l_t inlined twice inside b_t — no lambda-local bindings). The
+    oracle does NOT use DuckDB's reduce(): v1.0.0 evaluates a
+    struct-lambda's fields SEQUENTIALLY with in-place update (a later
+    field sees the earlier field's NEW value — measured, see the oracle
+    comment), unlike Spark's snapshot semantics — so the oracle steps the
+    same arithmetic as a recursive CTE over the value index, which has
+    plain column semantics. Identical expressions in identical order;
+    the oracle checks the exact float. Gains 0.25/0.75 are binary-exact
+    literals.
+
+    Scale shape: the types x hours rollup collected to one value array
+    per type (rollup-bounded family, SCALING.md note) — one groupBy, one
+    per-type fold; never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    per = (
+        dense.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "x"))
+            ).alias("seq"),
+        )
+        .select(
+            "event_type",
+            F.transform("seq", lambda s: s["x"]).alias("vals"),
+        )
+        .filter(F.size("vals") >= 2)
+    )
+    n = F.size("vals")
+    a, ac = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
+    g, gc = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
+    init = F.struct(
+        F.element_at("vals", 1).alias("l"),
+        (F.element_at("vals", 2) - F.element_at("vals", 1)).alias("b"),
+    )
+    fold = F.aggregate(
+        F.slice("vals", 3, n - 2),
+        init,
+        lambda acc, x: F.struct(
+            (a * x + ac * (acc["l"] + acc["b"])).alias("l"),
+            (
+                g * ((a * x + ac * (acc["l"] + acc["b"])) - acc["l"])
+                + gc * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return per.select(
+        "event_type",
+        n.cast("long").alias("n_hours"),
+        F.element_at("vals", -1).alias("last_value"),
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        (fold["l"] + fold["b"]).alias("forecast_next"),
+    )
+
+
+QUERIES["x7_holt_linear"] = x7_holt_linear
+
+ORACLES["x7_holt_linear"] = f"""
+    WITH RECURSIVE {_DENSE_SQL}
+    , per AS (
+        SELECT event_type,
+               list_transform(
+                   list_sort(list(
+                       {{'bucket': bucket, 'x': x}})),
+                   s -> s.x) AS vals
+        FROM dense GROUP BY event_type
+    ), ok AS (
+        SELECT event_type, vals FROM per WHERE len(vals) >= 2
+    ), rec AS (
+        -- left fold as an index recursion: DuckDB v1.0.0's reduce() with a
+        -- struct accumulator updates fields SEQUENTIALLY (a later field
+        -- sees the earlier field's NEW value), unlike Spark's snapshot
+        -- lambda semantics — a recursive CTE steps the (l, b) pair with
+        -- plain column references, no lambda quirk
+        SELECT event_type, vals, 2 AS i,
+               vals[1] AS l, vals[2] - vals[1] AS b
+        FROM ok
+        UNION ALL
+        SELECT event_type, vals, i + 1,
+               CAST({HOLT_ALPHA} AS DOUBLE) * vals[i + 1]
+                   + CAST({1.0 - HOLT_ALPHA} AS DOUBLE) * (l + b),
+               CAST({HOLT_BETA} AS DOUBLE)
+                   * ((CAST({HOLT_ALPHA} AS DOUBLE) * vals[i + 1]
+                       + CAST({1.0 - HOLT_ALPHA} AS DOUBLE) * (l + b)) - l)
+                   + CAST({1.0 - HOLT_BETA} AS DOUBLE) * b
+        FROM rec WHERE i < len(vals)
+    )
+    SELECT event_type,
+           CAST(len(vals) AS BIGINT) AS n_hours,
+           vals[-1] AS last_value,
+           l AS level,
+           b AS trend,
+           l + b AS forecast_next
+    FROM rec WHERE i = len(vals)
+"""
