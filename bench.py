@@ -205,6 +205,8 @@ HEADLINE = [
     "x1_dedup_survivorship",    # per-source kept/dropped dedup accounting
     "x1_threshold_sweep",       # near-dup pair counts at tau 0.5..0.9
     "x3_type_token_ratio",      # lexical diversity (TTR/Guiraud/Herdan)
+    "x6_kfold_assignment",      # deterministic k-fold balance audit
+    "x7_mad_anomaly",           # median/MAD modified-z outlier screen
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -1719,3 +1719,83 @@ ORACLES["x7_holt_linear"] = f"""
            l + b AS forecast_next
     FROM rec WHERE i = len(vals)
 """
+
+
+MAD_Z_CUT = 3.5      # Iglewicz-Hoaglin modified z-score cutoff
+MAD_SCALE = 0.6745   # standard-normal consistency constant
+
+
+def x7_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the hourly rate series: the modified
+    z-score 0.6745*(x - median)/MAD with the Iglewicz-Hoaglin 3.5 cutoff
+    — the outlier screen that, unlike x7_peak_detection's mean/sd z, is
+    itself immune to the outliers it hunts (one crazy hour inflates sd
+    and hides its neighbors; the median/MAD pair doesn't move).
+
+    Exactness: median and MAD are EXACT interpolated percentiles over the
+    rollup-bounded per-type series (~10^4 rows per type-year — the
+    documented EXACT-percentile-at-rollup-scale exception, same contract
+    as x6_outlier_profile's Tukey fences); integer-valued inputs make the
+    interpolated midpoints exact halves, and the modified z rounds to
+    6 dp BEFORE the cutoff decision (CLAUDE.md rule 3).
+
+    Shape: the shared types x hours rollup, one per-type exact-percentile
+    aggregate, one broadcast join back, one filter. At 100 TB swap the
+    exact percentile for approx_percentile the way the dataset-card
+    family documents."""
+    events = load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(events)
+    med = dense.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    dev = dense.join(F.broadcast(med), "event_type").select(
+        "event_type", "bucket", "x", "med",
+        F.abs(F.col("x") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = F.round(
+        F.lit(MAD_SCALE) * (F.col("x") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("x").cast("long").alias("n_events"),
+            "med",
+            "mad",
+            z.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) >= F.lit(MAD_Z_CUT))
+    )
+
+
+QUERIES["x7_mad_anomaly"] = x7_mad_anomaly
+
+ORACLES["x7_mad_anomaly"] = f"""
+    WITH {_DENSE_SQL}
+    , med AS (
+        SELECT event_type, quantile_cont(x, 0.5) AS med
+        FROM dense GROUP BY event_type
+    ), dev AS (
+        SELECT d.event_type, d.bucket, d.x, m.med, abs(d.x - m.med) AS adev
+        FROM dense d JOIN med m ON d.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           strftime(dev.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(dev.x AS BIGINT) AS n_events,
+           dev.med,
+           mad.mad,
+           round(CAST({MAD_SCALE} AS DOUBLE) * (dev.x - dev.med) / mad.mad, 6)
+               AS robust_z
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE mad.mad > 0
+      AND abs(round(CAST({MAD_SCALE} AS DOUBLE) * (dev.x - dev.med)
+                    / mad.mad, 6)) >= CAST({MAD_Z_CUT} AS DOUBLE)
+"""

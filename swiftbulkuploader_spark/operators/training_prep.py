@@ -1084,3 +1084,68 @@ ORACLES["x6_class_balanced_weights"] = f"""
                / sum(CAST(1 AS DOUBLE) / effective_num) OVER () AS weight
     FROM en
 """
+
+
+KFOLD_K = 5
+
+
+def x6_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment + balance audit:
+    every doc hashes to one of KFOLD_K folds (md5 of doc_id — the same
+    engine-shared hash family as the stratified split and DSIR buckets),
+    and the report shows per-(fold, lang) counts with each fold's share
+    of that language — the table that certifies the folds are exchangeable
+    BEFORE any cross-validated quality-model number is trusted (a fold
+    that over-draws one language biases its round's eval).
+
+    Shape: one row-local hash + a (fold, lang) aggregate + a broadcast
+    join of the bounded lang totals. All outputs exact integers or
+    integer ratios. The assignment is reproducible on any engine — the
+    property that matters when train/eval splits outlive the cluster
+    that made them."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long"),
+        F.lit(KFOLD_K),
+    ).cast("int")
+    per = (
+        docs.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    lang_tot = per.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("lang_total")
+    )
+    return per.join(F.broadcast(lang_tot), "lang").select(
+        "fold",
+        "lang",
+        "n_docs",
+        "lang_total",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("lang_total").cast("double")
+        ).alias("fold_share"),
+    )
+
+
+QUERIES["x6_kfold_assignment"] = x6_kfold_assignment
+
+ORACLES["x6_kfold_assignment"] = f"""
+    WITH f AS (
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % {KFOLD_K} AS INT) AS fold,
+               lang
+        FROM documents
+    ), per AS (
+        SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY fold, lang
+    ), lt AS (
+        SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+        FROM per GROUP BY lang
+    )
+    SELECT per.fold, per.lang, per.n_docs, lt.lang_total,
+           CAST(per.n_docs AS DOUBLE) / CAST(lt.lang_total AS DOUBLE)
+               AS fold_share
+    FROM per JOIN lt ON per.lang = lt.lang
+"""

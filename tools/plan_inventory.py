@@ -121,6 +121,10 @@ EXACT_PERCENTILE_OK = {
                                # percentile_approx at 100 TB (SCALING.md)
     "w9_sliding_median",       # exact median over a ROWS-bounded 10-row
                                # frame: state is O(frame), not O(distinct)
+    "x7_mad_anomaly",          # exact median/MAD over the rollup-bounded
+                               # per-type hourly series (~10^4 rows per
+                               # type-year; approx_percentile at 100 TB,
+                               # the x6_outlier_profile contract)
 }
 
 # exact percentile / percentile_disc in a physical plan; must NOT match
