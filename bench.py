@@ -207,6 +207,7 @@ HEADLINE = [
     "x3_type_token_ratio",      # lexical diversity (TTR/Guiraud/Herdan)
     "x6_kfold_assignment",      # deterministic k-fold balance audit
     "x7_mad_anomaly",           # median/MAD modified-z outlier screen
+    "x10_packing_efficiency",   # per-shard fill-rate / waste report
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -1149,3 +1149,91 @@ ORACLES["x6_kfold_assignment"] = f"""
                AS fold_share
     FROM per JOIN lt ON per.lang = lt.lang
 """
+
+
+def x10_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the x3_pack_sequences plan — the
+    one-row-per-shard health table a training run reads before launching:
+    chunks, docs and token mass per language shard, mean fill rate
+    against the 2048-token budget, the overflow count (concat-and-chunk
+    lets a straddling doc spill its tail), and the padding waste a
+    non-overflowing chunk would pay. A shard whose fill rate sags means
+    its doc-length mix fights the budget (re-shard or raise the budget
+    before burning accelerator hours).
+
+    Shape: the same per-shard window cumsum as the packing plan (no
+    bin-packing loop), then one per-shard aggregate. Integer masses and
+    ratios-of-integers only — bit-identical across engines; the fill
+    rate uses each shard's FULL chunk count times the budget as the
+    denominator (the accelerator's allocation, overflow or not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "lang", "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    placed = toks.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(TOKEN_BUDGET)).cast("long")
+    )
+    chunks = placed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+    budget = F.lit(TOKEN_BUDGET).cast("long")
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum("chunk_tokens").cast("double")
+            / (F.count(F.lit(1)) * budget).cast("double")
+        ).alias("fill_rate"),
+        F.sum(F.when(F.col("chunk_tokens") > budget, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overflow_chunks"),
+        F.sum(
+            F.when(
+                F.col("chunk_tokens") <= budget,
+                budget - F.col("chunk_tokens"),
+            ).otherwise(0)
+        ).cast("long").alias("padding_waste_tokens"),
+    )
+
+
+QUERIES["x10_packing_efficiency"] = x10_packing_efficiency
+
+ORACLES["x10_packing_efficiency"] = f"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST({TOKENS_DUCK} AS BIGINT) AS n_tokens
+        FROM documents
+    ), placed AS (
+        SELECT lang, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {TOKEN_BUDGET} AS chunk_id
+        FROM t
+    ), chunks AS (
+        SELECT lang, chunk_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        FROM placed GROUP BY lang, chunk_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(chunk_tokens) AS DOUBLE)
+               / CAST(count(*) * {TOKEN_BUDGET} AS DOUBLE) AS fill_rate,
+           CAST(sum(CASE WHEN chunk_tokens > {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflow_chunks,
+           CAST(sum(CASE WHEN chunk_tokens <= {TOKEN_BUDGET}
+                         THEN {TOKEN_BUDGET} - chunk_tokens ELSE 0 END)
+                AS BIGINT) AS padding_waste_tokens
+    FROM chunks GROUP BY lang
+"""
