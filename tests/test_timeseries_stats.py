@@ -433,7 +433,7 @@ class TestKaplanMeier:
         ]
         _write_events(spark, tmp_path, rows)
         got = sorted(x7_kaplan_meier(spark, str(tmp_path)).collect(),
-                     key=lambda r: r["dur_us"])
+                     key=lambda r: r["dur_s"])
         assert len(got) == 2
         assert (got[0]["dur_hours"], got[0]["d"], got[0]["n_at_risk"]) == (1.0, 1, 4)
         assert got[0]["survival"] == pytest.approx(0.75)
@@ -453,7 +453,7 @@ class TestKaplanMeier:
         ]
         _write_events(spark, tmp_path, rows)
         got = sorted(x7_kaplan_meier(spark, str(tmp_path)).collect(),
-                     key=lambda r: r["dur_us"])
+                     key=lambda r: r["dur_s"])
         assert got[0]["survival"] == pytest.approx(0.5)
         assert got[1]["survival"] == 0.0
 

@@ -96,6 +96,9 @@ BOUNDED_BNLJ_OK = {
     "x2_mmd_drift",            # MMD_N=256-row sample cross joins (the
                                # quadratic kernel is bounded by design)
                                # + 1-row kernel-mean combinations
+    "x7_kaplan_meier",         # 1-row N total cross-joined into the
+                               # seconds-grid histogram (ScalarSubquery
+                               # pattern; round-8 two-level rewrite)
 }
 
 
