@@ -208,6 +208,10 @@ HEADLINE = [
     "x6_kfold_assignment",      # deterministic k-fold balance audit
     "x7_mad_anomaly",           # median/MAD modified-z outlier screen
     "x10_packing_efficiency",   # per-shard fill-rate / waste report
+    "x4_json_array_stats",      # JSON array parse + positional profile
+    "x4_json_schema_profile",   # per-key presence/type discovery profile
+    "x9_media_segment_plan",    # byte-budget packing of binary payloads
+    "x10_epoch_plan",           # two-level token-budget epoch schedule
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -127,3 +127,149 @@ ORACLES = {
         FROM events
     """,
 }
+
+
+def x4_json_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ARRAY parse + positional explode: each event's scalar k is
+    widened into a 3-element JSON array (built with IDENTICAL string
+    concatenation on both engines), parsed ONCE with an explicit
+    array<bigint> schema, positionally exploded, and profiled per
+    position — the repeated-measure / sensor-array shape (one JSON array
+    per record, stats per slot) that a single-parse `from_json` +
+    `posexplode` handles without one get_json_object call per index.
+
+    All outputs are exact integers. At scale: one parse per row, explode
+    fan-out is the fixed array length, map-side combine to |positions|
+    groups."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    arr = F.concat(
+        F.lit("["), k.cast("string"),
+        F.lit(","), F.pmod(k, F.lit(7)).cast("string"),
+        F.lit(","), F.pmod(k, F.lit(13)).cast("string"),
+        F.lit("]"),
+    )
+    parsed = events.select(
+        F.posexplode(
+            F.from_json(arr, "array<bigint>")
+        ).alias("pos", "v")
+    )
+    return parsed.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    )
+
+
+def x4_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference profile of a SEMI-STRUCTURED JSON column: per key,
+    how often it is present and the value range — the first artifact a
+    data engineer derives from an unknown event feed before writing
+    `from_json` schemas. The substrate is a VARIED JSON document (built
+    with identical concatenation on both engines: k always, v only on
+    purchases, u only when k % 3 = 0) so presence rates genuinely differ
+    per key.
+
+    Generic machinery, not per-key expressions: Spark parses once as
+    map<string,string> and explodes entries (any key set, no literal
+    paths); DuckDB replays with json_keys + computed-path
+    json_extract_string. Value min/max compare as strings on both
+    engines (lexicographic, engine-identical); presence_rate is an
+    integer ratio against the 1-row broadcast total."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    vi = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    j = F.concat(
+        F.lit('{"k":'), k.cast("string"),
+        F.when(F.col("event_type") == "purchase",
+               F.concat(F.lit(',"v":'), vi.cast("string"))).otherwise(F.lit("")),
+        F.when(F.pmod(k, F.lit(3)) == 0,
+               F.concat(F.lit(',"u":'), F.col("user_id").cast("string"))
+               ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    kv = events.select(
+        F.explode(F.from_json(j, "map<string,string>")).alias("key", "val")
+    )
+    total = events.select(F.count(F.lit(1)).alias("n_rows"))  # 1-row bcast
+    per_key = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.countDistinct("val").cast("long").alias("n_distinct_vals"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_present",
+        (
+            F.col("n_present").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("presence_rate"),
+        "n_distinct_vals",
+        "min_val",
+        "max_val",
+    )
+
+
+QUERIES["x4_json_array_stats"] = x4_json_array_stats
+QUERIES["x4_json_schema_profile"] = x4_json_schema_profile
+
+ORACLES["x4_json_array_stats"] = """
+    WITH base AS (
+        SELECT '[' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                           AS VARCHAR)
+               || ',' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 7
+                              AS VARCHAR)
+               || ',' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 13
+                              AS VARCHAR)
+               || ']' AS arr
+        FROM events
+    ), ex AS (
+        SELECT CAST(i AS INT) AS pos,
+               CAST(json_extract(arr, '$[' || i || ']') AS BIGINT) AS v
+        FROM base,
+             unnest(range(CAST(json_array_length(arr) AS BIGINT))) AS t(i)
+    )
+    SELECT pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM ex GROUP BY pos
+"""
+
+ORACLES["x4_json_schema_profile"] = """
+    WITH j AS (
+        SELECT '{"k":' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                               AS VARCHAR)
+               || CASE WHEN event_type = 'purchase'
+                       THEN ',"v":' || CAST(CAST(round(value * CAST(100 AS DOUBLE), 0)
+                                                 AS BIGINT) AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 3 = 0
+                       THEN ',"u":' || CAST(user_id AS VARCHAR)
+                       ELSE '' END
+               || '}' AS doc
+        FROM events
+    ), kv AS (
+        SELECT k AS key, json_extract_string(doc, '$.' || k) AS val
+        FROM j, unnest(json_keys(doc)) AS t(k)
+    ), tot AS (
+        SELECT count(*) AS n_rows FROM j
+    ), per_key AS (
+        SELECT key,
+               CAST(count(*) AS BIGINT) AS n_present,
+               CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals,
+               min(val) AS min_val,
+               max(val) AS max_val
+        FROM kv GROUP BY key
+    )
+    SELECT key, n_present,
+           CAST(n_present AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+               AS presence_rate,
+           n_distinct_vals, min_val, max_val
+    FROM per_key CROSS JOIN tot t
+"""

@@ -204,3 +204,68 @@ ORACLES["x9_frame_sample_plan"] = f"""
                / CAST({FRAME_FPS} AS DOUBLE) AS ts_s
     FROM plan
 """
+
+
+MEDIA_SEG_BUDGET = 4096  # bytes per upload segment
+
+
+def x9_media_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget upload segmentation over the BINARY media column — the
+    multimodal twin of the file segmenter (reference filesegmenter.py:4-69
+    splits one big file; at media scale the job is packing many small
+    blobs into fixed-size upload segments): media ordered by id packs
+    into MEDIA_SEG_BUDGET-byte segments by exclusive cumulative size,
+    one row per segment with its item span and byte load.
+
+    Cross-check by construction: Spark measures length(data) on the REAL
+    constructed binary payload, while the oracle PREDICTS each size
+    arithmetically (12-byte header + w*h pixel bytes) — a mismatch
+    anywhere in the binary plumbing (header text, unhex tiling) would
+    shift a segment boundary and fail the hash compare.
+
+    The packing window is unpartitioned but runs over the synth_media
+    frame, bounded at 200 rows by construction (BOUNDED_WINDOW_OK); the
+    production form shards exactly like x3_pack_sequences (two-level,
+    lang/shard partition)."""
+    from pyspark.sql.window import Window
+
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    sized = media.select(
+        "media_id", F.length("data").cast("long").alias("n_bytes")
+    )
+    w = Window.orderBy("media_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum_excl = F.coalesce(F.sum("n_bytes").over(w), F.lit(0).cast("long"))
+    placed = sized.withColumn(
+        "segment_id",
+        F.floor(cum_excl / F.lit(MEDIA_SEG_BUDGET)).cast("long"),
+    )
+    return placed.groupBy("segment_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("seg_bytes"),
+        F.min("media_id").cast("long").alias("first_media"),
+        F.max("media_id").cast("long").alias("last_media"),
+    )
+
+
+QUERIES["x9_media_segment_plan"] = x9_media_segment_plan
+
+ORACLES["x9_media_segment_plan"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(12 + (doc_id % 5 + 4) * (doc_id % 4 + 3) AS BIGINT)
+                   AS n_bytes
+        FROM documents ORDER BY doc_id LIMIT 200
+    ), placed AS (
+        SELECT media_id, n_bytes,
+               coalesce(sum(n_bytes) OVER (ORDER BY media_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {MEDIA_SEG_BUDGET} AS segment_id
+        FROM m
+    )
+    SELECT CAST(segment_id AS BIGINT) AS segment_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS seg_bytes,
+           CAST(min(media_id) AS BIGINT) AS first_media,
+           CAST(max(media_id) AS BIGINT) AS last_media
+    FROM placed GROUP BY segment_id
+"""

@@ -1237,3 +1237,120 @@ ORACLES["x10_packing_efficiency"] = f"""
                 AS BIGINT) AS padding_waste_tokens
     FROM chunks GROUP BY lang
 """
+
+
+EPOCH_BUDGET = 16384  # training tokens per epoch slice
+
+
+def x10_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan over the packed corpus: the x3_pack_sequences chunks,
+    laid out in (lang, chunk_id) order, are sliced into
+    EPOCH_BUDGET-token epochs by cumulative chunk tokens — the schedule
+    a dataloader walks, with per-epoch chunk/doc/token totals and the
+    language span each epoch touches (an epoch pinned inside one
+    language flags curriculum-order risk before the run starts).
+
+    Scale shape: the chunk cumsum is TWO-LEVEL (the x7_kaplan_meier
+    pattern) — within-lang windows PARTITIONED by lang, lang-level
+    offsets from a bounded window over the per-lang totals — so no
+    chunk-proportional single-task window exists (chunks grow with the
+    corpus). All masses are exact integers; epoch assignment is integer
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "lang", "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    placed = toks.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(TOKEN_BUDGET)).cast("long")
+    )
+    chunks = placed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+    # lang-level offsets (bounded: one row per language)
+    l_tot = chunks.groupBy("lang").agg(
+        F.sum("chunk_tokens").alias("l_tokens")
+    )
+    w_l = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    l_off = l_tot.select(
+        "lang",
+        F.coalesce(F.sum("l_tokens").over(w_l), F.lit(0).cast("long"))
+        .alias("tok_before_lang"),
+    )
+    w_in = Window.partitionBy("lang").orderBy("chunk_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed_chunks = chunks.join(F.broadcast(l_off), "lang").select(
+        "lang",
+        "chunk_id",
+        "n_docs",
+        "chunk_tokens",
+        F.floor(
+            (
+                F.col("tok_before_lang")
+                + F.coalesce(F.sum("chunk_tokens").over(w_in),
+                             F.lit(0).cast("long"))
+            )
+            / F.lit(EPOCH_BUDGET)
+        ).cast("long").alias("epoch"),
+    )
+    return placed_chunks.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chunk_tokens").cast("long").alias("epoch_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.min("lang").alias("first_lang"),
+        F.max("lang").alias("last_lang"),
+    )
+
+
+QUERIES["x10_epoch_plan"] = x10_epoch_plan
+
+ORACLES["x10_epoch_plan"] = f"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST({TOKENS_DUCK} AS BIGINT) AS n_tokens
+        FROM documents
+    ), placed AS (
+        SELECT lang, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {TOKEN_BUDGET} AS chunk_id
+        FROM t
+    ), chunks AS (
+        SELECT lang, chunk_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        FROM placed GROUP BY lang, chunk_id
+    ), l_off AS (
+        SELECT lang,
+               coalesce(sum(l_tokens) OVER (ORDER BY lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_before_lang
+        FROM (SELECT lang, sum(chunk_tokens) AS l_tokens
+              FROM chunks GROUP BY lang)
+    ), pc AS (
+        SELECT c.lang, c.chunk_id, c.n_docs, c.chunk_tokens,
+               (o.tok_before_lang
+                + coalesce(sum(c.chunk_tokens) OVER (
+                      PARTITION BY c.lang ORDER BY c.chunk_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               // {EPOCH_BUDGET} AS epoch
+        FROM chunks c JOIN l_off o ON c.lang = o.lang
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(chunk_tokens) AS BIGINT) AS epoch_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(lang) AS first_lang,
+           max(lang) AS last_lang
+    FROM pc GROUP BY epoch
+"""

@@ -99,6 +99,8 @@ BOUNDED_BNLJ_OK = {
     "x7_kaplan_meier",         # 1-row N total cross-joined into the
                                # seconds-grid histogram (ScalarSubquery
                                # pattern; round-8 two-level rewrite)
+    "x4_json_schema_profile",  # 1-row corpus-total broadcast into the
+                               # bounded per-key profile
 }
 
 
@@ -182,6 +184,12 @@ BOUNDED_WINDOW_OK = {
                               # prefix over the 6-dp score grid (<= 2001
                               # partial rows; within-bucket windows ARE
                               # partitioned, <= 1000 rows each)
+    "x9_media_segment_plan",  # packing cumsum over the synth_media frame
+                              # (200 rows by construction; the production
+                              # form shards like x3_pack_sequences)
+    "x10_epoch_plan",         # lang-level offset window of the two-level
+                              # chunk cumsum (one row per language;
+                              # within-lang windows ARE partitioned)
 }
 
 # windowspecdefinition(part..., order... ASC/DESC NULLS ..., specifiedwindowframe(...))
