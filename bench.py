@@ -212,6 +212,9 @@ HEADLINE = [
     "x4_json_schema_profile",   # per-key presence/type discovery profile
     "x9_media_segment_plan",    # byte-budget packing of binary payloads
     "x10_epoch_plan",           # two-level token-budget epoch schedule
+    "x3_char_entropy",          # bits/char compression-proxy per source
+    "x6_welch_ttest",           # exact-integer-moment Welch t + null row
+    "x7_gap_histogram",         # log2 inter-event gap distribution
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

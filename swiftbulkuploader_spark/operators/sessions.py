@@ -384,3 +384,77 @@ ORACLES["x7_retention_cohorts"] = """
                AS retention
     FROM per JOIN sz ON per.d0 = sz.d0
 """
+
+
+def x7_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per event type, log2-bucketed — the
+    arrival-process fingerprint behind the GAP_MINUTES sessionization
+    threshold (the session gap should sit in the valley between the
+    within-session mode and the between-visit mode; this histogram shows
+    both) and the burstiness companion to x7_burstiness' scalar triple.
+
+    Buckets are floor(log2(gap_seconds)) with sub-second gaps pinned to
+    bucket 0 — EXACT integer arithmetic via bit_length (floor(log2(n)) =
+    bit_length(n) - 1 for n >= 1; DuckDB's bit_length counts bits of the
+    VARBIT cast, matched via exact integer comparison instead: the oracle
+    replays with length(bin(...)) arithmetic-free). Gaps come from a
+    lag window PARTITIONED by (user_id) — per-user sequences, never a
+    type-wide single task; the histogram is a (type, bucket) aggregate
+    (bounded: ~60 log2 buckets x types).
+
+    All counts exact integers; bucket bounds are exact powers of two
+    emitted as BIGINTs."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = events.select(
+        "event_type",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gsec = F.expr("gap_us div 1000000")
+    bucket = F.when(gsec < 1, F.lit(0)).otherwise(
+        (F.length(F.conv(gsec.cast("string"), 10, 2)) - 1).cast("int")
+    )
+    hist = gaps.select("event_type", bucket.alias("b")).groupBy(
+        "event_type", "b"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    return hist.select(
+        "event_type",
+        F.col("b").cast("int").alias("log2_bucket"),
+        F.expr("CAST(CASE WHEN b = 0 THEN 0"
+               " ELSE shiftleft(CAST(1 AS BIGINT), b) END AS BIGINT)")
+        .alias("gap_s_lo"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), b + 1) AS BIGINT)")
+        .alias("gap_s_hi"),
+        "n_gaps",
+    )
+
+
+QUERIES["x7_gap_histogram"] = x7_gap_histogram
+
+ORACLES["x7_gap_histogram"] = """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gsec
+        FROM events
+        QUALIFY lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+    ), b AS (
+        SELECT event_type,
+               CASE WHEN gsec < 1 THEN 0
+                    ELSE length(bin(gsec)) - 1 END AS bkt
+        FROM g
+    ), hist AS (
+        SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS n_gaps
+        FROM b GROUP BY event_type, bkt
+    )
+    SELECT event_type,
+           CAST(bkt AS INT) AS log2_bucket,
+           CAST(CASE WHEN bkt = 0 THEN 0 ELSE 1 << bkt END AS BIGINT)
+               AS gap_s_lo,
+           CAST(1 << (bkt + 1) AS BIGINT) AS gap_s_hi,
+           n_gaps
+    FROM hist
+"""

@@ -491,3 +491,136 @@ def _boot_oracle_sql() -> str:
 
 
 ORACLES["x6_poisson_bootstrap"] = _boot_oracle_sql()
+
+
+def x6_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean order price — the
+    continuous-outcome companion to x6_ab_test's two-proportion z: one
+    NULL SPLIT row (orderkey parity — same distribution, |t| should be
+    small) calibrates the one REAL split row (urgent/high priority vs
+    rest), the same own-baseline reporting discipline as x2_mmd_drift.
+    Satterthwaite df included (the number to feed a t table).
+
+    EXACTNESS (the reason this query is engineered, not just written):
+    a double sum over 10^5 prices carries ~1e-11 relative summation-order
+    error, and the null split's mean DIFFERENCE is small — t would agree
+    across engines to only ~7 digits and fail the 9-digit compare. So
+    prices become exact integer CENTS (round(price*100) — 2-dp source
+    data, exact both engines) and every sum runs in EXACT integer space:
+    Spark decimal(30,0) sums vs DuckDB HUGEINT sums, both overflow-free
+    at 10^19 magnitudes. The exact integers cast to double identically
+    (nearest), so mean/variance/t/df are ONE fixed-shape double
+    expression over bit-identical operands — the x2_pq_distortion
+    scaled-integer discipline applied to second moments.
+
+    Shape: per comparison ONE conditional aggregate over the scan
+    (map-side combined, no shuffle beyond the 1-row agg), two aggregate
+    subtrees unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast(
+        "decimal(20,0)"
+    )
+
+    def welch_row(in_a, in_b, tag):
+        base = orders.select(
+            cents.alias("c"),
+            in_a.alias("ia"),
+            in_b.alias("ib"),
+        )
+        agg = base.agg(
+            F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("ia"), F.col("c"))).alias("sx1"),
+            F.sum(F.when(F.col("ia"), F.col("c") * F.col("c"))).alias("sxx1"),
+            F.sum(F.when(F.col("ib"), 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when(F.col("ib"), F.col("c"))).alias("sx2"),
+            F.sum(F.when(F.col("ib"), F.col("c") * F.col("c"))).alias("sxx2"),
+        )
+        n1d = F.col("n1").cast("double")
+        n2d = F.col("n2").cast("double")
+        sx1 = F.col("sx1").cast("double")
+        sx2 = F.col("sx2").cast("double")
+        sxx1 = F.col("sxx1").cast("double")
+        sxx2 = F.col("sxx2").cast("double")
+        m1 = sx1 / n1d
+        m2 = sx2 / n2d
+        v1 = (sxx1 - sx1 * sx1 / n1d) / (n1d - F.lit(1.0))
+        v2 = (sxx2 - sx2 * sx2 / n2d) / (n2d - F.lit(1.0))
+        se2 = v1 / n1d + v2 / n2d
+        t = (m1 - m2) / F.sqrt(se2)
+        df = (se2 * se2) / (
+            (v1 / n1d) * (v1 / n1d) / (n1d - F.lit(1.0))
+            + (v2 / n2d) * (v2 / n2d) / (n2d - F.lit(1.0))
+        )
+        return agg.select(
+            F.lit(tag).alias("comparison"),
+            F.col("n1").alias("n_a"),
+            F.col("n2").alias("n_b"),
+            ((m1 - m2) / F.lit(100.0)).alias("mean_diff"),
+            t.alias("t_stat"),
+            df.alias("welch_df"),
+        )
+
+    null_split = welch_row(
+        F.col("o_orderkey") % 2 == 0,
+        F.col("o_orderkey") % 2 == 1,
+        "null_split",
+    )
+    prio = welch_row(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        "priority_split",
+    )
+    return null_split.unionByName(prio)
+
+
+QUERIES["x6_welch_ttest"] = x6_welch_ttest
+
+
+def _welch_oracle_sql() -> str:
+    def row(ca, cb, tag):
+        return f"""
+        SELECT '{tag}' AS comparison,
+               CAST(n1 AS BIGINT) AS n_a,
+               CAST(n2 AS BIGINT) AS n_b,
+               (sx1 / n1d - sx2 / n2d) / CAST(100 AS DOUBLE) AS mean_diff,
+               (sx1 / n1d - sx2 / n2d)
+                   / sqrt(((sxx1 - sx1 * sx1 / n1d) / (n1d - CAST(1 AS DOUBLE))) / n1d
+                          + ((sxx2 - sx2 * sx2 / n2d) / (n2d - CAST(1 AS DOUBLE))) / n2d)
+                   AS t_stat,
+               ((((sxx1 - sx1 * sx1 / n1d) / (n1d - CAST(1 AS DOUBLE))) / n1d
+                 + ((sxx2 - sx2 * sx2 / n2d) / (n2d - CAST(1 AS DOUBLE))) / n2d)
+                * (((sxx1 - sx1 * sx1 / n1d) / (n1d - CAST(1 AS DOUBLE))) / n1d
+                   + ((sxx2 - sx2 * sx2 / n2d) / (n2d - CAST(1 AS DOUBLE))) / n2d))
+               / ((((sxx1 - sx1 * sx1 / n1d) / (n1d - CAST(1 AS DOUBLE))) / n1d)
+                  * (((sxx1 - sx1 * sx1 / n1d) / (n1d - CAST(1 AS DOUBLE))) / n1d)
+                  / (n1d - CAST(1 AS DOUBLE))
+                  + (((sxx2 - sx2 * sx2 / n2d) / (n2d - CAST(1 AS DOUBLE))) / n2d)
+                    * (((sxx2 - sx2 * sx2 / n2d) / (n2d - CAST(1 AS DOUBLE))) / n2d)
+                    / (n2d - CAST(1 AS DOUBLE))) AS welch_df
+        FROM (
+            SELECT sum(CASE WHEN {ca} THEN 1 ELSE 0 END) AS n1,
+                   CAST(sum(CASE WHEN {ca} THEN 1 ELSE 0 END) AS DOUBLE) AS n1d,
+                   CAST(sum(CASE WHEN {ca} THEN c END) AS DOUBLE) AS sx1,
+                   CAST(sum(CASE WHEN {ca} THEN c * c END) AS DOUBLE) AS sxx1,
+                   sum(CASE WHEN {cb} THEN 1 ELSE 0 END) AS n2,
+                   CAST(sum(CASE WHEN {cb} THEN 1 ELSE 0 END) AS DOUBLE) AS n2d,
+                   CAST(sum(CASE WHEN {cb} THEN c END) AS DOUBLE) AS sx2,
+                   CAST(sum(CASE WHEN {cb} THEN c * c END) AS DOUBLE) AS sxx2
+            FROM (
+                SELECT CAST(round(o_totalprice * CAST(100 AS DOUBLE), 0)
+                            AS BIGINT) AS c,
+                       o_orderkey, o_orderpriority
+                FROM orders
+            )
+        )"""
+
+    return (
+        "    " + row("o_orderkey % 2 = 0", "o_orderkey % 2 = 1", "null_split")
+        + "\n    UNION ALL\n    "
+        + row("o_orderpriority IN ('1-URGENT', '2-HIGH')",
+              "o_orderpriority NOT IN ('1-URGENT', '2-HIGH')",
+              "priority_split")
+    )
+
+
+ORACLES["x6_welch_ttest"] = _welch_oracle_sql()

@@ -2253,3 +2253,69 @@ ORACLES["x3_type_token_ratio"] = """
                AS log_ttr
     FROM ntk JOIN nty ON ntk.source = nty.source
 """
+
+
+def x3_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per source — the compression-ratio
+    proxy quality heuristic (machine-generated / templated text compresses
+    further than natural prose; gzip-ratio filters in C4/RefinedWeb-style
+    pipelines are this number by another name): H = -sum p ln p over the
+    source's character distribution, reported as bits/char with
+    redundancy vs the source's own observed alphabet.
+
+    Shape: one explode of text to characters -> (source, char) cell
+    counts (alphabet-bounded table) -> per-source aggregate using the
+    observed-cells identity H = ln N - (sum c ln c)/N (zero cells never
+    materialize — the x6_mutual_information discipline). Integer counts
+    in, one fixed-shape expression out; sum(c ln c) carries only
+    positive-term summation-order ulps (9-digit normalized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.filter(F.length("text") > 0).select(
+        "source", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    cells = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("alphabet"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("sclc"),
+    )
+    n = F.col("n_chars").cast("double")
+    h_nats = F.log(n) - F.col("sclc") / n
+    ln2 = F.log(F.lit(2.0))
+    bits = h_nats / ln2
+    return agg.select(
+        "source",
+        "n_chars",
+        "alphabet",
+        bits.alias("bits_per_char"),
+        (F.lit(1.0) - h_nats / F.log(F.col("alphabet").cast("double")))
+        .alias("redundancy"),
+    )
+
+
+QUERIES["x3_char_entropy"] = x3_char_entropy
+
+ORACLES["x3_char_entropy"] = """
+    WITH ch AS (
+        SELECT source, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE length(text) > 0
+    ), cells AS (
+        SELECT source, ch, count(*) AS c
+        FROM ch WHERE length(ch) > 0 GROUP BY source, ch
+    ), agg AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS alphabet,
+               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclc
+        FROM cells GROUP BY source
+    )
+    SELECT source, n_chars, alphabet,
+           (ln(CAST(n_chars AS DOUBLE))
+            - sclc / CAST(n_chars AS DOUBLE)) / ln(CAST(2 AS DOUBLE))
+               AS bits_per_char,
+           CAST(1 AS DOUBLE)
+               - (ln(CAST(n_chars AS DOUBLE)) - sclc / CAST(n_chars AS DOUBLE))
+                 / ln(CAST(alphabet AS DOUBLE)) AS redundancy
+    FROM agg
+"""
