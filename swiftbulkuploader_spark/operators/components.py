@@ -350,10 +350,11 @@ def connected_components_star(edges: DataFrame, max_iter: int = 40,
             # dirs already present belong to ANOTHER run (a second
             # reliable=True call in the same app, or any other
             # df.checkpoint() user sharing the dir): seed them as seen so
-            # they never enter a generation and are never deleted — this
-            # run GCs only dirs it created (round-8, from the r7 advice:
-            # the old code treated every pre-existing rdd-* dir as its own
-            # generation 0 and swept it two generations later)
+            # they never enter a generation and are never deleted. Dirs a
+            # concurrent writer creates WHILE this run is in flight are
+            # handled by the per-call before/after diff in _ckpt below
+            # (round 9, from the r8 advice) — only a dir created inside
+            # our own eager checkpoint() window can still be misadopted.
             ckpt_seen.update(
                 e for e in os.listdir(p) if e.startswith("rdd-")
             )
@@ -370,12 +371,11 @@ def connected_components_star(edges: DataFrame, max_iter: int = 40,
                     pass
         return total
 
-    def _track_and_gc() -> None:
+    def _track_and_gc(new_dirs: set[str]) -> None:
         if ckpt_root is None:
             return
-        names = {e for e in os.listdir(ckpt_root) if e.startswith("rdd-")}
-        ckpt_gens.append(sorted(names - ckpt_seen))
-        ckpt_seen.update(names)
+        ckpt_gens.append(sorted(new_dirs - ckpt_seen))
+        ckpt_seen.update(new_dirs)
         CKPT_STATS["peak_bytes"] = max(CKPT_STATS["peak_bytes"], _dir_bytes())
         CKPT_STATS["rounds"] += 1
         while len(ckpt_gens) > 2:
@@ -383,10 +383,26 @@ def connected_components_star(edges: DataFrame, max_iter: int = 40,
                 shutil.rmtree(os.path.join(ckpt_root, d), ignore_errors=True)
         CKPT_STATS["end_bytes"] = _dir_bytes()
 
+    def _rdd_dirs() -> set[str]:
+        if ckpt_root is None:
+            return set()
+        return {e for e in os.listdir(ckpt_root) if e.startswith("rdd-")}
+
     def _ckpt(df: DataFrame) -> DataFrame:
         if reliable:
+            # Attribute to this generation ONLY the rdd-* dirs that
+            # appear across this eager checkpoint() call (before/after
+            # listdir diff). A concurrent checkpoint user sharing the
+            # dir is therefore safe except in the narrow window of the
+            # call itself — a dir another writer creates DURING our
+            # eager materialization is still misadopted and swept two
+            # generations later. Residual caveat, stated: truly
+            # concurrent writers should use distinct checkpoint dirs;
+            # Python cannot read Dataset.checkpoint's internal RDD id
+            # to do exact attribution.
+            before = _rdd_dirs()
             out = df.checkpoint(eager=True)
-            _track_and_gc()
+            _track_and_gc(_rdd_dirs() - before)
             return out
         return df.localCheckpoint(eager=True)
 

@@ -2570,10 +2570,14 @@ def x1_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "source", "n_chars", fp.alias("fp"))
     # scalar composite key (n_chars desc, doc_id asc): DuckDB v1.0.0's
     # arg_max has no struct-key overload, so both engines rank on
-    # n_chars * 1e12 - doc_id (doc_id << 1e12 by construction)
+    # n_chars * 1e12 - doc_id. Computed in exact wide-integer space
+    # (Spark decimal(38,0) vs DuckDB HUGEINT) so the key cannot wrap
+    # int64 once n_chars exceeds ~9.2e6 (a 9 MB document is realistic at
+    # 100 TB; BIGINT would wrap silently in Spark and error in DuckDB).
     keep = base.groupBy("fp").agg(
         F.expr(
-            "max_by(doc_id, n_chars * 1000000000000 - doc_id)"
+            "max_by(doc_id, CAST(n_chars AS DECIMAL(38,0))"
+            " * 1000000000000 - doc_id)"
         ).alias("keeper_id")
     )
     flagged = base.join(keep, "fp").select(
@@ -2602,7 +2606,8 @@ ORACLES["x1_dedup_survivorship"] = f"""
     WITH base AS (
         SELECT doc_id, source, n_chars, {_FP_DUCK} AS fp FROM documents
     ), keep AS (
-        SELECT fp, arg_max(doc_id, n_chars * 1000000000000 - doc_id)
+        SELECT fp, arg_max(doc_id, CAST(n_chars AS HUGEINT)
+                                   * 1000000000000 - doc_id)
                    AS keeper_id
         FROM base GROUP BY fp
     ), flagged AS (

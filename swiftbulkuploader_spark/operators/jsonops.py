@@ -143,10 +143,13 @@ def x4_json_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # Spark's `%` keeps the dividend's sign exactly like DuckDB's `%`
+    # (pmod would be non-negative and silently diverge the array
+    # contents if a feed ever carried a negative k).
     arr = F.concat(
         F.lit("["), k.cast("string"),
-        F.lit(","), F.pmod(k, F.lit(7)).cast("string"),
-        F.lit(","), F.pmod(k, F.lit(13)).cast("string"),
+        F.lit(","), (k % F.lit(7)).cast("string"),
+        F.lit(","), (k % F.lit(13)).cast("string"),
         F.lit("]"),
     )
     parsed = events.select(

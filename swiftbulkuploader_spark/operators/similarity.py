@@ -2967,10 +2967,15 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     MMD_N^2 pairs regardless of corpus size (the bounded-BNLJ class; at
     100 TB the samples are still MMD_N rows). Exactness: squared
     distances come from dot products (||x-y||^2 = nx + ny - 2 x.y,
-    unrolled codegen); each kernel mean is rounded to 8 dp BEFORE the
-    MMD combination — the near-total-cancellation discipline (CLAUDE.md
-    11a): the null split's means agree to ~1e-3, so an unrounded
-    difference would sit entirely inside summation-order noise."""
+    unrolled codegen); each PAIRWISE kernel value is quantized to a 1e-8
+    integer grid and summed EXACTLY in BIGINT (order-independent; <=
+    MMD_N^2 * 1e8 ~ 6.6e12, no overflow), then divided once — the
+    x2_pq_distortion scaled-integer discipline. Rounding the float MEAN
+    (the earlier form) left a 65k-term summation-order-dependent double
+    under the 8-dp round, which could flip at a half-way point between
+    engines/runs; quantize-then-sum makes both engines' operands
+    bit-identical before the near-total-cancellation MMD combination
+    (null split means agree to ~1e-3)."""
     from swiftbulkuploader_spark.functions.vectors import dot_product_unrolled
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2998,8 +3003,13 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def kmean(xa, xb, na, nb, a, b):
         sq = F.col(na) + F.col(nb) - F.lit(2.0) * dot_product_unrolled(a, b, dim)
         k = F.exp(-sq / F.lit(2.0 * MMD_SIGMA2))
+        # floor(k*1e8 + 0.5): each pairwise kernel value (a fixed-shape
+        # double, bit-identical across engines) lands on an integer grid
+        # BEFORE the commutative sum, so the mean is sum/cnt of exact
+        # integers — no order-dependent float accumulation under a round.
+        kq = F.floor(k * F.lit(1e8) + F.lit(0.5)).cast("long")
         return xa.crossJoin(xb).agg(  # bounded: MMD_N x MMD_N pairs
-            F.round(F.avg(k), 8).alias("km"),
+            F.sum(kq).alias("ksum"),
             F.count(F.lit(1)).alias("np"),
         )
 
@@ -3007,14 +3017,22 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         xa, xb = side(fa, "a"), side(fb, "b")
         xa2 = side(fa, "a2")
         xb2 = side(fb, "b2")
+
+        def grid_mean():
+            return F.col("ksum").cast("double") / (
+                F.col("np").cast("double") * F.lit(1e8)
+            )
+
         kaa = kmean(xa, xa2, "na", "na2", "va", "va2").select(
-            F.col("km").alias("k_aa"), (F.col("np") ** 0.5).cast("long").alias("n_a")
+            grid_mean().alias("k_aa"),
+            (F.col("np") ** 0.5).cast("long").alias("n_a"),
         )
         kbb = kmean(xb, xb2, "nb", "nb2", "vb", "vb2").select(
-            F.col("km").alias("k_bb"), (F.col("np") ** 0.5).cast("long").alias("n_b")
+            grid_mean().alias("k_bb"),
+            (F.col("np") ** 0.5).cast("long").alias("n_b"),
         )
         kab = kmean(xa, xb, "na", "nb", "va", "vb").select(
-            F.col("km").alias("k_ab")
+            grid_mean().alias("k_ab")
         )
         return (
             kaa.crossJoin(kbb).crossJoin(kab)  # bounded: 1-row frames
@@ -3066,7 +3084,14 @@ def _mmd_oracle_sql() -> str:
     )
 
     def km(a, b):
-        return (f"(SELECT round(avg({k}), 8) FROM {a} a CROSS JOIN {b} b)")
+        # quantize each pairwise kernel to the 1e-8 integer grid, sum
+        # exactly, divide once — mirrors the Spark side bit-for-bit
+        return (
+            f"(SELECT CAST(sum(CAST(floor({k} * CAST(100000000 AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+            f" / (CAST(count(*) AS DOUBLE) * CAST(100000000 AS DOUBLE))"
+            f" FROM {a} a CROSS JOIN {b} b)"
+        )
 
     def row(a, b, tag):
         return f"""

@@ -2083,15 +2083,20 @@ def x6_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi-square score ranks tokens by how strongly their frequency
     DEVIATES from source-independence, the classic feature-selection
     statistic for domain signatures / classifier vocabularies. Only
-    over-represented tokens qualify (observed > expected, the integer
-    cross-product test c*n > g*ns), top CHI2_TOP_K per source.
+    over-represented tokens qualify (observed > expected, the
+    cross-product test c*n > g*ns evaluated in double — see below), top
+    CHI2_TOP_K per source.
 
     Scale shape: ONE token-keyed shuffle to (source, token) cells (the
     x6_jsd_sources substrate), per-token and per-source marginals as
     PARTITIONED window sums over the vocab-bounded cell table, grand
     total via 1-row broadcast (bounded BNLJ), and the top-k rank windows
-    are PARTITIONED by source. Exactness: all four cell counts are exact
-    integers; chi2 is one fixed-shape double expression (casts and
+    are PARTITIONED by source. Exactness: all four cell counts and
+    marginals are exact integers bounded by n (total tokens); the
+    cross-products ad-bc and c*n / g*ns are bounded by n^2, so each
+    FACTOR is cast to double before multiplying (exact up to n ~ 9e15
+    tokens; a BIGINT product would wrap silently past n ~ 3e9 — the
+    100 TB regime). chi2 is one fixed-shape double expression (casts and
     parenthesization mirrored in the oracle, so both engines round the
     identical double), 6-dp-rounded BEFORE the rank decision with a
     token tie-break (CLAUDE.md rule 3).
@@ -2120,7 +2125,17 @@ def x6_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.col("g") - F.col("c")
     cc = F.col("ns") - F.col("c")
     d = F.col("n") - F.col("g") - F.col("ns") + F.col("c")
-    diff = (a * d - b * cc).cast("double")  # |ad-bc| <= n^2, exact BIGINT
+    # The 2x2 marginals are each <= n (total tokens, exact BIGINT), but
+    # the cross-products ad / bc / cn / g*ns are bounded only by n^2 —
+    # past n ~ 3e9 tokens BIGINT products wrap silently in Spark (and
+    # error in DuckDB). Cast each FACTOR to double before multiplying:
+    # the factors themselves stay exact (n < 2^53 up to ~9e15 tokens) and
+    # both engines form the identical fixed-shape double expression, so
+    # the 6-dp-rounded chi2 and the over-representation predicate still
+    # agree bit-for-bit.
+    diff = a.cast("double") * d.cast("double") - b.cast("double") * cc.cast(
+        "double"
+    )
     denom = (
         (a + b).cast("double")
         * (cc + d).cast("double")
@@ -2129,7 +2144,8 @@ def x6_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chi2 = F.round(F.col("n").cast("double") * (diff * diff) / denom, 6)
     scored = aug.filter(
-        F.col("c") * F.col("n") > F.col("g") * F.col("ns")  # over-represented
+        F.col("c").cast("double") * F.col("n").cast("double")
+        > F.col("g").cast("double") * F.col("ns").cast("double")
     ).select("source", "t", "c", "g", chi2.alias("chi2"))
     w_rk = Window.partitionBy("source").orderBy(
         F.col("chi2").desc(), F.col("t").asc()
@@ -2167,17 +2183,18 @@ ORACLES["x6_chi2_keywords"] = f"""
     ), scored AS (
         SELECT source, t, c, g,
                round(CAST(n AS DOUBLE)
-                     * ((CAST(c * (n - g - ns + c) - (g - c) * (ns - c)
-                              AS DOUBLE))
-                        * (CAST(c * (n - g - ns + c) - (g - c) * (ns - c)
-                                AS DOUBLE)))
+                     * ((CAST(c AS DOUBLE) * CAST(n - g - ns + c AS DOUBLE)
+                         - CAST(g - c AS DOUBLE) * CAST(ns - c AS DOUBLE))
+                        * (CAST(c AS DOUBLE) * CAST(n - g - ns + c AS DOUBLE)
+                           - CAST(g - c AS DOUBLE) * CAST(ns - c AS DOUBLE)))
                      / (CAST(c + (g - c) AS DOUBLE)
                         * CAST((ns - c) + (n - g - ns + c) AS DOUBLE)
                         * CAST(c + (ns - c) AS DOUBLE)
                         * CAST((g - c) + (n - g - ns + c) AS DOUBLE)),
                      6) AS chi2
         FROM aug
-        WHERE c * n > g * ns
+        WHERE CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+              > CAST(g AS DOUBLE) * CAST(ns AS DOUBLE)
     )
     SELECT source, CAST(rk AS INT) AS rk, t AS token, chi2,
            CAST(c AS BIGINT) AS n_in_source,
