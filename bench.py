@@ -16,7 +16,13 @@ reads that file, not the stdout line.
 
 Each query is forced end-to-end with a noop sink (full compute, no driver
 collect overhead). A tiny warmup query absorbs JVM/codegen startup so the
-numbers measure the plans, not the JVM.
+numbers measure the plans, not the JVM. Reps are scheduled ROUND-ROBIN
+across the whole suite (rep-1 of every query, then rep-2, ...) so slow
+machine-state drift lands in every query's median instead of
+concentrating in whichever queries ran during a bad window — the source
+of the false per-query "regressions" hand-adjudicated in rounds 7 and 8
+(round-9 change; per-rep durations + start timestamps in the detail
+file).
 
 The upload pipeline is measured FIRST (before the headline queries pin any
 shared persisted bases) and as a median of `reps` full runs, the same
@@ -306,37 +312,62 @@ def main() -> None:
     pipe_sec, pipe_rate, resume_sec, pipe_min = _bench_pipeline(
         spark, reps=reps)
 
-    timings: dict[str, float] = {}
-    timings_min: dict[str, float] = {}
-    timings_build: dict[str, float] = {}
-    timings_exec: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = BENCH_OVERRIDES.get(name, registry.QUERIES.get(name))
-        # median of n>=3: single-run ±30% JVM/GC swings masqueraded as
-        # regressions in earlier rounds; the median is attributable.
-        # Each rep splits DataFrame BUILD (the Python/Py4J plan
-        # construction — the x2_ivf_pq_topk trap: 8.8 s of a 8.3 s median
-        # was per-element literal calls) from EXECUTE (analysis +
-        # optimization + run via the noop sink), so a build-bound outlier
-        # is visible in the artifact without manual profiling (round-7
-        # verdict ask #8; CLAUDE.md rule 10).
-        samples, b_samples, e_samples = [], [], []
-        for _ in range(reps):
+    # Interleaved round-robin scheduling (round-9 verdict ask #1): run
+    # rep-1 of EVERY query, then rep-2, then rep-3 — instead of 3
+    # consecutive reps per query. Machine-state drift (thermal/cgroup/
+    # page-cache "weather", the measured ~1.35x same-code envelope in
+    # SCALING.md) is slow relative to one query but fast relative to the
+    # full suite; consecutive reps hand all of a query's samples to
+    # whatever state its ~10 s slot landed in, so the MEDIAN inherits the
+    # drift and manufactures per-query false regressions (adjudicated by
+    # hand in r7 AND r8). Round-robin spreads each query's samples across
+    # the whole run's state trajectory, so the median sees the mix.
+    # Memoized shared bases (_LLOYD_CACHE etc.) behave identically under
+    # either order: the first rep of the consuming query builds, later
+    # reps hit, so rep-1 totals carry warmup and the median discards it.
+    # Each rep still splits BUILD (Python/Py4J plan construction — the
+    # x2_ivf_pq_topk trap) from EXECUTE (analysis + optimization + run
+    # via the noop sink) per CLAUDE.md rule 10 / r7 ask #8; per-rep
+    # durations AND start timestamps go to BENCH_LOCAL.json so a slow
+    # sample can be correlated with its wall-clock window after the fact.
+    per_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    per_build: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    per_exec: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    per_t0: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    rep_windows: list[dict[str, float]] = []
+    for r in range(reps):
+        rep_start = time.time()
+        for name in HEADLINE:
+            fn = BENCH_OVERRIDES.get(name, registry.QUERIES.get(name))
             t0 = time.time()
             df = fn(spark, sf_dir)
             t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
-            samples.append(t2 - t0)
-            b_samples.append(t1 - t0)
-            e_samples.append(t2 - t1)
-        samples.sort()
-        b_samples.sort()
-        e_samples.sort()
+            per_t0[name].append(round(t0, 3))
+            per_samples[name].append(t2 - t0)
+            per_build[name].append(t1 - t0)
+            per_exec[name].append(t2 - t1)
+        rep_windows.append({
+            "rep": r,
+            "start_unix": round(rep_start, 3),
+            "end_unix": round(time.time(), 3),
+        })
+
+    timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_build: dict[str, float] = {}
+    timings_exec: dict[str, float] = {}
+    timings_reps: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        samples = sorted(per_samples[name])
+        b_samples = sorted(per_build[name])
+        e_samples = sorted(per_exec[name])
         timings[name] = round(samples[len(samples) // 2], 3)
         timings_min[name] = round(samples[0], 3)
         timings_build[name] = round(b_samples[len(b_samples) // 2], 3)
         timings_exec[name] = round(e_samples[len(e_samples) // 2], 3)
+        timings_reps[name] = [round(s, 3) for s in per_samples[name]]
 
     timings["pipeline_upload_2k_files"] = pipe_sec
     timings_min["pipeline_upload_2k_files"] = pipe_min
@@ -370,6 +401,10 @@ def main() -> None:
             "queries_min": timings_min,
             "queries_build": timings_build,
             "queries_exec": timings_exec,
+            "queries_reps": timings_reps,
+            "queries_rep_t0": per_t0,
+            "rep_windows": rep_windows,
+            "rep_order": "round_robin",
             "uploads_per_sec": pipe_rate,
             "reps": reps,
             "sf": sf_val,
