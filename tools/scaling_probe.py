@@ -1274,7 +1274,99 @@ def shape_containment_pairs(df):
     )
 
 
+def shape_km_survival(df):
+    """x7_kaplan_meier's two-level bounded prefix-sum skeleton
+    (sessions.py:117) — the round-8 rewrite of the class the r7 verdict
+    flagged (single-partition exact-microsecond window), now shared by
+    x2_label_auc's rank prefix. Synthesized so the STRESS grows with n:
+    n/10 users (~10 events each) scattered over an n-second span, so the
+    per-user duration histogram lands ~360 rows in each 3600-second
+    bucket while the bucket table itself grows only as span/3600 (n/3600
+    rows — the bounded level-2 window; 2.8k rows at 10M, ~87k for a
+    10-year span at 100 TB). Expectation: wall ~linear (the per-user
+    aggregate dominates), level-1 windows stay partitioned (<= 3600 rows
+    by construction), and shuffle bytes track the per-user aggregate +
+    histogram — NOT an n-row single-task sort."""
+    n = df.agg(F.max("event_id")).first()[0] + 1
+    users = max(n // 10, 1000)
+    ev = df.select(
+        (F.abs(F.xxhash64("event_id")) % users).alias("uid"),
+        F.col("ts"),
+        F.when(
+            (F.abs(F.xxhash64("event_id", F.lit(3))) % 20) == 0,
+            F.lit("error"),
+        ).otherwise(F.lit("view")).alias("etype"),
+    )
+    per_user = ev.groupBy("uid").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_end"),
+        F.min(F.when(F.col("etype") == "error", F.col("ts"))).alias("t_err"),
+    )
+    dur_us = (
+        F.unix_micros(F.coalesce("t_err", "t_end").cast("timestamp"))
+        - F.unix_micros(F.col("t0").cast("timestamp"))
+    )
+    durs = per_user.select(
+        dur_us.alias("dur_us"), F.col("t_err").isNotNull().alias("evt")
+    ).select(F.expr("dur_us div 1000000").alias("dur_s"), "evt")
+    hist = (
+        durs.groupBy("dur_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_t"),
+            F.sum(F.when(F.col("evt"), 1).otherwise(0)).alias("d"),
+        )
+        .withColumn("bkt", F.expr("dur_s div 3600"))
+    )
+    total = hist.agg(F.sum("n_at_t").alias("n_total"))  # 1-row broadcast
+    b_tot = hist.groupBy("bkt").agg(F.sum("n_at_t").alias("b_n"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    b_off = b_tot.select(
+        "bkt",
+        F.coalesce(F.sum("b_n").over(w_bkt), F.lit(0)).alias("n_before_bkt"),
+    )
+    w_in_excl = Window.partitionBy("bkt").orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        hist.join(F.broadcast(b_off), "bkt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bkt",
+            "dur_s",
+            "d",
+            (
+                F.col("n_total")
+                - F.col("n_before_bkt")
+                - F.coalesce(F.sum("n_at_t").over(w_in_excl), F.lit(0))
+            ).alias("n_at_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    frac = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    term = (
+        F.when(F.col("d") < F.col("n_at_risk"), F.log(F.lit(1.0) - frac))
+        .otherwise(F.lit(0.0))
+    )
+    w_in_cum = Window.partitionBy("bkt").orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev2 = risk.select(
+        "bkt", "dur_s", "d", "n_at_risk",
+        F.sum(term).over(w_in_cum).alias("cum_term_in"),
+    )
+    eb = ev2.groupBy("bkt").agg(F.max_by("cum_term_in", "dur_s").alias("b_term"))
+    eb_off = eb.select(
+        "bkt",
+        F.coalesce(F.sum("b_term").over(w_bkt), F.lit(0.0)).alias("term_off"),
+    )
+    return ev2.join(F.broadcast(eb_off), "bkt").select(
+        "dur_s", "d", "n_at_risk",
+        F.exp(F.col("term_off") + F.col("cum_term_in")).alias("survival"),
+    )
+
+
 SHAPES = {
+    "km_survival": shape_km_survival,
     "containment_pairs": shape_containment_pairs,
     "pca_power_2round": shape_pca_power,
     "link_prediction": shape_link_prediction,
