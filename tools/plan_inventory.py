@@ -229,9 +229,68 @@ def _has_unpartitioned_window(plan: str) -> bool:
     return False
 
 
+def _rest_jobs(spark) -> dict[int, tuple[int, int]]:
+    """jobId -> (numCompletedStages, numSkippedStages) via the UI REST
+    API (the inventory session enables the UI for exactly this). Empty
+    dict if the endpoint is unavailable."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return {}
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications", timeout=5
+        ) as r:
+            app_id = _json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/jobs", timeout=5
+        ) as r:
+            jobs = _json.load(r)
+        return {
+            j["jobId"]: (
+                j.get("numCompletedStages", 0),
+                j.get("numSkippedStages", 0),
+            )
+            for j in jobs
+        }
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _executed_skipped(spark, fn, sf_dir) -> tuple[int, int] | None:
+    """Execute a substrate-consumer query end-to-end (noop sink) and
+    return (executed, skipped) stage counts summed over its jobs — the
+    per-round automation of the round-8 manual UI-REST audit (r8 verdict
+    ask #3). Two runs: a WARM run first (unrecorded) so the measured run
+    sees every memoized substrate resident, the steady state every
+    consumer after the first enjoys in a session — otherwise the count
+    would depend on alphabetical position. None if the REST API is
+    unavailable or execution fails."""
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        before = _rest_jobs(spark)
+        if not before:
+            # the warm run just created jobs, so {} means REST is
+            # unavailable — skip the measured run
+            return None
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        after = _rest_jobs(spark)
+        new = [v for k, v in after.items() if k not in before]
+        return (
+            sum(c for c, _ in new),
+            sum(s for _, s in new),
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("plan_inventory")
+    # UI on: the jobs REST endpoint is the executed/skipped stage meter
+    spark = get_spark("plan_inventory",
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     print("# PLANS — physical-plan inventory (auto-generated: tools/plan_inventory.py)")
@@ -258,9 +317,17 @@ def main() -> None:
     print("BOUNDED_WINDOW_OK — windows whose input is bounded by")
     print("construction (fixed replica counts, top-k rows, coarse-bucket")
     print("partial tables), the round-8 guard for the kaplan-meier class.")
+    print("`exec/skip` is populated for MEMOIZED-SUBSTRATE consumers (plans")
+    print("containing an InMemoryTableScan of a persisted shared base, e.g.")
+    print("the all-pairs dup graph): the query is executed twice and the")
+    print("second (steady-state) run's stage counts are read from the jobs")
+    print("REST API — `executed/skipped`. A large planned-exchange count")
+    print("next to a small executed count is lineage, not execution: the")
+    print("substrate's stages are SKIPPED because its blocks are resident")
+    print("(the round-8 manual audit, now automated per round).")
     print()
-    print("| query | exchanges | joins | pushed filters | codegen | flags |")
-    print("|---|---|---|---|---|---|")
+    print("| query | exchanges | joins | pushed filters | codegen | exec/skip | flags |")
+    print("|---|---|---|---|---|---|---|")
     for name in sorted(registry.QUERIES):
         try:
             df = registry.QUERIES[name](spark, sf_dir)
@@ -269,7 +336,7 @@ def main() -> None:
                 df.explain("formatted")
             plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
-            print(f"| {name} | - | - | - | - | ERROR: {str(e)[:40]} |")
+            print(f"| {name} | - | - | - | - | - | ERROR: {str(e)[:40]} |")
             continue
         n_exch = len(re.findall(r"\bExchange\b", plan))
         joins = sorted(set(re.findall(r"(\w*Join\w*)", plan)) - {"Join"})
@@ -298,8 +365,13 @@ def main() -> None:
         if _has_unpartitioned_window(plan):
             flags.append("win-bounded-ok" if name in BOUNDED_WINDOW_OK
                          else "UNPART-WIN!")
+        exec_skip = "-"
+        if "InMemoryTableScan" in plan:
+            es = _executed_skipped(spark, registry.QUERIES[name], sf_dir)
+            if es is not None:
+                exec_skip = f"{es[0]}/{es[1]}"
         join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
-        print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {' '.join(flags) or '-'} |")
+        print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {exec_skip} | {' '.join(flags) or '-'} |")
     spark.stop()
 
 
