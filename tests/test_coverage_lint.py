@@ -1,0 +1,61 @@
+"""Registry <-> COVERAGE.md <-> README-ledger drift lint (r8 verdict ask
+#4): the live repo state must lint clean, and seeded drifts must fail —
+proving the lint actually detects each class it claims to."""
+
+from tools.coverage_lint import ledger_names, run_lint
+
+
+def test_live_repo_lints_clean():
+    assert run_lint() == []
+
+
+def _base_inputs():
+    """A tiny self-consistent fixture world."""
+    queries = {"q1_scan", "x1_dedup", "x1_minhash_neardup"}
+    oracles = {"q1_scan", "x1_dedup"}
+    coverage = "covers q1_scan and x1_dedup and x1_minhash_neardup"
+    readme = (
+        "## Rows-only ledger\n\n"
+        "| query | why | twin |\n|---|---|---|\n"
+        "| `x1_minhash_neardup` | seeded | `x1_dedup` |\n"
+        "\n## Status\n"
+    )
+    allow = {"BOUNDED_BNLJ_OK": {"x1_dedup"}}
+    return queries, oracles, coverage, readme, allow
+
+
+def test_consistent_fixture_passes():
+    q, o, cov, readme, allow = _base_inputs()
+    assert run_lint(q, o, cov, readme, allow) == []
+
+
+def test_seeded_drifts_each_fail():
+    q, o, cov, readme, allow = _base_inputs()
+
+    # a new query with no COVERAGE mention
+    probs = run_lint(q | {"x9_new_op"}, o | {"x9_new_op"}, cov, readme,
+                     allow)
+    assert any("x9_new_op" in p and "COVERAGE" in p for p in probs)
+
+    # a query silently losing its oracle (rows-only but not in ledger)
+    probs = run_lint(q, o - {"x1_dedup"}, cov, readme, allow)
+    assert any("x1_dedup" in p and "ledger" in p for p in probs)
+
+    # a graduated query still squatting in the ledger
+    probs = run_lint(q, o | {"x1_minhash_neardup"}, cov, readme, allow)
+    assert any("graduated" in p for p in probs)
+
+    # a stale allowlist exemption
+    probs = run_lint(q, o, cov, readme,
+                     {"BOUNDED_WINDOW_OK": {"x7_retired_query"}})
+    assert any("x7_retired_query" in p and "stale" in p for p in probs)
+
+    # an oracle with no queries() entry
+    probs = run_lint(q, o | {"ghost_oracle"}, cov, readme, allow)
+    assert any("ghost_oracle" in p for p in probs)
+
+
+def test_ledger_parser_extracts_names():
+    _, _, _, readme, _ = _base_inputs()
+    assert ledger_names(readme) == {"x1_minhash_neardup"}
+    assert ledger_names("no ledger section here") == set()
