@@ -269,3 +269,113 @@ ORACLES["x9_media_segment_plan"] = f"""
            CAST(max(media_id) AS BIGINT) AS last_media
     FROM placed GROUP BY segment_id
 """
+
+
+# STFT-style framing constants: 400-sample window / 160-sample hop is the
+# classic 25 ms / 10 ms speech-feature grid at 16 kHz (and 50 ms / 20 ms at
+# 8 kHz — the plan is rate-aware by construction). 16-bit mono PCM behind a
+# 44-byte canonical WAV header.
+AUDIO_WIN_SAMPLES = 400
+AUDIO_HOP_SAMPLES = 160
+AUDIO_BYTES_PER_SAMPLE = 2
+AUDIO_WAV_HEADER_BYTES = 44
+
+
+def x9_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing PLAN — the audio twin of x9_frame_sample_plan that
+    completes the multimodal-columns story (r8 verdict ask #8): per
+    synthetic audio blob (sample rate 16 k/8 k by parity, duration
+    0.5-2.5 s from doc_id), emit one row per FULL analysis frame on the
+    window/hop grid with its sample span, timestamp, and the BYTE RANGE a
+    ranged read needs (sources/segments.py pattern: header offset +
+    start_sample * bytes_per_sample). Incomplete tail frames are dropped
+    (standard STFT framing): n_frames = (total - win) div hop + 1.
+
+    Like the video plan, this is the oracle-checkable planning HALF of
+    the pipeline — pure integer arithmetic (one exact double: ts_ms =
+    start_sample * 1000 / rate, fixed-shape on both engines), no codec,
+    no Python. At 100 TB: rows ∝ clips x frames-per-clip, one narrow
+    explode, zero shuffles; the byte ranges drive per-frame ranged reads
+    exactly as the video plan drives per-frame seeks.
+
+    Reference parity: filesegmenter.py:4-69 splits one file by byte
+    budget; this is the same ranged-read planning generalized to a
+    sample-grid (§2.9 extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(16000))
+        .otherwise(F.lit(8000)).cast("long").alias("sample_rate"),
+        (F.lit(500) + F.col("doc_id") % 2000).cast("long").alias("duration_ms"),
+    )
+    total = F.expr("(duration_ms * sample_rate) div 1000")
+    framed = media.select(
+        "media_id", "sample_rate", "duration_ms",
+        total.alias("total_samples"),
+    ).filter(
+        F.col("total_samples") >= AUDIO_WIN_SAMPLES
+    ).select(
+        "media_id", "sample_rate", "duration_ms", "total_samples",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(
+                    f"(total_samples - {AUDIO_WIN_SAMPLES})"
+                    f" div {AUDIO_HOP_SAMPLES}"
+                ),
+            )
+        ).alias("frame_no"),
+    )
+    start = (F.col("frame_no") * F.lit(AUDIO_HOP_SAMPLES)).cast("long")
+    return framed.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        "total_samples",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        start.alias("start_sample"),
+        (
+            start.cast("double") * F.lit(1000.0)
+            / F.col("sample_rate").cast("double")
+        ).alias("ts_ms"),
+        (
+            F.lit(AUDIO_WAV_HEADER_BYTES)
+            + start * F.lit(AUDIO_BYTES_PER_SAMPLE)
+        ).cast("long").alias("byte_start"),
+        F.lit(AUDIO_WIN_SAMPLES * AUDIO_BYTES_PER_SAMPLE)
+        .cast("long").alias("byte_len"),
+    )
+
+
+QUERIES["x9_audio_frame_plan"] = x9_audio_frame_plan
+
+ORACLES["x9_audio_frame_plan"] = f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END
+                    AS BIGINT) AS sample_rate,
+               CAST(500 + doc_id % 2000 AS BIGINT) AS duration_ms
+        FROM documents
+    ), fr AS (
+        SELECT media_id, sample_rate, duration_ms,
+               (duration_ms * sample_rate) // 1000 AS total_samples
+        FROM media
+    ), ex AS (
+        SELECT media_id, sample_rate, duration_ms, total_samples,
+               unnest(range(0, (total_samples - {AUDIO_WIN_SAMPLES})
+                               // {AUDIO_HOP_SAMPLES} + 1)) AS frame_no
+        FROM fr WHERE total_samples >= {AUDIO_WIN_SAMPLES}
+    )
+    SELECT media_id, sample_rate, duration_ms, total_samples,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(frame_no * {AUDIO_HOP_SAMPLES} AS BIGINT) AS start_sample,
+           CAST(frame_no * {AUDIO_HOP_SAMPLES} AS DOUBLE)
+               * CAST(1000 AS DOUBLE)
+               / CAST(sample_rate AS DOUBLE) AS ts_ms,
+           CAST({AUDIO_WAV_HEADER_BYTES}
+                + frame_no * {AUDIO_HOP_SAMPLES}
+                  * {AUDIO_BYTES_PER_SAMPLE} AS BIGINT) AS byte_start,
+           CAST({AUDIO_WIN_SAMPLES * AUDIO_BYTES_PER_SAMPLE} AS BIGINT)
+               AS byte_len
+    FROM ex
+"""

@@ -172,3 +172,63 @@ class TestFrameSamplePlan:
             assert all(a < b for a, b in zip(idxs, idxs[1:]))
             assert all(0 <= i < total for i in idxs)
             assert all(r["ts_s"] == r["frame_idx"] / FRAME_FPS for r in rs)
+
+
+class TestAudioFramePlan:
+    def test_stride_and_boundary_invariants(self, spark):
+        """Per clip: frame count matches the closed-form
+        (total - win) div hop + 1; consecutive byte_starts advance by
+        exactly hop*bytes_per_sample; the FIRST frame starts at the WAV
+        header boundary; the LAST frame ends inside the payload
+        (start + win <= total_samples — incomplete tails dropped); ts_ms
+        is the exact rate-aware division."""
+        from swiftbulkuploader_spark.operators.media_queries import (
+            AUDIO_BYTES_PER_SAMPLE,
+            AUDIO_HOP_SAMPLES,
+            AUDIO_WAV_HEADER_BYTES,
+            AUDIO_WIN_SAMPLES,
+            x9_audio_frame_plan,
+        )
+
+        rows = x9_audio_frame_plan(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        per = {}
+        for r in rows:
+            per.setdefault(r["media_id"], []).append(r)
+        for mid, rs in per.items():
+            rs.sort(key=lambda r: r["frame_no"])
+            total = rs[0]["total_samples"]
+            expect_n = (total - AUDIO_WIN_SAMPLES) // AUDIO_HOP_SAMPLES + 1
+            assert len(rs) == expect_n
+            assert rs[0]["frame_no"] == 0
+            assert rs[0]["byte_start"] == AUDIO_WAV_HEADER_BYTES
+            starts = [r["byte_start"] for r in rs]
+            stride = AUDIO_HOP_SAMPLES * AUDIO_BYTES_PER_SAMPLE
+            assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+            last = rs[-1]
+            assert last["start_sample"] + AUDIO_WIN_SAMPLES <= total
+            # one more frame would overrun the payload
+            assert (last["start_sample"] + AUDIO_HOP_SAMPLES
+                    + AUDIO_WIN_SAMPLES > total)
+            for r in rs:
+                assert r["ts_ms"] == (r["start_sample"] * 1000.0
+                                      / r["sample_rate"])
+                assert r["byte_len"] == (AUDIO_WIN_SAMPLES
+                                         * AUDIO_BYTES_PER_SAMPLE)
+
+    def test_rate_awareness(self, spark):
+        """8 kHz clips of the same duration produce ~half the frames of
+        16 kHz clips and 2x the ts_ms stride — the plan is genuinely
+        sample-rate-aware, not wall-clock-gridded."""
+        from swiftbulkuploader_spark.operators.media_queries import (
+            x9_audio_frame_plan,
+        )
+
+        rows = x9_audio_frame_plan(spark, "/root/testdata/sf0.001").collect()
+        by_rate = {8000: [], 16000: []}
+        for r in rows:
+            if r["frame_no"] == 1:
+                by_rate[r["sample_rate"]].append(r["ts_ms"])
+        assert by_rate[8000] and by_rate[16000]
+        assert all(t == 20.0 for t in by_rate[8000])   # 160/8000 s
+        assert all(t == 10.0 for t in by_rate[16000])  # 160/16000 s
