@@ -2336,3 +2336,547 @@ ORACLES["x3_char_entropy"] = """
                  / ln(CAST(alphabet AS DOUBLE)) AS redundancy
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — fixed-round hard-EM training
+# over a bounded substring seed vocabulary, encode via Viterbi (Kudo 2018,
+# "Subword Regularization"). The tokenizer family's EM alternative to BPE
+# (x3_bpe_train): modern LLM tokenizers (T5, LLaMA via SentencePiece) train
+# this way. Deterministic throughout: hard-EM (Viterbi counts, the standard
+# determinization of the forward-backward E-step), count-proxy pruning,
+# (count DESC, piece ASC) tie-breaks — so the whole training loop replays
+# as chained CTEs in DuckDB with the per-word DP as a RECURSIVE CTE whose
+# sliding state mirrors the Spark HOF fold step-for-step (identical
+# double arithmetic, CLAUDE.md 11a: multi-state folds as recursive CTEs).
+
+UNIGRAM_MAXW = 12      # words longer than this are excluded (and counted)
+UNIGRAM_MAXP = 4       # max piece length
+UNIGRAM_SEED_N = 60    # multi-char seed pieces kept (prune-by-count)
+UNIGRAM_V = 40         # multi-char pieces kept after the final prune
+UNIGRAM_EM_ROUNDS = 2
+_UNIGRAM_OOV = -1e9    # lp for out-of-vocab pieces: never on a best path
+                       # (every single char is always in vocab)
+_UNIGRAM_NA = -1e18    # sentinel for j > i candidates (same on both
+                       # engines; avoids NULL-skipping semantics entirely)
+
+
+def _unigram_tokens(docs: DataFrame) -> DataFrame:
+    """(source, w) lowercase whitespace tokens — the corpus token
+    definition every textops operator shares."""
+    norm = F.lower(normalize_ws(F.col("text")))
+    return docs.filter(F.length(F.trim(norm)) > 0).select(
+        "source", F.explode(F.split(norm, " ")).alias("w")
+    )
+
+
+def _unigram_words(docs: DataFrame) -> DataFrame:
+    """(w, cnt) distinct training words, 1 <= len <= UNIGRAM_MAXW."""
+    return (
+        _unigram_tokens(docs)
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAXW)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(w, cnt) x vocab(piece, lp) -> (w, cnt, pieces array<string>).
+
+    Per word: best[i] = max_{j<=min(4,i)} best[i-j] + lp(w[i-j+1..i]),
+    ptr[i] = SMALLEST j attaining the max (deterministic tie-break,
+    identical CASE order in the oracle). Both the forward fold and the
+    backtrace are single HOF aggregates over the DISTINCT-WORD table
+    (vocab-bounded, not corpus-bounded — the corpus enters only through
+    the word counts), with the piece log-probs pre-gathered into one
+    per-word ordered array so the fold is pure column arithmetic."""
+    cand = (
+        words.select("w", "cnt", F.length("w").alias("n"))
+        .select(
+            "w", "cnt", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "w", "cnt", "n", "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(UNIGRAM_MAXP), F.col("i"))
+                )
+            ).alias("j"),
+        )
+        .withColumn(
+            "piece",
+            F.col("w").substr(
+                F.col("i") - F.col("j") + F.lit(1), F.col("j")
+            ),
+        )
+    )
+    scored = cand.join(
+        F.broadcast(vocab.select("piece", "lp")), "piece", "left"
+    ).withColumn("lpj", F.coalesce(F.col("lp"), F.lit(_UNIGRAM_OOV)))
+    per_i = scored.groupBy("w", "cnt", "n", "i").agg(
+        *[
+            F.max(F.when(F.col("j") == jj, F.col("lpj"))).alias(f"lp{jj}")
+            for jj in range(1, UNIGRAM_MAXP + 1)
+        ]
+    )
+    per_w = per_i.groupBy("w", "cnt", "n").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "lp1", "lp2", "lp3", "lp4"))
+        ).alias("lps")
+    )
+
+    def step(acc, i):
+        cands = []
+        for j in range(1, UNIGRAM_MAXP + 1):
+            cands.append(
+                F.when(
+                    i >= F.lit(j),
+                    F.element_at(acc["b"], i - F.lit(j) + F.lit(1))
+                    + F.element_at(F.col("lps"), i)[f"lp{j}"],
+                ).otherwise(F.lit(_UNIGRAM_NA))
+            )
+        best = F.greatest(*cands)
+        ptr = F.when(best == cands[0], F.lit(1))
+        for j in range(2, UNIGRAM_MAXP + 1):
+            ptr = ptr.when(best == cands[j - 1], F.lit(j))
+        ptr = ptr.otherwise(F.lit(1))  # unreachable (best IS one cand)
+        return F.struct(
+            F.concat(acc["b"], F.array(best)).alias("b"),
+            F.concat(acc["p"], F.array(ptr.cast("int"))).alias("p"),
+        )
+
+    dp = per_w.withColumn(
+        "p",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n")),
+            F.struct(
+                F.array(F.lit(0.0)).alias("b"),
+                F.array().cast("array<int>").alias("p"),
+            ),
+            step,
+        )["p"],
+    )
+
+    def back(acc, _i):
+        # greatest(pos, 1): pos hits 0 at termination and element_at is
+        # 1-based ANSI-strict; the when() keeps the value unused then
+        jv = F.element_at(F.col("p"), F.greatest(acc["pos"], F.lit(1)))
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - jv).cast("int").alias("pos"),
+                F.concat(
+                    acc["pieces"],
+                    F.array(
+                        F.col("w").substr(acc["pos"] - jv + F.lit(1), jv)
+                    ),
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    return dp.withColumn(
+        "pieces",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(UNIGRAM_MAXW)),
+            F.struct(
+                F.col("n").cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("pieces"),
+            ),
+            back,
+        )["pieces"],
+    ).select("w", "cnt", "pieces")
+
+
+def _unigram_lp_from_counts(cnts: DataFrame) -> DataFrame:
+    """(piece, c) -> (piece, c, lp = ln(c/total)); total via 1-row
+    broadcast (ScalarSubquery pattern, bounded BNLJ)."""
+    total = cnts.agg(F.sum("c").alias("t"))
+    return cnts.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "c",
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")).alias(
+            "lp"
+        ),
+    )
+
+
+_UNIGRAM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _unigram_final_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed -> EM rounds -> final prune; memoized + persisted per
+    (applicationId, sf_dir) — the _LLOYD_CACHE discipline — because both
+    contract queries (train report, encode) consume the trained vocab."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _UNIGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint every frame consumed by more than one branch
+    # (CLAUDE.md rule 4: union/join branches re-execute their subtree —
+    # no CSE across them): words feeds every round's Viterbi, seed_cand
+    # feeds chars + both seed union branches, each round's pc feeds the
+    # char floor AND the multi prune. All are vocab-bounded frames, so
+    # the eager materialization is cheap and turns the 2^rounds
+    # re-execution cascade into one linear pass.
+    words = _unigram_words(docs).localCheckpoint(eager=True)
+    seed_cand = (
+        words.select("w", "cnt", F.length("w").alias("n"))
+        .select(
+            "w", "cnt",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "w", "cnt", "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(UNIGRAM_MAXP), F.col("i"))
+                )
+            ).alias("j"),
+        )
+        .select(
+            F.col("w").substr(
+                F.col("i") - F.col("j") + F.lit(1), F.col("j")
+            ).alias("piece"),
+            "cnt",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    ).localCheckpoint(eager=True)
+    chars = seed_cand.filter(F.length("piece") == 1).select("piece")
+    seed = seed_cand.filter(F.length("piece") == 1).unionByName(
+        seed_cand.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(UNIGRAM_SEED_N)
+    )
+    vocab = _unigram_lp_from_counts(seed)
+    for r in range(UNIGRAM_EM_ROUNDS):
+        seg = _viterbi_segment(words, vocab)
+        pc = (
+            seg.select("cnt", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("c"))
+        ).localCheckpoint(eager=True)
+        # single chars keep a +1 floor so coverage never breaks (a char
+        # Viterbi never picked must stay encodable); unused multi-char
+        # pieces drop out — the count-proxy prune (true SentencePiece
+        # prunes by likelihood loss; with hard-EM counts the dominant
+        # alternative of a piece is its character split, so usage count
+        # is the standard deterministic proxy)
+        char_cnt = chars.join(pc, "piece", "left").select(
+            "piece",
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).alias("c"),
+        )
+        multi_cnt = pc.filter(F.length("piece") >= 2)
+        if r == UNIGRAM_EM_ROUNDS - 1:
+            multi_cnt = multi_cnt.orderBy(
+                F.col("c").desc(), F.col("piece").asc()
+            ).limit(UNIGRAM_V)
+        vocab = _unigram_lp_from_counts(char_cnt.unionByName(multi_cnt))
+    out = vocab.persist()
+    _UNIGRAM_CACHE[key] = out
+    return out
+
+
+def x3_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING report: the final vocabulary (all
+    single chars + top UNIGRAM_V multi-char pieces) with exact usage
+    counts and log-probs after UNIGRAM_EM_ROUNDS hard-EM rounds over a
+    UNIGRAM_SEED_N-piece substring seed. See the module-section comment
+    for the determinization choices; the DuckDB oracle replays seed,
+    every EM round (per-word Viterbi as a recursive CTE with the same
+    sliding (bests, ptrs) state and the same smallest-j tie-break), and
+    the final prune, so a drift anywhere in the training loop fails the
+    value-hash.
+
+    Scale shape: everything heavier than the corpus tokenize+count runs
+    on the DISTINCT-WORD table (vocab-bounded); per round one bounded
+    explode (<= 42 grid cells/word), one broadcast vocab join, two
+    word-keyed aggregates, and two HOF folds. No collects, no windows;
+    top-N prunes are TakeOrdered, not rank windows.
+
+    Reference parity: none (reference has no text ops); §2.9 tokenizer
+    family alongside x3_bpe_train (textops.py:1471)."""
+    v = _unigram_final_vocab(spark, sf_dir)
+    return v.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("c").cast("long").alias("cnt"),
+        F.col("lp").alias("logprob"),
+    )
+
+
+def x3_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM tokenizer (memoized _UNIGRAM_CACHE)
+    to the corpus via Viterbi and report per-source fertility — the
+    encode half that turns the trained artifact into the
+    tokens-per-word / single-char-fallback-share numbers a data engineer
+    reads before committing a tokenizer (the x3_bpe_encode twin).
+    Words longer than UNIGRAM_MAXW are excluded from segmentation and
+    reported per source in n_long_words (exact accounting, no silent
+    drop).
+
+    Scale shape: Viterbi runs ONCE per distinct word (vocab-bounded),
+    then one hash join carries (n_pieces, n_single) back to the
+    (source, word) counts — corpus-sized work is the tokenize, the
+    count aggregate, and that join; ratios are exact integer divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = _unigram_final_vocab(spark, sf_dir)
+    toks = _unigram_tokens(docs)
+    ws = (
+        toks.filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAXW)
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    longs = (
+        toks.filter(F.length("w") > UNIGRAM_MAXW)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_long"))
+    )
+    words = _unigram_words(docs)
+    seg = _viterbi_segment(words, v).select(
+        "w",
+        F.size("pieces").alias("np"),
+        F.size(
+            F.filter("pieces", lambda x: F.length(x) == 1)
+        ).alias("ns"),
+    )
+    agg = (
+        ws.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).alias("n_pieces"),
+            F.sum(F.col("cnt") * F.col("ns")).alias("n_single"),
+        )
+    )
+    return agg.join(longs, "source", "left").select(
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_single").cast("long").alias("n_single_pieces"),
+        F.coalesce(F.col("n_long"), F.lit(0)).cast("long").alias(
+            "n_long_words"
+        ),
+        (
+            F.col("n_pieces").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("n_single").cast("double")
+            / F.col("n_pieces").cast("double")
+        ).alias("single_piece_share"),
+    )
+
+
+QUERIES["x3_unigram_train"] = x3_unigram_train
+QUERIES["x3_unigram_encode"] = x3_unigram_encode
+
+
+def _unigram_base_sql(src: str = "documents") -> str:
+    """Shared CTE prefix: tokens, distinct words, (i, j) end-position
+    grid, substring seed counts, seed vocab. Round CTEs below chain off
+    vocab0. Generated CTEs referenced more than once are MATERIALIZED
+    (CLAUDE.md 11a — DuckDB default inlining re-expands them
+    exponentially across chained rounds)."""
+    return f"""
+    utok AS MATERIALIZED (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS w
+        FROM {src}
+        WHERE length(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g'))) > 0
+    ),
+    uwords AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM utok
+        WHERE length(w) >= 1 AND length(w) <= {UNIGRAM_MAXW}
+        GROUP BY 1
+    ),
+    ugrid AS MATERIALIZED (
+        SELECT i, j
+        FROM unnest(range(1, {UNIGRAM_MAXW + 1})) AS t(i)
+        CROSS JOIN unnest(range(1, {UNIGRAM_MAXP + 1})) AS u(j)
+        WHERE j <= i
+    ),
+    ucand AS MATERIALIZED (
+        SELECT substr(w.w, CAST(g.i - g.j + 1 AS INT),
+                      CAST(g.j AS INT)) AS piece,
+               sum(w.cnt) AS c
+        FROM uwords w JOIN ugrid g ON g.i <= length(w.w)
+        GROUP BY 1
+    ),
+    uchars AS MATERIALIZED (
+        SELECT piece FROM ucand WHERE length(piece) = 1
+    ),
+    useed AS MATERIALIZED (
+        SELECT piece, c FROM ucand WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, c FROM (
+            SELECT piece, c FROM ucand WHERE length(piece) >= 2
+            ORDER BY c DESC, piece LIMIT {UNIGRAM_SEED_N}
+        )
+    ),
+    vocab0 AS MATERIALIZED (
+        SELECT piece,
+               ln(CAST(c AS DOUBLE)
+                  / CAST((SELECT sum(c) FROM useed) AS DOUBLE)) AS lp
+        FROM useed
+    )"""
+
+
+def _unigram_viterbi_sql(r: int, vocab: str) -> str:
+    """One Viterbi round: piece scoring vs `vocab`, forward DP as a
+    RECURSIVE CTE carrying (bests, ptrs) lists — the exact fold the
+    Spark HOF aggregate runs, operand for operand — then backtrace and
+    piece counts. Smallest-j tie-break via identical CASE order."""
+    cands = []
+    for j in range(1, UNIGRAM_MAXP + 1):
+        bidx = f"d.pos + {2 - j}" if j < 2 else (
+            "d.pos" if j == 2 else f"d.pos - {j - 2}")
+        cands.append(
+            f"CASE WHEN d.pos + 1 >= {j} THEN d.b[{bidx}] + l.lp{j}"
+            f" ELSE CAST(-1e18 AS DOUBLE) END"
+        )
+    best = f"greatest({', '.join(cands)})"
+    ptr = "CASE " + " ".join(
+        f"WHEN {best} = {c} THEN {j}" for j, c in enumerate(cands, 1)
+    ) + " ELSE 1 END"
+    lp_cols = ",\n               ".join(
+        f"max(CASE WHEN j = {j} THEN lpj END) AS lp{j}"
+        for j in range(1, UNIGRAM_MAXP + 1)
+    )
+    return f"""
+    scored{r} AS MATERIALIZED (
+        SELECT w.w, w.cnt, length(w.w) AS n, g.i, g.j,
+               coalesce(v.lp, CAST(-1000000000 AS DOUBLE)) AS lpj
+        FROM uwords w
+        JOIN ugrid g ON g.i <= length(w.w)
+        LEFT JOIN {vocab} v
+          ON v.piece = substr(w.w, CAST(g.i - g.j + 1 AS INT),
+                              CAST(g.j AS INT))
+    ),
+    lpt{r} AS MATERIALIZED (
+        SELECT w, cnt, n, i,
+               {lp_cols}
+        FROM scored{r} GROUP BY 1, 2, 3, 4
+    ),
+    dp{r} AS (
+        SELECT w, cnt, length(w) AS n, CAST(0 AS BIGINT) AS pos,
+               CAST([0.0] AS DOUBLE[]) AS b, CAST([] AS INT[]) AS p
+        FROM uwords
+        UNION ALL
+        SELECT d.w, d.cnt, d.n, d.pos + 1,
+               list_append(d.b, {best}),
+               list_append(d.p, CAST({ptr} AS INT))
+        FROM dp{r} d JOIN lpt{r} l ON l.w = d.w AND l.i = d.pos + 1
+        WHERE d.pos < d.n
+    ),
+    dpf{r} AS MATERIALIZED (
+        SELECT w, cnt, n, p FROM dp{r} WHERE pos = n
+    ),
+    bt{r} AS (
+        SELECT w, cnt, n, CAST(n AS BIGINT) AS pos,
+               CAST([] AS VARCHAR[]) AS pieces, p
+        FROM dpf{r}
+        UNION ALL
+        SELECT w, cnt, n, pos - p[CAST(pos AS INT)],
+               list_append(pieces, substr(w,
+                   CAST(pos - p[CAST(pos AS INT)] + 1 AS INT),
+                   CAST(p[CAST(pos AS INT)] AS INT))),
+               p
+        FROM bt{r} WHERE pos > 0
+    ),
+    seg{r} AS MATERIALIZED (
+        SELECT w, cnt, pieces FROM bt{r} WHERE pos = 0
+    ),
+    pc{r} AS MATERIALIZED (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+        FROM seg{r}, unnest(pieces) AS e(piece)
+        GROUP BY 1
+    )"""
+
+
+def _unigram_vocab_sql(r: int, prune: bool) -> str:
+    """Re-estimated vocab after round r: single chars with the +1
+    coverage floor, used multi-char pieces (top UNIGRAM_V when
+    pruning), lp = ln(c/total)."""
+    multi = f"SELECT piece, c FROM pc{r} WHERE length(piece) >= 2"
+    if prune:
+        multi = (f"SELECT piece, c FROM ({multi}"
+                 f" ORDER BY c DESC, piece LIMIT {UNIGRAM_V})")
+    return f"""
+    vcnt{r} AS MATERIALIZED (
+        SELECT piece, coalesce(pc.c, 0) + 1 AS c
+        FROM uchars LEFT JOIN pc{r} pc USING (piece)
+        UNION ALL
+        {multi}
+    ),
+    vocab{r} AS MATERIALIZED (
+        SELECT piece, c,
+               ln(CAST(c AS DOUBLE)
+                  / CAST((SELECT sum(c) FROM vcnt{r}) AS DOUBLE)) AS lp
+        FROM vcnt{r}
+    )"""
+
+
+def _unigram_train_ctes(src: str = "documents") -> str:
+    parts = [_unigram_base_sql(src)]
+    for r in range(1, UNIGRAM_EM_ROUNDS + 1):
+        parts.append(_unigram_viterbi_sql(r, f"vocab{r - 1}"))
+        parts.append(_unigram_vocab_sql(r, prune=(r == UNIGRAM_EM_ROUNDS)))
+    return ",".join(parts)
+
+
+ORACLES["x3_unigram_train"] = f"""
+    WITH RECURSIVE {_unigram_train_ctes()}
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+           CAST(c AS BIGINT) AS cnt, lp AS logprob
+    FROM vocab{UNIGRAM_EM_ROUNDS}
+"""
+
+_UNIGRAM_ENC_R = UNIGRAM_EM_ROUNDS + 1
+
+ORACLES["x3_unigram_encode"] = f"""
+    WITH RECURSIVE {_unigram_train_ctes()},
+    {_unigram_viterbi_sql(_UNIGRAM_ENC_R, f"vocab{UNIGRAM_EM_ROUNDS}")},
+    uws AS MATERIALIZED (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM utok
+        WHERE length(w) >= 1 AND length(w) <= {UNIGRAM_MAXW}
+        GROUP BY 1, 2
+    ),
+    ulong AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_long
+        FROM utok WHERE length(w) > {UNIGRAM_MAXW} GROUP BY 1
+    ),
+    usegstats AS MATERIALIZED (
+        SELECT w, len(pieces) AS np,
+               len(list_filter(pieces, x -> length(x) = 1)) AS ns
+        FROM seg{_UNIGRAM_ENC_R}
+    ),
+    uagg AS MATERIALIZED (
+        SELECT s.source,
+               sum(s.cnt) AS n_words,
+               sum(s.cnt * g.np) AS n_pieces,
+               sum(s.cnt * g.ns) AS n_single
+        FROM uws s JOIN usegstats g USING (w)
+        GROUP BY 1
+    )
+    SELECT a.source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(n_single AS BIGINT) AS n_single_pieces,
+           CAST(coalesce(l.n_long, 0) AS BIGINT) AS n_long_words,
+           CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS fertility,
+           CAST(n_single AS DOUBLE) / CAST(n_pieces AS DOUBLE)
+               AS single_piece_share
+    FROM uagg a LEFT JOIN ulong l USING (source)
+"""

@@ -101,6 +101,11 @@ BOUNDED_BNLJ_OK = {
                                # pattern; round-8 two-level rewrite)
     "x4_json_schema_profile",  # 1-row corpus-total broadcast into the
                                # bounded per-key profile
+    "x3_unigram_train",        # 1-row vocab-total broadcast per EM round
+                               # (ScalarSubquery pattern) into the
+                               # vocab-bounded piece table
+    "x3_unigram_encode",       # same 1-row totals, consumed through the
+                               # memoized trained-vocab substrate
 }
 
 
