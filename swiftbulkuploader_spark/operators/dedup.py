@@ -452,17 +452,12 @@ def x1_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_exact_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_exact_pairs(docs: DataFrame,
-                        min_jaccard: float | None = 0.5) -> DataFrame:
-    """The engine-reproducible MinHash-LSH pair pipeline over an arbitrary
-    (doc_id, text) frame — factored out of ``x1_minhash_exact`` (round 6)
-    so composed pipelines (x10_dedup_funnel) run the same stages over a
-    FILTERED corpus; the generated oracle mirrors via its ``src``
-    parameter. ``min_jaccard=None`` (round 7) returns EVERY verified
-    candidate with its exact Jaccard — the unthresholded form
-    ``x1_ngram_jaccard`` inspects."""
+def _mh_exact_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): 32-bit md5-prefix hash SETS of the 3-shingles,
+    eagerly checkpointed (shared by the band explode and both verify
+    sides)."""
     toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
-    base = (
+    return (
         spread(docs)
         .select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
         .filter(F.size(toks) >= 3)
@@ -483,6 +478,12 @@ def minhash_exact_pairs(docs: DataFrame,
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _mh_exact_bands(base: DataFrame) -> DataFrame:
+    """(doc_id, bj, c0..c3): the 8x4 banding of the xor-multiply remix
+    signatures — the LSH bucketing frame whose 4-tuple equijoin yields
+    candidates."""
     consts = _mh_exact_consts()
 
     def _mix(a: int, b: int):
@@ -509,6 +510,23 @@ def minhash_exact_pairs(docs: DataFrame,
             ],
         )
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def minhash_exact_pairs(docs: DataFrame,
+                        min_jaccard: float | None = 0.5) -> DataFrame:
+    """The engine-reproducible MinHash-LSH pair pipeline over an arbitrary
+    (doc_id, text) frame — factored out of ``x1_minhash_exact`` (round 6)
+    so composed pipelines (x10_dedup_funnel) run the same stages over a
+    FILTERED corpus; the generated oracle mirrors via its ``src``
+    parameter. ``min_jaccard=None`` (round 7) returns EVERY verified
+    candidate with its exact Jaccard — the unthresholded form
+    ``x1_ngram_jaccard`` inspects. Round 9 split the base/banding stages
+    into ``_mh_exact_base`` / ``_mh_exact_bands`` so the incremental
+    crawl plan (x1_incremental_dedup) joins NEW bands against FROZEN
+    bands instead of self-joining."""
+    base = _mh_exact_base(docs)
+    bands = _mh_exact_bands(base)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["bj", "c0", "c1", "c2", "c3"])
@@ -1991,6 +2009,24 @@ ORACLES = {
 ORACLES["x1_contamination_indexed"] = ORACLES["x1_contamination"]
 
 
+def _mh_sig_cols_sql() -> str:
+    """The 32 xor-multiply remix min-aggregates, constants inlined from
+    the same Python generator the Spark plan uses."""
+    return ",\n                   ".join(
+        f"min((xor(hv, {b}) * {a}) % {_MH_MOD}) AS s{i}"
+        for i, (a, b) in enumerate(_mh_exact_consts())
+    )
+
+
+def _mh_band_rows_sql() -> str:
+    """The 8x4 banding as an 8-way UNION ALL over the sigs CTE."""
+    return "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {bj} AS bj, s{bj * 4} AS c0, s{bj * 4 + 1} AS c1, "
+        f"s{bj * 4 + 2} AS c2, s{bj * 4 + 3} AS c3 FROM sigs"
+        for bj in range(8)
+    )
+
+
 def _minhash_exact_oracle_sql(src: str = "documents",
                               min_jaccard: float | None = 0.5) -> str:
     """GENERATED MinHash-twin oracle: the same remix constants (inlined as
@@ -2000,16 +2036,8 @@ def _minhash_exact_oracle_sql(src: str = "documents",
     relation so composed pipelines can run the same SQL over a filtered
     CTE (x10_dedup_funnel); ``min_jaccard=None`` drops the threshold for
     the unthresholded x1_ngram_jaccard histogram form (round 7)."""
-    consts = _mh_exact_consts()
-    sig_cols = ",\n                   ".join(
-        f"min((xor(hv, {b}) * {a}) % {_MH_MOD}) AS s{i}"
-        for i, (a, b) in enumerate(consts)
-    )
-    band_rows = "\n            UNION ALL\n            ".join(
-        f"SELECT doc_id, {bj} AS bj, s{bj * 4} AS c0, s{bj * 4 + 1} AS c1, "
-        f"s{bj * 4 + 2} AS c2, s{bj * 4 + 3} AS c3 FROM sigs"
-        for bj in range(8)
-    )
+    sig_cols = _mh_sig_cols_sql()
+    band_rows = _mh_band_rows_sql()
     threshold = (
         "" if min_jaccard is None else
         f"WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) "
@@ -2713,3 +2741,241 @@ def _threshold_sweep_oracle_sql() -> str:
 
 
 ORACLES["x1_threshold_sweep"] = _threshold_sweep_oracle_sql()
+
+
+def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup plan (r8 verdict ask #6): a NEW batch of
+    documents screened against the FROZEN corpus in ONE composed plan —
+    exact fingerprint dedup + MinHash near-dup + eval decontamination —
+    emitting a keep/drop verdict with provenance columns per new doc.
+    This is the production shape of recrawl ingestion
+    (plans/maintenance.py::manifest_delta finds the new keys; this is
+    the content-level screen the delta then flows through): the frozen
+    side's fingerprint/band/shingle bases are STATIC substrates the
+    batch probes, never a corpus self-join.
+
+    Two-epoch fixture: doc_id % 5 == 0 is the new batch (one fifth of
+    the corpus), the rest is frozen — deterministic, so the whole
+    composition value-hashes against DuckDB.
+
+    Stages (each reusing the oracled single-corpus form's machinery):
+    * exact: full-text md5 fingerprint (x1_exact_dedup's) joined against
+      frozen fingerprints; exact_dup_of = MIN matching frozen id.
+    * near-dup: _mh_exact_base/_mh_exact_bands (the x1_minhash_exact
+      pipeline) with NEW bands equi-joined against FROZEN bands — the
+      candidate space is cross-epoch only, the at-scale win of
+      incremental ingestion (band buckets of the frozen base are the
+      persisted index; each batch shuffles only its own bands).
+      Verified at exact Jaccard >= 0.5; near_dup_of = best frozen match
+      (max 6-dp Jaccard, min-id tie-break via a wide-integer arg_max
+      key — decimal(38,0)/HUGEINT, the overflow-safe composite-key
+      discipline).
+    * decontam: the x1_contamination screen with a WIDER probe set
+      (frozen docs 0-99 stand in for an eval suite; the 8-doc set never
+      fires against the 20%% batch at test SFs — the dead-substrate
+      trap) containment-screened (>= 0.5) against each new doc's
+      5-shingles; n_flagged_probes counts hits.
+
+    Verdict precedence: drop_contaminated > drop_exact > drop_near_dup
+    > keep — decontamination is the compliance-severity action (an
+    eval-leaking doc must surface as such even when it is also a dup);
+    the columns carry every fact, so downstream accounting never
+    depends on the precedence. Sentinels -1 / -1.0 mark "no match"
+    (engine-stable, no NULLs in compared columns).
+
+    Stream twin (note): the identical plan body runs per micro-batch
+    under foreachBatch on the ingest stream — the frozen bases are
+    static frames joined to each batch, and the verdict frame appends to
+    the manifest exactly as plans/upload.py's attempt log does; no
+    operator here is batch-only (no global sorts or windows over the
+    frozen side).
+
+    Reference parity: readme.md's resume re-run skips already-uploaded
+    PATHS; this is the same idempotence promoted to content identity
+    (§2.9 extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(normalize_ws(F.col("text")))))
+    fps = docs.select(
+        "doc_id", "source", fp.alias("fp"),
+        ((F.col("doc_id") % 5) == 0).alias("is_new"),
+    )
+    new_fp = fps.filter("is_new").drop("is_new")
+    froz_fp = fps.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("f_id"), "fp"
+    )
+    exact = (
+        new_fp.join(froz_fp, "fp", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.min("f_id").alias("exact_dup_of"))
+    )
+
+    base = _mh_exact_base(docs)
+    bands = _mh_exact_bands(base)
+    bn = bands.filter((F.col("doc_id") % 5) == 0)
+    bf = bands.filter((F.col("doc_id") % 5) != 0)
+    cand = (
+        bn.alias("x")
+        .join(bf.alias("y"), ["bj", "c0", "c1", "c2", "c3"])
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            base.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")),
+            "a",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")),
+            "b",
+        )
+        .withColumn("c", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("den", F.size("ha") + F.size("hb") - F.col("c"))
+        .filter(F.col("c").cast("double") / F.col("den") >= F.lit(0.5))
+        .select(
+            "a", "b",
+            F.round(F.col("c").cast("double") / F.col("den"), 6).alias("j"),
+        )
+    )
+    best = verified.groupBy("a").agg(
+        F.expr(
+            "max_by(b, CAST(round(j * 1000000) AS DECIMAL(38,0))"
+            " * 1000000000000 - b)"
+        ).alias("near_dup_of"),
+        F.max("j").alias("near_jaccard"),
+    ).withColumnRenamed("a", "doc_id")
+
+    shing = shingle_base(docs)
+    probes = shing.filter(
+        (F.col("doc_id") < 100) & ((F.col("doc_id") % 5) != 0)
+    ).select(F.col("sh").alias("p_sh"), F.size("sh").alias("p_n"))
+    newsh = shing.filter((F.col("doc_id") % 5) == 0).select(
+        "doc_id", F.col("sh").alias("d_sh")
+    )
+    cont = (
+        newsh.join(F.broadcast(probes))
+        .select(
+            "doc_id",
+            (
+                (F.size(F.array_intersect("d_sh", "p_sh")) / F.col("p_n"))
+                >= 0.5
+            ).cast("long").alias("flag"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("flag").alias("n_flagged"))
+    )
+
+    out = exact.join(best, "doc_id", "left").join(cont, "doc_id", "left")
+    nfl = F.coalesce(F.col("n_flagged"), F.lit(0))
+    verdict = (
+        F.when(nfl > 0, F.lit("drop_contaminated"))
+        .when(F.col("exact_dup_of").isNotNull(), F.lit("drop_exact"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("drop_near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        verdict.alias("verdict"),
+        F.coalesce(F.col("exact_dup_of"), F.lit(-1)).cast("long").alias(
+            "exact_dup_of"
+        ),
+        F.coalesce(F.col("near_dup_of"), F.lit(-1)).cast("long").alias(
+            "near_dup_of"
+        ),
+        F.coalesce(F.col("near_jaccard"), F.lit(-1.0)).alias("near_jaccard"),
+        nfl.cast("long").alias("n_flagged_probes"),
+    )
+
+
+QUERIES["x1_incremental_dedup"] = x1_incremental_dedup
+
+ORACLES["x1_incremental_dedup"] = f"""
+    WITH fps AS (
+        SELECT doc_id, source, {_FP_DUCK} AS fp FROM documents
+    ), exact AS (
+        SELECT n.doc_id, n.source, min(f.doc_id) AS exact_dup_of
+        FROM (SELECT * FROM fps WHERE doc_id % 5 = 0) n
+        LEFT JOIN (SELECT * FROM fps WHERE doc_id % 5 <> 0) f
+          ON n.fp = f.fp
+        GROUP BY 1, 2
+    ), t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), h AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+        FROM g
+    ), sigs AS (
+        SELECT doc_id,
+               {_mh_sig_cols_sql()}
+        FROM h GROUP BY doc_id
+    ), bands AS (
+        {_mh_band_rows_sql()}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.bj = y.bj AND x.c0 = y.c0 AND x.c1 = y.c1
+         AND x.c2 = y.c2 AND x.c3 = y.c3
+        WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id
+    ), pr AS (
+        SELECT cand.a, cand.b, count(*) AS c
+        FROM cand
+        JOIN h hx ON cand.a = hx.doc_id
+        JOIN h hy ON cand.b = hy.doc_id AND hx.hv = hy.hv
+        GROUP BY cand.a, cand.b
+    ), nearv AS (
+        SELECT a, b,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+    ), best AS (
+        SELECT a AS doc_id,
+               arg_max(b, CAST(round(j * 1000000) AS HUGEINT)
+                          * 1000000000000 - b) AS near_dup_of,
+               max(j) AS near_jaccard
+        FROM nearv GROUP BY 1
+    ), shq AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t2) - 4, 1)),
+                   i -> array_to_string(t2[i:least(i + 4, len(t2))], ' ')
+               )) AS s
+        FROM (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t2
+            FROM documents
+        )
+    ), probes AS (
+        SELECT s AS p_sh, len(s) AS p_n
+        FROM shq WHERE doc_id < 100 AND doc_id % 5 <> 0
+    ), conta AS (
+        SELECT c.doc_id,
+               sum(CASE WHEN CAST(len(list_intersect(c.s, p.p_sh)) AS DOUBLE)
+                             / p.p_n >= 0.5
+                        THEN 1 ELSE 0 END) AS n_flagged
+        FROM shq c CROSS JOIN probes p
+        WHERE c.doc_id % 5 = 0
+        GROUP BY 1
+    )
+    SELECT e.doc_id, e.source,
+           CASE WHEN coalesce(co.n_flagged, 0) > 0 THEN 'drop_contaminated'
+                WHEN e.exact_dup_of IS NOT NULL THEN 'drop_exact'
+                WHEN b.near_dup_of IS NOT NULL THEN 'drop_near_dup'
+                ELSE 'keep' END AS verdict,
+           CAST(coalesce(e.exact_dup_of, -1) AS BIGINT) AS exact_dup_of,
+           CAST(coalesce(b.near_dup_of, -1) AS BIGINT) AS near_dup_of,
+           coalesce(b.near_jaccard, CAST(-1 AS DOUBLE)) AS near_jaccard,
+           CAST(coalesce(co.n_flagged, 0) AS BIGINT) AS n_flagged_probes
+    FROM exact e
+    LEFT JOIN best b USING (doc_id)
+    LEFT JOIN conta co USING (doc_id)
+"""

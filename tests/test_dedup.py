@@ -790,3 +790,73 @@ class TestLshRecallEval:
         assert r["recall"] == 1.0
         assert r["n_candidates"] >= 4
         assert 0.0 < r["precision_vs_truth"] <= 1.0
+
+
+class TestIncrementalDedup:
+    """Two-epoch crafted fixture: one new doc per verdict class, each
+    hand-derivable (CLAUDE.md rule 7). Epochs: doc_id % 5 == 0 is new."""
+
+    def _write(self, spark, tmp_path):
+        probe = "alpha beta gamma delta epsilon zeta eta theta"
+        near_base = ("red orange yellow green blue indigo violet amber "
+                     "coral teal jade ruby")
+        twin = ("one two three four five six seven eight nine ten "
+                "eleven twelve")
+        extras = " ".join(f"extra{i}" for i in range(15))
+        rows = [
+            # frozen
+            (3, probe, "en", "srcA", len(probe)),
+            (102, near_base, "en", "srcA", len(near_base)),
+            (151, twin, "en", "srcB", len(twin)),
+            # new batch (% 5 == 0)
+            (0, probe + " " + extras, "en", "srcB", 1),      # contaminated
+            (105, twin, "en", "srcB", len(twin)),            # exact dup
+            (10, near_base.replace("ruby", "onyx"), "en", "srcA", 1),  # near
+            (15, "completely unique words nothing shared here at all "
+                 "whatsoever really truly", "en", "srcB", 1),  # keep
+        ]
+        spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, "
+                  "source: string, n_chars: long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_verdict_classes_and_provenance(self, spark, tmp_path):
+        from swiftbulkuploader_spark.operators.dedup import (
+            x1_incremental_dedup,
+        )
+
+        d = self._write(spark, tmp_path)
+        out = {r["doc_id"]: r for r in
+               x1_incremental_dedup(spark, d).collect()}
+        assert set(out) == {0, 105, 10, 15}   # one row per NEW doc
+
+        # full probe containment -> compliance verdict wins
+        r0 = out[0]
+        assert r0["verdict"] == "drop_contaminated"
+        assert r0["n_flagged_probes"] == 1
+        assert r0["exact_dup_of"] == -1
+
+        # byte-identical twin of a (non-probe) frozen doc
+        r105 = out[105]
+        assert r105["verdict"] == "drop_exact"
+        assert r105["exact_dup_of"] == 151
+        # it is ALSO a near dup and the column says so
+        assert r105["near_dup_of"] == 151
+        assert r105["near_jaccard"] == 1.0
+
+        # one-word change: 3-shingle overlap 7/13 ~ 0.538 >= tau
+        # (the base sits at id 102: frozen but OUTSIDE the probe range,
+        # else its 5-shingle containment hits exactly 0.5 and the
+        # compliance verdict wins — hand-checked while crafting)
+        r10 = out[10]
+        assert r10["verdict"] == "drop_near_dup"
+        assert r10["near_dup_of"] == 102
+        assert 0.5 <= r10["near_jaccard"] < 1.0
+
+        r15 = out[15]
+        assert r15["verdict"] == "keep"
+        assert r15["exact_dup_of"] == -1
+        assert r15["near_dup_of"] == -1
+        assert r15["near_jaccard"] == -1.0
+        assert r15["n_flagged_probes"] == 0
