@@ -2783,36 +2783,47 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on the precedence. Sentinels -1 / -1.0 mark "no match"
     (engine-stable, no NULLs in compared columns).
 
-    Stream twin (note): the identical plan body runs per micro-batch
-    under foreachBatch on the ingest stream — the frozen bases are
-    static frames joined to each batch, and the verdict frame appends to
-    the manifest exactly as plans/upload.py's attempt log does; no
-    operator here is batch-only (no global sorts or windows over the
-    frozen side).
+    Stream twin (TESTED, not just noted): the factored body
+    ``incremental_screen`` runs per micro-batch under foreachBatch
+    (streaming/incremental_stream.py) against the same static
+    frozen/probe frames; tests/test_incremental_stream.py pins
+    stream == batch across a two-micro-batch split. No operator here is
+    batch-only (no global sorts or windows over the frozen side).
 
     Reference parity: readme.md's resume re-run skips already-uploaded
     PATHS; this is the same idempotence promoted to content identity
     (§2.9 extension)."""
     docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 5) == 0
+    return incremental_screen(
+        docs.filter(is_new),
+        docs.filter(~is_new),
+        docs.filter((F.col("doc_id") < 100) & ~is_new),
+    )
+
+
+def incremental_screen(new_docs: DataFrame, frozen_docs: DataFrame,
+                       probe_docs: DataFrame) -> DataFrame:
+    """The screening body of x1_incremental_dedup over ARBITRARY
+    (doc_id, source, text) frames — factored out so the streaming twin
+    (streaming/incremental_stream.py) runs the identical plan per
+    micro-batch against static frozen/probe frames. Per-doc derivations
+    (fingerprints, hash sets, bands, shingles) are computed per side, so
+    a row's outputs depend only on (its text, the frozen side) — the
+    property that makes stream == batch hold by construction."""
     fp = F.md5(F.lower(F.trim(normalize_ws(F.col("text")))))
-    fps = docs.select(
-        "doc_id", "source", fp.alias("fp"),
-        ((F.col("doc_id") % 5) == 0).alias("is_new"),
-    )
-    new_fp = fps.filter("is_new").drop("is_new")
-    froz_fp = fps.filter(~F.col("is_new")).select(
-        F.col("doc_id").alias("f_id"), "fp"
-    )
+    new_fp = new_docs.select("doc_id", "source", fp.alias("fp"))
+    froz_fp = frozen_docs.select(F.col("doc_id").alias("f_id"), fp.alias("fp"))
     exact = (
         new_fp.join(froz_fp, "fp", "left")
         .groupBy("doc_id", "source")
         .agg(F.min("f_id").alias("exact_dup_of"))
     )
 
-    base = _mh_exact_base(docs)
-    bands = _mh_exact_bands(base)
-    bn = bands.filter((F.col("doc_id") % 5) == 0)
-    bf = bands.filter((F.col("doc_id") % 5) != 0)
+    base_n = _mh_exact_base(new_docs)
+    base_f = _mh_exact_base(frozen_docs)
+    bn = _mh_exact_bands(base_n)
+    bf = _mh_exact_bands(base_f)
     cand = (
         bn.alias("x")
         .join(bf.alias("y"), ["bj", "c0", "c1", "c2", "c3"])
@@ -2821,11 +2832,11 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = (
         cand.join(
-            base.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")),
+            base_n.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")),
             "a",
         )
         .join(
-            base.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")),
+            base_f.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")),
             "b",
         )
         .withColumn("c", F.size(F.array_intersect("ha", "hb")))
@@ -2844,11 +2855,10 @@ def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("j").alias("near_jaccard"),
     ).withColumnRenamed("a", "doc_id")
 
-    shing = shingle_base(docs)
-    probes = shing.filter(
-        (F.col("doc_id") < 100) & ((F.col("doc_id") % 5) != 0)
-    ).select(F.col("sh").alias("p_sh"), F.size("sh").alias("p_n"))
-    newsh = shing.filter((F.col("doc_id") % 5) == 0).select(
+    probes = shingle_base(probe_docs).select(
+        F.col("sh").alias("p_sh"), F.size("sh").alias("p_n")
+    )
+    newsh = shingle_base(new_docs).select(
         "doc_id", F.col("sh").alias("d_sh")
     )
     cont = (

@@ -1,0 +1,72 @@
+"""Streaming twin of the incremental-crawl dedup plan: new documents
+stream in (the recrawl feed), each micro-batch is screened against the
+STATIC frozen corpus by the exact same plan body the batch contract
+query runs (operators/dedup.py::incremental_screen), and the per-doc
+verdict frame appends to a manifest — the content-level generalization
+of the reference's path-level resume (readme.md `WHERE uploaded=0`).
+
+Exactly-once by the rollup_stream discipline: verdicts are written
+partitioned by BATCH ID with dynamic partition overwrite, so an
+at-least-once foreachBatch replay overwrites its own partition with
+identical rows (a verdict depends only on the doc's text and the frozen
+side, never on other batches — stream == batch by construction, pinned
+in tests/test_incremental_stream.py).
+
+At 100 TB: the frozen fingerprint/band/shingle bases are persisted
+tables the batch probes (broadcast or shuffle-hash on the batch side);
+a micro-batch's work is proportional to the batch, never to the frozen
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.operators.dedup import incremental_screen
+
+
+def _screen_batch(frozen_docs: DataFrame, probe_docs: DataFrame,
+                  out_path: str):
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        verdicts = incremental_screen(batch, frozen_docs, probe_docs)
+        out = verdicts.withColumn("batch_id", F.lit(batch_id))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            out.write.partitionBy("batch_id").mode("overwrite").parquet(
+                out_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return fn
+
+
+def stream_incremental_screen(new_stream: DataFrame,
+                              frozen_docs: DataFrame,
+                              probe_docs: DataFrame,
+                              out_path: str,
+                              checkpoint: str):
+    """Wire a streaming documents source through the per-batch screen.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    return (
+        new_stream.writeStream
+        .foreachBatch(_screen_batch(frozen_docs, probe_docs, out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_verdicts(spark: SparkSession, out_path: str) -> DataFrame:
+    """The accumulated verdict manifest (batch_id column retained for
+    replay-idempotence audits)."""
+    return spark.read.parquet(out_path)

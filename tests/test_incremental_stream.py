@@ -1,0 +1,105 @@
+"""Stream == batch for the incremental-crawl dedup screen: the same new
+docs screened (a) in one batch call and (b) as two file-source
+micro-batches through foreachBatch must produce identical verdict rows,
+and a replayed batch must not duplicate the manifest (dynamic partition
+overwrite). Files are written SEQUENTIALLY (CLAUDE.md rule 9: the file
+source orders by modification time)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = ("doc_id: long, text: string, lang: string, source: string, "
+              "n_chars: long")
+
+FROZEN = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "srcA", 1),
+    (2, "one two three four five six seven eight nine ten", "en", "srcA", 1),
+    (3, "red orange yellow green blue indigo violet amber coral teal",
+     "en", "srcB", 1),
+]
+
+# batch 1: an exact dup of frozen 2 + a keeper; batch 2: a near dup of
+# frozen 3 + a probe-contaminated doc
+NEW_B1 = [
+    (100, "one two three four five six seven eight nine ten", "en",
+     "srcC", 1),
+    (101, "totally fresh material nothing shared anywhere at all here",
+     "en", "srcC", 1),
+]
+NEW_B2 = [
+    (102, "red orange yellow green blue indigo violet amber coral jade",
+     "en", "srcC", 1),
+    (103, "alpha beta gamma delta epsilon zeta eta theta plus extra "
+          "words padding the tail out considerably more and more",
+     "en", "srcC", 1),
+]
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (r["verdict"], r["exact_dup_of"], r["near_dup_of"],
+                      r["n_flagged_probes"])
+        for r in df.collect()
+    }
+
+
+class TestIncrementalStreamTwin:
+    def test_stream_equals_batch_and_replay_idempotent(self, spark,
+                                                       tmp_path):
+        from swiftbulkuploader_spark.operators.dedup import (
+            incremental_screen,
+        )
+        from swiftbulkuploader_spark.streaming.incremental_stream import (
+            _screen_batch,
+            read_verdicts,
+            stream_incremental_screen,
+        )
+
+        frozen = spark.createDataFrame(FROZEN, DOC_SCHEMA)
+        # only frozen doc 1 is the "eval suite": docs 100/102 must hit
+        # the exact/near branches, not the compliance-first one
+        probes = frozen.filter(F.col("doc_id") == 1)
+
+        src = str(tmp_path / "new_docs")
+        # sequential writes: a late file read first would not hurt this
+        # stateless screen, but the house streaming rule stands
+        spark.createDataFrame(NEW_B1, DOC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        spark.createDataFrame(NEW_B2, DOC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA.replace(":", ""))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "verdicts")
+        q = stream_incremental_screen(
+            stream, frozen, probes, out, str(tmp_path / "cp")
+        )
+        q.awaitTermination(120)
+
+        streamed = read_verdicts(spark, out)
+        assert streamed.select("batch_id").distinct().count() == 2
+
+        batch = incremental_screen(
+            spark.createDataFrame(NEW_B1 + NEW_B2, DOC_SCHEMA),
+            frozen, probes,
+        )
+        assert _rows(streamed) == _rows(batch)
+
+        got = _rows(streamed)
+        assert got[100][0] == "drop_exact" and got[100][1] == 2
+        assert got[101][0] == "keep"
+        assert got[102][0] == "drop_near_dup" and got[102][2] == 3
+        assert got[103][0] == "drop_contaminated" and got[103][3] >= 1
+
+        # replay idempotence: re-running batch 0's foreachBatch body
+        # overwrites its own partition; the manifest is unchanged
+        before = sorted(_rows(streamed).items())
+        _screen_batch(frozen, probes, out)(
+            spark.createDataFrame(NEW_B1, DOC_SCHEMA), 0
+        )
+        after = sorted(_rows(read_verdicts(spark, out)).items())
+        assert after == before
