@@ -1,0 +1,154 @@
+"""Second scale point for the CONTRACT queries themselves (r8 verdict
+ask #7): the shape probes (tools/scaling_probe.py) cover operator
+skeletons, but super-linear drift in a real contract query's full
+composition can hide between them. This runs the top-10 most expensive
+contract queries (by the committed bench) at sf0.1 AND at a 10x
+SYNTHETIC substrate, and reports the wall ratio per query.
+
+The substrate is generated (never written under /root/testdata): each
+needed table is replicated REP=10x with keys remapped k -> k*REP + r so
+joins stay consistent, and with per-replica mutations that PRESERVE the
+workload's statistical shape instead of inflating it:
+
+* documents: replica r > 0 prefixes every token with `r{r}` — replicas
+  share no shingles/grams with each other, so exact/near-dup density,
+  novelty structure and n-gram statistics are 10 disjoint copies of the
+  original corpus (replicating text verbatim would multiply every dup
+  class by 10x pairs — a different, adversarial workload);
+* embeddings: replica r rotates the vector by r positions — norms and
+  within-replica geometry preserved, cross-replica identity broken;
+* lineitem/part/orders: key remap only — the co-purchase graph becomes
+  10 disjoint copies (work x10, density constant).
+
+Usage: python tools/scale10_bench.py [substrate_dir]
+Prints one JSON line; paste the table into SCALING.md per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.session import get_spark
+from swiftbulkuploader_spark import registry
+
+REP = 10
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# top-10 by median in the committed per-round bench artifact
+TOP10 = [
+    "x1_novelty_score",
+    "x2_kcenter_select",
+    "x2_mmd_drift",
+    "x8_link_prediction",
+    "x2_ivf_pq_topk",
+    "x1_minhash_exact",
+    "x1_repeated_passages",
+    "x1_contamination_bloom",
+    "x6_poisson_bootstrap",
+    "x3_stupid_backoff",
+]
+
+# tables the TOP10 actually read (generating the rest would waste the
+# round's time budget; extend when the top-10 set changes)
+TABLES = ["documents", "embeddings", "lineitem", "part", "orders",
+          "events"]
+
+_KEY_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def _replicate(spark, table: str, out_dir: str) -> None:
+    df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+    reps = spark.range(REP).select(F.col("id").cast("int").alias("_r"))
+    wide = df.crossJoin(F.broadcast(reps))
+    for k in _KEY_COLS.get(table, []):
+        if k in df.columns:
+            wide = wide.withColumn(
+                k, (F.col(k) * F.lit(REP) + F.col("_r")).cast("long")
+            )
+    if table == "documents":
+        toks = F.split(F.col("text"), " ")
+        mutated = F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.concat(
+                    F.lit("r"), F.col("_r").cast("string"), t
+                ),
+            ),
+            " ",
+        )
+        wide = wide.withColumn(
+            "text",
+            F.when(F.col("_r") == 0, F.col("text")).otherwise(mutated),
+        )
+    if table == "embeddings":
+        v = F.col("embedding")
+        n = F.size(v)
+        rotated = F.concat(
+            F.slice(v, F.col("_r") + 1, n - F.col("_r")),
+            F.slice(v, F.lit(1), F.col("_r")),
+        )
+        wide = wide.withColumn(
+            "embedding",
+            F.when(F.col("_r") == 0, v).otherwise(rotated)
+            .cast("array<float>"),
+        )
+    wide.drop("_r").write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"{table}.parquet")
+    )
+
+
+def _time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale10"
+    spark = get_spark("scale10_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sentinel = os.path.join(out_dir, "_GENERATED")
+    if not os.path.exists(sentinel):
+        for t in TABLES:
+            _replicate(spark, t, out_dir)
+        with open(sentinel, "w") as fh:
+            fh.write(f"REP={REP} from {SF_DIR}\n")
+
+    # warm both catalogs
+    registry.QUERIES["a1_total_count"](spark, SF_DIR).collect()
+
+    rows = {}
+    for name in TOP10:
+        s1 = _time_query(spark, name, SF_DIR)
+        s10 = _time_query(spark, name, out_dir)
+        rows[name] = {
+            "sec_sf01": round(s1, 3),
+            "sec_10x": round(s10, 3),
+            "ratio": round(s10 / s1, 2),
+        }
+    print(json.dumps({"rep": REP, "queries": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
