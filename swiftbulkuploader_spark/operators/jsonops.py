@@ -276,3 +276,66 @@ ORACLES["x4_json_schema_profile"] = """
            n_distinct_vals, min_val, max_val
     FROM per_key CROSS JOIN tot t
 """
+
+
+def x4_json_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-OF-OBJECTS parse — the nested shape the x4 family lacked:
+    each event carries a JSON array of tagged measurements (built with
+    IDENTICAL string concatenation on both engines: the event's type
+    with its integer cents value, plus a 'k' entry with the k-derived
+    reading), parsed ONCE with an explicit array<struct<t,v>> schema and
+    inline-exploded — the from_json + inline idiom that replaces one
+    get_json_object call per field per index. Per tag: row count, value
+    sum/min/max and distinct readings, all exact integers.
+
+    At scale: one parse per row, fan-out = fixed array length, map-side
+    combine to the bounded tag alphabet. DuckDB replays with computed
+    json_extract paths over range(json_array_length) (CAST to BIGINT —
+    the UBIGINT-overload gap, CLAUDE.md round-8)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    vi = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    arr = F.concat(
+        F.lit('[{"t":"'), F.col("event_type"), F.lit('","v":'),
+        vi.cast("string"),
+        F.lit('},{"t":"k","v":'), (k % F.lit(100)).cast("string"),
+        F.lit("}]"),
+    )
+    parsed = events.select(
+        F.inline(F.from_json(arr, "array<struct<t: string, v: bigint>>"))
+    )
+    return parsed.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    )
+
+
+QUERIES["x4_json_nested_explode"] = x4_json_nested_explode
+
+ORACLES["x4_json_nested_explode"] = """
+    WITH base AS (
+        SELECT '[{"t":"' || event_type || '","v":'
+               || CAST(CAST(round(value * CAST(100 AS DOUBLE), 0) AS BIGINT)
+                       AS VARCHAR)
+               || '},{"t":"k","v":'
+               || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 100
+                       AS VARCHAR)
+               || '}]' AS arr
+        FROM events
+    ), ex AS (
+        SELECT json_extract_string(arr, '$[' || i || '].t') AS t,
+               CAST(json_extract(arr, '$[' || i || '].v') AS BIGINT) AS v
+        FROM base,
+             unnest(range(CAST(json_array_length(arr) AS BIGINT))) AS u(i)
+    )
+    SELECT t,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM ex GROUP BY t
+"""

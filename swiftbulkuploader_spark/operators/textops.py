@@ -1820,7 +1820,7 @@ def x3_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle_sql(rounds: int = BPE_MERGES) -> str:
+def _bpe_encode_ctes(rounds: int = BPE_MERGES) -> str:
     """GENERATED encode oracle: the training chain (pair counts -> 1-row
     argmax -> replace) re-derived from scratch, but carrying the ORIGINAL
     word `t` through every round so the final subtoken counts join back to
@@ -1850,8 +1850,7 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGES) -> str:
         )""")
         prev = f"w{r}"
     chain = ", ".join(blocks)
-    return f"""
-    WITH tk AS MATERIALIZED (
+    ctes = f"""tk AS MATERIALIZED (
         SELECT doc_id,
                unnest(string_split(trim(regexp_replace(lower(text),
                    '\\s+', ' ', 'g')), ' ')) AS t
@@ -1864,7 +1863,14 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGES) -> str:
     ), {chain}, enc AS (
         SELECT t, CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS n_sub
         FROM {prev}
-    )
+    )"""
+    return ctes
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_MERGES) -> str:
+    """Wrapper: the generated chain plus the per-doc join-back SELECT."""
+    return f"""
+    WITH {_bpe_encode_ctes(rounds)}
     SELECT tk.doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(enc.n_sub) AS BIGINT) AS n_subtokens,
@@ -2879,4 +2885,117 @@ ORACLES["x3_unigram_encode"] = f"""
            CAST(n_single AS DOUBLE) / CAST(n_pieces AS DOUBLE)
                AS single_piece_share
     FROM uagg a LEFT JOIN ulong l USING (source)
+"""
+
+
+def x3_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs unigram-LM tokenizer, side by side, per source — the
+    report a data engineer reads to PICK a tokenizer: both trained
+    artifacts (memoized _BPE_CACHE and _UNIGRAM_CACHE) applied to the
+    SAME word population (1 <= len <= UNIGRAM_MAXW, so the comparison
+    is apples-to-apples — BPE alone also encodes longer words), with
+    per-source piece counts, fertilities, their ratio, and an
+    integer-exact winner verdict (fewer pieces = better compression at
+    equal vocab quality).
+
+    Shape: both encoders run once per DISTINCT word (the shared
+    word-level discipline), one three-way join on the word, one
+    per-source aggregate. The oracle re-derives BOTH training loops
+    (the BPE merge chain and the unigram recursive-CTE EM) and joins
+    their encode outputs — two generated pipelines nested in one WITH
+    RECURSIVE, CTE namespaces disjoint by construction."""
+    merges = _bpe_merges(spark, sf_dir)
+    v = _unigram_final_vocab(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _unigram_tokens(docs)
+    ws = (
+        toks.filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAXW)
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = _unigram_words(docs)
+    seg = _viterbi_segment(words, v).select(
+        "w", F.size("pieces").alias("np")
+    )
+    wcol = F.regexp_replace("w", "(.)", " $1 ")
+    for _, x, y, _m, _c in merges:
+        wcol = F.replace(wcol, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
+    enc = words.select(
+        "w", F.size(F.split(F.trim(wcol), "  ")).alias("n_sub")
+    )
+    agg = (
+        ws.join(seg, "w")
+        .join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("bpe_pieces"),
+            F.sum(F.col("cnt") * F.col("np")).alias("uni_pieces"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("bpe_pieces").cast("long").alias("bpe_pieces"),
+        F.col("uni_pieces").cast("long").alias("uni_pieces"),
+        (
+            F.col("bpe_pieces").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("bpe_fertility"),
+        (
+            F.col("uni_pieces").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("uni_fertility"),
+        (
+            F.col("uni_pieces").cast("double")
+            / F.col("bpe_pieces").cast("double")
+        ).alias("uni_over_bpe"),
+        F.when(F.col("uni_pieces") < F.col("bpe_pieces"), F.lit("unigram"))
+        .when(F.col("uni_pieces") > F.col("bpe_pieces"), F.lit("bpe"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
+QUERIES["x3_tokenizer_compare"] = x3_tokenizer_compare
+
+ORACLES["x3_tokenizer_compare"] = f"""
+    WITH RECURSIVE {_bpe_encode_ctes()},
+    {_unigram_train_ctes()},
+    {_unigram_viterbi_sql(_UNIGRAM_ENC_R, f"vocab{UNIGRAM_EM_ROUNDS}")},
+    cws AS MATERIALIZED (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM utok
+        WHERE length(w) >= 1 AND length(w) <= {UNIGRAM_MAXW}
+        GROUP BY 1, 2
+    ),
+    cseg AS MATERIALIZED (
+        SELECT w, len(pieces) AS np FROM seg{_UNIGRAM_ENC_R}
+    ),
+    cagg AS MATERIALIZED (
+        SELECT s.source,
+               sum(s.cnt) AS n_words,
+               sum(s.cnt * e.n_sub) AS bpe_pieces,
+               sum(s.cnt * g.np) AS uni_pieces
+        FROM cws s
+        JOIN cseg g ON s.w = g.w
+        JOIN enc e ON s.w = e.t
+        GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(bpe_pieces AS BIGINT) AS bpe_pieces,
+           CAST(uni_pieces AS BIGINT) AS uni_pieces,
+           CAST(bpe_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS bpe_fertility,
+           CAST(uni_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS uni_fertility,
+           CAST(uni_pieces AS DOUBLE) / CAST(bpe_pieces AS DOUBLE)
+               AS uni_over_bpe,
+           CASE WHEN uni_pieces < bpe_pieces THEN 'unigram'
+                WHEN uni_pieces > bpe_pieces THEN 'bpe'
+                ELSE 'tie' END AS winner
+    FROM cagg
 """

@@ -1354,3 +1354,109 @@ ORACLES["x10_epoch_plan"] = f"""
            max(lang) AS last_lang
     FROM pc GROUP BY epoch
 """
+
+
+MIX_EPOCHS = 4           # annealed schedule length
+EPOCH_TOKEN_BUDGET = 10**6  # per-epoch training-token budget
+
+
+def x10_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-ANNEALED multi-epoch mixing schedule — the curriculum
+    extension of x6_source_mixing (one static alpha) that modern
+    pretraining recipes actually run: early epochs sample flattened
+    (alpha = 0.5, low-resource sources upsampled for coverage), the
+    final epoch samples proportionally (alpha = 1.0, the corpus speaks
+    with its real distribution). alpha_e = 0.5 + 0.5*(e-1)/(E-1) anneals
+    linearly over MIX_EPOCHS epochs; per (epoch, source): tempered mix
+    weight, target tokens against the per-epoch budget, and the
+    upsampling factor vs raw share.
+
+    Scale shape: ONE corpus aggregate reduces to n_sources rows, then a
+    bounded cross join with the MIX_EPOCHS-row epoch frame and windows
+    PARTITIONED BY epoch over that n_sources x E table — everything
+    after the scan is O(sources x epochs). pow ulp differences between
+    engines sit below the 6-dp rounds (the x6_source_mixing precedent).
+
+    Reference parity: none (reference uploads files); §2.9
+    training-manifest family."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+    )
+    epochs = spark.range(1, MIX_EPOCHS + 1).select(
+        F.col("id").cast("int").alias("epoch"),
+        (
+            F.lit(0.5)
+            + F.lit(0.5)
+            * (F.col("id") - F.lit(1)).cast("double")
+            / F.lit(float(MIX_EPOCHS - 1))
+        ).alias("alpha"),
+    )
+    grid = per_src.crossJoin(F.broadcast(epochs))  # bounded: sources x E
+    w_ep = Window.partitionBy("epoch")
+    raw_share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        w_ep
+    ).cast("double")
+    tempered = F.pow(raw_share, F.col("alpha"))
+    mix_w = tempered / F.sum(tempered).over(w_ep)
+    target = F.round(mix_w * F.lit(EPOCH_TOKEN_BUDGET)).cast("long")
+    return grid.select(
+        "epoch",
+        "source",
+        F.round("alpha", 6).alias("alpha"),
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(mix_w, 6).alias("mix_weight"),
+        target.alias("target_tokens"),
+        F.round(mix_w / raw_share, 4).alias("upsample_x"),
+    )
+
+
+QUERIES["x10_mixture_schedule"] = x10_mixture_schedule
+
+_TOKCNT_DUCK = (
+    "CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 "
+    "THEN 0 ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', "
+    "'g')), ' ')) END AS BIGINT)"
+)
+
+ORACLES["x10_mixture_schedule"] = f"""
+    WITH per_src AS (
+        SELECT source, CAST(sum({_TOKCNT_DUCK}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), ep AS (
+        SELECT CAST(e AS INT) AS epoch,
+               CAST(0.5 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE) * CAST(e - 1 AS DOUBLE)
+                     / CAST({MIX_EPOCHS - 1} AS DOUBLE) AS alpha
+        FROM unnest(range(1, {MIX_EPOCHS + 1})) AS t(e)
+    ), grid AS (
+        SELECT * FROM per_src CROSS JOIN ep
+    ), shares AS (
+        SELECT *,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST(sum(n_tokens) OVER (PARTITION BY epoch) AS DOUBLE)
+                   AS raw_share,
+               pow(CAST(n_tokens AS DOUBLE)
+                   / CAST(sum(n_tokens) OVER (PARTITION BY epoch) AS DOUBLE),
+                   alpha) AS tempered
+        FROM grid
+    ), weights AS (
+        SELECT *, tempered / sum(tempered) OVER (PARTITION BY epoch) AS mix_w
+        FROM shares
+    )
+    SELECT epoch, source,
+           round(alpha, 6) AS alpha,
+           n_tokens,
+           round(raw_share, 6) AS raw_share,
+           round(mix_w, 6) AS mix_weight,
+           CAST(round(mix_w * {EPOCH_TOKEN_BUDGET}) AS BIGINT)
+               AS target_tokens,
+           round(mix_w / raw_share, 4) AS upsample_x
+    FROM weights
+"""

@@ -106,6 +106,12 @@ BOUNDED_BNLJ_OK = {
                                # vocab-bounded piece table
     "x3_unigram_encode",       # same 1-row totals, consumed through the
                                # memoized trained-vocab substrate
+    "x3_tokenizer_compare",    # same unigram-vocab lineage totals, plus
+                               # the BPE substrate (both memoized)
+    "x1_incremental_dedup",    # bounded eval-probe broadcast (the
+                               # x1_contamination class, <= 80 rows)
+    "x10_mixture_schedule",    # MIX_EPOCHS=4-row epoch frame broadcast
+                               # into the per-source aggregate
 }
 
 
