@@ -3118,3 +3118,137 @@ def _mmd_oracle_sql() -> str:
 
 
 ORACLES["x2_mmd_drift"] = _mmd_oracle_sql()
+
+
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE — recall@10 vs corpus fraction scanned as
+    n_probe sweeps 1/2/4/8 over the 16-centroid quantizer: the
+    recall-vs-cost trade every ANN deployment tunes before fixing
+    n_probe (x2_ivf_topk serves ONE point of this curve; the sweep is
+    what picks it). One row per probe count: clusters probed, vectors
+    scanned (the cost axis — at scale this is the partition-pruning
+    read fraction), exact-top-10 hits, recall.
+
+    Shape: the cluster assignment runs ONCE (checkpointed, reused by
+    all four sweep points — sweeping re-filters the same assigned
+    frame, it never re-scores); per point one bounded probe pick, one
+    filtered count, one 10-row join. All compared cosines are
+    6-dp-rounded with id tie-breaks (the ivf_search discipline);
+    counts exact.
+
+    Reference parity: none; §2.9 ANN-serve family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    assigned = (
+        emb.withColumn(
+            "cluster",
+            assign_ivf_cluster(
+                F.col("embedding").cast("array<double>"), cents
+            ),
+        )
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        x2_cosine_topk(spark, sf_dir).select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row broadcast
+    out = None
+    for p in PROBE_SWEEP:
+        probe = _probe_pick(spark, cents, q, p)
+        scanned = assigned.filter(F.col("cluster").isin(probe)).agg(
+            F.count(F.lit(1)).alias("n_scanned")
+        )
+        hits = exact.join(
+            ivf_search(emb, cents, q, n_probe=p).select("vec_id"), "vec_id"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        row = (
+            scanned.crossJoin(hits).crossJoin(F.broadcast(total)).select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.col("n_scanned").cast("long").alias("n_scanned"),
+                (
+                    F.col("n_scanned").cast("double")
+                    / F.col("n_total").cast("double")
+                ).alias("scanned_frac"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["x2_ivf_probe_sweep"] = x2_ivf_probe_sweep
+
+
+def _probe_sweep_oracle_sql() -> str:
+    """Shared assignment/exact CTEs + one block per sweep point; probe
+    pick / assignment / ranking mirror the x2_ann_recall IVF oracle
+    text exactly."""
+    blocks = []
+    selects = []
+    for p in PROBE_SWEEP:
+        blocks.append(f"""probe{p} AS (
+        SELECT c.cid FROM c, qv
+        ORDER BY round(coalesce(list_cosine_similarity(c.cv, qv.qv),
+                                -2.0), 6) DESC, c.cid DESC
+        LIMIT {p}
+    ), ivf{p} AS (
+        SELECT asn.vec_id FROM asn, qv
+        WHERE asn.cluster IN (SELECT cid FROM probe{p})
+        ORDER BY round(list_cosine_similarity(asn.v, qv.qv), 6) DESC,
+                 asn.vec_id ASC
+        LIMIT 10
+    )""")
+        selects.append(f"""
+    SELECT CAST({p} AS INT) AS n_probe,
+           CAST((SELECT count(*) FROM asn
+                 WHERE cluster IN (SELECT cid FROM probe{p})) AS BIGINT)
+               AS n_scanned,
+           CAST((SELECT count(*) FROM asn
+                 WHERE cluster IN (SELECT cid FROM probe{p})) AS DOUBLE)
+               / CAST((SELECT count(*) FROM embeddings) AS DOUBLE)
+               AS scanned_frac,
+           CAST((SELECT count(*) FROM exact JOIN ivf{p} USING (vec_id))
+                AS BIGINT) AS n_hits,
+           (SELECT count(*) FROM exact JOIN ivf{p} USING (vec_id))
+               / CAST(10.0 AS DOUBLE) AS recall""")
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE vec_id < 16
+    ), qv AS (
+        SELECT v AS qv FROM e WHERE vec_id = 0
+    ), a AS MATERIALIZED (
+        SELECT e.vec_id, e.v, c.cid,
+               round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6)
+                   AS cos
+        FROM e CROSS JOIN c
+    ), asn AS MATERIALIZED (
+        SELECT vec_id, v, cid AS cluster FROM a
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid DESC) = 1
+    ), exact AS MATERIALIZED (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        )
+    ), {", ".join(blocks)}
+    {" UNION ALL ".join(selects)}
+"""
+
+
+ORACLES["x2_ivf_probe_sweep"] = _probe_sweep_oracle_sql()

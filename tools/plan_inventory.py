@@ -112,6 +112,9 @@ BOUNDED_BNLJ_OK = {
                                # x1_contamination class, <= 80 rows)
     "x10_mixture_schedule",    # MIX_EPOCHS=4-row epoch frame broadcast
                                # into the per-source aggregate
+    "x2_ivf_probe_sweep",      # per sweep point: 1-row scanned x 1-row
+                               # hits x 1-row total combined (the
+                               # x1_lsh_recall_eval report class)
 }
 
 
