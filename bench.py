@@ -221,6 +221,14 @@ HEADLINE = [
     "x3_char_entropy",          # bits/char compression-proxy per source
     "x6_welch_ttest",           # exact-integer-moment Welch t + null row
     "x7_gap_histogram",         # log2 inter-event gap distribution
+    "x9_audio_frame_plan",      # rate-aware STFT-grid byte-range plan
+    "x3_unigram_train",         # unigram-LM hard-EM tokenizer training
+    "x3_unigram_encode",        # Viterbi apply + per-source fertility
+    "x3_tokenizer_compare",     # BPE vs unigram pick-a-tokenizer report
+    "x1_incremental_dedup",     # new-batch vs frozen-corpus screen
+    "x10_mixture_schedule",     # annealed multi-epoch source mixing
+    "x4_json_nested_explode",   # array-of-structs parse + tag profile
+    "x2_ivf_probe_sweep",       # IVF recall-vs-scan tuning curve
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;
