@@ -229,6 +229,8 @@ HEADLINE = [
     "x10_mixture_schedule",     # annealed multi-epoch source mixing
     "x4_json_nested_explode",   # array-of-structs parse + tag profile
     "x2_ivf_probe_sweep",       # IVF recall-vs-scan tuning curve
+    "x6_power_analysis",        # experiment sizing / MDE report
+    "x10_resume_plan",          # shard-level training resume plan
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -624,3 +624,130 @@ def _welch_oracle_sql() -> str:
 
 
 ORACLES["x6_welch_ttest"] = _welch_oracle_sql()
+
+
+POWER_Z_ALPHA = 1.959964   # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621    # 80% power
+POWER_LIFTS = (0.05, 0.10, 0.20)
+
+
+def x6_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment SIZING — the question asked before x6_ab_test is ever
+    run: at the control arm's observed conversion rate, how many users
+    per arm does each candidate relative lift need (classic
+    two-proportion normal approximation, alpha = 0.05 two-sided / 80%
+    power), is the current arm already big enough, and what's the
+    minimum detectable effect at today's size. One row per candidate
+    lift over the same deterministic md5-parity split as x6_ab_test, so
+    the two reports read off the same experiment.
+
+    n_req = ceil((z_a+z_b)^2 * (p1(1-p1) + p2(1-p2)) / (p2-p1)^2);
+    MDE = (z_a+z_b) * sqrt(2 p1 (1-p1) / n_a). Everything after the
+    one distinct-user rollup is a constant-size grid (arms x 3 lifts,
+    bounded broadcast); degenerate p1 = 0 or lift-capped p2 = p1 turns
+    n_req NULL via nullif on both engines (then achievable_now = NULL,
+    honest rather than Inf)."""
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("conv")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16, 10,
+                ).cast("long") % 2
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)
+        ).alias("conv_a"),
+    )
+    lifts = spark.createDataFrame(
+        [(float(x),) for x in POWER_LIFTS], "lift: double"
+    )
+    grid = arms.crossJoin(F.broadcast(lifts))  # bounded: 1 x |lifts|
+    zsum = F.lit(POWER_Z_ALPHA) + F.lit(POWER_Z_BETA)
+    p1 = F.col("conv_a") / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+    p2 = F.least(p1 * (F.lit(1.0) + F.col("lift")), F.lit(1.0))
+    num = zsum * zsum * (
+        p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)
+    )
+    n_req = F.ceil(
+        num / F.nullif((p2 - p1) * (p2 - p1), F.lit(0.0))
+    ).cast("long")
+    mde = zsum * F.sqrt(
+        F.lit(2.0) * p1 * (F.lit(1.0) - p1)
+        / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+    )
+    return grid.select(
+        F.round(F.col("lift"), 4).alias("lift"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        p1.alias("p_base"),
+        p2.alias("p_target"),
+        n_req.alias("n_required_per_arm"),
+        (F.col("n_a") >= n_req).alias("achievable_now"),
+        mde.alias("mde_at_current_n"),
+    )
+
+
+QUERIES["x6_power_analysis"] = x6_power_analysis
+
+ORACLES["x6_power_analysis"] = f"""
+    WITH users AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS variant,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS INT) AS conv
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+                    AS BIGINT) AS conv_a
+        FROM users
+    ), grid AS (
+        SELECT * FROM arms
+        CROSS JOIN (SELECT unnest([{", ".join(f"CAST({x} AS DOUBLE)" for x in POWER_LIFTS)}]) AS lift)
+    ), calc AS (
+        SELECT *,
+               conv_a / CAST(nullif(n_a, 0) AS DOUBLE) AS p1,
+               least(conv_a / CAST(nullif(n_a, 0) AS DOUBLE)
+                     * (CAST(1 AS DOUBLE) + lift), CAST(1 AS DOUBLE)) AS p2,
+               CAST({POWER_Z_ALPHA} AS DOUBLE)
+                   + CAST({POWER_Z_BETA} AS DOUBLE) AS zsum
+        FROM grid
+    ), req AS (
+        SELECT *,
+               CAST(ceil(zsum * zsum
+                         * (p1 * (CAST(1 AS DOUBLE) - p1)
+                            + p2 * (CAST(1 AS DOUBLE) - p2))
+                         / nullif((p2 - p1) * (p2 - p1),
+                                  CAST(0 AS DOUBLE))) AS BIGINT) AS n_req
+        FROM calc
+    )
+    SELECT round(lift, 4) AS lift,
+           n_a, n_b,
+           p1 AS p_base,
+           p2 AS p_target,
+           n_req AS n_required_per_arm,
+           n_a >= n_req AS achievable_now,
+           zsum * sqrt(CAST(2 AS DOUBLE) * p1 * (CAST(1 AS DOUBLE) - p1)
+                       / CAST(nullif(n_a, 0) AS DOUBLE))
+               AS mde_at_current_n
+    FROM req
+"""

@@ -1460,3 +1460,99 @@ ORACLES["x10_mixture_schedule"] = f"""
            round(mix_w / raw_share, 4) AS upsample_x
     FROM weights
 """
+
+
+RESUME_DONE_MOD = 3  # shards with shard_id % 3 == 0 are already trained
+
+
+def x10_resume_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-run RESUME plan — the reference's core semantic (resume
+    skips already-uploaded paths, readme.md `WHERE uploaded=0`) promoted
+    to the training-shard level: given the deterministic shard layout
+    (x6_global_shuffle's md5 assignment) and a completed-shard set (a
+    deterministic fixture: shard_id % RESUME_DONE_MOD == 0, standing in
+    for the trainer's checkpoint manifest), emit per shard its status,
+    size, and for PENDING shards the resume order plus how many tokens
+    precede them in the remaining schedule — what a restarted trainer
+    reads to continue without reprocessing.
+
+    Shape: one doc scan -> row-local shard assignment -> 8-row shard
+    aggregate; the ordering windows run PARTITIONED BY status over that
+    N_SHARDS-row table. Sentinels -1 keep done rows NULL-free.
+
+    Reference parity: readme.md:42 resume semantics (bulkupload.py's
+    uploaded=0 re-run), generalized from file rows to training shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(N_SHARDS)
+    ).cast("int")
+    per_shard = (
+        docs.select(
+            shard.alias("shard_id"),
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "status",
+            F.when(
+                F.col("shard_id") % RESUME_DONE_MOD == 0, F.lit("done")
+            ).otherwise(F.lit("pending")),
+        )
+    )
+    w_ord = Window.partitionBy("status").orderBy("shard_id")
+    w_cum = (
+        Window.partitionBy("status")
+        .orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pending = F.col("status") == "pending"
+    return per_shard.select(
+        F.col("shard_id").cast("int").alias("shard_id"),
+        "status",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(pending, F.row_number().over(w_ord))
+        .otherwise(F.lit(-1)).cast("int").alias("resume_order"),
+        F.when(
+            pending, F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0))
+        ).otherwise(F.lit(-1)).cast("long").alias("tokens_before"),
+    )
+
+
+QUERIES["x10_resume_plan"] = x10_resume_plan
+
+ORACLES["x10_resume_plan"] = f"""
+    WITH per_shard AS (
+        SELECT CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {N_SHARDS} AS INT) AS shard_id,
+               count(*) AS n_docs,
+               sum({_TOKCNT_DUCK}) AS n_tokens
+        FROM documents
+        GROUP BY 1
+    ), st AS (
+        SELECT *,
+               CASE WHEN shard_id % {RESUME_DONE_MOD} = 0
+                    THEN 'done' ELSE 'pending' END AS status
+        FROM per_shard
+    )
+    SELECT shard_id, status,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN status = 'pending'
+                THEN row_number() OVER (PARTITION BY status
+                                        ORDER BY shard_id)
+                ELSE -1 END AS INT) AS resume_order,
+           CAST(CASE WHEN status = 'pending'
+                THEN coalesce(sum(n_tokens) OVER (
+                         PARTITION BY status ORDER BY shard_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0)
+                ELSE -1 END AS BIGINT) AS tokens_before
+    FROM st
+"""

@@ -115,6 +115,8 @@ BOUNDED_BNLJ_OK = {
     "x2_ivf_probe_sweep",      # per sweep point: 1-row scanned x 1-row
                                # hits x 1-row total combined (the
                                # x1_lsh_recall_eval report class)
+    "x6_power_analysis",       # 1-row arms x 3-row lift grid (bounded
+                               # broadcast, the x6_ab_test family)
 }
 
 
