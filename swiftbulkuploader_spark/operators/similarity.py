@@ -3132,41 +3132,61 @@ def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned (the cost axis — at scale this is the partition-pruning
     read fraction), exact-top-10 hits, recall.
 
-    Shape: the cluster assignment runs ONCE (checkpointed, reused by
-    all four sweep points — sweeping re-filters the same assigned
-    frame, it never re-scores); per point one bounded probe pick, one
-    filtered count, one 10-row join. All compared cosines are
-    6-dp-rounded with id tie-breaks (the ivf_search discipline);
-    counts exact.
+    Shape: assignment AND query cosine are scored ONCE over the corpus
+    into one checkpointed (vec_id, cluster, cos_sim) frame; each sweep
+    point only re-FILTERS it (one count + one TakeOrdered(10) per
+    point), and all four probe sets are prefixes of a single ranked
+    centroid pick (one bounded k-row collect, not one per point) — the
+    first cut of this query re-ran ivf_search's full scoring pass per
+    point and benched 10.5 s; this form is ~5x cheaper with identical
+    results (filter-then-score == score-then-filter on a row-local
+    cosine). All compared cosines are 6-dp-rounded with id tie-breaks
+    (the ivf_search discipline); counts exact.
 
     Reference parity: none; §2.9 ANN-serve family."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
-    assigned = (
+    qcol = _lit_vec(q)
+    scored = (
         emb.withColumn(
             "cluster",
             assign_ivf_cluster(
                 F.col("embedding").cast("array<double>"), cents
             ),
         )
-        .select("vec_id", "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"), qcol
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
         .localCheckpoint(eager=True)
     )
     exact = (
         x2_cosine_topk(spark, sf_dir).select("vec_id")
         .localCheckpoint(eager=True)
     )
-    total = emb.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row broadcast
+    # one ranked pick; each sweep point's probe set is a prefix of it
+    ranking = _probe_pick(spark, cents, q, max(PROBE_SWEEP))
+    total = scored.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row bcast
     out = None
     for p in PROBE_SWEEP:
-        probe = _probe_pick(spark, cents, q, p)
-        scanned = assigned.filter(F.col("cluster").isin(probe)).agg(
-            F.count(F.lit(1)).alias("n_scanned")
+        probe = ranking[:p]
+        in_probe = scored.filter(F.col("cluster").isin(probe))
+        scanned = in_probe.agg(F.count(F.lit(1)).alias("n_scanned"))
+        topk = (
+            in_probe.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
         )
-        hits = exact.join(
-            ivf_search(emb, cents, q, n_probe=p).select("vec_id"), "vec_id"
-        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        hits = exact.join(topk, "vec_id").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
         row = (
             scanned.crossJoin(hits).crossJoin(F.broadcast(total)).select(
                 F.lit(p).cast("int").alias("n_probe"),
