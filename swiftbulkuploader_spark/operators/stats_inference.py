@@ -73,13 +73,22 @@ def x6_top_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_CONV_VALUE = 95.0  # conversion = a purchase at or above this value:
+                      # the bare has-a-purchase definition SATURATES on
+                      # this substrate (every user converts at every SF,
+                      # so rates pin at 1.0 and z goes NULL — the
+                      # dead-substrate class; found round 9 while pinning
+                      # the power-analysis formula)
+
+
 def x6_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test over a HASH-ASSIGNED experiment — the
     measure-the-experiment query every event pipeline runs: users split
     into A/B by a deterministic hash of user_id (md5-prefix parity, so
     both engines assign identically and assignment is stable across
     reruns — the real-world bucketing contract), conversion = the user
-    has >= 1 'purchase' event, pooled-variance z statistic with a
+    has >= 1 HIGH-VALUE purchase (value >= AB_CONV_VALUE — see the
+    constant's note), pooled-variance z statistic with a
     |z| > 1.96 significance flag.
 
     Shape: one distinct-user aggregate (conversion via max-of-boolean),
@@ -93,7 +102,12 @@ def x6_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         events.groupBy("user_id")
         .agg(
-            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= F.lit(AB_CONV_VALUE))
+                ).cast("int")
+            ).alias("conv")
         )
         .select(
             (
@@ -168,7 +182,7 @@ ORACLES["x6_ab_test"] = """
     WITH users AS (
         SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
                    AS variant,
-               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+               CAST(max(CASE WHEN event_type = 'purchase' AND value >= CAST(95 AS DOUBLE) THEN 1 ELSE 0 END) AS INT)
                    AS conv
         FROM events GROUP BY user_id
     ), arms AS (
@@ -652,7 +666,10 @@ def x6_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("user_id")
         .agg(
             F.max(
-                (F.col("event_type") == "purchase").cast("int")
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= F.lit(AB_CONV_VALUE))
+                ).cast("int")
             ).alias("conv")
         )
         .select(
@@ -709,7 +726,7 @@ ORACLES["x6_power_analysis"] = f"""
     WITH users AS (
         SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
                     AS BIGINT) % 2 AS variant,
-               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               CAST(max(CASE WHEN event_type = 'purchase' AND value >= CAST(95 AS DOUBLE) THEN 1 ELSE 0 END)
                     AS INT) AS conv
         FROM events GROUP BY user_id
     ), arms AS (

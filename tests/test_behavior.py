@@ -191,8 +191,10 @@ def test_ab_test_degenerate_single_arm(spark, tmp_path):
         x6_ab_test,
     )
 
+    # value 100.0: conversion is the HIGH-VALUE definition
+    # (>= AB_CONV_VALUE), so the purchases must clear the bar
     rows = [(i, "2024-01-01 00:00:00", 7, "purchase" if i % 3 == 0 else "view",
-             1.0, json.dumps({})) for i in range(30)]
+             100.0, json.dumps({})) for i in range(30)]
     spark.createDataFrame(
         rows,
         "event_id long, ts string, user_id long, event_type string, "
