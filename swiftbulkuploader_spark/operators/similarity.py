@@ -3003,10 +3003,14 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def kmean(xa, xb, na, nb, a, b):
         sq = F.col(na) + F.col(nb) - F.lit(2.0) * dot_product_unrolled(a, b, dim)
         k = F.exp(-sq / F.lit(2.0 * MMD_SIGMA2))
-        # floor(k*1e8 + 0.5): each pairwise kernel value (a fixed-shape
-        # double, bit-identical across engines) lands on an integer grid
-        # BEFORE the commutative sum, so the mean is sum/cnt of exact
-        # integers — no order-dependent float accumulation under a round.
+        # floor(k*1e8 + 0.5): each pairwise kernel value lands on an
+        # integer grid BEFORE the commutative sum, so the mean is
+        # sum/cnt of exact integers — no order-dependent float
+        # accumulation under a round. Residual risk is the module's
+        # usual ulp-at-a-boundary class: exp() may differ by an ulp
+        # between the JVM and DuckDB's libm, flipping kq by 1 when k
+        # sits exactly on a grid edge (rare; diagnose a verify flake
+        # here before suspecting the sum).
         kq = F.floor(k * F.lit(1e8) + F.lit(0.5)).cast("long")
         return xa.crossJoin(xb).agg(  # bounded: MMD_N x MMD_N pairs
             F.sum(kq).alias("ksum"),
@@ -3152,7 +3156,8 @@ def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn(
             "cluster",
             assign_ivf_cluster(
-                F.col("embedding").cast("array<double>"), cents
+                F.col("embedding").cast("array<double>"), cents,
+                round_dp=6,
             ),
         )
         .select(

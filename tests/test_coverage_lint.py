@@ -13,7 +13,11 @@ def _base_inputs():
     """A tiny self-consistent fixture world."""
     queries = {"q1_scan", "x1_dedup", "x1_minhash_neardup"}
     oracles = {"q1_scan", "x1_dedup"}
-    coverage = "covers q1_scan and x1_dedup and x1_minhash_neardup"
+    coverage = (
+        "| Family | Query | Check |\n|---|---|---|\n"
+        "| scans | q1_scan | oracle |\n"
+        "| dedup | x1_dedup, x1_minhash_neardup (seeded) | oracle/rows |\n"
+    )
     readme = (
         "## Rows-only ledger\n\n"
         "| query | why | twin |\n|---|---|---|\n"
@@ -36,6 +40,19 @@ def test_seeded_drifts_each_fail():
     probs = run_lint(q | {"x9_new_op"}, o | {"x9_new_op"}, cov, readme,
                      allow)
     assert any("x9_new_op" in p and "COVERAGE" in p for p in probs)
+
+    # a query mentioned ONLY in another row's parenthetical prose must
+    # still fail (the r9 ADVICE false-pass class)
+    cov_paren = cov + "| other | x1_dedup (twin: x9_ghost_twin) | oracle |\n"
+    probs = run_lint(q | {"x9_ghost_twin"}, o | {"x9_ghost_twin"},
+                     cov_paren, readme, allow)
+    assert any("x9_ghost_twin" in p and "COVERAGE" in p for p in probs)
+
+    # ...and a non-table prose mention outside any row must also fail
+    cov_prose = cov + "\nsee also x9_prose_only for details\n"
+    probs = run_lint(q | {"x9_prose_only"}, o | {"x9_prose_only"},
+                     cov_prose, readme, allow)
+    assert any("x9_prose_only" in p and "COVERAGE" in p for p in probs)
 
     # a query silently losing its oracle (rows-only but not in ledger)
     probs = run_lint(q, o - {"x1_dedup"}, cov, readme, allow)

@@ -78,7 +78,10 @@ class TestIncrementalStreamTwin:
         q = stream_incremental_screen(
             stream, frozen, probes, out, str(tmp_path / "cp")
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:  # hung stream: fail HERE, not on a partial manifest
+            q.stop()
+            raise AssertionError("availableNow stream hung past 120 s")
 
         streamed = read_verdicts(spark, out)
         assert streamed.select("batch_id").distinct().count() == 2

@@ -38,6 +38,26 @@ def _read(path: str) -> str:
         return fh.read()
 
 
+def coverage_listed_names(coverage_text: str) -> str:
+    """COVERAGE.md table-row cell text with every parenthesized segment
+    removed. Contract 1 matches names against THIS, not the whole file:
+    a query mentioned only inside another row's parenthetical prose (a
+    twin / see-also / 'stream twin noted' aside) must not count as
+    having its own coverage row — real entries are comma-list items in
+    the query cell, outside any parens."""
+    kept = []
+    for line in coverage_text.splitlines():
+        if not line.startswith("|"):
+            continue
+        # drop innermost parens repeatedly (handles nesting)
+        prev = None
+        while prev != line:
+            prev = line
+            line = re.sub(r"\([^()]*\)", " ", line)
+        kept.append(line)
+    return "\n".join(kept)
+
+
 def ledger_names(readme_text: str) -> set[str]:
     """Query names in the README 'Rows-only ledger' table (first column,
     backticked)."""
@@ -82,13 +102,18 @@ def run_lint(
 
     problems: list[str] = []
 
-    # 1. every contract query has a COVERAGE.md mention
+    # 1. every contract query is LISTED in a table row outside parens,
+    # not merely mentioned in another row's parenthetical prose
+    listed = coverage_listed_names(coverage_text)
     missing_cov = sorted(
         q for q in queries
-        if not re.search(rf"\b{re.escape(q)}\b", coverage_text)
+        if not re.search(rf"\b{re.escape(q)}\b", listed)
     )
     for q in missing_cov:
-        problems.append(f"COVERAGE.md: contract query `{q}` not mentioned")
+        problems.append(
+            f"COVERAGE.md: contract query `{q}` not listed in a table "
+            "row (parenthetical mentions don't count)"
+        )
 
     # 2. rows-only set == README ledger set, both directions
     rows_only = queries - oracles
