@@ -12,10 +12,15 @@ identical rows (a verdict depends only on the doc's text and the frozen
 side, never on other batches — stream == batch by construction, pinned
 in tests/test_incremental_stream.py).
 
-At 100 TB: the frozen fingerprint/band/shingle bases are persisted
-tables the batch probes (broadcast or shuffle-hash on the batch side);
-a micro-batch's work is proportional to the batch, never to the frozen
-corpus.
+At 100 TB: the frozen fingerprint/band/shingle bases are built and
+eagerly checkpointed ONCE, before `.start()`
+(dedup.build_frozen_substrates(materialize=True)); every micro-batch
+probes those materialized frames (broadcast or shuffle-hash on the
+batch side), so a micro-batch's work is proportional to the batch,
+never to the frozen corpus. tests/test_incremental_stream.py pins this
+with a derivation-count audit: the frozen/probe substrate builders run
+exactly once across a multi-batch stream (r9 verdict ask #1 — the
+previous implementation re-derived the whole frozen index per batch).
 """
 
 from __future__ import annotations
@@ -23,14 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from swiftbulkuploader_spark.operators.dedup import incremental_screen
+from swiftbulkuploader_spark.operators.dedup import (
+    FrozenSubstrates,
+    build_frozen_substrates,
+    incremental_screen,
+)
 
 
-def _screen_batch(frozen_docs: DataFrame, probe_docs: DataFrame,
-                  out_path: str):
+def _screen_batch(substrates: FrozenSubstrates, out_path: str):
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        verdicts = incremental_screen(batch, frozen_docs, probe_docs)
+        verdicts = incremental_screen(batch, substrates=substrates)
         out = verdicts.withColumn("batch_id", F.lit(batch_id))
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -56,10 +64,14 @@ def stream_incremental_screen(new_stream: DataFrame,
                               out_path: str,
                               checkpoint: str):
     """Wire a streaming documents source through the per-batch screen.
-    Returns the StreamingQuery (caller awaits/stops)."""
+    Builds + materializes the frozen-corpus substrates ONCE, here,
+    before the query starts — micro-batches only probe them. Returns
+    the StreamingQuery (caller awaits/stops)."""
+    substrates = build_frozen_substrates(frozen_docs, probe_docs,
+                                         materialize=True)
     return (
         new_stream.writeStream
-        .foreachBatch(_screen_batch(frozen_docs, probe_docs, out_path))
+        .foreachBatch(_screen_batch(substrates, out_path))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -46,8 +46,11 @@ def _rows(df):
 
 class TestIncrementalStreamTwin:
     def test_stream_equals_batch_and_replay_idempotent(self, spark,
-                                                       tmp_path):
+                                                       tmp_path,
+                                                       monkeypatch):
+        from swiftbulkuploader_spark.operators import dedup
         from swiftbulkuploader_spark.operators.dedup import (
+            build_frozen_substrates,
             incremental_screen,
         )
         from swiftbulkuploader_spark.streaming.incremental_stream import (
@@ -55,6 +58,26 @@ class TestIncrementalStreamTwin:
             read_verdicts,
             stream_incremental_screen,
         )
+
+        # derivation-count audit (r9 verdict ask #1): the frozen/probe
+        # substrate builders must run ONCE at stream wiring, never per
+        # micro-batch — count every call to the substrate derivations
+        calls = {"base": 0, "bands": 0, "shingle": 0}
+        real_base, real_bands = dedup._mh_exact_base, dedup._mh_exact_bands
+        real_shingle = dedup.shingle_base
+
+        def count(key, real):
+            def wrapped(*a, **kw):
+                calls[key] += 1
+                return real(*a, **kw)
+            return wrapped
+
+        monkeypatch.setattr(dedup, "_mh_exact_base",
+                            count("base", real_base))
+        monkeypatch.setattr(dedup, "_mh_exact_bands",
+                            count("bands", real_bands))
+        monkeypatch.setattr(dedup, "shingle_base",
+                            count("shingle", real_shingle))
 
         frozen = spark.createDataFrame(FROZEN, DOC_SCHEMA)
         # only frozen doc 1 is the "eval suite": docs 100/102 must hit
@@ -86,6 +109,11 @@ class TestIncrementalStreamTwin:
         streamed = read_verdicts(spark, out)
         assert streamed.select("batch_id").distinct().count() == 2
 
+        # substrate build-once pin: 1 frozen-side call at wiring + 1
+        # new-side call per micro-batch (2 batches). The pre-fix code
+        # re-derived the frozen index per batch (base=4, shingle=4).
+        assert calls == {"base": 3, "bands": 3, "shingle": 3}, calls
+
         batch = incremental_screen(
             spark.createDataFrame(NEW_B1 + NEW_B2, DOC_SCHEMA),
             frozen, probes,
@@ -101,7 +129,8 @@ class TestIncrementalStreamTwin:
         # replay idempotence: re-running batch 0's foreachBatch body
         # overwrites its own partition; the manifest is unchanged
         before = sorted(_rows(streamed).items())
-        _screen_batch(frozen, probes, out)(
+        subs = build_frozen_substrates(frozen, probes)
+        _screen_batch(subs, out)(
             spark.createDataFrame(NEW_B1, DOC_SCHEMA), 0
         )
         after = sorted(_rows(read_verdicts(spark, out)).items())
