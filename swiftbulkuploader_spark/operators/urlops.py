@@ -1,0 +1,307 @@
+"""URL-level dedup family (SURVEY.md §2.9 X1 extension; r9 verdict ask
+#3): canonicalization, canonical-key dedup, and registered-domain stats
+— the FIRST dedup stage of a real crawl pipeline, running before any
+content screen (and feeding x1_domain_cap's per-domain balancing with a
+real domain key).
+
+The test tables carry no URL column, so the contract queries derive a
+deterministic MESSY url per document from (doc_id, source) — scheme and
+host case noise, default/mismatched/explicit ports, www. prefixes,
+tracking params in unsorted order, fragments, trailing slashes, a
+%-escaped path segment — with the SAME arithmetic on both engines (the
+house deterministic-substrate pattern, cf. media_queries). The
+canonicalizer itself (functions/urls.py) then PARSES that string with
+anchored regexes on both sides: the oracle replays parsing + rules, not
+the generator's arithmetic, so the value-hash compares a real parse.
+
+Dup-group liveness at every SF (the x6_ab_test lesson): content fields
+(path bucket, id param) depend on doc_id DIV 100 and the host on
+doc_id % 20, while the noise fields ride other residues — so each
+(source, bucket) owns ~5 docs whose canonical forms collide into 2-3
+groups. tests/test_urlops.py pins n_dup_groups > 0 at sf0.001.
+
+Reference parity: none (the reference has no URL surface); the path-
+quoting pain class it fought (prepareupload.py:39-44) is the module's
+pass-through-%-escapes rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.functions.urls import (
+    canonical_host,
+    canonicalize_url,
+    with_registered_domain,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _messy_url() -> Column:
+    """Deterministic raw crawl URL for a documents row (doc_id d,
+    source s) — every canonicalization rule has live inputs."""
+    d = F.col("doc_id")
+    s = F.col("source")
+    tld = (
+        F.when(d % 5 == 0, "com").when(d % 5 == 1, "org")
+        .when(d % 5 == 2, "net").when(d % 5 == 3, "co.uk")
+        .otherwise("github.io")
+    )
+    sub = F.when(d % 3 == 1, "www.").when(d % 3 == 2, "WWW.").otherwise("")
+    core = F.when(d % 2 == 1, F.upper(s)).otherwise(s)
+    scheme = (
+        F.when(d % 4 == 0, "http").when(d % 4 == 1, "https")
+        .when(d % 4 == 2, "HTTP").otherwise("HTTPS")
+    )
+    port = (
+        F.when((d % 6).isin(0, 3), ":80")
+        .when((d % 6).isin(1, 4), ":443")
+        .otherwise("")
+    )
+    bucket = F.expr("doc_id DIV 100").cast("string")
+    path = F.concat(
+        F.lit("/articles"),
+        F.when(d % 9 == 4, "/a%20b").otherwise(""),
+        F.lit("/p"), bucket,
+        F.when(d % 8 < 4, "/").otherwise(""),
+    )
+    query = F.concat_ws(
+        "&",
+        F.when(d % 2 == 0, "lang=en"),
+        F.when(d % 3 == 0, "utm_source=feed"),
+        F.concat(F.lit("id="), bucket),
+        F.when(d % 7 < 3, F.concat(F.lit("fbclid=x"), (d % 7).cast("string"))),
+        F.when(d % 7 == 5, "gclid=g1"),
+    )
+    frag = F.when(d % 3 == 1, "#sec2").otherwise("")
+    return F.concat(
+        scheme, F.lit("://"), sub, core, F.lit("."), tld, port, path,
+        F.lit("?"), query, frag,
+    )
+
+
+# the DuckDB twin of _messy_url (same arithmetic, VARCHAR casts explicit)
+_MESSY_URL_DUCK = """
+    (CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+                     WHEN 2 THEN 'HTTP' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END)
+    || '.'
+    || (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                        WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk'
+                        ELSE 'github.io' END)
+    || (CASE WHEN doc_id % 6 IN (0, 3) THEN ':80'
+             WHEN doc_id % 6 IN (1, 4) THEN ':443' ELSE '' END)
+    || '/articles'
+    || (CASE WHEN doc_id % 9 = 4 THEN '/a%20b' ELSE '' END)
+    || '/p' || CAST(doc_id // 100 AS VARCHAR)
+    || (CASE WHEN doc_id % 8 < 4 THEN '/' ELSE '' END)
+    || '?'
+    || concat_ws('&',
+         CASE WHEN doc_id % 2 = 0 THEN 'lang=en' END,
+         CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed' END,
+         'id=' || CAST(doc_id // 100 AS VARCHAR),
+         CASE WHEN doc_id % 7 < 3
+              THEN 'fbclid=x' || CAST(doc_id % 7 AS VARCHAR) END,
+         CASE WHEN doc_id % 7 = 5 THEN 'gclid=g1' END)
+    || (CASE WHEN doc_id % 3 = 1 THEN '#sec2' ELSE '' END)
+"""
+
+# DuckDB replay of functions/urls.py::canonicalize_url over a `url` col:
+# parse with the same anchored regexes, drop tracking params, sort, join
+_CANON_DUCK = """
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+    || '://'
+    || regexp_replace(
+         lower(regexp_extract(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+             '^([^:]*)', 1)),
+         '^(www\\.)+', '')
+    || (CASE
+          WHEN prt = '' THEN ''
+          WHEN prt = '80' AND lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) = 'http' THEN ''
+          WHEN prt = '443' AND lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) = 'https' THEN ''
+          ELSE ':' || prt END)
+    || (CASE WHEN pth IN ('', '/') THEN '/'
+             ELSE regexp_replace(pth, '/$', '') END)
+    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+"""
+
+# helper columns the canonical expression reads (DuckDB lateral-computed)
+_URL_PARTS_DUCK = """
+        regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+            ':([0-9]+)$', 1) AS prt,
+        regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        array_to_string(
+            list_sort(list_filter(
+                string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_')
+                     AND NOT starts_with(p, 'fbclid=')
+                     AND NOT starts_with(p, 'gclid=')
+                     AND NOT starts_with(p, 'ref='))),
+            '&') AS qs
+"""
+
+# DuckDB replay of the registered-domain candidate-arity rule joins
+_REGDOM_DUCK = """
+        CASE
+          WHEN len(lbl) > 3 AND array_to_string(lbl[-3:], '.') IN
+               (SELECT suffix FROM psl WHERE n_labels = 3)
+            THEN array_to_string(lbl[-4:], '.')
+          WHEN len(lbl) > 2 AND array_to_string(lbl[-2:], '.') IN
+               (SELECT suffix FROM psl WHERE n_labels = 2)
+            THEN array_to_string(lbl[-3:], '.')
+          WHEN len(lbl) > 1 AND lbl[-1] IN
+               (SELECT suffix FROM psl WHERE n_labels = 1)
+            THEN array_to_string(lbl[-2:], '.')
+          ELSE hst END
+"""
+
+_PSL_DUCK = """psl AS (
+        SELECT * FROM (VALUES
+            ('com', 1), ('org', 1), ('net', 1), ('io', 1), ('uk', 1),
+            ('co.uk', 2), ('ac.uk', 2), ('github.io', 2)
+        ) AS t(suffix, n_labels)
+    )"""
+
+
+def _canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = docs.select("doc_id", _messy_url().alias("url"))
+    return urls.select(
+        "doc_id", "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        canonical_host(F.col("url")).alias("host"),
+    )
+
+
+def x1_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc URL canonicalization + registered domain: the full
+    (raw url -> canonical url, host, registered_domain) frame every
+    downstream URL-keyed stage consumes. Scan-bound: regex/array
+    expressions + K bounded broadcast rule joins, no corpus shuffle."""
+    return with_registered_domain(
+        _canon_frame(spark, sf_dir), "host"
+    ).select("doc_id", "url", "canonical_url", "host", "registered_domain")
+
+
+QUERIES["x1_url_canonical"] = x1_url_canonical
+
+ORACLES["x1_url_canonical"] = f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url, {_URL_PARTS_DUCK}
+        FROM raw
+    ), canon AS (
+        SELECT doc_id, url, {_CANON_DUCK} AS canonical_url,
+               regexp_replace(
+                   lower(regexp_extract(
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^([^:]*)', 1)),
+                   '^(www\\.)+', '') AS host
+        FROM parts
+    ), {_PSL_DUCK}, lab AS (
+        SELECT doc_id, url, canonical_url, host,
+               string_split(host, '.') AS lbl, host AS hst
+        FROM canon
+    )
+    SELECT doc_id, url, canonical_url, host,
+           {_REGDOM_DUCK} AS registered_domain
+    FROM lab
+"""
+
+
+def x1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL dedup keyed on the canonical string: per doc, the
+    keeper (min doc_id of its canonical group) and whether this doc is
+    the duplicate of an earlier fetch. ONE shuffle on the canonical key
+    (hash-partitioned groupBy join — the same shape as x1_exact_dedup's
+    content fingerprint, applied a pipeline stage earlier)."""
+    canon = _canon_frame(spark, sf_dir)
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        F.min("doc_id").over(w).alias("keeper_doc"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+QUERIES["x1_url_dedup"] = x1_url_dedup
+
+ORACLES["x1_url_dedup"] = f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url, {_URL_PARTS_DUCK}
+        FROM raw
+    ), canon AS (
+        SELECT doc_id, {_CANON_DUCK} AS canonical_url FROM parts
+    )
+    SELECT doc_id, canonical_url,
+           min(doc_id) OVER w AS keeper_doc,
+           doc_id <> min(doc_id) OVER w AS is_dup,
+           CAST(count(*) OVER w AS BIGINT) AS group_size
+    FROM canon
+    WINDOW w AS (PARTITION BY canonical_url)
+"""
+
+
+def x1_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl stats (docs, distinct hosts, distinct
+    canonical URLs) — the domain frame x1_domain_cap's balancing keys on
+    in a real pipeline. One shuffle on the domain key."""
+    canon = with_registered_domain(_canon_frame(spark, sf_dir), "host")
+    return canon.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("canonical_url").alias("n_urls"),
+    )
+
+
+QUERIES["x1_url_domain_stats"] = x1_url_domain_stats
+
+ORACLES["x1_url_domain_stats"] = f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url, {_URL_PARTS_DUCK}
+        FROM raw
+    ), canon AS (
+        SELECT doc_id, {_CANON_DUCK} AS canonical_url,
+               regexp_replace(
+                   lower(regexp_extract(
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^([^:]*)', 1)),
+                   '^(www\\.)+', '') AS host
+        FROM parts
+    ), {_PSL_DUCK}, lab AS (
+        SELECT doc_id, canonical_url, host,
+               string_split(host, '.') AS lbl, host AS hst
+        FROM canon
+    ), dom AS (
+        SELECT doc_id, canonical_url, host,
+               {_REGDOM_DUCK} AS registered_domain
+        FROM lab
+    )
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls
+    FROM dom
+    GROUP BY 1
+"""

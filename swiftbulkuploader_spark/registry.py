@@ -43,6 +43,7 @@ from swiftbulkuploader_spark.operators import (
     training_prep,
     tpch_more,
     udtf_ops,
+    urlops,
     windows_extra,
 )
 
@@ -51,7 +52,7 @@ _MODULES = (
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,
     scalar_suites, udtf_ops, stats_inference, hierarchy, training_prep,
-    fuzzy_join, behavior, media_queries, components, mutations,
+    fuzzy_join, behavior, media_queries, components, mutations, urlops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -1,0 +1,147 @@
+"""Adversarial crafted-URL pins for the canonicalizer + registered-domain
+extraction (r9 verdict ask #3): case, default/mismatched/explicit ports,
+%-encoding, utf-8, tracking params, fragments, trailing slashes, www
+stripping, PSL longest-match and no-match fallback — plus substrate
+liveness for the contract queries (dup groups must exist at every SF;
+the x6_ab_test dead-substrate lesson)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbulkuploader_spark.functions.urls import (
+    canonical_host,
+    canonicalize_url,
+    with_registered_domain,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# (raw, expected canonical) — each pins one documented rule
+CANON_CASES = [
+    # scheme + host case, default port drop, fragment drop
+    ("HTTP://WWW.Example.COM:80/a/b?x=1#frag", "http://example.com/a/b?x=1"),
+    # https default port drop
+    ("https://site.org:443/p", "https://site.org/p"),
+    # MISMATCHED default port is a real port — kept
+    ("https://site.org:80/p", "https://site.org:80/p"),
+    ("http://site.org:443/p", "http://site.org:443/p"),
+    # explicit non-default port kept
+    ("http://site.org:8080/p", "http://site.org:8080/p"),
+    # tracking params dropped, survivors byte-sorted, '?' kept
+    ("http://a.com/x?z=2&utm_source=f&a=1&fbclid=q&gclid=g&ref=r",
+     "http://a.com/x?a=1&z=2"),
+    # all params tracking -> '?' dropped
+    ("http://a.com/x?utm_campaign=c&fbclid=q", "http://a.com/x"),
+    # empty query -> no '?'
+    ("http://a.com/x?", "http://a.com/x"),
+    # trailing slash stripped once; bare / and empty path -> /
+    ("http://a.com/x/", "http://a.com/x"),
+    ("http://a.com/", "http://a.com/"),
+    ("http://a.com", "http://a.com/"),
+    # %-escapes pass through UNCHANGED (no re-encoding, either case)
+    ("http://a.com/a%20b/c%2Fd?k=v%26w", "http://a.com/a%20b/c%2Fd?k=v%26w"),
+    ("http://a.com/a%2fb", "http://a.com/a%2fb"),
+    # raw utf-8 passes through unchanged (quoting pain class:
+    # reference prepareupload.py:39-44)
+    ("http://a.com/café/日本?q=ü",
+     "http://a.com/café/日本?q=ü"),
+    # the whole leading www. run stripped (idempotence), not infixes
+    ("http://www.www.a.com/x", "http://a.com/x"),
+    ("http://wwwa.com/x", "http://wwwa.com/x"),
+    # duplicate params both survive, sorted (no dedup of keys)
+    ("http://a.com/x?b=2&b=1&a=0", "http://a.com/x?a=0&b=1&b=2"),
+]
+
+# (host, expected registered domain)
+REGDOM_CASES = [
+    ("example.com", "example.com"),
+    ("deep.sub.example.com", "example.com"),
+    ("b.co.uk", "b.co.uk"),
+    ("a.b.co.uk", "b.co.uk"),          # longest suffix wins over .uk
+    ("x.ac.uk", "x.ac.uk"),
+    ("user.github.io", "user.github.io"),
+    ("pages.user.github.io", "user.github.io"),
+    ("plain.uk", "plain.uk"),          # 1-label .uk rule
+    ("localhost", "localhost"),        # no dot, no rule -> fallback
+    ("host.internal", "host.internal"),  # unknown suffix -> fallback
+    ("com", "com"),                    # suffix itself, no label left
+]
+
+
+class TestCanonicalizeUrl:
+    def test_crafted_urls(self, spark):
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)],
+            "i: int, url: string",
+        ).select("i", canonicalize_url(F.col("url")).alias("c"))
+        got = {r["i"]: r["c"] for r in df.collect()}
+        for i, (raw, want) in enumerate(CANON_CASES):
+            assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+    def test_idempotent(self, spark):
+        """canonicalize(canonicalize(u)) == canonicalize(u) on every pin."""
+        df = spark.createDataFrame(
+            [(i, want) for i, (_, want) in enumerate(CANON_CASES)],
+            "i: int, url: string",
+        ).select("i", canonicalize_url(F.col("url")).alias("c"))
+        got = {r["i"]: r["c"] for r in df.collect()}
+        for i, (_, want) in enumerate(CANON_CASES):
+            assert got[i] == want
+
+
+class TestRegisteredDomain:
+    def test_crafted_hosts(self, spark):
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(REGDOM_CASES)],
+            "i: int, host: string",
+        )
+        out = with_registered_domain(df, "host")
+        got = {r["i"]: r["registered_domain"] for r in out.collect()}
+        for i, (h, want) in enumerate(REGDOM_CASES):
+            assert got[i] == want, f"{h!r}: {got[i]!r} != {want!r}"
+
+    def test_canonical_host_strips_port_and_www(self, spark):
+        df = spark.createDataFrame(
+            [("https://WWW.A.b.CO.uk:8443/x?q=1",)], "url: string"
+        ).select(canonical_host(F.col("url")).alias("h"))
+        assert df.collect()[0]["h"] == "a.b.co.uk"
+
+
+class TestContractSubstrateLiveness:
+    @pytest.fixture(scope="class")
+    def dedup_frame(self, spark):
+        from swiftbulkuploader_spark.operators.urlops import x1_url_dedup
+        return x1_url_dedup(spark, SF_SMOKE).cache()
+
+    def test_dup_groups_alive(self, dedup_frame):
+        stats = dedup_frame.agg(
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.countDistinct(
+                F.when(F.col("group_size") > 1, F.col("canonical_url"))
+            ).alias("n_groups"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        # live on BOTH sides: real dup groups exist AND not everything
+        # collapsed into one group
+        assert stats["n_dups"] > 0 and stats["n_groups"] > 1
+        assert stats["n_dups"] < stats["n"]
+
+    def test_keeper_is_group_min(self, dedup_frame):
+        bad = dedup_frame.filter(
+            (F.col("is_dup") & (F.col("doc_id") == F.col("keeper_doc")))
+            | (~F.col("is_dup") & (F.col("doc_id") != F.col("keeper_doc")))
+        ).count()
+        assert bad == 0
+
+    def test_domain_stats_alive(self, spark):
+        from swiftbulkuploader_spark.operators.urlops import (
+            x1_url_domain_stats,
+        )
+        rows = x1_url_domain_stats(spark, SF_SMOKE).collect()
+        doms = {r["registered_domain"] for r in rows}
+        # multi-label public suffixes must be live in the substrate
+        assert any(d.endswith(".co.uk") for d in doms)
+        assert any(d.endswith(".github.io") for d in doms)
+        assert len(doms) > 1
