@@ -1424,3 +1424,160 @@ ORACLES["x8_component_sizes"] = """
            CAST(csize * count(*) AS BIGINT) AS n_docs
     FROM csz GROUP BY csize
 """
+
+
+# ---------------------------------------------------------------------------
+# X1 — incremental dup-cluster maintenance (r9 verdict ask #8)
+# ---------------------------------------------------------------------------
+
+
+def incremental_components(frozen_labels: DataFrame,
+                           new_edges: DataFrame) -> DataFrame:
+    """Merge a NEW batch's edges into an EXISTING component labeling
+    without recomputing the frozen graph — the cluster-maintenance
+    continuation of x1_incremental_dedup's screening.
+
+    ``frozen_labels`` (node, label) is the persisted labeling of the
+    frozen corpus (label = min node of its component, the
+    connected_components invariant, and must cover every frozen endpoint
+    the new edges touch — untouched frozen endpoints default to
+    singleton labels via the left-join coalesce). ``new_edges`` (a, b)
+    are the batch's near-dup pairs: new x frozen and new x new (a batch
+    never adds frozen x frozen edges).
+
+    Soundness of the contraction: a frozen component is transitively
+    closed, so replacing each frozen endpoint by its LABEL preserves
+    exactly the connectivity the new edges can add — any path through a
+    frozen cluster's interior enters and leaves through nodes that share
+    the label. Closing the CONTRACTED graph (new docs + touched labels;
+    size proportional to the batch, never the corpus) therefore yields
+    the same merged components as a from-scratch closure of the union
+    graph, with the same min-id labels (a frozen label IS the min of its
+    cluster). The DuckDB oracle of x1_incremental_clusters recomputes
+    the union closure from scratch — the equality IS the correctness
+    claim.
+
+    Returns the UPDATED full labeling: every frozen_labels node plus
+    every new node appearing in new_edges, as (node, cluster_id).
+    Frozen components untouched by any new edge keep their label
+    verbatim (pinned by test_components: empty batch == identity)."""
+    lab = frozen_labels.select("node", "label")
+    e = new_edges.select("a", "b")
+    for side in ("a", "b"):
+        e = (
+            e.join(
+                lab.select(
+                    F.col("node").alias(side),
+                    F.col("label").alias(f"_{side}l"),
+                ),
+                side,
+                "left",
+            )
+            .withColumn(side, F.coalesce(f"_{side}l", F.col(side)))
+            .drop(f"_{side}l")
+        )
+    # closure of the bounded contracted graph only
+    cc2 = connected_components(e)
+    remap = cc2.select(
+        F.col("node").alias("label"), F.col("component").alias("new_label")
+    )
+    frozen_final = lab.join(remap, "label", "left").select(
+        "node", F.coalesce("new_label", "label").alias("cluster_id")
+    )
+    new_nodes = (
+        new_edges.select(F.col("a").alias("node"))
+        .union(new_edges.select(F.col("b").alias("node")))
+        .distinct()
+        .join(lab.select("node"), "node", "left_anti")
+    )
+    new_final = new_nodes.join(
+        cc2.withColumnRenamed("component", "cluster_id"), "node"
+    ).select("node", "cluster_id")
+    return frozen_final.unionByName(new_final)
+
+
+def x1_incremental_clusters(spark, sf_dir: str) -> DataFrame:
+    """Incremental dup-cluster maintenance over the two-epoch fixture
+    (doc_id % 5 == 0 is the new batch — x1_incremental_dedup's split):
+    the frozen corpus's components are closed once (the "persisted
+    labeling" a production pipeline reads, not recomputes), the batch's
+    edges (new x frozen + new x new from the SAME deterministic
+    exact-Jaccard pair graph as x1_dup_clusters_exact) are contracted
+    onto frozen labels, and only the batch-sized contracted graph is
+    closed. Output: the updated (doc_id, cluster_id, is_new) labeling.
+
+    The oracle recomputes the union-graph transitive closure from
+    scratch (recursive reachability CTE — no fixed-round assumption), so
+    every verify run re-proves incremental == from-scratch. In
+    production the frozen labeling and the pair substrates are persisted
+    tables (dedup.build_frozen_substrates's discipline); here the
+    fixture derives them in-query from the shared memoized pair frame
+    (_ALLPAIRS_CACHE), so the incremental path adds no second posting
+    join."""
+    from swiftbulkuploader_spark.operators.dedup import (
+        allpairs_prefix_pairs,
+    )
+
+    pairs = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    a_new = (F.col("a") % 5) == 0
+    b_new = (F.col("b") % 5) == 0
+    frozen_edges = pairs.filter(~a_new & ~b_new)
+    new_edges = pairs.filter(a_new | b_new).localCheckpoint(eager=True)
+
+    frozen_cc = connected_components(frozen_edges).select(
+        "node", F.col("component").alias("label")
+    )
+    # singleton labels for frozen endpoints only the batch touches
+    touched_frozen = (
+        new_edges.select(F.col("a").alias("node"))
+        .union(new_edges.select(F.col("b").alias("node")))
+        .filter((F.col("node") % 5) != 0)
+        .distinct()
+        .join(frozen_cc.select("node"), "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    frozen_labels = frozen_cc.unionByName(touched_frozen)
+
+    out = incremental_components(frozen_labels, new_edges)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        ((F.col("node") % 5) == 0).alias("is_new"),
+    )
+
+
+QUERIES["x1_incremental_clusters"] = x1_incremental_clusters
+
+ORACLES["x1_incremental_clusters"] = """
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), e0 AS (
+        SELECT a, b
+        FROM pr
+        JOIN sz sa ON pr.a = sa.doc_id
+        JOIN sz sb ON pr.b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= CAST(0.5 AS DOUBLE)
+    ), edges AS (
+        SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+    ), reach(node, label) AS (
+        SELECT DISTINCT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.a AS node, r.label
+        FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id,
+           node % 5 = 0 AS is_new
+    FROM reach GROUP BY node
+"""
