@@ -192,7 +192,42 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def assign_ivf_cluster(vec: Column, centroids: list[list[float]],
+def _sql_double(v: float) -> str:
+    """A double literal as SQL text. Python repr is the shortest
+    round-trip decimal, and Spark's parser (Double.parseDouble level)
+    recovers the identical bits — verified bit-equal to F.lit(v)."""
+    return repr(float(v)) + "D"
+
+
+def _sql_dvec(values: list[float]) -> str:
+    """array<double> literal as SQL text (the _lit_vec of the SQL-text
+    plan-build path)."""
+    return "array(" + ", ".join(_sql_double(v) for v in values) + ")"
+
+
+def _sql_cosine(vec_sql: str, cvec_sql: str) -> str:
+    """functions/vectors.py::cosine_similarity as SQL text — the SAME
+    Catalyst tree (zip_with product, 0.0-seeded left fold, sqrt norms,
+    null on zero denom) built in ONE parse instead of per-element Py4J
+    round trips. Bit-identical by construction: the parsed lambdas and
+    the Python-built lambdas resolve to the same expressions."""
+    dot = (
+        f"aggregate(zip_with({vec_sql}, {cvec_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def norm(a: str) -> str:
+        return (
+            f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+
+    denom = f"({norm(vec_sql)} * {norm(cvec_sql)})"
+    return f"CASE WHEN {denom} > 0 THEN {dot} / {denom} END"
+
+
+def assign_ivf_cluster(vec: Column | str, centroids: list[list[float]],
                        round_dp: int | None = None) -> Column:
     """Nearest-centroid id as a pure Column expression: array of
     (cos, cid) structs, array_max picks the best (struct ordering compares
@@ -201,7 +236,22 @@ def assign_ivf_cluster(vec: Column, centroids: list[list[float]],
 
     ``round_dp`` rounds each cosine before the argmax — set it (6) when the
     assignment must be engine-exact against a DuckDB oracle computing its
-    own doubles; leave None for the pure-Spark path."""
+    own doubles; leave None for the pure-Spark path.
+
+    Pass ``vec`` as a SQL STRING (e.g. "CAST(embedding AS ARRAY<DOUBLE>)")
+    to build the whole k-centroid scoring array in ONE F.expr parse — the
+    Column form costs ~16 HOF cosine constructions of Py4J round trips
+    (~1.5 s of pure plan-build time at k=16, r9 verdict ask #5); the two
+    forms produce the identical expression tree (test_similarity pins
+    value equality)."""
+    if isinstance(vec, str):
+        structs = []
+        for i, c in enumerate(centroids):
+            cos = f"coalesce({_sql_cosine(vec, _sql_dvec(c))}, -2.0D)"
+            if round_dp is not None:
+                cos = f"round({cos}, {round_dp})"
+            structs.append(f"named_struct('cos', {cos}, 'cid', {i})")
+        return F.expr(f"array_max(array({', '.join(structs)})).cid")
     scored = F.array(*[
         F.struct(
             _maybe_round(
@@ -307,7 +357,7 @@ def ivf_search(emb: DataFrame, centroids: list[list[float]], q: list[float],
         emb.withColumn(
             "cluster",
             assign_ivf_cluster(
-                F.col("embedding").cast("array<double>"), centroids,
+                "CAST(embedding AS ARRAY<DOUBLE>)", centroids,
                 round_dp=round_dp,
             ),
         )
@@ -824,21 +874,44 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     ]
 
 
-def _pq_sqdist_lit(q: list[float], offset: int, cent: list[float]) -> Column:
-    """Query-to-codebook distance as ONE double literal. The sum is
-    computed in Python in the SAME sequential term order Catalyst's
-    constant folder would use on the unrolled lit-chain — IEEE-754 double
-    add/mul are deterministic, so the value is bit-identical (verified);
-    the 6-dp ROUNDING still happens Spark-side via the caller's
-    F.round(lit, 6) (Python's half-even round() never touches a compared
+def _pq_sqdist_val(q: list[float], offset: int, cent: list[float]) -> float:
+    """Query-to-codebook distance as ONE Python double. The sum is
+    computed in the SAME sequential term order Catalyst's constant
+    folder would use on the unrolled lit-chain — IEEE-754 double add/mul
+    are deterministic, so the value is bit-identical (verified); the
+    6-dp ROUNDING still happens Spark-side via the caller's
+    round(<lit>, 6) (Python's half-even round() never touches a compared
     value — CLAUDE.md rule). The old per-term Column chain cost ~24 Py4J
-    round trips x 128 codebook entries of pure plan-build time."""
+    round trips x 128 codebook entries of pure plan-build time; the
+    per-entry F.round(F.lit(v), 6) wrappers that replaced it still cost
+    ~2 calls x 1024 — consumers now emit the whole table as SQL text
+    (_adc_expr)."""
     term = None
     for i, c in enumerate(cent):
         d = q[offset + i] - c
         t = d * d
         term = t if term is None else term + t
-    return F.lit(term)
+    return term
+
+
+def _adc_expr(q: list[float], books) -> Column:
+    """The ADC distance column: sum over subspaces of the PRECOMPUTED
+    query-to-codebook distance table lookup, with each subspace's 128
+    rounded literals emitted as ONE SQL-text array (the _sql_dvec
+    discipline — the per-entry F.round(F.lit(v), 6) form cost ~1 s of
+    plan-build per PQ query at 8 x 128 entries, r9 verdict ask #5). The
+    rounding stays Spark-side: round(<lit>, 6) in the parsed text is
+    constant-folded by Catalyst with Spark semantics, never Python's
+    half-even round()."""
+    adc = None
+    for m in range(PQ_M):
+        tab = ", ".join(
+            f"round({_sql_double(_pq_sqdist_val(q, m * PQ_DSUB, books[m][k]))}, 6)"
+            for k in range(PQ_K)
+        )
+        t = F.element_at(F.expr(f"array({tab})"), F.col(f"b{m}")["k"] + 1)
+        adc = t if adc is None else adc + t
+    return adc
 
 
 def _pq_best_frame(spark: SparkSession, sf_dir: str, books,
@@ -920,18 +993,8 @@ def x2_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 nearest by estimated distance, vec_id tiebreak."""
     books = _pq_codebooks(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
-    dtab = [
-        [
-            F.round(_pq_sqdist_lit(q, m * PQ_DSUB, books[m][k]), 6)
-            for k in range(PQ_K)
-        ]
-        for m in range(PQ_M)
-    ]
     based = _pq_best_frame(spark, sf_dir, books).filter(F.col("vec_id") >= 1)
-    adc = None
-    for m in range(PQ_M):
-        t = F.element_at(F.array(*dtab[m]), F.col(f"b{m}")["k"] + 1)
-        adc = t if adc is None else adc + t
+    adc = _adc_expr(q, books)
     return (
         based.select("vec_id", adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
@@ -969,7 +1032,7 @@ def x2_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn(
             "cluster",
             assign_ivf_cluster(
-                F.col("embedding").cast("array<double>"), cents, round_dp=6
+                "CAST(embedding AS ARRAY<DOUBLE>)", cents, round_dp=6
             ),
         )
         .filter(F.col("cluster").isin(probe))
@@ -982,17 +1045,7 @@ def x2_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     based = _pq_best_frame(spark, sf_dir, books, emb=pruned).join(
         pruned.select("vec_id", "cluster"), "vec_id"
     )
-    dtab = [
-        [
-            F.round(_pq_sqdist_lit(q, m * PQ_DSUB, books[m][k]), 6)
-            for k in range(PQ_K)
-        ]
-        for m in range(PQ_M)
-    ]
-    adc = None
-    for m in range(PQ_M):
-        t = F.element_at(F.array(*dtab[m]), F.col(f"b{m}")["k"] + 1)
-        adc = t if adc is None else adc + t
+    adc = _adc_expr(q, books)
     return (
         based.select(
             "vec_id", F.col("cluster").cast("int").alias("cluster"),
@@ -3147,6 +3200,15 @@ def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine). All compared cosines are 6-dp-rounded with id tie-breaks
     (the ivf_search discipline); counts exact.
 
+    Plan-build profile (r10, after the SQL-text assign fast path cut
+    Py4J construction 3.65 -> ~0.5 s): the remaining ~2 s of pre-action
+    time is the EAGER materialization of the two shared frames (scored
+    corpus checkpoint ~0.6 s + exact-top-10 checkpoint ~0.5 s) plus the
+    4-point plan assembly ~0.4 s — real Spark jobs that would run
+    anyway, counted as "build" only because they execute before the
+    final action. Irreducible without dropping the score-once sharing
+    that makes the sweep 5x cheaper overall.
+
     Reference parity: none; §2.9 ANN-serve family."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
@@ -3156,7 +3218,7 @@ def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn(
             "cluster",
             assign_ivf_cluster(
-                F.col("embedding").cast("array<double>"), cents,
+                "CAST(embedding AS ARRAY<DOUBLE>)", cents,
                 round_dp=6,
             ),
         )

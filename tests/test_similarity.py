@@ -274,11 +274,13 @@ class TestLiteralBatching:
         assert row["eq"]
 
     def test_pq_sqdist_python_fold_matches_catalyst_fold(self, spark):
-        """_pq_sqdist_lit now sums in Python; the value must be
-        BIT-identical to the unrolled lit-chain Catalyst constant-folds
-        (same sequential IEEE-754 term order), including after the 6-dp
-        round the callers apply."""
-        from swiftbulkuploader_spark.operators.similarity import _pq_sqdist_lit
+        """_pq_sqdist_val sums in Python; the value must be BIT-identical
+        to the unrolled lit-chain Catalyst constant-folds (same
+        sequential IEEE-754 term order), including after the 6-dp round
+        the callers apply."""
+        from swiftbulkuploader_spark.operators.similarity import (
+            _pq_sqdist_val,
+        )
 
         q = [0.1, 0.2, 0.30000000001, 7e-3, 1.1, 2.2, 3.3, 4.4]
         c = [0.05, 1.9, 2.0, 1.0 / 3.0, 9.1, 0.25, 0.5, 0.75]
@@ -287,14 +289,63 @@ class TestLiteralBatching:
             d = F.lit(q[i]) - F.lit(c[i])
             t = d * d
             chain = t if chain is None else chain + t
+        lit = F.lit(_pq_sqdist_val(q, 0, c))
         row = spark.range(1).select(
             chain.alias("spark_fold"),
-            _pq_sqdist_lit(q, 0, c).alias("py_fold"),
-            (chain == _pq_sqdist_lit(q, 0, c)).alias("eq"),
-            (F.round(chain, 6) == F.round(_pq_sqdist_lit(q, 0, c), 6)).alias("eq6"),
+            lit.alias("py_fold"),
+            (chain == lit).alias("eq"),
+            (F.round(chain, 6) == F.round(lit, 6)).alias("eq6"),
         ).first()
         assert row["eq"] and row["eq6"]
         assert row["spark_fold"].hex() == row["py_fold"].hex()
+
+    def test_sql_dvec_bit_identical_to_lit(self, spark):
+        """_sql_dvec (SQL-text array literal) must parse to the identical
+        doubles F.lit builds — repr is shortest-round-trip and Spark's
+        parser recovers the same bits (r10: one-parse plan-build path)."""
+        from swiftbulkuploader_spark.operators.similarity import _sql_dvec
+
+        vals = [0.1805580010265112, 1e-05, -3.4e38, 2.5e-300, 7.0,
+                1.0 / 3.0]
+        row = spark.range(1).select(
+            F.expr(_sql_dvec(vals)).alias("a"), F.lit(vals).alias("b")
+        ).select((F.col("a") == F.col("b")).alias("eq")).first()
+        assert row["eq"]
+
+    def test_assign_sql_path_matches_column_path(self, spark):
+        """assign_ivf_cluster's SQL-text fast path must pick the same
+        cluster as the Column path on every row, for both round_dp
+        settings — including an exact-tie (equal cosine -> higher cid)
+        and a zero vector (null cosine -> coalesce -2.0)."""
+        from swiftbulkuploader_spark.operators.similarity import (
+            assign_ivf_cluster,
+        )
+
+        cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [2.0, 0.0, 0.0]]
+        rows = [
+            (0, [0.9, 0.1, 0.0]),
+            (1, [0.0, 3.0, 0.1]),
+            (2, [5.0, 0.0, 0.0]),   # tie: centroids 0 and 2 both cos=1
+            (3, [0.0, 0.0, 0.0]),   # zero vector: all cosines null
+            (4, [-1.0, -1.0, 7.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>")
+        for dp in (None, 6):
+            got = df.select(
+                "vec_id",
+                assign_ivf_cluster(
+                    F.col("embedding").cast("array<double>"), cents,
+                    round_dp=dp,
+                ).alias("a"),
+                assign_ivf_cluster(
+                    "CAST(embedding AS ARRAY<DOUBLE>)", cents, round_dp=dp
+                ).alias("b"),
+            ).collect()
+            for r in got:
+                assert r["a"] == r["b"], (dp, r)
+            by_id = {r["vec_id"]: r["a"] for r in got}
+            assert by_id[2] == 2      # tie goes to the higher cid
+            assert by_id[3] == 2      # all -2.0: highest cid wins
 
 
 class TestKCenterSelect:
