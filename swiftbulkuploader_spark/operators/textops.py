@@ -109,8 +109,22 @@ def x3_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QT_LR = 1.0       # batch-GD learning rate
-QT_ROUNDS = 2     # fixed round budget (the Lloyd/pagerank oracle discipline)
+QT_LR = 6.0       # batch-GD learning rate (over CENTERED features)
+# Student-feature centering (r10): GD from w=0 on the raw features
+# (x1 ~ log n_chars in [4, 7.5]) moves the intercept and w1 in lockstep
+# and either stalls at the base rate or diverges; centering near the
+# corpus means makes 3 rounds reach ~0.91 accuracy with predictions
+# spread over all 10 calibration deciles (numpy replica sweep, r10).
+# Constants, not data statistics — the oracle replays them literally.
+QT_CENTER = (5.5, 0.75, 0.3)
+# Teacher-label threshold INSIDE the live z range (r10; z spans ~0.53-1.60
+# on this corpus at every SF with median ~1.29, so the original z >= 0 cut
+# labeled EVERY document positive — x3_quality_train's accuracy was
+# trivially 1.0 and x6_calibration_bins saturated into one all-positive
+# bin, the x6_ab_test dead-substrate class. 1.25 splits ~40/60 at all SFs;
+# liveness pinned in tests/test_text.py).
+QT_TEACHER_T = 1.25
+QT_ROUNDS = 3     # fixed round budget (the Lloyd/pagerank oracle discipline)
 
 # (persisted feature frame, trained weights) per sf_dir: training is
 # deterministic, so the calibration report reuses the student instead of
@@ -170,14 +184,22 @@ def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1 = F.round(F.log(F.lit(1.0) + F.col("n_chars").cast("double")), 6)
     x2 = F.round(alpha_ratio, 6)
     x3 = F.round(stop_hits.cast("double") / n_toks, 6)
-    feats = docs.select("doc_id", x1.alias("x1"), x2.alias("x2"), x3.alias("x3"))
+    raw = docs.select(
+        "doc_id", x1.alias("x1r"), x2.alias("x2r"), x3.alias("x3r")
+    )
+    # the teacher scores the RAW features (QM_W's native scale); the
+    # STUDENT trains on centered copies (see QT_CENTER)
     teacher_z = F.round(
-        F.lit(QM_W[0]) + F.lit(QM_W[1]) * F.col("x1")
-        + F.lit(QM_W[2]) * F.col("x2") + F.lit(QM_W[3]) * F.col("x3"), 6
+        F.lit(QM_W[0]) + F.lit(QM_W[1]) * F.col("x1r")
+        + F.lit(QM_W[2]) * F.col("x2r") + F.lit(QM_W[3]) * F.col("x3r"), 6
     )
     # read once per GD round + once for the report: shared-base persist
-    feats = feats.withColumn(
-        "y", F.when(teacher_z >= 0.0, 1.0).otherwise(0.0)
+    feats = raw.select(
+        "doc_id",
+        F.round(F.col("x1r") - F.lit(QT_CENTER[0]), 6).alias("x1"),
+        F.round(F.col("x2r") - F.lit(QT_CENTER[1]), 6).alias("x2"),
+        F.round(F.col("x3r") - F.lit(QT_CENTER[2]), 6).alias("x3"),
+        F.when(teacher_z >= QT_TEACHER_T, 1.0).otherwise(0.0).alias("y"),
     ).persist()
 
     w = [0.0, 0.0, 0.0, 0.0]
@@ -958,6 +980,7 @@ def _quality_train_oracle_sql() -> str:
     exactly — CLAUDE.md rule 3)."""
     t0, t1, t2, t3 = (f"CAST({v} AS DOUBLE)" for v in QM_W)
     lr = f"CAST({QT_LR} AS DOUBLE)"
+    tt = QT_TEACHER_T
 
     def z(w0: str, w1: str, w2: str, w3: str) -> str:
         return f"round({w0} + {w1}*x1 + {w2}*x2 + {w3}*x3, 6)"
@@ -976,43 +999,57 @@ def _quality_train_oracle_sql() -> str:
     )"""
 
     zero = "CAST(0.0 AS DOUBLE)"
-    g1 = gd_cte("g1", "fy", (zero,) * 4, "", "")
-    g2 = gd_cte(
-        "g2", "fy", ("g1.w0", "g1.w1", "g1.w2", "g1.w3"),
-        ", g1", "GROUP BY g1.w0, g1.w1, g1.w2, g1.w3",
-    )
-    zf = z("g2.w0", "g2.w1", "g2.w2", "g2.w3")
+    g_ctes, prev = [], None
+    for r in range(1, QT_ROUNDS + 1):
+        name = f"g{r}"
+        if prev is None:
+            g_ctes.append(gd_cte(name, "fy", (zero,) * 4, "", ""))
+        else:
+            w = tuple(f"{prev}.w{j}" for j in range(4))
+            g_ctes.append(gd_cte(
+                name, "fy", w, f", {prev}",
+                "GROUP BY " + ", ".join(w),
+            ))
+        prev = name
+    gfin = prev
+    zf = z(*(f"{gfin}.w{j}" for j in range(4)))
+    chain = ", ".join(g_ctes)
+    c1, c2, c3 = (f"CAST({c} AS DOUBLE)" for c in QT_CENTER)
     prefix = f"""
     WITH f AS (
         SELECT doc_id,
-               round(ln(CAST(1.0 AS DOUBLE) + CAST(n_chars AS DOUBLE)), 6) AS x1,
+               round(ln(CAST(1.0 AS DOUBLE) + CAST(n_chars AS DOUBLE)), 6) AS x1r,
                round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-                     / greatest(length(text), 1), 6) AS x2,
+                     / greatest(length(text), 1), 6) AS x2r,
                round(len(list_filter(
                          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
                          t -> t IN ('the','and','of','to','is')))::DOUBLE
                      / greatest(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 1),
-                     6) AS x3
+                     6) AS x3r
         FROM documents
     ), fy AS (
-        SELECT *,
-               CASE WHEN round({t0} + {t1}*x1 + {t2}*x2 + {t3}*x3, 6)
-                         >= CAST(0 AS DOUBLE)
+        SELECT doc_id,
+               round(x1r - {c1}, 6) AS x1,
+               round(x2r - {c2}, 6) AS x2,
+               round(x3r - {c3}, 6) AS x3,
+               CASE WHEN round({t0} + {t1}*x1r + {t2}*x2r + {t3}*x3r, 6)
+                         >= CAST({tt} AS DOUBLE)
                     THEN 1.0 ELSE 0.0 END AS y
         FROM f
-    ), {g1}, {g2}"""
-    return prefix, zf
+    ), {chain}"""
+    return prefix, zf, gfin
 
 
 def _quality_train_final_sql() -> str:
-    prefix, zf = _quality_train_oracle_sql()
+    prefix, zf, g = _quality_train_oracle_sql()
     pred = f"CASE WHEN {zf} >= CAST(0 AS DOUBLE) THEN 1.0 ELSE 0.0 END"
+    ws = ", ".join(f"{g}.w{j}" for j in range(4))
     return f"""{prefix}
-    SELECT g2.w0, g2.w1, g2.w2, g2.w3,
+    SELECT {ws},
            round(avg(CASE WHEN {pred} = y THEN 1.0 ELSE 0.0 END), 6) AS acc,
            count(*) AS n
-    FROM fy, g2
-    GROUP BY g2.w0, g2.w1, g2.w2, g2.w3
+    FROM fy, {g}
+    GROUP BY {ws}
 """
 
 
@@ -2059,14 +2096,14 @@ QUERIES["x6_calibration_bins"] = x6_calibration_bins
 
 
 def _calibration_oracle_sql() -> str:
-    prefix, zf = _quality_train_oracle_sql()
+    prefix, zf, g = _quality_train_oracle_sql()
     p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{zf})))"
     return f"""{prefix}
     , scored AS (
         SELECT least(CAST(floor(round({p}, 6) * CAST({CALIB_BINS} AS DOUBLE))
                           AS INT), {CALIB_BINS - 1}) AS bin,
                {p} AS p, y
-        FROM fy, g2
+        FROM fy, {g}
     )
     SELECT bin, CAST(count(*) AS BIGINT) AS n,
            avg(p) AS mean_p,

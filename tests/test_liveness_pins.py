@@ -1,0 +1,104 @@
+"""Substrate-liveness pins for the stats/eval families (r9 verdict ask
+#6, the x6_ab_test lesson): an oracle match proves both engines AGREE,
+not that the statistic carries signal — a rate pinned at 0/1, a NULL
+t/z, a single populated bin, or an empty truth set can stay oracle-green
+for rounds while measuring nothing. These pins assert non-degenerate
+statistics at sf0.01 for every family the r9 audit flagged.
+
+They run the REAL contract queries (not replicas), so a future substrate
+or operator change that re-deadens a statistic fails here, not in a
+judge's audit."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def _finite(x) -> bool:
+    return x is not None and math.isfinite(x)
+
+
+class TestStatsLiveness:
+    def test_welch_ttest_live(self, spark, queries):
+        rows = queries["x6_welch_ttest"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["n_a"] > 0 and r["n_b"] > 0
+            assert _finite(r["t_stat"]) and r["t_stat"] != 0.0
+            assert _finite(r["welch_df"]) and r["welch_df"] > 1
+            assert _finite(r["mean_diff"]) and r["mean_diff"] != 0.0
+
+    def test_label_auc_live(self, spark, queries):
+        r = queries["x2_label_auc"](spark, SF).collect()[0]
+        # both classes present AND the ranking is informative (an AUC of
+        # exactly 0, 0.5 or 1 at this substrate would mean a degenerate
+        # score or single-class labels)
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+        assert _finite(r["auc"]) and 0.0 < r["auc"] < 1.0
+        assert r["auc"] != 0.5
+
+    def test_calibration_bins_live(self, spark, queries):
+        rows = queries["x6_calibration_bins"](spark, SF).collect()
+        # the pre-r10 substrate put EVERY doc in one all-positive bin
+        # (teacher z >= 0 labeled the whole corpus positive) — the exact
+        # silent-saturation class this file exists to catch
+        assert len(rows) >= 3, [r["bin"] for r in rows]
+        fracs = [r["frac_pos"] for r in rows]
+        assert any(0.0 < f < 1.0 for f in fracs), fracs
+        assert any(f == 0.0 or f < 0.5 for f in fracs), fracs
+        assert any(f == 1.0 or f > 0.5 for f in fracs), fracs
+        n_pos = sum(r["frac_pos"] * r["n"] for r in rows)
+        n = sum(r["n"] for r in rows)
+        assert 0 < round(n_pos) < n  # both teacher classes live
+
+    def test_lsh_recall_eval_live(self, spark, queries):
+        r = queries["x1_lsh_recall_eval"](spark, SF).collect()[0]
+        # a zero-truth eval (0/0 recall) verifies nothing; recall = 1.0
+        # itself is a legitimate measurement on the seeded-clone corpus
+        assert r["n_truth"] > 0
+        assert r["n_candidates"] > 0
+        assert _finite(r["recall"]) and r["recall"] > 0.0
+        assert _finite(r["precision_vs_truth"]) and r["precision_vs_truth"] > 0.0
+
+    def test_mutual_information_live(self, spark, queries):
+        r = queries["x6_mutual_information"](spark, SF).collect()[0]
+        assert r["n"] > 0
+        assert _finite(r["mi"]) and r["mi"] > 0.0
+        assert _finite(r["h_row"]) and r["h_row"] > 0.0
+        assert _finite(r["h_col"]) and r["h_col"] > 0.0
+        # NMI strictly inside (0, 1): 0 = independent cells only, 1 =
+        # deterministic mapping — both would mean a dead contingency
+        assert 0.0 < r["nmi"] < 1.0
+
+    def test_quality_train_live(self, spark, queries):
+        """The retrained student must beat the base rate (the pre-r10
+        teacher labeled everything positive, making accuracy trivially
+        1.0 — now acc ~0.9 vs base ~0.56 is a real fit)."""
+        r = queries["x3_quality_train"](spark, SF).collect()[0]
+        assert 0.6 < r["acc"] < 1.0
+        assert any(abs(r[f"w{j}"]) > 0.01 for j in range(4))
+
+    def test_ab_test_live(self, spark, queries):
+        """Regression pin for the original x6_ab_test catch: both arms'
+        conversion rates strictly inside (0, 1) and a finite z."""
+        rows = queries["x6_ab_test"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            for c in r.asDict():
+                if c.endswith("rate") or c in ("p_a", "p_b"):
+                    v = r[c]
+                    if v is not None:
+                        assert 0.0 < v < 1.0, (c, v)
+        zcols = [c for c in rows[0].asDict() if "z" in c.lower()]
+        assert any(_finite(r[c]) and r[c] != 0 for r in rows for c in zcols)
