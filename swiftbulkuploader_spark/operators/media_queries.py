@@ -379,3 +379,119 @@ ORACLES["x9_audio_frame_plan"] = f"""
                AS byte_len
     FROM ex
 """
+
+
+# ---------------------------------------------------------------------------
+# X9 — REAL WAV decode (stdlib wave codec; r9 verdict ask #7)
+# ---------------------------------------------------------------------------
+
+WAV_LIMIT = 200
+
+
+def _le_hex(v: str, n_bytes: int) -> str:
+    """SQL text: little-endian hex of expression ``v`` over n_bytes."""
+    return "concat(" + ", ".join(
+        f"lpad(hex((({v}) div {256 ** b}) % 256), 2, '0')"
+        for b in range(n_bytes)
+    ) + ")"
+
+
+def synth_wav(docs: DataFrame, limit: int = WAV_LIMIT) -> DataFrame:
+    """documents -> REAL RIFF/WAVE PCM16-mono blobs built with native SQL
+    byte arithmetic (media_id, sample_rate, n_samples, data): a 44-byte
+    canonical header (chunk sizes, byte rate, block align all derived
+    per row) plus little-endian int16 samples from the deterministic
+    formula s_i = ((media_id*7 + i*13) mod 65536) - (65536 if >= 32768).
+    The blob is a VALID wav file — tests/test_multimodal.py pins byte
+    equality against the stdlib wave WRITER for the same params — so the
+    decode half exercises a real container parse, while every decoded
+    statistic stays arithmetically predictable for the DuckDB oracle."""
+    rate = "sample_rate"
+    nsamp = "n_samples"
+    samp_u16 = "(media_id * 7 + i * 13) % 65536"
+    header_hex = (
+        "concat('52494646', "                       # 'RIFF'
+        + _le_hex(f"36 + {nsamp} * 2", 4)
+        + ", '57415645', '666d7420', "              # 'WAVE', 'fmt '
+        + _le_hex("16", 4)                          # fmt chunk size
+        + ", " + _le_hex("1", 2)                    # PCM
+        + ", " + _le_hex("1", 2)                    # mono
+        + ", " + _le_hex(rate, 4)
+        + ", " + _le_hex(f"{rate} * 2", 4)          # byte rate
+        + ", " + _le_hex("2", 2)                    # block align
+        + ", " + _le_hex("16", 2)                   # bits/sample
+        + ", '64617461', "                          # 'data'
+        + _le_hex(f"{nsamp} * 2", 4)
+        + ")"
+    )
+    data_hex = (
+        f"array_join(transform(sequence(0, CAST({nsamp} AS INT) - 1), "
+        f"i -> {_le_hex(samp_u16, 2)}), '')"
+    )
+    return (
+        docs.orderBy("doc_id").limit(limit)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(16000))
+            .otherwise(F.lit(8000)).cast("long").alias("sample_rate"),
+            (F.lit(40) + F.col("doc_id") % 160).cast("long")
+            .alias("n_samples"),
+        )
+        .withColumn(
+            "data", F.unhex(F.expr(f"concat({header_hex}, {data_hex})"))
+        )
+    )
+
+
+def x9_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-sample-stats twin of x9_audio_frame_plan: REAL WAV blobs
+    (synth_wav) parsed by the stdlib wave codec in Arrow-batched
+    mapInPandas (multimodal/media.py::decode_wav_stats), emitting
+    container metadata + exact PCM statistics per clip.
+
+    Oracle story: the samples follow a deterministic integer formula, so
+    DuckDB predicts every decoded value arithmetically WITHOUT parsing
+    binary — a genuine cross-check that the Python codec read the bytes
+    the SQL generator wrote (any header-size, endianness, or sign error
+    shifts min/max/mean/rms). mean and rms are single IEEE ops over
+    exact integer sums on both sides (no rounding needed).
+
+    At 100 TB: one narrow binary scan -> Arrow ferry -> per-clip stats;
+    no shuffle. Reference parity: none (multimodal extension, §2.9);
+    the ranged-read plan that would FEED this decode at scale is
+    x9_audio_frame_plan."""
+    from swiftbulkuploader_spark.multimodal.media import decode_wav_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_stats(synth_wav(docs))
+
+
+QUERIES["x9_wav_decode_stats"] = x9_wav_decode_stats
+
+ORACLES["x9_wav_decode_stats"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END
+                    AS BIGINT) AS frame_rate,
+               CAST(40 + doc_id % 160 AS BIGINT) AS n
+        FROM documents ORDER BY doc_id LIMIT {WAV_LIMIT}
+    ), s AS (
+        SELECT media_id, frame_rate, n,
+               CASE WHEN (media_id * 7 + i * 13) % 65536 >= 32768
+                    THEN (media_id * 7 + i * 13) % 65536 - 65536
+                    ELSE (media_id * 7 + i * 13) % 65536 END AS v
+        FROM m, unnest(range(n)) AS u(i)
+    )
+    SELECT media_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(2 AS INT) AS sample_width,
+           frame_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(min(v) AS BIGINT) AS sample_min,
+           CAST(max(v) AS BIGINT) AS sample_max,
+           CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sample_mean,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               AS sample_rms
+    FROM s
+    GROUP BY media_id, frame_rate
+"""

@@ -232,3 +232,97 @@ class TestAudioFramePlan:
         assert by_rate[8000] and by_rate[16000]
         assert all(t == 20.0 for t in by_rate[8000])   # 160/8000 s
         assert all(t == 10.0 for t in by_rate[16000])  # 160/16000 s
+
+
+class TestWavDecode:
+    """Real stdlib-wave decode (r9 verdict ask #7): the SQL-built blob is
+    a byte-exact valid WAV (pinned against the wave WRITER), and the
+    decoded stats match an independent struct-level replica on a
+    fixture-written file."""
+
+    @staticmethod
+    def _ref_wav(media_id: int, rate: int, n: int) -> bytes:
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            vals = []
+            for i in range(n):
+                x = (media_id * 7 + i * 13) % 65536
+                vals.append(x - 65536 if x >= 32768 else x)
+            w.writeframes(struct.pack(f"<{n}h", *vals))
+        return buf.getvalue()
+
+    def test_sql_blob_byte_equals_wave_writer(self, spark, tmp_path):
+        from swiftbulkuploader_spark.operators.media_queries import synth_wav
+
+        rows = [
+            (0, "t", "en", "s", 1),
+            (3, "t", "en", "s", 1),
+            (158, "t", "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, "
+            "n_chars: long",
+        )
+        got = {r["media_id"]: r for r in synth_wav(docs).collect()}
+        for mid in (0, 3, 158):
+            r = got[mid]
+            want = self._ref_wav(mid, r["sample_rate"], r["n_samples"])
+            assert bytes(r["data"]) == want, f"media {mid} blob differs"
+
+    def test_decode_matches_struct_replica_on_fixture_file(self, spark,
+                                                           tmp_path):
+        """A WAV written to DISK by the fixture (stereo, to exercise the
+        interleaved-channel path) round-trips through decode_wav_stats
+        with stats equal to an independent struct-level computation."""
+        import math
+        import struct
+        import wave
+
+        from swiftbulkuploader_spark.multimodal.media import decode_wav_stats
+
+        path = tmp_path / "fixture.wav"
+        vals = [(-(i * 31) % 65536) - 32768 for i in range(400)]
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+        media = spark.createDataFrame(
+            [(1, path.read_bytes())], "media_id: long, data: binary"
+        )
+        r = decode_wav_stats(media).collect()[0]
+        assert (r["n_channels"], r["sample_width"], r["frame_rate"]) == \
+            (2, 2, 44100)
+        assert r["n_samples"] == 400
+        assert r["sample_min"] == min(vals) and r["sample_max"] == max(vals)
+        assert r["sample_mean"] == sum(vals) / 400
+        assert r["sample_rms"] == math.sqrt(
+            sum(v * v for v in vals) / 400
+        )
+
+    def test_non_pcm16_raises(self, spark):
+        import io
+        import wave
+
+        from swiftbulkuploader_spark.multimodal.media import decode_wav_stats
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)  # PCM8: decode contract is PCM16-only
+            w.setframerate(8000)
+            w.writeframes(bytes(range(64)))
+        media = spark.createDataFrame(
+            [(1, buf.getvalue())], "media_id: long, data: binary"
+        )
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="PCM16"):
+            decode_wav_stats(media).collect()
