@@ -237,8 +237,11 @@ HEADLINE = [
 # its correctness lives in the verify gate)
 
 
-def _bench_pipeline(spark, n_files: int = 2000,
-                    reps: int = 3) -> tuple[float, float, float, float]:
+PIPE_N_FILES = 20000
+
+
+def _bench_pipeline(spark, n_files: int = PIPE_N_FILES,
+                    reps: int = 3) -> dict:
     """ingest -> key-transform -> fake-ObjectStore upload -> report over a
     synthetic tree (BASELINE.md's pipeline workload; uploads/s is the
     reference's own headline metric, bulkupload.py:330).
@@ -248,7 +251,15 @@ def _bench_pipeline(spark, n_files: int = 2000,
     absorbs the one-time Python-worker/codegen warmup of the mapInPandas
     upload path (~7 s cold), which the median then discards. The resume
     fast-path (the reference's `WHERE uploaded=0` re-run, readme.md:42) is
-    medianed the same way against the last completed attempts dir."""
+    medianed the same way against the last completed attempts dir.
+
+    Round-10 load hardening (r9 verdict ask #2 — the driver's uploads/s
+    halved under co-running load while same-code idle runs held steady):
+    the tree is 20k files (was 2k; ~1.7 s runs were FS-jitter-dominated — at 6k the no-change envelope still measured 1.196x, at 20k it meets the <=1.1x bar),
+    the 1-minute load average is recorded at every rep boundary so a slow
+    sample is attributable after the fact, and the returned dict carries
+    the per-rep samples + the rate's own spread (median-rate vs
+    best-rate) so the artifact reads as a distribution, not a point."""
     import shutil
     import statistics
     import tempfile
@@ -264,14 +275,27 @@ def _bench_pipeline(spark, n_files: int = 2000,
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, f"f{i:05d}.bin"), "wb") as fh:
                 fh.write(os.urandom(256))
-        up_samples, resume_samples = [], []
+        up_samples, resume_samples, loads = [], [], []
+        # one UNTIMED warmup rep: the cold first pipeline run pays
+        # Python-worker spawn + codegen + src-tree page-cache fill
+        # (~12 s vs ~2 s warm at 20k files) — with only 3 timed reps a
+        # median can't fully discard a sample that extreme plus the
+        # half-warm second rep, so warm explicitly and time only
+        # steady-state runs
+        warm_factory = StoreFactory(
+            "localfs", root=os.path.join(root, "bucket_warm")
+        )
+        run_pipeline(spark, src, warm_factory,
+                     os.path.join(root, "attempts_warm"),
+                     cutoff="src", parallelism=16)
         for r in range(reps):
             factory = StoreFactory(
                 "localfs", root=os.path.join(root, f"bucket{r}")
             )
             attempts = os.path.join(root, f"attempts{r}")
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
-            # width 16: enough slots for 2k tiny files; wider just spawns
+            # width 16: enough slots for the tiny files; wider just spawns
             # more Python workers than the work amortizes
             res = run_pipeline(spark, src, factory, attempts,
                                cutoff="src", parallelism=16)
@@ -283,10 +307,21 @@ def _bench_pipeline(spark, n_files: int = 2000,
                                 cutoff="src", parallelism=16)
             resume_samples.append(time.time() - t1)
             assert res2["uploaded"] == n_files and res2["failed"] == 0, res2
+        loads.append(round(os.getloadavg()[0], 2))
         dt = statistics.median(up_samples)
-        return (round(dt, 3), round(n_files / dt, 1),
-                round(statistics.median(resume_samples), 3),
-                round(min(up_samples), 3))
+        dt_min = min(up_samples)
+        return {
+            "sec": round(dt, 3),
+            "sec_min": round(dt_min, 3),
+            "rate": round(n_files / dt, 1),
+            "rate_best": round(n_files / dt_min, 1),
+            "rate_spread": round(dt / dt_min, 3),
+            "resume_sec": round(statistics.median(resume_samples), 3),
+            "n_files": n_files,
+            "up_samples": [round(s, 3) for s in up_samples],
+            "resume_samples": [round(s, 3) for s in resume_samples],
+            "loadavg_1m": loads,
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -294,7 +329,7 @@ def _bench_pipeline(spark, n_files: int = 2000,
 def _family(name: str) -> str:
     """Collapse a query name to its operator family for the compact stdout
     line: q1_scan -> q, a8_rate_window -> a, x5_nation_revenue -> x5,
-    pipeline_upload_2k_files -> pipeline."""
+    pipeline_upload_20k_files -> pipeline."""
     head = name.split("_", 1)[0]
     if head.startswith("x"):
         return head
@@ -319,8 +354,9 @@ def main() -> None:
     # persisted base, so the uploads/s number is attributable to the
     # upload plan alone (round-5 lesson — a single sample taken last in a
     # fully-warmed session was mistaken for an engine regression)
-    pipe_sec, pipe_rate, resume_sec, pipe_min = _bench_pipeline(
-        spark, reps=reps)
+    pipe = _bench_pipeline(spark, reps=reps)
+    pipe_sec, pipe_rate, resume_sec, pipe_min = (
+        pipe["sec"], pipe["rate"], pipe["resume_sec"], pipe["sec_min"])
 
     # Interleaved round-robin scheduling (round-9 verdict ask #1): run
     # rep-1 of EVERY query, then rep-2, then rep-3 — instead of 3
@@ -362,6 +398,7 @@ def main() -> None:
             "rep": r,
             "start_unix": round(rep_start, 3),
             "end_unix": round(time.time(), 3),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
         })
 
     timings: dict[str, float] = {}
@@ -379,8 +416,8 @@ def main() -> None:
         timings_exec[name] = round(e_samples[len(e_samples) // 2], 3)
         timings_reps[name] = [round(s, 3) for s in per_samples[name]]
 
-    timings["pipeline_upload_2k_files"] = pipe_sec
-    timings_min["pipeline_upload_2k_files"] = pipe_min
+    timings["pipeline_upload_20k_files"] = pipe_sec
+    timings_min["pipeline_upload_20k_files"] = pipe_min
     timings["pipeline_resume_noop"] = resume_sec
     timings_min["pipeline_resume_noop"] = resume_sec
 
@@ -416,6 +453,9 @@ def main() -> None:
             "rep_windows": rep_windows,
             "rep_order": "round_robin",
             "uploads_per_sec": pipe_rate,
+            "uploads_per_sec_best": pipe["rate_best"],
+            "uploads_spread": pipe["rate_spread"],
+            "pipeline": pipe,
             "reps": reps,
             "sf": sf_val,
         }, fh, indent=1, sort_keys=True)
@@ -433,6 +473,7 @@ def main() -> None:
         "unit": "sec",
         "queries": families,
         "uploads_per_sec": pipe_rate,
+        "uploads_spread": pipe["rate_spread"],
         "n_queries": len(timings),
         "sf": sf_val,
         "detail": "BENCH_LOCAL.json",
