@@ -768,3 +768,139 @@ ORACLES["x6_power_analysis"] = f"""
                AS mde_at_current_n
     FROM req
 """
+
+
+def x6_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm UPLIFT bootstrap CI — the experiment-readout companion of
+    x6_poisson_bootstrap (round-9 memory's scoped candidate): customers
+    hash-assigned to arms A/B (md5-prefix parity of o_custkey — the
+    x6_ab_test bucketing contract), per bootstrap replica the DIFFERENCE
+    of the arms' Poisson-weighted mean order prices, ~95% CI from the
+    positional order statistics of the BOOT_B diffs. A significance call
+    on uplift ("is mean(B) - mean(A) distinguishable from 0") without
+    any normality assumption — the test the z/t queries approximate.
+
+    Reuses the whole deterministic-bootstrap machinery: one md5 per
+    (order, g) yields two 13-hex 52-bit uniforms; weights via the
+    precomputed hex-threshold inverse CDF (u < c <=> hex13 < thr);
+    replica means are per-arm conditional aggregates of the SAME
+    weighted rows, so each replica resamples both arms coherently. CI
+    bounds are SELECTED replica diffs (rank 2 / rank BOOT_B-1 decided on
+    6-dp-rounded diffs with replica-id tie-break); boot_se is the sample
+    stddev of the diffs.
+
+    Shape: rows x BOOT_B weighted partials map-side-combine to BOOT_B
+    groups — one pass + a 32-row aggregate at any n. Liveness (the
+    x6_ab_test lesson): both arms populated, diff nonzero, ci_lo <
+    ci_hi, pinned in tests/test_liveness_pins.py.
+
+    Reference parity: none (§2.9 stats extension)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 2
+    ).alias("arm")
+    g = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B // 2))).alias("g")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x"),
+        arm, g,
+    )
+    hh = F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
+                        F.col("g").cast("string")))
+    pairs = F.array(*[
+        F.struct(
+            ((F.col("g") - F.lit(1)) * 2 + F.lit(j)).alias("b"),
+            F.substring(hh, (j - 1) * 13 + 1, 13).alias("s"),
+        )
+        for j in (1, 2)
+    ])
+    ex = rows.select("x", "arm", F.explode(pairs).alias("p")).select(
+        "x", "arm", F.col("p.b").alias("b"), F.col("p.s").alias("s")
+    )
+    w = F.lit(6)
+    for k in range(len(BOOT_THR_HEX) - 1, -1, -1):
+        w = F.when(F.col("s") < F.lit(BOOT_THR_HEX[k]), F.lit(k)).otherwise(w)
+    wx = ex.select("b", "arm", "x", w.cast("long").alias("w"))
+    is_a, is_b = F.col("arm") == 0, F.col("arm") == 1
+    reps = wx.groupBy("b").agg(
+        (
+            F.sum(F.when(is_b, F.col("w") * F.col("x")))
+            / F.sum(F.when(is_b, F.col("w"))).cast("double")
+            - F.sum(F.when(is_a, F.col("w") * F.col("x")))
+            / F.sum(F.when(is_a, F.col("w"))).cast("double")
+        ).alias("d")
+    )
+    wr = Window.orderBy(F.round("d", 6).asc(), F.col("b").asc())
+    ranked = reps.withColumn("rn", F.row_number().over(wr))
+    stats = ranked.agg(
+        F.stddev_samp("d").alias("boot_se"),
+        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("d"))).alias("ci_hi"),
+    )
+    base = orders.select(arm, "o_totalprice").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        (
+            F.avg(F.when(is_b, F.col("o_totalprice")))
+            - F.avg(F.when(is_a, F.col("o_totalprice")))
+        ).alias("diff"),
+    )
+    return base.crossJoin(stats)  # bounded: two 1-row summaries
+
+
+QUERIES["x6_bootstrap_diff_ci"] = x6_bootstrap_diff_ci
+
+
+def _boot_diff_oracle_sql() -> str:
+    cdf_case = "CASE " + " ".join(
+        f"WHEN s < '{t}' THEN {k}"
+        for k, t in enumerate(BOOT_THR_HEX)
+    ) + " ELSE 6 END"
+    return f"""
+    WITH r AS (
+        SELECT o_orderkey AS k, o_totalprice AS x,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+               unnest(range(1, {BOOT_B // 2 + 1})) AS g
+        FROM orders
+    ), h AS MATERIALIZED (
+        SELECT x, arm, g, md5(CAST(k AS VARCHAR) || ':'
+                              || CAST(g AS VARCHAR)) AS hh
+        FROM r
+    ), s AS (
+        SELECT x, arm, (g - 1) * 2 + j AS b,
+               substr(hh, (j - 1) * 13 + 1, 13) AS s
+        FROM h CROSS JOIN (SELECT unnest([1, 2]) AS j)
+    ), wts AS (
+        SELECT b, arm, x, CAST({cdf_case} AS BIGINT) AS w FROM s
+    ), reps AS (
+        SELECT b,
+               sum(CASE WHEN arm = 1 THEN w * x END)
+                   / CAST(sum(CASE WHEN arm = 1 THEN w END) AS DOUBLE)
+               - sum(CASE WHEN arm = 0 THEN w * x END)
+                   / CAST(sum(CASE WHEN arm = 0 THEN w END) AS DOUBLE) AS d
+        FROM wts GROUP BY b
+    ), ranked AS (
+        SELECT d, row_number() OVER (ORDER BY round(d, 6) ASC, b ASC) AS rn
+        FROM reps
+    ), st AS (
+        SELECT stddev_samp(d) AS boot_se,
+               max(CASE WHEN rn = 2 THEN d END) AS ci_lo,
+               max(CASE WHEN rn = {BOOT_B - 1} THEN d END) AS ci_hi
+        FROM ranked
+    ), base AS (
+        SELECT CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               avg(x) FILTER (arm = 1) - avg(x) FILTER (arm = 0) AS diff
+        FROM (SELECT o_totalprice AS x, CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm
+              FROM orders)
+    )
+    SELECT base.n_a, base.n_b, base.diff, st.boot_se, st.ci_lo, st.ci_hi
+    FROM base, st
+"""
+
+
+ORACLES["x6_bootstrap_diff_ci"] = _boot_diff_oracle_sql()

@@ -102,3 +102,13 @@ class TestStatsLiveness:
                         assert 0.0 < v < 1.0, (c, v)
         zcols = [c for c in rows[0].asDict() if "z" in c.lower()]
         assert any(_finite(r[c]) and r[c] != 0 for r in rows for c in zcols)
+
+    def test_bootstrap_diff_ci_live(self, spark, queries):
+        """Uplift CI liveness: both arms populated, a nonzero diff, a
+        strictly ordered interval, and a nonzero bootstrap SE."""
+        r = queries["x6_bootstrap_diff_ci"](spark, SF).collect()[0]
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert _finite(r["diff"]) and r["diff"] != 0.0
+        assert _finite(r["boot_se"]) and r["boot_se"] > 0.0
+        assert _finite(r["ci_lo"]) and _finite(r["ci_hi"])
+        assert r["ci_lo"] < r["ci_hi"]
