@@ -495,3 +495,203 @@ ORACLES["x9_wav_decode_stats"] = f"""
     FROM s
     GROUP BY media_id, frame_rate
 """
+
+
+# ---------------------------------------------------------------------------
+# X9 — perceptual-hash near-dup over a binary image column (r9 memory's
+# scoped x9_phash_dedup)
+# ---------------------------------------------------------------------------
+
+PHASH_HEADER_HEX = "50484953543A36343A"  # b"PHIST:64:"
+PHASH_BINS = 64
+PHASH_HAM_T = 3
+
+
+def synth_phash_media(docs: DataFrame) -> DataFrame:
+    """documents -> (media_id, data): a binary "image" per doc whose 64
+    pixel bytes are the doc's BIGRAM-histogram rendering (bin =
+    md5-prefix of the bigram mod 64, intensity = count clipped at 255)
+    behind a b"PHIST:64:" header. Near-dup documents share most bigrams,
+    so their renderings differ in a few pixels — the image analogue of
+    near-dup text, which is what gives the aHash genuine near-match
+    structure (a sha2-pixel image randomizes away all similarity; a
+    UNIGRAM histogram on this small-vocab corpus has the opposite
+    failure — every doc looks alike: measured truth-pair hamming 0-1 vs
+    random-pair >= 15 for bigrams, vs random-pair min 0 for unigrams).
+    Docs with < 2 tokens have no bigrams and are excluded (mirrored in
+    the oracle). DuckDB gotcha earned here: least()/greatest() SKIP
+    NULLs (least(NULL, 255) = 255), so the oracle's empty-bin fill must
+    coalesce BEFORE least, never after."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', slice(toks, i, 2)))"
+            )
+        ).alias("bg"),
+    )
+    cells = bg.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("bg"), 1, 2), 16, 10).cast("long")
+         % PHASH_BINS).alias("bin"),
+    ).groupBy("doc_id", "bin").agg(
+        F.least(F.count(F.lit(1)), F.lit(255)).cast("int").alias("p")
+    )
+    arr = cells.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bin", "p"))
+        ).alias("m")
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"transform(sequence(0, {PHASH_BINS - 1}), "
+            "b -> coalesce(element_at(m, CAST(b AS BIGINT)), 0))"
+        ).alias("px"),
+    )
+    pix_hex = F.expr("array_join(transform(px, p -> lpad(hex(p), 2, '0')), '')")
+    return arr.select(
+        "media_id",
+        F.unhex(F.concat(F.lit(PHASH_HEADER_HEX), pix_hex)).alias("data"),
+    )
+
+
+def x9_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over a BINARY image column —
+    the image-dedup stage of a multimodal pipeline, end to end in SQL
+    byte math (no Python): decode the 64 pixel bytes out of the binary
+    with hex()/conv() arithmetic, compute the classic aHash (bit b set
+    iff pixel_b > mean — integer-exact as p*64 > sum), band the 64-bit
+    hash into 4 x 16-bit words, equi-join bands for candidates, verify
+    exact Hamming distance <= PHASH_HAM_T with bit_count(xor).
+
+    Completeness contract: 4 bands / threshold 3 is pigeonhole-LOSSLESS
+    (any pair within Hamming 3 shares at least one intact band), and the
+    DuckDB oracle computes the ALL-PAIRS Hamming join directly — every
+    verify run re-proves the banding drops nothing (the
+    x1_allpairs_prefix oracle discipline). Substrate liveness: the
+    near-dup text pairs render to images at Hamming <= 1 while unrelated
+    docs sit at >= 15 (measured; see synth_phash_media).
+
+    At 100 TB of images: hashes are 8 bytes/row; the band join shuffles
+    4 rows/image; verification touches only band-colliding candidates —
+    never an all-pairs scan (that form exists only inside the oracle,
+    where completeness is the point).
+
+    Reference parity: none (§2.9 multimodal extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_phash_media(docs)
+    hx = F.hex(F.col("data"))
+    hdr_chars = len(PHASH_HEADER_HEX)
+    px = F.expr(
+        f"transform(sequence(0, {PHASH_BINS - 1}), "
+        f"i -> CAST(conv(substr(hx, {hdr_chars + 1} + 2 * i, 2), 16, 10)"
+        " AS INT))"
+    )
+    decoded = media.select("media_id", hx.alias("hx")).select(
+        "media_id", px.alias("px")
+    ).withColumn("s", F.expr("aggregate(px, 0, (a, x) -> a + x)"))
+    word = (
+        "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (a, i) -> "
+        "a + IF(element_at(px, i + 1) * 64 > s, "
+        "shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+    )
+    hashes = decoded.select(
+        "media_id",
+        F.expr(word.format(lo=0, hi=31)).alias("lo"),
+        F.expr(word.format(lo=32, hi=63)).alias("hi"),
+    ).localCheckpoint(eager=True)  # consumed by 2 join sides + bands
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"),
+                         (F.col("lo") % 65536).alias("bv")),
+                F.struct(F.lit(1).alias("bi"),
+                         F.expr("lo div 65536").alias("bv")),
+                F.struct(F.lit(2).alias("bi"),
+                         (F.col("hi") % 65536).alias("bv")),
+                F.struct(F.lit(3).alias("bi"),
+                         F.expr("hi div 65536").alias("bv")),
+            )
+        ).alias("b"),
+    ).select("media_id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bi", "bv"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("a"), F.col("y.media_id").alias("b")
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(
+            F.expr("CAST(la AS BIGINT) ^ CAST(lb AS BIGINT)")
+        )
+        + F.bit_count(F.expr("CAST(ha AS BIGINT) ^ CAST(hb AS BIGINT)"))
+    )
+    return (
+        cand.join(
+            hashes.select(F.col("media_id").alias("a"),
+                          F.col("lo").alias("la"), F.col("hi").alias("ha")),
+            "a",
+        )
+        .join(
+            hashes.select(F.col("media_id").alias("b"),
+                          F.col("lo").alias("lb"), F.col("hi").alias("hb")),
+            "b",
+        )
+        .select("a", "b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+    )
+
+
+QUERIES["x9_phash_dedup"] = x9_phash_dedup
+
+ORACLES["x9_phash_dedup"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), gg AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+        FROM t, unnest(range(1, len(toks))) AS z(i)
+        WHERE len(toks) >= 2
+    ), b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(bg), 1, 2)) AS BIGINT) % {PHASH_BINS}
+                   AS bin,
+               count(*) AS c
+        FROM gg GROUP BY 1, 2
+    ), full_px AS (
+        SELECT d.doc_id, g.bin, least(coalesce(b.c, 0), 255) AS p
+        FROM (SELECT DISTINCT doc_id FROM gg) d
+        CROSS JOIN (SELECT unnest(range({PHASH_BINS})) AS bin) g
+        LEFT JOIN b ON b.doc_id = d.doc_id AND b.bin = g.bin
+    ), st AS (
+        SELECT doc_id, sum(p) AS s FROM full_px GROUP BY 1
+    ), ah AS (
+        SELECT f.doc_id,
+               sum(CASE WHEN f.bin < 32 AND f.p * 64 > st.s
+                        THEN CAST(1 AS BIGINT) << CAST(f.bin AS INT)
+                        ELSE 0 END) AS lo,
+               sum(CASE WHEN f.bin >= 32 AND f.p * 64 > st.s
+                        THEN CAST(1 AS BIGINT) << CAST(f.bin - 32 AS INT)
+                        ELSE 0 END) AS hi
+        FROM full_px f JOIN st USING (doc_id)
+        GROUP BY f.doc_id
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+                AS INT) AS hamming
+    FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+          <= {PHASH_HAM_T}
+"""

@@ -112,3 +112,12 @@ class TestStatsLiveness:
         assert _finite(r["boot_se"]) and r["boot_se"] > 0.0
         assert _finite(r["ci_lo"]) and _finite(r["ci_hi"])
         assert r["ci_lo"] < r["ci_hi"]
+
+    def test_phash_dedup_live(self, spark, queries):
+        """Image near-dup pairs exist, at small Hamming, and are a
+        strict subset of the corpus (not everything matches)."""
+        rows = queries["x9_phash_dedup"](spark, SF).collect()
+        assert len(rows) > 0
+        assert all(0 <= r["hamming"] <= 3 for r in rows)
+        ids = {r["a"] for r in rows} | {r["b"] for r in rows}
+        assert len(ids) < 400  # far from all 500 docs pairing up
