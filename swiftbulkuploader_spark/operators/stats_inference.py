@@ -904,3 +904,274 @@ def _boot_diff_oracle_sql() -> str:
 
 
 ORACLES["x6_bootstrap_diff_ci"] = _boot_diff_oracle_sql()
+
+
+def x6_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13
+    "Improving the Sensitivity of Online Controlled Experiments") — the
+    adjustment every mature A/B platform applies before the z/t test:
+    per user, outcome Y = purchase revenue and covariate X =
+    non-purchase activity value (the pre-experiment-style covariate this
+    substrate offers); theta = cov(X, Y)/var(X) pooled across arms;
+    adjusted uplift = diff(Y) - theta * diff(X); variance reduction =
+    corr(X, Y)^2.
+
+    EXACTNESS (the welch-ttest discipline for second moments): values
+    are cent-QUANTIZED first (round(value*100) — half-away in both
+    engines), per-user sums are exact BIGINTs, and the pooled moment
+    sums (Sx, Sy, Sxx, Syy, Sxy) accumulate in decimal(38,0) /
+    HUGEINT — overflow-free integer space — so theta, the diffs, and
+    the reduction are fixed-shape double expressions over bit-identical
+    operands (each exact integer casts to double identically; no
+    summation-order ulps anywhere).
+
+    Shape: one user rollup (map-side combined), one 1-row moment
+    aggregate per arm folded via conditional sums — constant-size after
+    the rollup at any scale. Liveness: theta finite and nonzero,
+    0 <= var_reduction < 1 (pinned)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    users = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") != "purchase", cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+        "x", "y",
+    )
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(F.when(F.col("arm") == 0, xd)).alias("sxa"),
+        F.sum(F.when(F.col("arm") == 1, xd)).alias("sxb"),
+        F.sum(F.when(F.col("arm") == 0, yd)).alias("sya"),
+        F.sum(F.when(F.col("arm") == 1, yd)).alias("syb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    covn = (F.col("n").cast(dec) * F.col("sxy")
+            - F.col("sx") * F.col("sy")).cast("double")
+    varxn = (F.col("n").cast(dec) * F.col("sxx")
+             - F.col("sx") * F.col("sx")).cast("double")
+    varyn = (F.col("n").cast(dec) * F.col("syy")
+             - F.col("sy") * F.col("sy")).cast("double")
+    theta = covn / varxn
+    diff_raw = (d("syb") / d("n_b") - d("sya") / d("n_a")) / F.lit(100.0)
+    diff_x = (d("sxb") / d("n_b") - d("sxa") / d("n_a")) / F.lit(100.0)
+    return m.select(
+        "n_a", "n_b",
+        theta.alias("theta"),
+        diff_raw.alias("diff_raw"),
+        (diff_raw - theta * diff_x).alias("diff_cuped"),
+        (covn * covn / (varxn * varyn)).alias("var_reduction"),
+    )
+
+
+QUERIES["x6_cuped_adjust"] = x6_cuped_adjust
+
+ORACLES["x6_cuped_adjust"] = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               sum(CASE WHEN event_type <> 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT)) FILTER (arm = 0) AS sxa,
+               sum(CAST(x AS HUGEINT)) FILTER (arm = 1) AS sxb,
+               sum(CAST(y AS HUGEINT)) FILTER (arm = 0) AS sya,
+               sum(CAST(y AS HUGEINT)) FILTER (arm = 1) AS syb
+        FROM u
+    )
+    SELECT n_a, n_b,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           (CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / CAST(100.0 AS DOUBLE) AS diff_raw,
+           (CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / CAST(100.0 AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * ((CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                / CAST(100.0 AS DOUBLE)) AS diff_cuped,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction
+    FROM m
+"""
+
+
+SEQ_OBF_C = 2.797  # ~alpha 0.05 O'Brien-Fleming constant
+
+
+def x6_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL experiment monitoring — the peeking-safe readout a
+    dashboard needs: per hour of the experiment, the CUMULATIVE
+    unequal-variance z of the arm revenue difference against an
+    O'Brien-Fleming-style spending boundary (c / sqrt(information
+    fraction)), with a crossed flag. A fixed-horizon z re-checked hourly
+    inflates false positives ~5x; the widening-early boundary is the
+    standard fix (Pocock/OBF group-sequential family).
+
+    EXACTNESS: cent-quantized values, per-hour integer partials, and the
+    CUMULATIVE sums run as window sums in decimal(38,0)/HUGEINT — exact
+    integers at every hour — so each hour's z is a fixed-shape double
+    over bit-identical operands (the welch/cuped moment discipline made
+    cumulative). The crossed boolean compares 6-dp-rounded |z| and
+    boundary (round-before-decision). Degenerate guards: hours where
+    either arm has < 2 cumulative users-events or zero variance yield
+    NULL z and crossed=false via nullif.
+
+    Shape: one hourly rollup (map-side combined), then window cumsums
+    over the ~720-row hourly grid — the rollup-bounded unpartitioned-
+    window class (kaplan_meier discipline; BOUNDED_WINDOW_OK)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 2
+    )
+    dec = "decimal(38,0)"
+    hourly = (
+        events.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            arm.alias("arm"), cents.alias("c"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast(dec).alias("pna"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast(dec).alias("pnb"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0)).cast(dec).alias("psa"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0)).cast(dec).alias("psb"),
+            F.sum(F.when(F.col("arm") == 0,
+                         F.col("c").cast(dec) * F.col("c")).otherwise(0)).alias("pqa"),
+            F.sum(F.when(F.col("arm") == 1,
+                         F.col("c").cast(dec) * F.col("c")).otherwise(0)).alias("pqb"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # rollup-bounded cumulative window (~720 hourly rows)
+    wc = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hourly.select(
+        "hour",
+        *[F.sum(c).over(wc).alias(c) for c in
+          ("pna", "pnb", "psa", "psb", "pqa", "pqb")],
+        F.row_number().over(Window.orderBy("hour")).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("tt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    va_n = (F.col("pna") * F.col("pqa") - F.col("psa") * F.col("psa")).cast("double")
+    vb_n = (F.col("pnb") * F.col("pqb") - F.col("psb") * F.col("psb")).cast("double")
+    na, nb = d("pna"), d("pnb")
+    va = va_n / (na * F.nullif(na - 1.0, F.lit(0.0)))
+    vb = vb_n / (nb * F.nullif(nb - 1.0, F.lit(0.0)))
+    se = F.sqrt(
+        F.nullif(va / na + vb / nb, F.lit(0.0))
+    )
+    z = (d("psb") / F.nullif(nb, F.lit(0.0))
+         - d("psa") / F.nullif(na, F.lit(0.0))) / se
+    boundary = F.lit(SEQ_OBF_C) / F.sqrt(
+        F.col("t").cast("double") / F.col("tt").cast("double")
+    )
+    return cum.select(
+        "hour",
+        F.col("pna").cast("long").alias("n_a"),
+        F.col("pnb").cast("long").alias("n_b"),
+        z.alias("z"),
+        boundary.alias("boundary"),
+        F.coalesce(
+            F.round(F.abs(z), 6) >= F.round(boundary, 6), F.lit(False)
+        ).alias("crossed"),
+    )
+
+
+QUERIES["x6_sequential_monitor"] = x6_sequential_monitor
+
+ORACLES["x6_sequential_monitor"] = f"""
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ), hourly AS (
+        SELECT hour,
+               CAST(count(*) FILTER (arm = 0) AS HUGEINT) AS pna,
+               CAST(count(*) FILTER (arm = 1) AS HUGEINT) AS pnb,
+               CAST(coalesce(sum(c) FILTER (arm = 0), 0) AS HUGEINT) AS psa,
+               CAST(coalesce(sum(c) FILTER (arm = 1), 0) AS HUGEINT) AS psb,
+               CAST(coalesce(sum(CAST(c AS HUGEINT) * c) FILTER (arm = 0), 0)
+                    AS HUGEINT) AS pqa,
+               CAST(coalesce(sum(CAST(c AS HUGEINT) * c) FILTER (arm = 1), 0)
+                    AS HUGEINT) AS pqb
+        FROM e GROUP BY hour
+    ), cum AS (
+        SELECT hour,
+               sum(pna) OVER w AS pna, sum(pnb) OVER w AS pnb,
+               sum(psa) OVER w AS psa, sum(psb) OVER w AS psb,
+               sum(pqa) OVER w AS pqa, sum(pqb) OVER w AS pqb,
+               row_number() OVER (ORDER BY hour) AS t,
+               count(*) OVER () AS tt
+        FROM hourly
+        WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), calc AS (
+        SELECT hour, pna, pnb, t, tt,
+               (CAST(psb AS DOUBLE) / nullif(CAST(pnb AS DOUBLE), 0)
+                - CAST(psa AS DOUBLE) / nullif(CAST(pna AS DOUBLE), 0))
+               / sqrt(nullif(
+                   CAST(pna * pqa - psa * psa AS DOUBLE)
+                     / (CAST(pna AS DOUBLE)
+                        * nullif(CAST(pna AS DOUBLE) - 1.0, 0.0))
+                     / CAST(pna AS DOUBLE)
+                   + CAST(pnb * pqb - psb * psb AS DOUBLE)
+                     / (CAST(pnb AS DOUBLE)
+                        * nullif(CAST(pnb AS DOUBLE) - 1.0, 0.0))
+                     / CAST(pnb AS DOUBLE), 0.0)) AS z,
+               CAST({SEQ_OBF_C} AS DOUBLE)
+                   / sqrt(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE))
+                   AS boundary
+        FROM cum
+    )
+    SELECT hour, CAST(pna AS BIGINT) AS n_a, CAST(pnb AS BIGINT) AS n_b,
+           z, boundary,
+           coalesce(round(abs(z), 6) >= round(boundary, 6), false)
+               AS crossed
+    FROM calc
+"""

@@ -305,3 +305,90 @@ ORACLES["x1_url_domain_stats"] = f"""
     FROM dom
     GROUP BY 1
 """
+
+
+FRONTIER_DELAY_MS = 500  # per-domain politeness interval
+
+
+def x1_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl FRONTIER plan — the stage after URL
+    dedup in a real crawler: the deduped canonical URLs (group keepers
+    only) are queued per REGISTERED DOMAIN (one in-flight fetch per
+    domain, FRONTIER_DELAY_MS between a domain's fetches), yielding for
+    every URL its within-domain slot, the global wave it fetches in, and
+    its scheduled offset. The whole corpus's fetch horizon falls out as
+    max slot per domain — the metric a crawl planner reads to spot
+    politeness-bound domains (one mega-domain stretches the crawl even
+    when total URLs are few).
+
+    Ordering is deterministic end-to-end: within a domain, URLs fetch in
+    (keeper_doc, canonical_url) order — content-stable, engine-stable.
+    Shape: one shuffle to the domain key, one partitioned rank window
+    (bounded by per-domain URL counts); no global window. Reference
+    parity: the reference's worker pool pops a shared queue with no
+    per-host pacing (bulkupload.py:171-185) — this is that scheduler
+    generalized to the per-host contract real object stores and crawl
+    targets impose."""
+    canon = with_registered_domain(_canon_frame(spark, sf_dir), "host")
+    w = Window.partitionBy("canonical_url")
+    keepers = (
+        canon.select(
+            "doc_id", "canonical_url", "registered_domain",
+            F.min("doc_id").over(w).alias("keeper_doc"),
+        )
+        .filter(F.col("doc_id") == F.col("keeper_doc"))
+        .drop("doc_id")
+    )
+    wd = Window.partitionBy("registered_domain").orderBy(
+        "keeper_doc", "canonical_url"
+    )
+    return keepers.select(
+        "canonical_url",
+        "registered_domain",
+        "keeper_doc",
+        (F.row_number().over(wd) - 1).cast("long").alias("slot"),
+        ((F.row_number().over(wd) - 1) * F.lit(FRONTIER_DELAY_MS))
+        .cast("long").alias("sched_offset_ms"),
+    )
+
+
+QUERIES["x1_url_frontier"] = x1_url_frontier
+
+ORACLES["x1_url_frontier"] = f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url, {_URL_PARTS_DUCK}
+        FROM raw
+    ), canon AS (
+        SELECT doc_id, {_CANON_DUCK} AS canonical_url,
+               regexp_replace(
+                   lower(regexp_extract(
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                       '^([^:]*)', 1)),
+                   '^(www\\.)+', '') AS host
+        FROM parts
+    ), {_PSL_DUCK}, lab AS (
+        SELECT doc_id, canonical_url, host,
+               string_split(host, '.') AS lbl, host AS hst
+        FROM canon
+    ), dom AS (
+        SELECT doc_id, canonical_url,
+               {_REGDOM_DUCK} AS registered_domain
+        FROM lab
+    ), keepers AS (
+        SELECT canonical_url, registered_domain,
+               min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_doc,
+               doc_id
+        FROM dom
+        QUALIFY doc_id = keeper_doc
+    )
+    SELECT canonical_url, registered_domain, keeper_doc,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS slot,
+           CAST((row_number() OVER w - 1) * {FRONTIER_DELAY_MS} AS BIGINT)
+               AS sched_offset_ms
+    FROM keepers
+    WINDOW w AS (PARTITION BY registered_domain
+                 ORDER BY keeper_doc, canonical_url)
+"""

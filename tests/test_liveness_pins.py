@@ -121,3 +121,26 @@ class TestStatsLiveness:
         assert all(0 <= r["hamming"] <= 3 for r in rows)
         ids = {r["a"] for r in rows} | {r["b"] for r in rows}
         assert len(ids) < 400  # far from all 500 docs pairing up
+
+    def test_cuped_live(self, spark, queries):
+        """CUPED liveness: a nonzero covariate relationship and a
+        variance reduction strictly inside [0, 1)."""
+        r = queries["x6_cuped_adjust"](spark, SF).collect()[0]
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert _finite(r["theta"]) and r["theta"] != 0.0
+        assert _finite(r["diff_raw"]) and _finite(r["diff_cuped"])
+        assert r["diff_cuped"] != r["diff_raw"]  # adjustment applied
+        assert 0.0 <= r["var_reduction"] < 1.0
+
+    def test_sequential_monitor_live(self, spark, queries):
+        """Sequential monitor liveness: a full hourly grid, finite z on
+        the later hours, a strictly decreasing boundary, and not every
+        hour crossing (the boundary must bind early)."""
+        rows = sorted(queries["x6_sequential_monitor"](spark, SF).collect(),
+                      key=lambda r: r["hour"])
+        assert len(rows) > 100
+        assert all(_finite(r["z"]) and r["z"] != 0.0 for r in rows[5:])
+        bs = [r["boundary"] for r in rows]
+        assert all(a > b for a, b in zip(bs, bs[1:]))
+        crossed = sum(1 for r in rows if r["crossed"])
+        assert crossed < len(rows)

@@ -192,6 +192,8 @@ BOUNDED_WINDOW_OK = {
     "x6_source_mixing",       # global share over the per-SOURCE aggregate
     "x7_entropy_rate",        # <= |event_types|^2-cell transition matrix
                               # (bounded category alphabet)
+    "x6_sequential_monitor",  # cumulative windows over the ~720-row
+                              # hourly rollup (kaplan_meier class)
     "x7_kaplan_meier",        # hour-bucket partial tables of the two-level
                               # prefix sums (one row per calendar hour of
                               # duration span; within-bucket windows ARE
