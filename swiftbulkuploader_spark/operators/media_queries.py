@@ -544,20 +544,21 @@ def synth_phash_media(docs: DataFrame) -> DataFrame:
     ).groupBy("doc_id", "bin").agg(
         F.least(F.count(F.lit(1)), F.lit(255)).cast("int").alias("p")
     )
-    arr = cells.groupBy("doc_id").agg(
+    # ONE projection from the bin map straight to the hex payload:
+    # stacked transform projections re-evaluate the upstream HOF per
+    # element under CollapseProject (interpreted HOFs have no CSE — the
+    # shingle_base lesson), turning 64 lookups/row into 64*64
+    pix_hex = F.expr(
+        f"array_join(transform(sequence(0, {PHASH_BINS - 1}), "
+        "b -> lpad(hex(coalesce(element_at(m, CAST(b AS BIGINT)), 0)),"
+        " 2, '0')), '')"
+    )
+    return cells.groupBy("doc_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("bin", "p"))
         ).alias("m")
     ).select(
         F.col("doc_id").alias("media_id"),
-        F.expr(
-            f"transform(sequence(0, {PHASH_BINS - 1}), "
-            "b -> coalesce(element_at(m, CAST(b AS BIGINT)), 0))"
-        ).alias("px"),
-    )
-    pix_hex = F.expr("array_join(transform(px, p -> lpad(hex(p), 2, '0')), '')")
-    return arr.select(
-        "media_id",
         F.unhex(F.concat(F.lit(PHASH_HEADER_HEX), pix_hex)).alias("data"),
     )
 
@@ -586,7 +587,13 @@ def x9_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (§2.9 multimodal extension)."""
     docs = load_table(spark, sf_dir, "documents")
-    media = synth_phash_media(docs)
+    # materialize the binary column before decoding: without the
+    # checkpoint CollapseProject merges synth and decode projections and
+    # the decode's per-element lambda re-evaluates the WHOLE synth hex
+    # construction per pixel (64x64 interpreted evals/row — measured
+    # 50 s of the 51 s build at sf0.1; 1.5 s materialized). In
+    # production the media table is stored anyway — this is that shape.
+    media = synth_phash_media(docs).localCheckpoint(eager=True)
     hx = F.hex(F.col("data"))
     hdr_chars = len(PHASH_HEADER_HEX)
     px = F.expr(
@@ -594,18 +601,31 @@ def x9_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> CAST(conv(substr(hx, {hdr_chars + 1} + 2 * i, 2), 16, 10)"
         " AS INT))"
     )
+    # materialize the decoded pixel array BEFORE the aHash folds: the
+    # word aggregates reference px per element, and with px still a
+    # projection expression the interpreted HOF re-evaluates the full
+    # 64-conv decode per reference (measured 40 s of the 50 s build at
+    # sf0.1); the checkpoint makes px a plain column read
     decoded = media.select("media_id", hx.alias("hx")).select(
         "media_id", px.alias("px")
-    ).withColumn("s", F.expr("aggregate(px, 0, (a, x) -> a + x)"))
-    word = (
-        "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (a, i) -> "
-        "a + IF(element_at(px, i + 1) * 64 > s, "
-        "shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+    ).localCheckpoint(eager=True)
+    # one fold computes (lo, hi) with the pixel sum carried in the SEED
+    # (evaluated once per row), so nothing upstream re-executes
+    lohi = F.expr(
+        "aggregate(sequence(0, 63), "
+        "named_struct('lo', CAST(0 AS BIGINT), 'hi', CAST(0 AS BIGINT), "
+        "'s', aggregate(px, 0, (a, x) -> a + x)), "
+        "(acc, i) -> named_struct("
+        "'lo', acc.lo + IF(i < 32 AND element_at(px, i + 1) * 64 > acc.s, "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)), "
+        "'hi', acc.hi + IF(i >= 32 AND element_at(px, i + 1) * 64 > acc.s, "
+        "shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT)), "
+        "'s', acc.s))"
     )
     hashes = decoded.select(
-        "media_id",
-        F.expr(word.format(lo=0, hi=31)).alias("lo"),
-        F.expr(word.format(lo=32, hi=63)).alias("hi"),
+        "media_id", lohi.alias("w")
+    ).select(
+        "media_id", F.col("w.lo").alias("lo"), F.col("w.hi").alias("hi")
     ).localCheckpoint(eager=True)  # consumed by 2 join sides + bands
     bands = hashes.select(
         "media_id",
