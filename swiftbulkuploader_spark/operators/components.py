@@ -859,6 +859,46 @@ LP_BASKET_CAP = 256  # orders with more distinct parts are excluded from the
                      # LP_MAX_DEG wedge cap, one level earlier)
 
 
+# co-purchase projection memo: the thresholded lineitem self-join is the
+# expensive stage shared by x8_link_prediction and x8_label_propagation —
+# persist once per (session, sf_dir), the _LLOYD_CACHE discipline
+_COPURCHASE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _copurchase_edges(spark, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edge list (a < b): parts co-ordered in >=
+    LP_MIN_SHARED distinct orders, mega-baskets (> LP_BASKET_CAP distinct
+    parts) excluded before the order-keyed self-join — see
+    x8_link_prediction's docstring for the scale argument."""
+    from swiftbulkuploader_spark.catalog import load_table
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COPURCHASE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    bsize = cells.groupBy("ok").agg(F.count(F.lit(1)).alias("bs"))
+    cells = cells.join(
+        bsize.where(F.col("bs") <= LP_BASKET_CAP).select("ok"), "ok"
+    )
+    c1 = cells.select("ok", F.col("pk").alias("a"))
+    c2 = cells.select("ok", F.col("pk").alias("b"))
+    e = (
+        c1.join(c2, "ok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= LP_MIN_SHARED)
+        .select("a", "b")
+        .persist()
+    )
+    _COPURCHASE_CACHE[cache_key] = e
+    return e
+
+
 def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
     """Distance-2 link prediction over the CO-PURCHASE graph (parts joined
     by an edge when they appear together in >= LP_MIN_SHARED distinct
@@ -891,24 +931,7 @@ def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
     carries summation-order ulps."""
     from swiftbulkuploader_spark.catalog import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
-    cells = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    bsize = cells.groupBy("ok").agg(F.count(F.lit(1)).alias("bs"))
-    cells = cells.join(
-        bsize.where(F.col("bs") <= LP_BASKET_CAP).select("ok"), "ok"
-    )
-    c1 = cells.select("ok", F.col("pk").alias("a"))
-    c2 = cells.select("ok", F.col("pk").alias("b"))
-    e = (
-        c1.join(c2, "ok")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= LP_MIN_SHARED)
-        .select("a", "b")
-    )
+    e = _copurchase_edges(spark, sf_dir)
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("a").alias("node"), "d"
@@ -947,6 +970,94 @@ def x8_link_prediction(spark, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x8_link_prediction"] = x8_link_prediction
+
+
+LPA_ITERS = 3
+
+
+def x8_label_propagation(spark, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al., PRE'07)
+    over the CO-PURCHASE graph — the cheap communities pass a corpus
+    pipeline runs to group items/sources before per-community caps or
+    mixing decisions. The substrate is the same thresholded projection
+    x8_link_prediction scores (memoized `_copurchase_edges`): unipartite
+    and triangle-rich, so labels genuinely coalesce — the bipartite
+    user->item graph would OSCILLATE under synchronous updates (2-cycle
+    label swap across the two sides), the dead-substrate class the r7
+    link-prediction lesson warns about.
+
+    Fully DETERMINISTIC so the result is oracle-checkable: synchronous
+    updates, FIXED 3 rounds, each node takes the most frequent label
+    among its neighbors, ties broken by the smallest label (a total
+    order — no random tie-break). All arithmetic is integer (labels,
+    counts): the compare is exact, no float discipline needed.
+
+    Spark round = one shuffle join (labels->edges) + one (node, label)
+    count + a node-PARTITIONED row_number window; the linear 3-round
+    chain needs no checkpoint (the projection itself is persisted once).
+    DuckDB unrolls the same three rounds as MATERIALIZED CTEs
+    (CLAUDE.md 11a). At 100 TB: rounds are plain hash-join shuffles on
+    the node key; the projection's basket/threshold caps keep the edge
+    list sparse as orders scale."""
+    from pyspark.sql.window import Window
+
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(LPA_ITERS):
+        labels = (
+            und.join(labels.select(F.col("node").alias("a"), "label"), "a")
+            .groupBy(F.col("b").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+QUERIES["x8_label_propagation"] = x8_label_propagation
+
+# three unrolled synchronous LPA rounds over the link-prediction
+# projection, integer-only arithmetic; round CTEs MATERIALIZED (each is
+# referenced by the next round's join — CLAUDE.md 11a: un-materialized
+# round CTEs re-expand exponentially in DuckDB)
+_LPA_ROUND_SQL = """
+    {name} AS {mat} (
+        SELECT node, label FROM (
+            SELECT e.b AS node, l.label,
+                   row_number() OVER (PARTITION BY e.b
+                                      ORDER BY count(*) DESC, l.label ASC)
+                       AS rn
+            FROM und e JOIN {prev} l ON e.a = l.node
+            GROUP BY e.b, l.label
+        ) WHERE rn = 1
+    )"""
+
+ORACLES["x8_label_propagation"] = f"""
+    WITH cells0 AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), cells AS (
+        SELECT * FROM cells0
+        WHERE ok IN (SELECT ok FROM cells0
+                     GROUP BY ok HAVING count(*) <= {LP_BASKET_CAP})
+    ), e0 AS (
+        SELECT c1.pk AS a, c2.pk AS b
+        FROM cells c1 JOIN cells c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {LP_MIN_SHARED}
+    ), und AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), l0 AS (
+        SELECT DISTINCT a AS node, a AS label FROM und
+    ),{_LPA_ROUND_SQL.format(name="r1", prev="l0", mat="MATERIALIZED")},{
+        _LPA_ROUND_SQL.format(name="r2", prev="r1", mat="MATERIALIZED")},{
+        _LPA_ROUND_SQL.format(name="r3", prev="r2", mat="MATERIALIZED")}
+    SELECT node, label FROM r3
+"""
 
 ORACLES["x8_link_prediction"] = f"""
     WITH cells0 AS (

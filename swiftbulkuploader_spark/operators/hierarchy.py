@@ -237,10 +237,69 @@ def x8_pagerank_converged(spark, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 2
+
+
+def x8_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg, JACM'99) over the DIRECTED
+    user->item interaction graph — the second classic link-analysis
+    signal next to x8_pagerank: users that touch many good items are
+    good hubs, items touched by many good hubs are good authorities.
+    On the bipartite user->item graph the two scores live on disjoint
+    node sets, so the result is one (node, role, score) frame.
+
+    Two fixed rounds (oracle-checkable, the x8_pagerank discipline):
+    each round is authority = sum of incident hub scores then hub = sum
+    of incident authority scores, each L1-normalized by a 1-ROW global
+    sum attached via cross join (bounded BNLJ, allowlisted). EXACTNESS:
+    h0 = 1.0 so the first raw authority pass and its normalizer are
+    integer-valued doubles (exact at any corpus size < 2^53 edges);
+    later group/global sums carry only summation-order ulps, absorbed
+    by the verifier's 9-significant-digit normalization (the
+    x8_pagerank precedent).
+
+    At 100 TB: edges hash-partitioned on the join key make each round
+    one shuffle join + one partial-agg shuffle; the normalizers are
+    metadata-size (1 row). Reference parity: none (the reference uploads
+    files); §2.9 graph-signal family."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    pairs = (
+        events.select(F.col("user_id").alias("u"), k.alias("item"))
+        .filter(F.col("item").isNotNull() & (F.col("item") >= 0))
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced once per half-round
+    )
+
+    def _l1_normalize(raw, key, out):
+        tot = raw.agg(F.sum("s").alias("t"))
+        return raw.crossJoin(tot).select(key, (F.col("s") / F.col("t")).alias(out))
+
+    hub = pairs.select("u").distinct().withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = pairs.join(hub, "u").groupBy("item").agg(F.sum("h").alias("s"))
+        auth = _l1_normalize(a_raw, "item", "a").localCheckpoint(eager=True)
+        h_raw = pairs.join(auth, "item").groupBy("u").agg(F.sum("a").alias("s"))
+        hub = _l1_normalize(h_raw, "u", "h").localCheckpoint(eager=True)
+    return hub.select(
+        F.col("u").alias("node"), F.lit("hub").alias("role"), F.col("h").alias("score")
+    ).unionByName(
+        auth.select(
+            F.col("item").alias("node"),
+            F.lit("auth").alias("role"),
+            F.col("a").alias("score"),
+        )
+    )
+
+
 QUERIES = {
     "x8_recursive_hierarchy": x8_recursive_hierarchy,
     "x8_pagerank": x8_pagerank,
     "x8_pagerank_converged": x8_pagerank_converged,
+    "x8_hits": x8_hits,
 }
 
 ORACLES = {
@@ -313,5 +372,41 @@ ORACLES = {
             SELECT -(item + 1) AS src FROM pairs
         )
         SELECT DISTINCT src AS node, TRUE AS converged FROM edges
+    """,
+    # two unrolled HITS rounds; h0 = 1.0 makes the first authority pass
+    # integer-exact, every later sum carries only summation-order ulps
+    "x8_hits": """
+        WITH pairs AS MATERIALIZED (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+        ), h0 AS (
+            SELECT DISTINCT u, CAST(1 AS DOUBLE) AS h FROM pairs
+        ), a1r AS MATERIALIZED (
+            SELECT item, sum(h) AS s FROM pairs JOIN h0 USING (u) GROUP BY item
+        ), a1 AS MATERIALIZED (
+            SELECT item, s / t.t AS a
+            FROM a1r, (SELECT sum(s) AS t FROM a1r) t
+        ), h1r AS MATERIALIZED (
+            SELECT u, sum(a) AS s FROM pairs JOIN a1 USING (item) GROUP BY u
+        ), h1 AS MATERIALIZED (
+            SELECT u, s / t.t AS h
+            FROM h1r, (SELECT sum(s) AS t FROM h1r) t
+        ), a2r AS MATERIALIZED (
+            SELECT item, sum(h) AS s FROM pairs JOIN h1 USING (u) GROUP BY item
+        ), a2 AS MATERIALIZED (
+            SELECT item, s / t.t AS a
+            FROM a2r, (SELECT sum(s) AS t FROM a2r) t
+        ), h2r AS MATERIALIZED (
+            SELECT u, sum(a) AS s FROM pairs JOIN a2 USING (item) GROUP BY u
+        ), h2 AS (
+            SELECT u, s / t.t AS h
+            FROM h2r, (SELECT sum(s) AS t FROM h2r) t
+        )
+        SELECT u AS node, 'hub' AS role, h AS score FROM h2
+        UNION ALL
+        SELECT item AS node, 'auth' AS role, a AS score FROM a2
     """,
 }

@@ -279,6 +279,50 @@ class TestTriangleCount:
             assert r["transitivity"] == 0.0
 
 
+class TestLabelPropagation:
+    def test_two_triangles_converge_to_min_labels(self, spark, tmp_path):
+        """Two disjoint co-purchase triangles ({1,2,3} and {10,11,12},
+        each pair co-ordered twice so every edge survives LP_MIN_SHARED):
+        synchronous min-tie-break LPA reaches each triangle's min label
+        by round 2 and is STABLE at round 3 — and labels never cross
+        components."""
+        from swiftbulkuploader_spark.operators.components import (
+            x8_label_propagation,
+        )
+
+        rows = []
+        ok = 0
+        for parts in ((1, 2, 3), (10, 11, 12)):
+            for _ in range(2):          # two orders per basket: shared = 2
+                ok += 1
+                rows += [(ok, p) for p in parts]
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+        got = {r["node"]: r["label"]
+               for r in x8_label_propagation(spark, str(tmp_path)).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_liveness_on_fixture(self, spark):
+        """Real-substrate liveness (the x6_ab_test lesson): communities
+        actually form — more than one label survives, and at least one
+        label owns several nodes (an all-self labeling or a single
+        global label would both be degenerate)."""
+        from swiftbulkuploader_spark.operators.components import (
+            x8_label_propagation,
+        )
+
+        rows = x8_label_propagation(spark, "/root/testdata/sf0.01").collect()
+        assert rows
+        from collections import Counter
+
+        sizes = Counter(r["label"] for r in rows)
+        assert len(sizes) >= 2
+        assert max(sizes.values()) > 1
+        assert len(sizes) < len(rows)
+
+
 class TestAssortativity:
     def _write_docs(self, spark, tmp_path, rows):
         df = spark.createDataFrame(

@@ -91,6 +91,42 @@ def test_pagerank_star_graph(spark, tmp_path):
     # mass stays near 1 on a dangling-free graph
 
 
+def test_hits_star_graph(spark, tmp_path):
+    """HITS on the pagerank star fixture (users 0-4 -> item 0, user 0 also
+    -> item 1): the shared item must out-score the niche item as an
+    authority, the two-item user must out-score single-item users as a
+    hub, every score is positive, and each role's L1 norm is 1 (the
+    normalization contract)."""
+    import json
+
+    from swiftbulkuploader_spark.operators.hierarchy import x8_hits
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 5, "view", 1.0, json.dumps({"k": 0}))
+        for i in range(10)
+    ]
+    rows.append((10, "2024-01-01 00:00:01", 0, "view", 1.0, json.dumps({"k": 1})))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {(r["role"], r["node"]): r["score"]
+           for r in x8_hits(spark, str(tmp_path)).collect()}
+    hubs = {n: s for (role, n), s in got.items() if role == "hub"}
+    auths = {n: s for (role, n), s in got.items() if role == "auth"}
+    assert set(hubs) == {0, 1, 2, 3, 4} and set(auths) == {0, 1}
+    assert auths[0] > auths[1]            # item 0 has 5 in-edges vs 1
+    assert hubs[0] > hubs[1]              # user 0 points at both items
+    assert all(v > 0 for v in list(hubs.values()) + list(auths.values()))
+    assert abs(sum(hubs.values()) - 1.0) < 1e-9
+    assert abs(sum(auths.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_converges_to_known_fixed_point(spark):
     """Until-convergence PageRank on a 5-node symmetric star: the fixed
     point is analytically solvable (p_c = 0.132/0.2775, p_leaf =

@@ -77,6 +77,9 @@ BOUNDED_BNLJ_OK = {
                                # into the trigram scorer
     "x6_kmv_distinct",         # 1-row bottom-k summary x 1-row exact count
                                # (two scalar aggregates combined)
+    "x8_hits",                 # four 1-row L1 normalizers (one per HITS
+                               # half-round) cross-joined into the score
+                               # frames — metadata-size build sides
     "x8_triangle_count",       # three 1-row scalar frames (node/edge/triangle
                                # totals) combined into the report row
     "x2_cluster_quality",      # k=16-row centroid broadcast (assignment) +
