@@ -1175,3 +1175,283 @@ ORACLES["x6_sequential_monitor"] = f"""
                AS crossed
     FROM calc
 """
+
+
+SRM_ARMS = (("control", 0, 5, 0.5), ("t1", 5, 8, 0.3), ("t2", 8, 10, 0.2))
+SRM_CHI2_CRIT = 5.991  # chi-square 0.05 critical value at df = 2
+
+
+def x6_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al., KDD'19 "Diagnosing
+    Sample Ratio Mismatch") — the first health gate every experimentation
+    platform runs before reading ANY metric: does the observed user split
+    match the intended 50/30/20 allocation? chi2 = sum over arms of
+    (obs - n*w)^2 / (n*w), df = arms-1, flagged at the 0.05 critical
+    value. Users bucket by a 'srm:'-salted md5 prefix mod 10 (engine-
+    identical, independent of the x6_ab_test arm hash).
+
+    TWO scenarios so both flag polarities are exercised (substrate-
+    liveness, the x6_ab_test lesson): 'healthy' counts everyone (chi2
+    small, srm false); 'broken' simulates one-sided logging loss — t2
+    keeps only users with user_id % 3 = 0, a ~2/3 arm deficit (chi2
+    grows linearly with n under a fixed fractional deficit, so the flag
+    fires from sf0.01 up; at sf0.001's ~15 users it sits under the
+    critical value — document, don't pretend). A flag that can only
+    ever be false verifies nothing.
+
+    Shape: one distinct-user rollup, then two constant-size conditional
+    aggregates unioned — everything after the rollup is O(1). Exactness:
+    obs and n are integers; expected = n * (w literal) and the chi2
+    terms are fixed-shape double expressions, identical on both engines;
+    the flag compares a 6-dp-rounded chi2 (round-before-boolean)."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 10
+    )
+    users = events.select("user_id").distinct().select(
+        F.col("user_id"), bucket.alias("bucket")
+    )
+
+    def _scenario(name: str, frame) -> DataFrame:
+        obs = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(
+                    F.when((F.col("bucket") >= lo) & (F.col("bucket") < hi), 1)
+                    .otherwise(0)
+                ).cast("long").alias(f"obs_{arm}")
+                for arm, lo, hi, _w in SRM_ARMS
+            ],
+        )
+        chi2 = None
+        for arm, _lo, _hi, w in SRM_ARMS:
+            exp = F.col("n").cast("double") * F.lit(w)
+            dev = F.col(f"obs_{arm}").cast("double") - exp
+            # explicit dev*dev, not pow(dev, 2): libm pow can differ from
+            # the multiply by an ulp between engines
+            term = dev * dev / exp
+            chi2 = term if chi2 is None else chi2 + term
+        return obs.select(
+            F.lit(name).alias("scenario"),
+            "n", "obs_control", "obs_t1", "obs_t2",
+            chi2.alias("chi2"),
+            (F.round(chi2, 6) > F.lit(SRM_CHI2_CRIT)).alias("srm"),
+        )
+
+    healthy = _scenario("healthy", users)
+    broken = _scenario(
+        "broken",
+        users.filter((F.col("bucket") < 8) | (F.col("user_id") % 3 == 0)),
+    )
+    return healthy.unionByName(broken)
+
+
+QUERIES["x6_srm_check"] = x6_srm_check
+
+_SRM_SCEN_SQL = """
+        SELECT '{name}' AS scenario,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN bucket >= 0 AND bucket < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS obs_control,
+               CAST(sum(CASE WHEN bucket >= 5 AND bucket < 8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS obs_t1,
+               CAST(sum(CASE WHEN bucket >= 8 AND bucket < 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS obs_t2
+        FROM users {where}"""
+
+ORACLES["x6_srm_check"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS bucket
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), scen AS (
+        {_SRM_SCEN_SQL.format(name="healthy", where="")}
+        UNION ALL
+        {_SRM_SCEN_SQL.format(
+            name="broken",
+            where="WHERE bucket < 8 OR user_id % 3 = 0")}
+    ), calc AS (
+        SELECT scenario, n, obs_control, obs_t1, obs_t2,
+               (CAST(obs_control AS DOUBLE) - CAST(n AS DOUBLE) * CAST(0.5 AS DOUBLE))
+               * (CAST(obs_control AS DOUBLE) - CAST(n AS DOUBLE) * CAST(0.5 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(0.5 AS DOUBLE))
+               + (CAST(obs_t1 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(0.3 AS DOUBLE))
+                 * (CAST(obs_t1 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(0.3 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(0.3 AS DOUBLE))
+               + (CAST(obs_t2 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(0.2 AS DOUBLE))
+                 * (CAST(obs_t2 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(0.2 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(0.2 AS DOUBLE)) AS chi2
+        FROM scen
+    )
+    SELECT scenario, n, obs_control, obs_t1, obs_t2, chi2,
+           round(chi2, 6) > {SRM_CHI2_CRIT} AS srm
+    FROM calc
+"""
+
+
+DID_SPLIT = "2024-01-16 00:00:00"  # fixed pre/post boundary (events span
+                                   # Jan 2024 at every SF — FIXTURES.md)
+
+
+def x6_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger, AER'94 design)
+    over the 2x2 (treat x pre/post) grid — the quasi-experimental
+    estimator for a launch without a randomized holdout: did the treated
+    group's pre->post change exceed the control group's? treat = a
+    'did:'-salted md5 parity of user_id; period = event ts before/after
+    a FIXED mid-month boundary; unit of analysis = user-period total
+    event value (cents).
+
+    did = (m_t_post - m_t_pre) - (m_c_post - m_c_pre); SE via the
+    four cells' sample variances (s^2/n summed, the unpooled form);
+    t flagged at 1.96 on a 6-dp round. On this hash-split substrate the
+    true effect is ~0 — the pin asserts LIVENESS (all four cells
+    populated, finite nonzero t, positive se), not significance.
+
+    EXACTNESS (the x6_cuped_adjust discipline): values cent-quantized,
+    per-user-period sums are exact BIGINTs, cell moments (n, s, ss)
+    accumulate in decimal(38,0)/HUGEINT via conditional sums in ONE
+    1-row aggregate, so every mean/variance/t is a fixed-shape double
+    expression over bit-identical operands. Shape: one (user, period)
+    rollup, one constant-size fold — O(1) after the rollup at any
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    # cast the boundary literal to ts's OWN type (timestamp_ntz on the
+    # nanos-parquet path) — an implicit ntz<->instant coercion would shift
+    # by the session time zone on a non-UTC driver session
+    ts_type = dict(events.dtypes)["ts"]
+    up = (
+        events.groupBy(
+            "user_id",
+            (F.col("ts") >= F.lit(DID_SPLIT).cast(ts_type)).cast("int")
+            .alias("post"),
+        )
+        .agg(F.sum(cents).alias("y"))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("did:"),
+                                       F.col("user_id").cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % 2
+            ).alias("treat"),
+            "post", "y",
+        )
+    )
+    dec = "decimal(38,0)"
+    yd = F.col("y").cast(dec)
+    cells = [(t, p) for t in (0, 1) for p in (0, 1)]
+    m = up.agg(
+        *[
+            F.sum(F.when((F.col("treat") == t) & (F.col("post") == p), 1)
+                  .otherwise(0)).cast("long").alias(f"n{t}{p}")
+            for t, p in cells
+        ],
+        *[
+            F.sum(F.when((F.col("treat") == t) & (F.col("post") == p), yd))
+            .alias(f"s{t}{p}")
+            for t, p in cells
+        ],
+        *[
+            F.sum(F.when((F.col("treat") == t) & (F.col("post") == p), yd * yd))
+            .alias(f"q{t}{p}")
+            for t, p in cells
+        ],
+    )
+
+    def _mean(t, p):
+        return (
+            F.col(f"s{t}{p}").cast("double")
+            / F.nullif(F.col(f"n{t}{p}").cast("double"), F.lit(0.0))
+            / F.lit(100.0)
+        )
+
+    def _var_over_n(t, p):
+        n = F.col(f"n{t}{p}")
+        num = (n.cast(dec) * F.col(f"q{t}{p}")
+               - F.col(f"s{t}{p}") * F.col(f"s{t}{p}")).cast("double")
+        return (
+            num
+            / (n.cast("double")
+               * F.nullif(n.cast("double") - F.lit(1.0), F.lit(0.0)))
+            / n.cast("double")
+            / F.lit(10000.0)
+        )
+
+    did = (_mean(1, 1) - _mean(1, 0)) - (_mean(0, 1) - _mean(0, 0))
+    se = F.sqrt(
+        F.nullif(
+            _var_over_n(1, 1) + _var_over_n(1, 0)
+            + _var_over_n(0, 1) + _var_over_n(0, 0),
+            F.lit(0.0),
+        )
+    )
+    t_stat = did / se
+    return m.select(
+        "n00", "n01", "n10", "n11",
+        _mean(0, 0).alias("m_c_pre"), _mean(0, 1).alias("m_c_post"),
+        _mean(1, 0).alias("m_t_pre"), _mean(1, 1).alias("m_t_post"),
+        did.alias("did"), se.alias("se"), t_stat.alias("t_stat"),
+        (F.abs(F.round(t_stat, 6)) > F.lit(1.96)).alias("significant"),
+    )
+
+
+QUERIES["x6_diff_in_diff"] = x6_diff_in_diff
+
+_DID_MEAN = ("CAST(s{t}{p} AS DOUBLE) / nullif(CAST(n{t}{p} AS DOUBLE), 0.0)"
+             " / CAST(100.0 AS DOUBLE)")
+_DID_VON = ("CAST(n{t}{p} * q{t}{p} - s{t}{p} * s{t}{p} AS DOUBLE)"
+            " / (CAST(n{t}{p} AS DOUBLE)"
+            "    * nullif(CAST(n{t}{p} AS DOUBLE) - 1.0, 0.0))"
+            " / CAST(n{t}{p} AS DOUBLE) / CAST(10000.0 AS DOUBLE)")
+
+ORACLES["x6_diff_in_diff"] = f"""
+    WITH up AS (
+        SELECT CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS treat,
+               CAST(ts >= TIMESTAMP '{DID_SPLIT}' AS INT) AS post,
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY user_id, CAST(ts >= TIMESTAMP '{DID_SPLIT}' AS INT)
+    ), m AS (
+        SELECT
+            {", ".join(
+                f"CAST(count(*) FILTER (treat = {t} AND post = {p}) AS BIGINT)"
+                f" AS n{t}{p}" for t in (0, 1) for p in (0, 1))},
+            {", ".join(
+                f"sum(CAST(y AS HUGEINT)) FILTER (treat = {t} AND post = {p})"
+                f" AS s{t}{p}" for t in (0, 1) for p in (0, 1))},
+            {", ".join(
+                f"sum(CAST(y AS HUGEINT) * y) FILTER (treat = {t} AND post = {p})"
+                f" AS q{t}{p}" for t in (0, 1) for p in (0, 1))}
+        FROM up
+    ), calc AS (
+        SELECT n00, n01, n10, n11,
+               {_DID_MEAN.format(t=0, p=0)} AS m_c_pre,
+               {_DID_MEAN.format(t=0, p=1)} AS m_c_post,
+               {_DID_MEAN.format(t=1, p=0)} AS m_t_pre,
+               {_DID_MEAN.format(t=1, p=1)} AS m_t_post,
+               (({_DID_MEAN.format(t=1, p=1)}) - ({_DID_MEAN.format(t=1, p=0)}))
+               - (({_DID_MEAN.format(t=0, p=1)}) - ({_DID_MEAN.format(t=0, p=0)}))
+                   AS did,
+               sqrt(nullif(
+                   ({_DID_VON.format(t=1, p=1)}) + ({_DID_VON.format(t=1, p=0)})
+                   + ({_DID_VON.format(t=0, p=1)}) + ({_DID_VON.format(t=0, p=0)}),
+                   0.0)) AS se
+        FROM m
+    )
+    SELECT n00, n01, n10, n11, m_c_pre, m_c_post, m_t_pre, m_t_post,
+           did, se, did / se AS t_stat,
+           abs(round(did / se, 6)) > 1.96 AS significant
+    FROM calc
+"""

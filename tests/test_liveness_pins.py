@@ -144,3 +144,31 @@ class TestStatsLiveness:
         assert all(a > b for a, b in zip(bs, bs[1:]))
         crossed = sum(1 for r in rows if r["crossed"])
         assert crossed < len(rows)
+
+    def test_srm_check_live(self, spark, queries):
+        """SRM liveness: BOTH flag polarities must be reachable — the
+        healthy split stays under the critical value with every arm
+        populated, the simulated t2 logging loss crosses it."""
+        rows = {r["scenario"]: r for r in
+                queries["x6_srm_check"](spark, SF).collect()}
+        h, b = rows["healthy"], rows["broken"]
+        for r in (h, b):
+            assert r["obs_control"] > 0 and r["obs_t1"] > 0 and r["obs_t2"] > 0
+            assert _finite(r["chi2"]) and r["chi2"] > 0.0
+        assert not h["srm"]
+        assert b["srm"]
+        assert b["obs_t2"] < h["obs_t2"]          # the loss is one-sided
+        assert b["obs_control"] == h["obs_control"]
+
+    def test_diff_in_diff_live(self, spark, queries):
+        """DiD liveness: all four (treat x period) cells populated,
+        distinct cell means (no constant-metric degeneracy), a positive
+        standard error and a finite nonzero t."""
+        r = queries["x6_diff_in_diff"](spark, SF).collect()[0]
+        assert min(r["n00"], r["n01"], r["n10"], r["n11"]) > 0
+        means = [r["m_c_pre"], r["m_c_post"], r["m_t_pre"], r["m_t_post"]]
+        assert all(_finite(m) for m in means)
+        assert len(set(means)) == 4
+        assert _finite(r["se"]) and r["se"] > 0.0
+        assert _finite(r["t_stat"]) and r["t_stat"] != 0.0
+        assert _finite(r["did"]) and r["did"] != 0.0
