@@ -3036,3 +3036,317 @@ ORACLES["x3_tokenizer_compare"] = f"""
                 ELSE 'tie' END AS winner
     FROM cagg
 """
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encode — completes the tokenizer trio (BPE merges,
+# unigram-LM Viterbi, WordPiece longest-match-first)
+
+WP_TOP = 40       # multi-char pieces kept PER continuation class
+WP_MIN_CHAR = 2   # single chars below this weighted count are dropped from
+                  # the vocab, so rare-char words exercise the [UNK] path
+
+_WP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, cont) WordPiece vocabulary derived deterministically from
+    the corpus: position-classed substring counts over the distinct-word
+    table (cont = starts past position 1, the '##'-prefix class), all
+    single chars with weighted count >= WP_MIN_CHAR, plus the top WP_TOP
+    multi-char grams per class by (count desc, piece asc). Memoized +
+    persisted per (applicationId, sf_dir) — the _LLOYD_CACHE
+    discipline."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    words = _unigram_words(docs)
+    grid = (
+        words.select("w", "cnt", F.length("w").alias("n"))
+        .select(
+            "w", "cnt", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("s"),
+        )
+        .select(
+            "w", "cnt", "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNIGRAM_MAXP), F.col("n") - F.col("s") + 1),
+                )
+            ).alias("j"),
+        )
+        .select(
+            F.col("w").substr(F.col("s"), F.col("j")).alias("piece"),
+            (F.col("s") > 1).alias("cont"),
+            "cnt",
+        )
+    )
+    gcnt = grid.groupBy("piece", "cont").agg(F.sum("cnt").alias("c"))
+    singles = gcnt.filter(
+        (F.length("piece") == 1) & (F.col("c") >= WP_MIN_CHAR)
+    ).select("piece", "cont")
+    w = Window.partitionBy("cont").orderBy(F.col("c").desc(), F.col("piece").asc())
+    multis = (
+        gcnt.filter(F.length("piece") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WP_TOP)
+        .select("piece", "cont")
+    )
+    out = singles.unionByName(multis).persist()
+    _WP_CACHE[key] = out
+    return out
+
+
+def x3_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encode (Wu et al., 2016
+    "Google's NMT" §3.1 / the BERT tokenizer) against the corpus-derived
+    vocabulary — the third tokenizer family next to x3_bpe_encode and
+    x3_unigram_encode, and the one production BERT-style pipelines run.
+    Per word: repeatedly take the LONGEST vocab piece matching at the
+    cursor (continuation pieces are a separate vocab class, the '##'
+    convention); a position with no match makes the whole word [UNK]
+    (np = 1), the BERT semantics. Per source: word/piece/UNK/long-word
+    accounting, fertility, unk_rate.
+
+    DETERMINISM: integer/boolean arithmetic end to end (counts, flags,
+    cursor positions) — no float discipline needed; vocab tie-breaks by
+    (count desc, piece asc). The greedy fold runs ONCE per distinct word
+    (vocab-bounded, the _viterbi_segment shape): per-position match
+    flags are pre-gathered into one ordered array (ok1..ok4 per start),
+    then a fixed-UNIGRAM_MAXW-step HOF aggregate walks the cursor. The
+    DuckDB oracle re-derives the vocab and replays the walk as a
+    recursive CTE with the identical longest-first CASE order.
+
+    Scale shape: corpus-sized work is the tokenize + (source, word)
+    count + one hash join of the encoded distinct words back to it;
+    everything else is distinct-word x 4 grid cells. No collects; the
+    vocab join is a broadcast.
+
+    Substrate honesty: unk_rate is structurally 0 here — a vocab trained
+    on the same corpus covers every char it contains (every single char
+    clears WP_MIN_CHAR by orders of magnitude on this clean generator),
+    and UNK only appears when encoding NEW text against a FROZEN vocab.
+    The UNK and long-word branches are exercised by the crafted-corpus
+    unit pin (hapax char word -> np_eff 1, unk true), not by this
+    substrate — documented, not pretended."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _wordpiece_vocab(spark, sf_dir)
+    words = _unigram_words(docs)
+    cand = (
+        words.select("w", F.length("w").alias("n"))
+        .select(
+            "w", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("s"),
+        )
+        .select(
+            "w", "n", "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNIGRAM_MAXP), F.col("n") - F.col("s") + 1),
+                )
+            ).alias("j"),
+        )
+        .withColumn("piece", F.col("w").substr(F.col("s"), F.col("j")))
+        .withColumn("cont", F.col("s") > 1)
+    )
+    hit = cand.join(
+        F.broadcast(vocab.withColumn("ok", F.lit(True))), ["piece", "cont"], "left"
+    )
+    per_s = hit.groupBy("w", "n", "s").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("j") == jj, F.coalesce(F.col("ok"), F.lit(False)))),
+                F.lit(False),
+            ).alias(f"ok{jj}")
+            for jj in range(1, UNIGRAM_MAXP + 1)
+        ]
+    )
+    per_w = per_s.groupBy("w", "n").agg(
+        F.array_sort(
+            F.collect_list(F.struct("s", "ok1", "ok2", "ok3", "ok4"))
+        ).alias("fl")
+    )
+
+    def step(acc, _i):
+        # clamp the lookup index: pos runs past n after termination and
+        # element_at is 1-based ANSI-strict; the when() keeps it unused
+        e = F.element_at(
+            F.col("fl"), F.least(F.greatest(acc["pos"], F.lit(1)), F.col("n"))
+        )
+        # longest-first: the greedy rule, identical CASE order in the oracle
+        j = (
+            F.when(e["ok4"], F.lit(4))
+            .when(e["ok3"], F.lit(3))
+            .when(e["ok2"], F.lit(2))
+            .when(e["ok1"], F.lit(1))
+        )
+        active = (acc["pos"] <= F.col("n")) & ~acc["unk"]
+        return F.when(
+            active,
+            F.struct(
+                F.when(j.isNull(), F.col("n") + 1)
+                .otherwise(acc["pos"] + j).cast("int").alias("pos"),
+                F.when(j.isNull(), acc["np"])
+                .otherwise(acc["np"] + 1).cast("int").alias("np"),
+                (acc["unk"] | j.isNull()).alias("unk"),
+            ),
+        ).otherwise(acc)
+
+    enc = per_w.withColumn(
+        "st",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(UNIGRAM_MAXW)),
+            F.struct(
+                F.lit(1).cast("int").alias("pos"),
+                F.lit(0).cast("int").alias("np"),
+                F.lit(False).alias("unk"),
+            ),
+            step,
+        ),
+    ).select(
+        "w",
+        F.when(F.col("st.unk"), F.lit(1)).otherwise(F.col("st.np")).alias("np_eff"),
+        F.col("st.unk").alias("unk"),
+    )
+
+    toks = _unigram_tokens(docs)
+    ws = (
+        toks.filter((F.length("w") >= 1) & (F.length("w") <= UNIGRAM_MAXW))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    longs = (
+        toks.filter(F.length("w") > UNIGRAM_MAXW)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_long"))
+    )
+    agg = (
+        ws.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np_eff")).alias("n_pieces"),
+            F.sum(F.when(F.col("unk"), F.col("cnt")).otherwise(0)).alias("n_unk"),
+        )
+    )
+    return agg.join(longs, "source", "left").select(
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_unk").cast("long").alias("n_unk_words"),
+        F.coalesce(F.col("n_long"), F.lit(0)).cast("long").alias("n_long_words"),
+        (
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("n_unk").cast("double") / F.col("n_words").cast("double")
+        ).alias("unk_rate"),
+    )
+
+
+QUERIES["x3_wordpiece_encode"] = x3_wordpiece_encode
+
+ORACLES["x3_wordpiece_encode"] = f"""
+    WITH RECURSIVE utok AS MATERIALIZED (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g'))) > 0
+    ),
+    uwords AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM utok
+        WHERE length(w) >= 1 AND length(w) <= {UNIGRAM_MAXW}
+        GROUP BY 1
+    ),
+    wgrid0 AS MATERIALIZED (
+        SELECT s, j
+        FROM unnest(range(1, {UNIGRAM_MAXW + 1})) AS t(s)
+        CROSS JOIN unnest(range(1, {UNIGRAM_MAXP + 1})) AS u(j)
+    ),
+    wg AS MATERIALIZED (
+        SELECT w.w, w.cnt, length(w.w) AS n, g.s, g.j,
+               substr(w.w, CAST(g.s AS INT), CAST(g.j AS INT)) AS piece,
+               g.s > 1 AS cont
+        FROM uwords w JOIN wgrid0 g
+          ON g.s <= length(w.w) AND g.j <= length(w.w) - g.s + 1
+    ),
+    wcnt AS MATERIALIZED (
+        SELECT piece, cont, sum(cnt) AS c FROM wg GROUP BY 1, 2
+    ),
+    wvocab AS MATERIALIZED (
+        SELECT piece, cont FROM wcnt
+        WHERE length(piece) = 1 AND c >= {WP_MIN_CHAR}
+        UNION ALL
+        SELECT piece, cont FROM (
+            SELECT piece, cont,
+                   row_number() OVER (PARTITION BY cont
+                                      ORDER BY c DESC, piece ASC) AS rn
+            FROM wcnt WHERE length(piece) >= 2
+        ) WHERE rn <= {WP_TOP}
+    ),
+    wflags AS MATERIALIZED (
+        SELECT g.w, g.n, g.s,
+               bool_or(g.j = 1 AND v.piece IS NOT NULL) AS ok1,
+               bool_or(g.j = 2 AND v.piece IS NOT NULL) AS ok2,
+               bool_or(g.j = 3 AND v.piece IS NOT NULL) AS ok3,
+               bool_or(g.j = 4 AND v.piece IS NOT NULL) AS ok4
+        FROM wg g
+        LEFT JOIN wvocab v ON v.piece = g.piece AND v.cont = g.cont
+        GROUP BY 1, 2, 3
+    ),
+    wseg AS (
+        SELECT w, length(w) AS n, 1 AS pos, 0 AS np, FALSE AS unk
+        FROM uwords
+        UNION ALL
+        SELECT q.w, q.n,
+               CAST(CASE WHEN q.jstar IS NULL THEN q.n + 1
+                         ELSE q.pos + q.jstar END AS INT) AS pos,
+               CAST(CASE WHEN q.jstar IS NULL THEN q.np
+                         ELSE q.np + 1 END AS INT) AS np,
+               q.unk OR q.jstar IS NULL AS unk
+        FROM (
+            SELECT s.w, s.n, s.pos, s.np, s.unk,
+                   CASE WHEN f.ok4 THEN 4 WHEN f.ok3 THEN 3
+                        WHEN f.ok2 THEN 2 WHEN f.ok1 THEN 1 END AS jstar
+            FROM wseg s JOIN wflags f ON f.w = s.w AND f.s = s.pos
+            WHERE s.pos <= s.n AND NOT s.unk
+        ) q
+    ),
+    wfinal AS MATERIALIZED (
+        SELECT w, CASE WHEN unk THEN 1 ELSE np END AS np_eff, unk
+        FROM wseg WHERE pos > n
+    ),
+    wsrc AS MATERIALIZED (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM utok
+        WHERE length(w) >= 1 AND length(w) <= {UNIGRAM_MAXW}
+        GROUP BY 1, 2
+    ),
+    wlong AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_long
+        FROM utok WHERE length(w) > {UNIGRAM_MAXW} GROUP BY 1
+    ),
+    wagg AS (
+        SELECT s.source,
+               sum(s.cnt) AS n_words,
+               sum(s.cnt * f.np_eff) AS n_pieces,
+               sum(CASE WHEN f.unk THEN s.cnt ELSE 0 END) AS n_unk
+        FROM wsrc s JOIN wfinal f ON s.w = f.w
+        GROUP BY 1
+    )
+    SELECT a.source,
+           CAST(a.n_words AS BIGINT) AS n_words,
+           CAST(a.n_pieces AS BIGINT) AS n_pieces,
+           CAST(a.n_unk AS BIGINT) AS n_unk_words,
+           CAST(coalesce(l.n_long, 0) AS BIGINT) AS n_long_words,
+           CAST(a.n_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE) AS fertility,
+           CAST(a.n_unk AS DOUBLE) / CAST(a.n_words AS DOUBLE) AS unk_rate
+    FROM wagg a LEFT JOIN wlong l ON a.source = l.source
+"""

@@ -140,3 +140,51 @@ class TestUnigramTrain:
             )
             # no single-char fallbacks in this clean corpus
             assert r["n_single_pieces"] == 0
+
+
+class TestWordpieceEncode:
+    def test_crafted_corpus_greedy_and_unk(self, spark, tmp_path):
+        """Hand-computed WordPiece on a crafted corpus:
+        words abcd x3, xy x2, abcdxy x2, q x1 (single source).
+        Greedy: 'abcd' -> 1 piece (start-class 4-gram), 'xy' -> 1,
+        'abcdxy' -> 'abcd' + '##xy' = 2, 'q' -> UNK (hapax single char
+        falls under WP_MIN_CHAR; np_eff 1, unk true).
+        n_words 8, n_pieces 3+2+4+1 = 10, unk 1, fertility 1.25."""
+        from swiftbulkuploader_spark.operators.textops import (
+            x3_wordpiece_encode,
+        )
+
+        rows = [
+            (0, "abcd abcd abcd xy xy", "en", "s", 20),
+            (1, "abcdxy abcdxy q", "en", "s", 15),
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, "
+            "n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        r = x3_wordpiece_encode(spark, str(tmp_path)).collect()
+        assert len(r) == 1
+        r = r[0]
+        assert r["n_words"] == 8
+        assert r["n_pieces"] == 10
+        assert r["n_unk_words"] == 1
+        assert r["n_long_words"] == 0
+        assert abs(r["fertility"] - 1.25) < 1e-12
+        assert abs(r["unk_rate"] - 0.125) < 1e-12
+
+    def test_fixture_liveness(self, spark):
+        """Real-substrate liveness: every source present, fertility
+        strictly between 1 (no word fully in vocab at every length) and
+        4 (max piece length bounds it), and — documented substrate
+        honesty — unk/long are exactly 0 on this clean generator."""
+        from swiftbulkuploader_spark.operators.textops import (
+            x3_wordpiece_encode,
+        )
+
+        rows = x3_wordpiece_encode(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["n_words"] > 0
+            assert 1.0 < r["fertility"] < 4.0
+            assert r["n_unk_words"] == 0 and r["n_long_words"] == 0
