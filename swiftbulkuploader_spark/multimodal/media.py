@@ -341,3 +341,95 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "data").mapInPandas(fn, WAV_STATS_SCHEMA)
+
+
+# --- fixed-bin spectral decode (the x9_wav_spectral contract) --------------
+
+SPEC_WINDOW = 32            # DFT over the first 32 samples of each clip
+SPEC_BINS = (1, 2, 4, 8)    # analyzed DFT bins (cycles per window)
+SPEC_SCALE = 10 ** 6        # cos/sin quantization scale
+
+
+def _q_trig(fn, t: int) -> int:
+    """round-half-away quantization of fn(2*pi*t/SPEC_WINDOW) * SPEC_SCALE.
+    These are module CONSTANTS baked identically into the Spark plan, the
+    Python decoder, and the generated oracle SQL — one source, so the
+    Python rounding mode never reaches a compared column as a divergence
+    (CLAUDE.md rule: the hazard is Python-rounding a per-row VALUE, not a
+    shared literal)."""
+    import math
+
+    x = fn(2.0 * math.pi * t / SPEC_WINDOW) * SPEC_SCALE
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _spec_tables() -> tuple[list[int], list[int]]:
+    import math
+
+    cq = [_q_trig(math.cos, t) for t in range(SPEC_WINDOW)]
+    sq = [_q_trig(math.sin, t) for t in range(SPEC_WINDOW)]
+    return cq, sq
+
+
+SPEC_COS_Q, SPEC_SIN_Q = _spec_tables()
+
+WAV_SPECTRAL_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [
+        T.StructField(f"{part}_{k}", T.LongType())
+        for k in SPEC_BINS
+        for part in ("re", "im")
+    ]
+)
+
+
+def decode_wav_goertzel(media: DataFrame) -> DataFrame:
+    """Fixed-bin DFT correlators over REAL decoded PCM — the spectral
+    twin of decode_wav_stats: parse each RIFF/WAVE blob with the stdlib
+    ``wave`` codec, take the first SPEC_WINDOW samples, and emit per bin
+    k the EXACT integer correlations
+        re_k = sum_i v_i * CQ[(k*i) % W],   im_k = -sum_i v_i * SQ[...]
+    against the quantized cos/sin tables (|v| < 2^15, |CQ| <= 10^6,
+    W = 32 terms: |re_k| < 2^41 — exact int64, summation-order-free).
+    Energy/ratio arithmetic stays OUTSIDE the decoder, in the engine's
+    decimal space, so the oracle can reproduce it bit-for-bit.
+
+    A clip shorter than the window raises (the decode_wav_stats
+    malformed-blob discipline: silent nulls would poison statistics)."""
+    import io
+    import struct
+    import wave
+
+    cols = ["media_id"] + [
+        f"{part}_{k}" for k in SPEC_BINS for part in ("re", "im")
+    ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for row in pdf.itertuples(index=False):
+                with wave.open(io.BytesIO(bytes(row.data))) as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError("PCM16 mono only")
+                    nf = w.getnframes()
+                    if nf < SPEC_WINDOW:
+                        raise ValueError(
+                            f"clip {row.media_id}: {nf} < window {SPEC_WINDOW}"
+                        )
+                    raw = w.readframes(SPEC_WINDOW)
+                vals = struct.unpack(f"<{SPEC_WINDOW}h", raw)
+                out["media_id"].append(row.media_id)
+                for k in SPEC_BINS:
+                    re = sum(
+                        v * SPEC_COS_Q[(k * i) % SPEC_WINDOW]
+                        for i, v in enumerate(vals)
+                    )
+                    im = -sum(
+                        v * SPEC_SIN_Q[(k * i) % SPEC_WINDOW]
+                        for i, v in enumerate(vals)
+                    )
+                    out[f"re_{k}"].append(re)
+                    out[f"im_{k}"].append(im)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(fn, WAV_SPECTRAL_SCHEMA)

@@ -715,3 +715,200 @@ ORACLES["x9_phash_dedup"] = f"""
     WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
           <= {PHASH_HAM_T}
 """
+
+
+# ---------------------------------------------------------------------------
+# X9 — fixed-bin spectral energy over REAL decoded PCM (x9_wav_spectral)
+# ---------------------------------------------------------------------------
+
+
+# per-clip pure-tone amplitude table: the quantized cos table scaled to
+# int16 range by a PYTHON-side constant fold ([c // 100]) — ONE literal
+# list embedded identically in the Spark generator and the oracle VALUES,
+# so no cross-engine division semantics are in play. The ramp substrate of
+# synth_wav is 1/f (bin 1 dominated every clip — a DEAD dominant_bin, the
+# x6_ab_test lesson), so the spectral query gets its own tonal substrate.
+def _spec_tone_table() -> list[int]:
+    from swiftbulkuploader_spark.multimodal.media import SPEC_COS_Q
+
+    return [c // 100 for c in SPEC_COS_Q]
+
+
+def synth_wav_tone(docs: DataFrame, limit: int = WAV_LIMIT) -> DataFrame:
+    """documents -> REAL RIFF/WAVE PCM16-mono blobs carrying a PURE TONE
+    at DFT bin k = SPEC_BINS[media_id % 4]: s_i = TONE[(k*i) % 32]
+    (amplitude ~10^4, exact integers). Same canonical 44-byte header as
+    synth_wav; the blob is a valid wav file, so the decode half still
+    exercises a real container parse while every sample is predictable
+    for the oracle."""
+    from swiftbulkuploader_spark.multimodal.media import (
+        SPEC_BINS,
+        SPEC_WINDOW,
+    )
+
+    tone = _spec_tone_table()
+    rate = "sample_rate"
+    nsamp = "n_samples"
+    karr = "array(" + ", ".join(str(k) for k in SPEC_BINS) + ")"
+    tarr = "array(" + ", ".join(str(v) for v in tone) + ")"
+    kexpr = f"element_at({karr}, CAST(media_id % 4 AS INT) + 1)"
+    tone_i = (
+        f"element_at({tarr}, CAST(({kexpr} * i) % {SPEC_WINDOW} AS INT) + 1)"
+    )
+    samp_u16 = f"(({tone_i}) + 65536) % 65536"
+    header_hex = (
+        "concat('52494646', "
+        + _le_hex(f"36 + {nsamp} * 2", 4)
+        + ", '57415645', '666d7420', "
+        + _le_hex("16", 4)
+        + ", " + _le_hex("1", 2)
+        + ", " + _le_hex("1", 2)
+        + ", " + _le_hex(rate, 4)
+        + ", " + _le_hex(f"{rate} * 2", 4)
+        + ", " + _le_hex("2", 2)
+        + ", " + _le_hex("16", 2)
+        + ", '64617461', "
+        + _le_hex(f"{nsamp} * 2", 4)
+        + ")"
+    )
+    data_hex = (
+        f"array_join(transform(sequence(0, CAST({nsamp} AS INT) - 1), "
+        f"i -> {_le_hex(samp_u16, 2)}), '')"
+    )
+    return (
+        docs.orderBy("doc_id").limit(limit)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(16000))
+            .otherwise(F.lit(8000)).cast("long").alias("sample_rate"),
+            (F.lit(40) + F.col("doc_id") % 160).cast("long")
+            .alias("n_samples"),
+        )
+        .withColumn(
+            "data", F.unhex(F.expr(f"concat({header_hex}, {data_hex})"))
+        )
+    )
+
+
+def x9_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip spectral energy at 4 fixed DFT bins over REALLY-decoded
+    PCM — the frequency-domain twin of x9_wav_decode_stats and the
+    audio-feature primitive (tone/voicing/bandwidth screens) a media
+    training pipeline runs after decode. Each clip carries a pure tone
+    at bin SPEC_BINS[media_id % 4] (synth_wav_tone), so dominant_bin is
+    LIVE across all four values and self-checking (it must equal the
+    clip's own tone bin). The stdlib ``wave`` codec parses each blob
+    (decode_wav_goertzel); the DFT correlations are EXACT int64s against
+    quantized cos/sin tables, energies are exact decimal(38,0)
+    re^2+im^2, and the reported power is one fixed-shape double
+    expression — so DuckDB reproduces every value arithmetically from
+    the tone formula WITHOUT parsing binary (the x9_wav_decode_stats
+    cross-check story, extended to a windowed transform). dominant_bin
+    compares the EXACT integer energies with a smallest-k tie-break
+    (identical CASE order in the oracle).
+
+    At 100 TB: one narrow binary scan -> Arrow ferry (window-bounded
+    work per clip) -> row-local decimal arithmetic; no shuffle.
+    Reference parity: none (multimodal extension, §2.9)."""
+    from swiftbulkuploader_spark.multimodal.media import (
+        SPEC_BINS,
+        SPEC_SCALE,
+        SPEC_WINDOW,
+        decode_wav_goertzel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = decode_wav_goertzel(synth_wav_tone(docs))
+    dec = "decimal(38,0)"
+    e = {
+        k: (
+            F.col(f"re_{k}").cast(dec) * F.col(f"re_{k}").cast(dec)
+            + F.col(f"im_{k}").cast(dec) * F.col(f"im_{k}").cast(dec)
+        )
+        for k in SPEC_BINS
+    }
+    denom = float(SPEC_SCALE) * float(SPEC_SCALE) * float(SPEC_WINDOW ** 2)
+    k1, k2, k4, k8 = SPEC_BINS
+    dominant = (
+        F.when((e[k1] >= e[k2]) & (e[k1] >= e[k4]) & (e[k1] >= e[k8]), k1)
+        .when((e[k2] >= e[k4]) & (e[k2] >= e[k8]), k2)
+        .when(e[k4] >= e[k8], k4)
+        .otherwise(k8)
+    )
+    return g.select(
+        "media_id",
+        *[
+            (e[k].cast("double") / F.lit(denom)).alias(f"power_{k}")
+            for k in SPEC_BINS
+        ],
+        dominant.cast("int").alias("dominant_bin"),
+    )
+
+
+QUERIES["x9_wav_spectral"] = x9_wav_spectral
+
+
+def _wav_spectral_oracle_sql() -> str:
+    from swiftbulkuploader_spark.multimodal.media import (
+        SPEC_BINS,
+        SPEC_COS_Q,
+        SPEC_SCALE,
+        SPEC_SIN_Q,
+        SPEC_WINDOW,
+    )
+
+    trig_rows = ", ".join(
+        f"({t}, {SPEC_COS_Q[t]}, {SPEC_SIN_Q[t]})" for t in range(SPEC_WINDOW)
+    )
+    tone = _spec_tone_table()
+    tone_rows = ", ".join(f"({t}, {tone[t]})" for t in range(SPEC_WINDOW))
+    kbin_rows = ", ".join(f"({m}, {k})" for m, k in enumerate(SPEC_BINS))
+    bin_rows = ", ".join(f"({k})" for k in SPEC_BINS)
+    denom = repr(float(SPEC_SCALE) * float(SPEC_SCALE) * float(SPEC_WINDOW ** 2))
+    k1, k2, k4, k8 = SPEC_BINS
+    e_cols = ", ".join(
+        f"sum(CASE WHEN k = {k} THEN e END) AS e{k}" for k in SPEC_BINS
+    )
+    powers = ", ".join(
+        f"CAST(e{k} AS DOUBLE) / CAST({denom} AS DOUBLE) AS power_{k}"
+        for k in SPEC_BINS
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS media_id
+        FROM documents ORDER BY doc_id LIMIT {WAV_LIMIT}
+    ), kbin(m4, k) AS (VALUES {kbin_rows}),
+    tone(t, amp) AS (VALUES {tone_rows}),
+    s AS (
+        SELECT m.media_id, CAST(u.i AS BIGINT) AS i,
+               CAST(tone.amp AS BIGINT) AS v
+        FROM m
+        JOIN kbin ON kbin.m4 = m.media_id % 4
+        CROSS JOIN unnest(range({SPEC_WINDOW})) AS u(i)
+        JOIN tone ON tone.t = (kbin.k * u.i) % {SPEC_WINDOW}
+    ), trig(t, cq, sq) AS (VALUES {trig_rows}),
+    bins(k) AS (VALUES {bin_rows}),
+    g AS (
+        SELECT s.media_id, b.k,
+               sum(s.v * trig.cq) AS re, -sum(s.v * trig.sq) AS im
+        FROM s CROSS JOIN bins b
+        JOIN trig ON trig.t = (b.k * s.i) % {SPEC_WINDOW}
+        GROUP BY 1, 2
+    ), en AS (
+        SELECT media_id, k,
+               CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im AS e
+        FROM g
+    ), wide AS (
+        SELECT media_id, {e_cols} FROM en GROUP BY media_id
+    )
+    SELECT media_id, {powers},
+           CAST(CASE WHEN e{k1} >= e{k2} AND e{k1} >= e{k4} AND e{k1} >= e{k8}
+                     THEN {k1}
+                     WHEN e{k2} >= e{k4} AND e{k2} >= e{k8} THEN {k2}
+                     WHEN e{k4} >= e{k8} THEN {k4}
+                     ELSE {k8} END AS INT) AS dominant_bin
+    FROM wide
+"""
+
+
+ORACLES["x9_wav_spectral"] = _wav_spectral_oracle_sql()

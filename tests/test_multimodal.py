@@ -326,3 +326,47 @@ class TestWavDecode:
         import pytest as _pytest
         with _pytest.raises(Exception, match="PCM16"):
             decode_wav_stats(media).collect()
+
+
+class TestWavSpectral:
+    def test_pure_tone_concentrates_in_own_bin(self, spark, tmp_path):
+        """Clips carrying a pure tone at bin SPEC_BINS[id % 4] must put
+        essentially all spectral energy in that bin: dominant_bin equals
+        the tone bin and the peak power dwarfs every other bin (the
+        quantized-table leakage is ~1e-8 of the peak)."""
+        from swiftbulkuploader_spark.multimodal.media import SPEC_BINS
+        from swiftbulkuploader_spark.operators.media_queries import (
+            x9_wav_spectral,
+        )
+
+        rows = [(i, "t", "en", "s", 1) for i in range(8)]
+        spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, "
+            "n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = x9_wav_spectral(spark, str(tmp_path)).collect()
+        assert len(got) == 8
+        for r in got:
+            k = SPEC_BINS[r["media_id"] % 4]
+            assert r["dominant_bin"] == k
+            peak = r[f"power_{k}"]
+            others = [r[f"power_{j}"] for j in SPEC_BINS if j != k]
+            assert peak > 1e6
+            assert all(o < peak * 1e-6 for o in others)
+
+    def test_fixture_liveness_all_bins(self, spark):
+        """Real-substrate liveness: all four dominant bins occur, and
+        each equals its clip's tone bin (the self-checking invariant)."""
+        from swiftbulkuploader_spark.multimodal.media import SPEC_BINS
+        from swiftbulkuploader_spark.operators.media_queries import (
+            x9_wav_spectral,
+        )
+
+        rows = x9_wav_spectral(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == 200
+        seen = {r["dominant_bin"] for r in rows}
+        assert seen == set(SPEC_BINS)
+        assert all(
+            r["dominant_bin"] == SPEC_BINS[r["media_id"] % 4] for r in rows
+        )
