@@ -1455,3 +1455,143 @@ ORACLES["x6_diff_in_diff"] = f"""
            abs(round(did / se, 6)) > 1.96 AS significant
     FROM calc
 """
+
+
+def x6_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney, AMS'47) — the
+    NONPARAMETRIC two-sample test the stats family was missing: compares
+    per-user activity (event count) between the two hash arms without
+    any normality assumption, the robust twin of x6_welch_ttest for
+    skewed engagement metrics. Emits U, its null mean/sd with the tie
+    correction, and the normal-approximation z (|z| > 1.96 flag on a
+    6-dp round; no p-value — a cross-engine normal CDF is not
+    bit-reproducible, z is).
+
+    RANKS WITHOUT A CORPUS-SCALE WINDOW (the UNPART-WIN! discipline):
+    the metric is a small-integer per-user count, so ranks are computed
+    on its VALUE HISTOGRAM — one (value, n_a, n_b) aggregate, a
+    cumulative window over the DISTINCT-VALUE table (bounded: values <=
+    max events/user, allowlisted), midrank(v) = cum_less + (n_v+1)/2.
+    U_a = sum n_a(v)*midrank(v) - n_a(n_a+1)/2. EXACTNESS: midranks are
+    exact halves, products and sums stay exact in doubles far below
+    2^53; the tie term sum(t^3 - t) accumulates in decimal(38,0)/
+    HUGEINT (the cuped discipline); mu/sigma/z are fixed-shape double
+    expressions over bit-identical operands."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mw:"), F.col("user_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+        "v",
+    )
+    hist = users.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb_v"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "v", "na_v", "nb_v",
+        (F.col("na_v") + F.col("nb_v")).alias("t_v"),
+        F.coalesce(
+            F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)
+        ).alias("cum_less"),
+    )
+    dec = "decimal(38,0)"
+    td = F.col("t_v").cast(dec)
+    agg = ranked.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na_v").cast("double")
+            * (
+                F.col("cum_less").cast("double")
+                + (F.col("t_v").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            )
+        ).alias("rank_sum_a"),
+        F.sum(td * td * td - td).alias("tie_sum"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    nn = n_a + n_b
+    u_a = (
+        F.col("rank_sum_a") - n_a * (n_a + F.lit(1.0)) / F.lit(2.0)
+    )
+    mu = n_a * n_b / F.lit(2.0)
+    sigma = F.sqrt(
+        F.nullif(
+            n_a * n_b / F.lit(12.0)
+            * (
+                (nn + F.lit(1.0))
+                - F.col("tie_sum").cast("double") / (nn * (nn - F.lit(1.0)))
+            ),
+            F.lit(0.0),
+        )
+    )
+    z = (u_a - mu) / sigma
+    return agg.select(
+        "n_a", "n_b",
+        u_a.alias("u_a"),
+        mu.alias("mu_u"),
+        sigma.alias("sigma_u"),
+        z.alias("z_stat"),
+        (F.abs(F.round(z, 6)) > F.lit(1.96)).alias("significant"),
+    )
+
+
+QUERIES["x6_mann_whitney"] = x6_mann_whitney
+
+ORACLES["x6_mann_whitney"] = """
+    WITH u AS (
+        SELECT CAST(('0x' || substr(md5('mw:' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ), hist AS (
+        SELECT v,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+        FROM u GROUP BY v
+    ), ranked AS (
+        SELECT v, na_v, nb_v, na_v + nb_v AS t_v,
+               coalesce(sum(na_v + nb_v) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_less
+        FROM hist
+    ), agg AS (
+        SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+               CAST(sum(nb_v) AS BIGINT) AS n_b,
+               sum(CAST(na_v AS DOUBLE)
+                   * (CAST(cum_less AS DOUBLE)
+                      + (CAST(t_v AS DOUBLE) + 1.0) / 2.0)) AS rank_sum_a,
+               sum(CAST(t_v AS HUGEINT) * t_v * t_v - CAST(t_v AS HUGEINT))
+                   AS tie_sum
+        FROM ranked
+    ), calc AS (
+        SELECT n_a, n_b,
+               rank_sum_a
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu_u,
+               sqrt(nullif(
+                   CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                      - CAST(tie_sum AS DOUBLE)
+                        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                           * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))),
+                   0.0)) AS sigma_u
+        FROM agg
+    )
+    SELECT n_a, n_b, u_a, mu_u, sigma_u,
+           (u_a - mu_u) / sigma_u AS z_stat,
+           abs(round((u_a - mu_u) / sigma_u, 6)) > 1.96 AS significant
+    FROM calc
+"""

@@ -172,3 +172,13 @@ class TestStatsLiveness:
         assert _finite(r["se"]) and r["se"] > 0.0
         assert _finite(r["t_stat"]) and r["t_stat"] != 0.0
         assert _finite(r["did"]) and r["did"] != 0.0
+
+    def test_mann_whitney_live(self, spark, queries):
+        """Rank-sum liveness: both arms populated, U strictly inside its
+        (0, n_a*n_b) range (all-ties or disjoint-support would pin it at
+        an edge), positive tie-corrected sigma, finite nonzero z."""
+        r = queries["x6_mann_whitney"](spark, SF).collect()[0]
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert 0.0 < r["u_a"] < float(r["n_a"] * r["n_b"])
+        assert _finite(r["sigma_u"]) and r["sigma_u"] > 0.0
+        assert _finite(r["z_stat"]) and r["z_stat"] != 0.0

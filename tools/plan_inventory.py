@@ -197,6 +197,9 @@ BOUNDED_WINDOW_OK = {
                               # (bounded category alphabet)
     "x6_sequential_monitor",  # cumulative windows over the ~720-row
                               # hourly rollup (kaplan_meier class)
+    "x6_mann_whitney",        # cumulative rank window over the DISTINCT-
+                              # VALUE histogram of a small-integer metric
+                              # (events/user), not the user table
     "x7_kaplan_meier",        # hour-bucket partial tables of the two-level
                               # prefix sums (one row per calendar hour of
                               # duration span; within-bucket windows ARE
