@@ -392,3 +392,96 @@ ORACLES["x1_url_frontier"] = f"""
     WINDOW w AS (PARTITION BY registered_domain
                  ORDER BY keeper_doc, canonical_url)
 """
+
+
+# robots.txt-style crawl policy: (path prefix, allow). Longest matching
+# prefix wins; on an exact tie, allow wins (RFC 9309 §2.2.2). The set is
+# chosen so every branch is LIVE on the derived paths at every SF:
+# /articles/p1* re-allowed under the /articles/p disallow (3-deep
+# longest-match), /articles/a* (the %-escaped segment class) disallowed,
+# and /articles/p4 carries BOTH verdicts at the same length (the tie).
+ROBOTS_RULES = (
+    ("/articles", True),
+    ("/articles/p", False),
+    ("/articles/p1", True),
+    ("/articles/a", False),
+    ("/articles/p4", False),
+    ("/articles/p4", True),
+)
+
+
+def x1_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-match policy evaluation (RFC 9309 §2.2.2) over
+    the canonical URLs — the admission gate between URL dedup and the
+    frontier in a real crawler: for each doc's canonical path, the
+    matching rule with the LONGEST prefix decides fetchability, allow
+    winning exact-length ties. Emits (doc_id, path, winning rule + its
+    length, allowed).
+
+    Shape: path extraction is one anchored regex on the canonical
+    string; rule matching is a startswith non-equi join against the
+    6-row broadcast policy table (bounded BNLJ, allowlisted) + one
+    doc-PARTITIONED row_number to pick the winner — scan-bound, no
+    corpus shuffle. A path no rule matches defaults to allowed
+    ('(default)' rule, length 0), the RFC default. Determinism: the
+    winner order is (length desc, allow desc, rule asc), a total order
+    replayed verbatim in the oracle."""
+    canon = _canon_frame(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract(
+            F.col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(list(ROBOTS_RULES), "rule string, allow boolean")
+    hit = canon.join(
+        F.broadcast(rules), F.col("path").startswith(F.col("rule")), "left"
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("rule").desc(), F.col("allow").desc(), F.col("rule").asc()
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "path",
+            F.coalesce(F.col("rule"), F.lit("(default)")).alias("rule"),
+            F.coalesce(F.length("rule"), F.lit(0)).cast("int").alias("rule_len"),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        )
+    )
+
+
+QUERIES["x1_url_robots"] = x1_url_robots
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{r}', {'TRUE' if a else 'FALSE'})" for r, a in ROBOTS_RULES
+)
+
+ORACLES["x1_url_robots"] = f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url, {_URL_PARTS_DUCK}
+        FROM raw
+    ), canon AS (
+        SELECT doc_id,
+               regexp_extract({_CANON_DUCK},
+                   '^[a-z][a-z0-9+.\\-]*://[^/?#]*(/[^?#]*)', 1) AS path
+        FROM parts
+    ), rules(rule, allow) AS (VALUES {_ROBOTS_VALUES}),
+    hit AS (
+        SELECT c.doc_id, c.path, r.rule, r.allow,
+               row_number() OVER (
+                   PARTITION BY c.doc_id
+                   ORDER BY length(r.rule) DESC NULLS LAST,
+                            r.allow DESC NULLS LAST, r.rule ASC) AS rn
+        FROM canon c
+        LEFT JOIN rules r ON starts_with(c.path, r.rule)
+    )
+    SELECT doc_id, path,
+           coalesce(rule, '(default)') AS rule,
+           CAST(coalesce(length(rule), 0) AS INT) AS rule_len,
+           coalesce(allow, TRUE) AS allowed
+    FROM hit WHERE rn = 1
+"""

@@ -145,3 +145,27 @@ class TestContractSubstrateLiveness:
         assert any(d.endswith(".co.uk") for d in doms)
         assert any(d.endswith(".github.io") for d in doms)
         assert len(doms) > 1
+
+
+class TestUrlRobots:
+    def test_rfc_longest_match_semantics(self, spark):
+        """Every RFC 9309 branch on the sf0.001 fixture: bucket-1 paths
+        re-allowed under the /articles/p disallow (longest match wins),
+        %-escaped /articles/a paths disallowed, bucket-4 paths hit the
+        equal-length allow/disallow pair and ALLOW wins the tie."""
+        from swiftbulkuploader_spark.operators.urlops import x1_url_robots
+
+        rows = {r["doc_id"]: r
+                for r in x1_url_robots(spark, SF_SMOKE).collect()}
+        assert rows
+        for d, r in rows.items():
+            if d % 9 == 4:                      # escaped segment class
+                assert r["rule"] == "/articles/a" and not r["allowed"]
+            elif 100 <= d < 200:                # p1xx bucket: re-allowed
+                assert r["rule"] == "/articles/p1" and r["allowed"]
+            elif 400 <= d < 500:                # p4 tie: allow wins
+                assert r["rule"] == "/articles/p4" and r["allowed"]
+            else:                               # the broad /p disallow
+                assert r["rule"] == "/articles/p" and not r["allowed"]
+        allowed = sum(1 for r in rows.values() if r["allowed"])
+        assert 0 < allowed < len(rows)          # both verdicts live

@@ -62,6 +62,8 @@ BOUNDED_BNLJ_OK = {
                                # x1_semantic_dedup pattern)
     "x6_poisson_bootstrap",    # 1-row corpus mean x 1-row bootstrap stats
                                # cross-joined for the single-row CI report
+    "x6_bootstrap_diff_ci",    # same shape, two-arm twin: 1-row replica
+                               # stats x BOOT_B=32-row diff table
     "x1_lsh_recall_eval",      # three 1-row pair-set summaries cross-joined
                                # for the single-row recall report
     "x1_simhash_recall_eval",  # same three 1-row summaries, SimHash side
@@ -120,6 +122,8 @@ BOUNDED_BNLJ_OK = {
                                # x1_lsh_recall_eval report class)
     "x6_power_analysis",       # 1-row arms x 3-row lift grid (bounded
                                # broadcast, the x6_ab_test family)
+    "x1_url_robots",           # 6-row broadcast policy table, startswith
+                               # non-equi match (RFC 9309 longest-prefix)
 }
 
 
@@ -177,6 +181,7 @@ _HOF_WINNOW = re.compile(r"array_min\(slice\(")
 # is the defect class this mechanically bans).
 BOUNDED_WINDOW_OK = {
     "x6_poisson_bootstrap",   # 32 bootstrap-replica rows (fixed B)
+    "x6_bootstrap_diff_ci",   # same 32 replica-diff rows (fixed B)
     "x6_hill_tail",           # top-101 order statistics (bounded top-k)
     "x2_hybrid_search",       # two HYBRID_POOL=50-row candidate pools
                               # (TakeOrderedAndProject before the ranks)
