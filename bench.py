@@ -231,6 +231,25 @@ HEADLINE = [
     "x2_ivf_probe_sweep",       # IVF recall-vs-scan tuning curve
     "x6_power_analysis",        # experiment sizing / MDE report
     "x10_resume_plan",          # shard-level training resume plan
+    # round 10
+    "x1_url_canonical",         # URL canonicalize + registered domain
+    "x1_url_dedup",             # canonical-key URL dedup
+    "x1_url_domain_stats",      # per-registered-domain crawl stats
+    "x1_url_frontier",          # politeness-scheduled crawl frontier
+    "x1_url_robots",            # RFC 9309 longest-match policy gate
+    "x1_incremental_clusters",  # frozen-label cluster maintenance
+    "x9_wav_decode_stats",      # REAL stdlib-wave PCM decode stats
+    "x9_wav_spectral",          # fixed-bin DFT energy over decoded PCM
+    "x9_phash_dedup",           # perceptual-hash image near-dup
+    "x6_bootstrap_diff_ci",     # two-arm uplift bootstrap CI
+    "x6_cuped_adjust",          # CUPED variance-reduced readout
+    "x6_sequential_monitor",    # OBF-boundary sequential monitoring
+    "x6_srm_check",             # sample-ratio-mismatch chi2 gate
+    "x6_diff_in_diff",          # 2x2 DiD estimator
+    "x6_mann_whitney",          # nonparametric rank-sum z
+    "x8_hits",                  # HITS hubs/authorities (2 rounds)
+    "x8_label_propagation",     # synchronous LPA over co-purchase graph
+    "x3_wordpiece_encode",      # WordPiece greedy longest-match encode
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

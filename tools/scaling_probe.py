@@ -200,6 +200,34 @@ def shape_label_prop_round(df):
     )
 
 
+def shape_lpa_argmax_round(df):
+    # x8_label_propagation's per-round shape: neighbor-label join ->
+    # (node, label) count -> node-PARTITIONED row_number argmax with the
+    # deterministic (cnt desc, label asc) tie-break. Differs from
+    # label_prop_round's min-agg by the windowed argmax pass over the
+    # grouped counts (same shuffle key, no extra exchange); per-round
+    # cost must stay linear in edge count.
+    e = df.select(
+        (F.col("event_id") % 500_000).alias("a"),
+        (F.abs(F.xxhash64("event_id")) % 500_000).alias("b"),
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node") % 1000
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    return (
+        und.join(labels.select(F.col("node").alias("a"), "label"), "a")
+        .groupBy(F.col("b").alias("node"), F.col("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "label")
+    )
+
+
 def shape_dup_clusters_full(df):
     # x1_dup_clusters' closure stage END-TO-END: the real multi-round
     # connected_components loop (localCheckpoints, convergence probes and
@@ -1388,6 +1416,7 @@ SHAPES = {
     "shuffle_shard": shape_shuffle_shard,
     "inverted_index_join": shape_inverted_index_join,
     "label_prop_round": shape_label_prop_round,
+    "lpa_argmax_round": shape_lpa_argmax_round,
     "dup_clusters_full": shape_dup_clusters_full,
     "hybrid_search_rrf": shape_hybrid_search,
     "training_manifest": shape_training_manifest,
