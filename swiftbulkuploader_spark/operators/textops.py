@@ -3350,3 +3350,132 @@ ORACLES["x3_wordpiece_encode"] = f"""
            CAST(a.n_unk AS DOUBLE) / CAST(a.n_words AS DOUBLE) AS unk_rate
     FROM wagg a LEFT JOIN wlong l ON a.source = l.source
 """
+
+
+# ---------------------------------------------------------------------------
+# x3_html_extract — WET-style main-text extraction from markup
+# ---------------------------------------------------------------------------
+
+
+def _synth_html() -> "Column":
+    """documents row -> deterministic HTML wrapping of its text (the
+    house deterministic-substrate pattern, cf. urlops._messy_url): title
+    = the first 3 normalized words, optional <style> block (d%4==0),
+    nav-link boilerplate (d%3==0: 2 links), emphasis markup around the
+    body, optional trailing <script> (d%5==0). The corpus text is clean
+    lowercase words (no '<', '&'), so the wrap is well-formed by
+    construction — documented, and what makes the strip regexes
+    engine-parity-safe (no dotall, no entity decoding in play)."""
+    d = F.col("doc_id")
+    norm = F.lower(normalize_ws(F.col("text")))
+    title = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 3))
+    style = F.when(
+        d % 4 == 0, F.lit("<style>p{margin:0}</style>")
+    ).otherwise(F.lit(""))
+    nav = F.when(
+        d % 3 == 0,
+        F.lit('<nav><a href="/home">home</a> <a href="/about">about</a></nav>'),
+    ).otherwise(F.lit(""))
+    script = F.when(
+        d % 5 == 0, F.lit("<script>var x=1;</script>")
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title>"), style,
+        F.lit("</head><body>"), nav,
+        F.lit("<h1>"), title, F.lit("</h1><p>"), norm, F.lit("</p>"),
+        script, F.lit("</body></html>"),
+    )
+
+
+# the DuckDB twin of _synth_html (same construction, list-slice title)
+_SYNTH_HTML_DUCK = """
+    '<html><head><title>'
+    || array_to_string((string_split(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '))[1:3], ' ')
+    || '</title>'
+    || (CASE WHEN doc_id % 4 = 0 THEN '<style>p{margin:0}</style>' ELSE '' END)
+    || '</head><body>'
+    || (CASE WHEN doc_id % 3 = 0
+         THEN '<nav><a href="/home">home</a> <a href="/about">about</a></nav>'
+         ELSE '' END)
+    || '<h1>'
+    || array_to_string((string_split(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' '))[1:3], ' ')
+    || '</h1><p>'
+    || trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    || '</p>'
+    || (CASE WHEN doc_id % 5 = 0 THEN '<script>var x=1;</script>' ELSE '' END)
+    || '</body></html>'
+"""
+
+
+def x3_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style main-text extraction from HTML — the FIRST text stage
+    of a real crawl pipeline, before any language/quality/dedup screen:
+    drop <script>/<style> blocks, pull the <title>, strip the remaining
+    tags, and report the boilerplate signals a cleaner thresholds on
+    (link count, text-to-markup ratio, script/style presence).
+
+    Everything is native regex/string expressions chosen from the
+    engine-parity-safe subset (anchored groups, [^>]* tag bodies,
+    non-greedy block bodies on single-line markup; DuckDB replaces need
+    the 'g' flag — Spark is global by default): zero shuffles, pure
+    scan-bound work, the shape that runs at 100 TB as a mapper in front
+    of every downstream operator. Link counting is exact integer string
+    arithmetic ((len - len(replace(s, k, ''))) / len(k)); the ratio is
+    one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = _synth_html()
+    base = docs.select("doc_id", html.alias("html"))
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(F.col("html"), "<script>.*?</script>", ""),
+        "<style>.*?</style>", "",
+    )
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace(no_blocks, "<[^>]*>", " "), "\\s+", " ")
+    )
+    n_links = (
+        (F.length("html") - F.length(F.regexp_replace(F.col("html"), "<a href", "")))
+        / F.lit(len("<a href"))
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        F.regexp_extract(F.col("html"), "<title>([^<]*)</title>", 1).alias("title"),
+        n_links.alias("n_links"),
+        F.col("html").contains("<script>").alias("has_script"),
+        F.col("html").contains("<style>").alias("has_style"),
+        F.length("html").cast("long").alias("n_chars_html"),
+        F.length(text).cast("long").alias("n_chars_text"),
+        (
+            F.length(text).cast("double") / F.length("html").cast("double")
+        ).alias("text_ratio"),
+    )
+
+
+QUERIES["x3_html_extract"] = x3_html_extract
+
+ORACLES["x3_html_extract"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_SYNTH_HTML_DUCK} AS html FROM documents
+    ), stripped AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(html,
+                       '<script>.*?</script>', '', 'g'),
+                       '<style>.*?</style>', '', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS text
+        FROM base
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           CAST((length(html) - length(replace(html, '<a href', '')))
+                // length('<a href') AS INT) AS n_links,
+           contains(html, '<script>') AS has_script,
+           contains(html, '<style>') AS has_style,
+           CAST(length(html) AS BIGINT) AS n_chars_html,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           CAST(length(text) AS DOUBLE) / CAST(length(html) AS DOUBLE)
+               AS text_ratio
+    FROM stripped
+"""

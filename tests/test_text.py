@@ -497,3 +497,49 @@ class TestCalibrationBins:
             assert lo - 1e-6 <= r["mean_p"] <= (hi + 1e-6 if r["bin"] < 9 else 1.0)
             assert 0.0 <= r["frac_pos"] <= 1.0
             assert r["gap"] == pytest.approx(r["mean_p"] - r["frac_pos"])
+
+
+class TestHtmlExtract:
+    def test_known_doc_all_branches(self, spark, tmp_path):
+        """doc_id 0 hits every branch (0%3=0%4=0%5=0: nav + style +
+        script): title = first 3 words, 2 links counted, both block
+        flags true, and the extracted text is exactly
+        'home about <title words> <body>' after tag stripping."""
+        from swiftbulkuploader_spark.operators.textops import x3_html_extract
+
+        rows = [
+            (0, "alpha beta gamma delta", "en", "s", 22),
+            (1, "one two", "en", "s", 7),   # no nav/style/script branches
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string, "
+            "n_chars: long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r for r in
+               x3_html_extract(spark, str(tmp_path)).collect()}
+        r0 = got[0]
+        assert r0["title"] == "alpha beta gamma"
+        assert r0["n_links"] == 2
+        assert r0["has_script"] and r0["has_style"]
+        # title + nav anchors + h1 + body survive; script/style bodies don't
+        assert r0["n_chars_text"] == len(
+            "alpha beta gamma home about alpha beta gamma alpha beta gamma delta"
+        )
+        r1 = got[1]
+        assert r1["title"] == "one two"          # fewer than 3 words: all
+        assert r1["n_links"] == 0
+        assert not r1["has_script"] and not r1["has_style"]
+        assert 0.0 < r1["text_ratio"] < 1.0
+
+    def test_fixture_liveness(self, spark):
+        """Both block flags and the link count vary across the fixture;
+        text_ratio strictly inside (0, 1) everywhere."""
+        from swiftbulkuploader_spark.operators.textops import x3_html_extract
+
+        rows = x3_html_extract(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == 500
+        assert {r["has_script"] for r in rows} == {True, False}
+        assert {r["has_style"] for r in rows} == {True, False}
+        assert {r["n_links"] for r in rows} == {0, 2}
+        assert all(0.0 < r["text_ratio"] < 1.0 for r in rows)
