@@ -251,6 +251,7 @@ HEADLINE = [
     "x8_label_propagation",     # synchronous LPA over co-purchase graph
     "x3_wordpiece_encode",      # WordPiece greedy longest-match encode
     "x3_html_extract",          # WET-style HTML main-text extraction
+    "x4_json_diff",             # JSON field diff (CDC primitive)
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

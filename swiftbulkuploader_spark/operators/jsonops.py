@@ -339,3 +339,104 @@ ORACLES["x4_json_nested_explode"] = """
            CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
     FROM ex GROUP BY t
 """
+
+
+def x4_json_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level JSON DIFF between two metadata snapshots — the CDC /
+    schema-drift primitive for semi-structured columns: per doc, which
+    keys were added, removed, or changed between revision v1 and v2.
+    Snapshots are built deterministically from the row (the
+    x4_json_nested_explode generator discipline; every value is a quoted
+    STRING so no cross-engine number formatting is in play): v2 bumps
+    `rev` always, rewrites `lang` on d%3=0, bumps `n` on d%5=0, and on
+    d%4=0 swaps the `tag` key for a new `fmt` key — so added/removed
+    fire on the %4 class, and n_changed varies 1..3 (all output columns
+    live at every SF, no value in the corpus collides with the injected
+    'xx').
+
+    Spark: one from_json to map<string,string> per side, then pure array
+    HOFs (array_except / array_intersect / filter on value inequality /
+    array_sort) — row-local, zero shuffles, the scan-bound mapper shape.
+    DuckDB replays with json_keys + list_filter lambdas + list_sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    v1 = F.concat(
+        F.lit('{"lang":"'), F.col("lang"),
+        F.lit('","n":"'), F.col("n_chars").cast("string"),
+        F.lit('","rev":"'), (d % 7).cast("string"), F.lit('"'),
+        F.when(d % 4 == 0, F.lit(',"tag":"old"')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    v2 = F.concat(
+        F.lit('{"lang":"'),
+        F.when(d % 3 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        F.lit('","n":"'),
+        F.when(d % 5 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars"))
+        .cast("string"),
+        F.lit('","rev":"'), (d % 7 + 1).cast("string"), F.lit('"'),
+        F.when(d % 4 == 0, F.lit(',"fmt":"md"')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    m1 = F.from_json(v1, "map<string,string>")
+    m2 = F.from_json(v2, "map<string,string>")
+    base = docs.select("doc_id", m1.alias("m1"), m2.alias("m2"))
+    k1, k2 = F.map_keys(F.col("m1")), F.map_keys(F.col("m2"))
+    added = F.array_sort(F.array_except(k2, k1))
+    removed = F.array_sort(F.array_except(k1, k2))
+    changed = F.array_sort(
+        F.filter(
+            F.array_intersect(k1, k2),
+            lambda k: F.element_at(F.col("m1"), k)
+            != F.element_at(F.col("m2"), k),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size(added).cast("int").alias("n_added"),
+        F.size(removed).cast("int").alias("n_removed"),
+        F.size(changed).cast("int").alias("n_changed"),
+        F.array_join(added, ",").alias("added_keys"),
+        F.array_join(removed, ",").alias("removed_keys"),
+        F.array_join(changed, ",").alias("changed_keys"),
+    )
+
+
+QUERIES["x4_json_diff"] = x4_json_diff
+
+ORACLES["x4_json_diff"] = """
+    WITH base AS (
+        SELECT doc_id,
+               '{"lang":"' || lang || '","n":"' || CAST(n_chars AS VARCHAR)
+               || '","rev":"' || CAST(doc_id % 7 AS VARCHAR) || '"'
+               || (CASE WHEN doc_id % 4 = 0 THEN ',"tag":"old"' ELSE '' END)
+               || '}' AS v1,
+               '{"lang":"'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END)
+               || '","n":"'
+               || CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                            ELSE n_chars END AS VARCHAR)
+               || '","rev":"' || CAST(doc_id % 7 + 1 AS VARCHAR) || '"'
+               || (CASE WHEN doc_id % 4 = 0 THEN ',"fmt":"md"' ELSE '' END)
+               || '}' AS v2
+        FROM documents
+    ), diffs AS (
+        SELECT doc_id,
+               list_sort(list_filter(json_keys(v2),
+                   k -> NOT list_contains(json_keys(v1), k))) AS added,
+               list_sort(list_filter(json_keys(v1),
+                   k -> NOT list_contains(json_keys(v2), k))) AS removed,
+               list_sort(list_filter(json_keys(v1),
+                   k -> list_contains(json_keys(v2), k)
+                        AND json_extract_string(v1, '$.' || k)
+                            <> json_extract_string(v2, '$.' || k))) AS changed
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(added) AS INT) AS n_added,
+           CAST(len(removed) AS INT) AS n_removed,
+           CAST(len(changed) AS INT) AS n_changed,
+           coalesce(array_to_string(added, ','), '') AS added_keys,
+           coalesce(array_to_string(removed, ','), '') AS removed_keys,
+           coalesce(array_to_string(changed, ','), '') AS changed_keys
+    FROM diffs
+"""

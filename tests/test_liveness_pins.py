@@ -182,3 +182,17 @@ class TestStatsLiveness:
         assert 0.0 < r["u_a"] < float(r["n_a"] * r["n_b"])
         assert _finite(r["sigma_u"]) and r["sigma_u"] > 0.0
         assert _finite(r["z_stat"]) and r["z_stat"] != 0.0
+
+    def test_json_diff_live(self, spark, queries):
+        """JSON diff liveness: added/removed fire exactly on the %4
+        class (tag -> fmt swap), rev always changes, and n_changed
+        spans more than one value (lang/n classes interleave)."""
+        rows = queries["x4_json_diff"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            if r["doc_id"] % 4 == 0:
+                assert r["added_keys"] == "fmt" and r["removed_keys"] == "tag"
+            else:
+                assert r["n_added"] == 0 and r["n_removed"] == 0
+            assert "rev" in r["changed_keys"]
+        assert len({r["n_changed"] for r in rows}) >= 3
