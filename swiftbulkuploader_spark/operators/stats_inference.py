@@ -1058,6 +1058,14 @@ def x6_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the ~720-row hourly grid — the rollup-bounded unpartitioned-
     window class (kaplan_meier discipline; BOUNDED_WINDOW_OK)."""
     events = load_table(spark, sf_dir, "events")
+    return monitor_readout(monitor_hourly_cells(events))
+
+
+def monitor_hourly_cells(events: DataFrame) -> DataFrame:
+    """(hour, pna..pqb) exact-integer moment cells — the SUM-MERGEABLE
+    state of the sequential monitor (all six cells are plain sums, so
+    per-batch deltas re-aggregate exactly: the property the streaming
+    twin streaming/monitor_stream.py builds on)."""
     cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
     arm = (
         F.conv(
@@ -1066,7 +1074,7 @@ def x6_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long") % 2
     )
     dec = "decimal(38,0)"
-    hourly = (
+    return (
         events.select(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
             arm.alias("arm"), cents.alias("c"),
@@ -1083,6 +1091,11 @@ def x6_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("c").cast(dec) * F.col("c")).otherwise(0)).alias("pqb"),
         )
     )
+
+
+def monitor_readout(hourly: DataFrame) -> DataFrame:
+    """Cumulative z + OBF boundary + crossed flag over the hourly moment
+    cells (see x6_sequential_monitor's docstring for the statistics)."""
     from pyspark.sql.window import Window
 
     # rollup-bounded cumulative window (~720 hourly rows)
