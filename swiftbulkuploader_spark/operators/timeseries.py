@@ -1799,3 +1799,67 @@ ORACLES["x7_mad_anomaly"] = f"""
       AND abs(round(CAST({MAD_SCALE} AS DOUBLE) * (dev.x - dev.med)
                     / mad.mad, 6)) >= CAST({MAD_Z_CUT} AS DOUBLE)
 """
+
+
+def x7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the candlestick rollup every
+    telemetry/market feed materializes: open = first value, close =
+    last, high/low = extrema, plus event count and cent-exact volume.
+    First/last are decided by the deterministic (ts, event_id) total
+    order (the x7_twap tie-break: event_id breaks same-microsecond
+    ties), implemented as min_by/max_by over an exact composite key
+    packed in decimal(38,0)/HUGEINT (unix_micros * 2^20 + event_id —
+    epoch micros * 2^20 overflows int64, the round-8 lesson class, so
+    the key lives in wide-integer space on both engines; collision-free
+    while event_id < 2^20 per microsecond, which uniqueness guarantees).
+
+    Shape: ONE groupBy (event_type, hour) — map-side combined
+    min/max/min_by/max_by/sum state, no window, no second shuffle; the
+    rollup-bounded output (types x hours) is the frame coarser
+    resolutions re-aggregate (except open/close, which re-derive from
+    the packed-key extrema — documented non-mergeable the naive way).
+    Volume accumulates in cent-exact BIGINT."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the NTZ->TZ cast
+    # is exact under the pinned UTC session zone (x7_twap discipline)
+    dec = "decimal(38,0)"
+    key = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast(dec)
+        * F.lit(1048576) + F.col("event_id")
+    )
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            key.alias("k"), F.col("value").alias("v"), cents.alias("c"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min_by("v", "k").alias("open"),
+            F.max_by("v", "k").alias("close"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.sum("c").cast("long").alias("volume_cents"),
+        )
+    )
+
+
+QUERIES["x7_ohlc_bars"] = x7_ohlc_bars
+
+ORACLES["x7_ohlc_bars"] = """
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+                          + event_id) AS open,
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+                          + event_id) AS close,
+           max(value) AS high,
+           min(value) AS low,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS volume_cents
+    FROM events
+    GROUP BY 1, 2
+"""

@@ -514,3 +514,37 @@ class TestEntropyRate:
         assert r["n_transitions"] == 2 and r["n_cells"] == 2
         assert r["entropy_rate"] == pytest.approx(math.log(2.0))
         assert r["perplexity"] == pytest.approx(2.0)
+
+
+class TestOhlcBars:
+    def test_known_bar_with_tie(self, spark, tmp_path):
+        """One hour of crafted events: open/close follow (ts, event_id)
+        order including a same-microsecond tie broken by event_id; a
+        second type isolates per-group state."""
+        import datetime
+
+        from swiftbulkuploader_spark.operators.timeseries import x7_ohlc_bars
+
+        t = lambda m, s=0: datetime.datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+        rows = [
+            # view: open decided by the tie at t(0): event_id 1 < 2
+            (2, t(0), 1, "view", 50.0, "{}"),
+            (1, t(0), 1, "view", 10.0, "{}"),
+            (3, t(30), 2, "view", 99.5, "{}"),
+            (4, t(59), 1, "view", 20.25, "{}"),   # close
+            (5, t(5), 3, "click", 7.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        got = {r["event_type"]: r
+               for r in x7_ohlc_bars(spark, str(tmp_path)).collect()}
+        v = got["view"]
+        assert (v["open"], v["close"]) == (10.0, 20.25)
+        assert (v["high"], v["low"]) == (99.5, 10.0)
+        assert v["n"] == 4
+        assert v["volume_cents"] == 1000 + 5000 + 9950 + 2025
+        c = got["click"]
+        assert (c["open"], c["close"], c["n"]) == (7.0, 7.0, 1)
