@@ -253,6 +253,7 @@ HEADLINE = [
     "x3_html_extract",          # WET-style HTML main-text extraction
     "x4_json_diff",             # JSON field diff (CDC primitive)
     "x7_ohlc_bars",             # hourly OHLC candlestick rollup
+    "x6_winsorized_stats",      # robust winsorized/trimmed means
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

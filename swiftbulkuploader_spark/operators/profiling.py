@@ -1230,3 +1230,95 @@ ORACLES["x6_hill_tail"] = f"""
                AS infinite_variance
     FROM agg
 """
+
+
+def x6_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group means — the outlier-resistant readout a metrics
+    pipeline swaps in when raw means are tail-dominated: per return
+    flag, the raw mean of extendedprice next to its WINSORIZED mean
+    (values clamped to the group's [p05, p95]) and TRIMMED mean (tail
+    rows dropped), plus the clamp accounting that shows how much tail
+    each group carries.
+
+    Determinism: the percentile bounds are 6-dp-ROUNDED before any
+    clamp/trim decision (round-before-decision — Spark `percentile` and
+    DuckDB `quantile_cont` agree to well past 6 dp, the x6_quantiles
+    parity), so every row lands on the same side on both engines; means
+    are fixed-shape sum/count divisions with summation-order ulps
+    absorbed by the verifier's 9-significant-digit normalization.
+
+    Shape: one grouped percentile aggregate (bounded group table) +
+    one broadcast join back + one grouped fold — two passes over the
+    scan, no corpus shuffle beyond the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(
+            "percentile(l_extendedprice, array(0.05, 0.95))").alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 6).alias("p05"),
+            F.round(F.element_at("ps", 2), 6).alias("p95"),
+        )
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    wins = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+    in_core = (x >= F.col("p05")) & (x <= F.col("p95"))
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+        F.sum(x).alias("s_raw"),
+        F.sum(wins).alias("s_wins"),
+        F.sum(F.when(in_core, x)).alias("s_trim"),
+        F.sum(F.when(in_core, 1).otherwise(0)).cast("long").alias("n_trim"),
+        F.sum(F.when(x < F.col("p05"), 1).otherwise(0)).cast("long")
+        .alias("n_clamped_low"),
+        F.sum(F.when(x > F.col("p95"), 1).otherwise(0)).cast("long")
+        .alias("n_clamped_high"),
+    )
+    return agg.select(
+        "l_returnflag", "n", "p05", "p95",
+        (F.col("s_raw") / F.col("n").cast("double")).alias("mean_raw"),
+        (F.col("s_wins") / F.col("n").cast("double")).alias("mean_winsorized"),
+        (F.col("s_trim") / F.col("n_trim").cast("double")).alias("mean_trimmed"),
+        "n_trim", "n_clamped_low", "n_clamped_high",
+    )
+
+
+QUERIES["x6_winsorized_stats"] = x6_winsorized_stats
+
+ORACLES["x6_winsorized_stats"] = """
+    WITH bounds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        FROM lineitem GROUP BY 1
+    ), agg AS (
+        SELECT li.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               any_value(b.p05) AS p05,
+               any_value(b.p95) AS p95,
+               sum(l_extendedprice) AS s_raw,
+               sum(least(greatest(l_extendedprice, b.p05), b.p95)) AS s_wins,
+               sum(CASE WHEN l_extendedprice >= b.p05
+                         AND l_extendedprice <= b.p95
+                        THEN l_extendedprice END) AS s_trim,
+               CAST(sum(CASE WHEN l_extendedprice >= b.p05
+                              AND l_extendedprice <= b.p95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+               CAST(sum(CASE WHEN l_extendedprice < b.p05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped_low,
+               CAST(sum(CASE WHEN l_extendedprice > b.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped_high
+        FROM lineitem li JOIN bounds b ON li.l_returnflag = b.l_returnflag
+        GROUP BY 1
+    )
+    SELECT l_returnflag, n, p05, p95,
+           s_raw / CAST(n AS DOUBLE) AS mean_raw,
+           s_wins / CAST(n AS DOUBLE) AS mean_winsorized,
+           s_trim / CAST(n_trim AS DOUBLE) AS mean_trimmed,
+           n_trim, n_clamped_low, n_clamped_high
+    FROM agg
+"""

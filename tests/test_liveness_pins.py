@@ -196,3 +196,18 @@ class TestStatsLiveness:
                 assert r["n_added"] == 0 and r["n_removed"] == 0
             assert "rev" in r["changed_keys"]
         assert len({r["n_changed"] for r in rows}) >= 3
+
+    def test_winsorized_stats_live(self, spark, queries):
+        """Robust-mean liveness: tails actually clamp (~5% each side),
+        the winsorized and trimmed means genuinely differ from the raw
+        mean, and ordering is coherent (clamping pulls the mean toward
+        the core)."""
+        rows = queries["x6_winsorized_stats"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["n_clamped_low"] > 0 and r["n_clamped_high"] > 0
+            frac = (r["n_clamped_low"] + r["n_clamped_high"]) / r["n"]
+            assert 0.05 < frac < 0.15
+            assert r["mean_winsorized"] != r["mean_raw"]
+            assert r["mean_trimmed"] != r["mean_raw"]
+            assert r["p05"] < r["mean_trimmed"] < r["p95"]
