@@ -1608,3 +1608,87 @@ ORACLES["x6_mann_whitney"] = """
            abs(round((u_a - mu_u) / sigma_u, 6)) > 1.96 AS significant
     FROM calc
 """
+
+
+def x6_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types — the k-group generalization
+    completing the test-statistic family (z, t, U, chi2 -> F): does mean
+    event value differ across the bounded event-type alphabet? Emits
+    sum-of-squares decomposition (between/within), the F statistic and
+    eta-squared effect size; no p-value (an F CDF is not cross-engine
+    bit-reproducible; F and the dfs are).
+
+    EXACTNESS (the cuped/welch moment discipline): cents-quantized
+    values, per-group (n, s, q) moments in decimal(38,0)/HUGEINT, group
+    terms s_g^2/n_g computed as fixed-shape double divisions of exact
+    integers, folded over the BOUNDED group table (summation-order ulps
+    absorbed by the 9-sig verifier normalization). SS reported in
+    value^2 units (cents^2 / 1e4).
+
+    Shape: one map-side-combined group rollup to k rows + one k-row
+    fold — O(1) after the scan at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    dec = "decimal(38,0)"
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(cents).cast(dec).alias("s"),
+        F.sum(cents.cast(dec) * cents).alias("q"),
+    )
+    term = (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("n")).cast("long").alias("n"),
+        F.sum(F.col("s")).alias("s_all"),
+        F.sum(F.col("q").cast("double")).alias("q_all"),
+        F.sum(term).alias("t_all"),
+    )
+    grand = (F.col("s_all") * F.col("s_all")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    ssb = (F.col("t_all") - grand) / F.lit(10000.0)
+    ssw = (F.col("q_all") - F.col("t_all")) / F.lit(10000.0)
+    df1 = (F.col("k") - 1).cast("double")
+    df2 = (F.col("n") - F.col("k")).cast("double")
+    f_stat = (ssb / F.nullif(df1, F.lit(0.0))) / F.nullif(
+        ssw / F.nullif(df2, F.lit(0.0)), F.lit(0.0)
+    )
+    return tot.select(
+        "k", "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+        (ssb / F.nullif(ssb + ssw, F.lit(0.0))).alias("eta_sq"),
+    )
+
+
+QUERIES["x6_anova_oneway"] = x6_anova_oneway
+
+ORACLES["x6_anova_oneway"] = """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+               sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum(s) AS s_all,
+               sum(CAST(q AS DOUBLE)) AS q_all,
+               sum(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) AS t_all
+        FROM g
+    ), calc AS (
+        SELECT k, n,
+               (t_all - CAST(s_all * s_all AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(10000.0 AS DOUBLE) AS ssb,
+               (q_all - t_all) / CAST(10000.0 AS DOUBLE) AS ssw
+        FROM tot
+    )
+    SELECT k, n, ssb AS ss_between, ssw AS ss_within,
+           (ssb / nullif(CAST(k - 1 AS DOUBLE), 0.0))
+           / nullif(ssw / nullif(CAST(n - k AS DOUBLE), 0.0), 0.0) AS f_stat,
+           ssb / nullif(ssb + ssw, 0.0) AS eta_sq
+    FROM calc
+"""

@@ -211,3 +211,12 @@ class TestStatsLiveness:
             assert r["mean_winsorized"] != r["mean_raw"]
             assert r["mean_trimmed"] != r["mean_raw"]
             assert r["p05"] < r["mean_trimmed"] < r["p95"]
+
+    def test_anova_live(self, spark, queries):
+        """ANOVA liveness: several groups, positive SS decomposition,
+        finite nonzero F, effect size strictly inside (0, 1)."""
+        r = queries["x6_anova_oneway"](spark, SF).collect()[0]
+        assert r["k"] >= 2 and r["n"] > r["k"]
+        assert r["ss_between"] > 0.0 and r["ss_within"] > 0.0
+        assert _finite(r["f_stat"]) and r["f_stat"] > 0.0
+        assert 0.0 < r["eta_sq"] < 1.0
