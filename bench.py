@@ -255,6 +255,7 @@ HEADLINE = [
     "x7_ohlc_bars",             # hourly OHLC candlestick rollup
     "x6_winsorized_stats",      # robust winsorized/trimmed means
     "x6_anova_oneway",          # k-group F statistic + eta^2
+    "x8_lpa_modularity",        # modularity scoring of LPA communities
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

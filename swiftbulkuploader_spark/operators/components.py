@@ -1692,3 +1692,110 @@ ORACLES["x1_incremental_clusters"] = """
            node % 5 = 0 AS is_new
     FROM reach GROUP BY node
 """
+
+
+def x8_lpa_modularity(spark, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the EVALUATION of the
+    learned structure (x8_label_propagation's output), closing the
+    detect->score loop a pipeline needs before acting on communities:
+    per community c, its node count, internal-edge count e_c, total
+    degree d_c, and modularity term e_c/m - (d_c/2m)^2 (global Q is
+    their sum; a labeling no better than random degree-matched wiring
+    scores ~0).
+
+    All counts are integers on the shared memoized projection (the
+    per-round LPA chain re-runs over the persisted edge frame — cheap,
+    integer-deterministic); the only doubles are the fixed-shape final
+    terms, with the 1-row edge total attached via cross join (bounded
+    BNLJ, allowlisted). Oracle composes the unrolled LPA rounds with
+    the modularity CTEs."""
+    from pyspark.sql import functions as F
+
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = x8_label_propagation(spark, sf_dir)
+    m_tot = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lab_a = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lab_b = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    e_in = (
+        e.join(lab_a, "a").join(lab_b, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    d_tot = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_tot"),
+        )
+    )
+    md = F.col("m").cast("double")
+    half = F.col("d_tot").cast("double") / (F.lit(2.0) * md)
+    return (
+        d_tot.join(e_in, "label", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "label", "n_nodes",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            "d_tot",
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / md
+                - half * half
+            ).alias("q_term"),
+        )
+    )
+
+
+QUERIES["x8_lpa_modularity"] = x8_lpa_modularity
+
+ORACLES["x8_lpa_modularity"] = f"""
+    WITH cells0 AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), cells AS (
+        SELECT * FROM cells0
+        WHERE ok IN (SELECT ok FROM cells0
+                     GROUP BY ok HAVING count(*) <= {LP_BASKET_CAP})
+    ), e0 AS MATERIALIZED (
+        SELECT c1.pk AS a, c2.pk AS b
+        FROM cells c1 JOIN cells c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {LP_MIN_SHARED}
+    ), und AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), l0 AS (
+        SELECT DISTINCT a AS node, a AS label FROM und
+    ),{_LPA_ROUND_SQL.format(name="r1", prev="l0", mat="MATERIALIZED")},{
+        _LPA_ROUND_SQL.format(name="r2", prev="r1", mat="MATERIALIZED")},{
+        _LPA_ROUND_SQL.format(name="r3", prev="r2", mat="MATERIALIZED")},
+    mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    ein AS (
+        SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+        FROM e0
+        JOIN r3 la ON e0.a = la.node
+        JOIN r3 lb ON e0.b = lb.node
+        WHERE la.label = lb.label
+        GROUP BY 1
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM und GROUP BY 1
+    ), dt AS (
+        SELECT r3.label,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg.d) AS BIGINT) AS d_tot
+        FROM r3 JOIN deg ON r3.node = deg.node
+        GROUP BY 1
+    )
+    SELECT dt.label, dt.n_nodes,
+           CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+           dt.d_tot,
+           CAST(coalesce(ein.e_in, 0) AS DOUBLE) / CAST(mt.m AS DOUBLE)
+           - (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(mt.m AS DOUBLE)))
+             * (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(mt.m AS DOUBLE)))
+               AS q_term
+    FROM dt LEFT JOIN ein ON dt.label = ein.label
+    CROSS JOIN mt
+"""

@@ -124,6 +124,8 @@ BOUNDED_BNLJ_OK = {
                                # broadcast, the x6_ab_test family)
     "x1_url_robots",           # 6-row broadcast policy table, startswith
                                # non-equi match (RFC 9309 longest-prefix)
+    "x8_lpa_modularity",       # 1-row edge total cross-joined into the
+                               # bounded per-community report
 }
 
 

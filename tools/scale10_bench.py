@@ -42,20 +42,21 @@ REP = 10
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # top-10 by median in the committed per-round bench artifact
-# (r10 refresh to the BENCH_LOCAL_r9 headline set — r9 verdict ask #4;
+# (r10 close-out refresh against BENCH_LOCAL_r10 — x6_bootstrap_diff_ci,
+# added mid-round, is now the single most expensive bench query;
 # x1_incremental_dedup is measured by the ASYMMETRIC runner below, not
 # as a whole-substrate query)
 TOP10 = [
+    "x6_bootstrap_diff_ci",
     "x2_mmd_drift",
-    "x2_ivf_pq_topk",
-    "x8_link_prediction",
-    "x2_ivf_probe_sweep",
     "x6_poisson_bootstrap",
     "x1_novelty_score",
-    "x1_lsh_recall_eval",
+    "x9_phash_dedup",
     "x7_theil_sen",
-    "x2_ivf_kmeans_topk",
-    "x1_dup_clusters",
+    "x1_repeated_passages",
+    "x1_lsh_recall_eval",
+    "x1_simhash_recall_eval",
+    "x10_training_manifest",
 ]
 
 # tables the TOP10 actually read (generating the rest would waste the
