@@ -974,6 +974,11 @@ QUERIES["x8_link_prediction"] = x8_link_prediction
 
 LPA_ITERS = 3
 
+# LPA labels memo: the 3-round propagation is consumed by BOTH
+# x8_label_propagation and x8_lpa_modularity — persist once per
+# (session, sf_dir), the _LLOYD_CACHE discipline (CLAUDE.md 11a)
+_LPA_CACHE: dict[tuple, DataFrame] = {}
+
 
 def x8_label_propagation(spark, sf_dir: str) -> DataFrame:
     """Label-propagation community detection (Raghavan et al., PRE'07)
@@ -1001,6 +1006,10 @@ def x8_label_propagation(spark, sf_dir: str) -> DataFrame:
     list sparse as orders scale."""
     from pyspark.sql.window import Window
 
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LPA_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     e = _copurchase_edges(spark, sf_dir)
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
@@ -1016,7 +1025,9 @@ def x8_label_propagation(spark, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    return labels
+    out = labels.persist()
+    _LPA_CACHE[cache_key] = out
+    return out
 
 
 QUERIES["x8_label_propagation"] = x8_label_propagation
