@@ -256,6 +256,7 @@ HEADLINE = [
     "x6_winsorized_stats",      # robust winsorized/trimmed means
     "x6_anova_oneway",          # k-group F statistic + eta^2
     "x8_lpa_modularity",        # modularity scoring of LPA communities
+    "x6_power_means",           # continuous-metric experiment sizing
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

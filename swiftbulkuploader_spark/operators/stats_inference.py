@@ -1692,3 +1692,126 @@ ORACLES["x6_anova_oneway"] = """
            ssb / nullif(ssb + ssw, 0.0) AS eta_sq
     FROM calc
 """
+
+
+POWER_MEANS_LIFTS = (0.02, 0.05, 0.10)  # candidate relative mean lifts
+POWER_Z_A = 1.959964  # two-sided alpha 0.05
+POWER_Z_B = 0.841621  # 80% power
+
+
+def x6_power_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing for a CONTINUOUS metric — the means twin of
+    x6_power_analysis (which sizes proportions): at the control arm's
+    observed per-user revenue mean and variance, how many users per arm
+    does each candidate relative lift need (two-sample normal
+    approximation, n = 2 (z_a+z_b)^2 s^2 / delta^2, alpha 0.05
+    two-sided / 80% power), is today's arm already big enough, and the
+    minimum detectable relative lift at the current size. Same
+    md5-parity split as the rest of the experiment kit.
+
+    EXACTNESS: per-user cents totals, control-arm (n, s, q) moments in
+    decimal(38,0)/HUGEINT, variance as the exact (n*q - s^2) integer
+    cast once to double — every emitted number is a fixed-shape double
+    expression over bit-identical operands; the achievable flag compares
+    a 6-dp-rounded requirement (round-before-boolean). Degenerate zero
+    mean or zero variance -> NULLs via nullif, honest rather than Inf.
+
+    Shape: one distinct-user rollup, one 1-row moment fold, a bounded
+    3-row lift grid cross join (the x6_power_analysis class,
+    allowlisted)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    users = events.groupBy("user_id").agg(F.sum(cents).alias("y")).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    yd = F.col("y").cast(dec)
+    m = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, yd)).alias("s_c"),
+        F.sum(F.when(F.col("arm") == 0, yd * yd)).alias("q_c"),
+    )
+    lifts = spark.createDataFrame(
+        [(lift,) for lift in POWER_MEANS_LIFTS], "lift double"
+    )
+    g = m.crossJoin(F.broadcast(lifts))
+    n = F.col("n_c").cast("double")
+    mean_c = F.col("s_c").cast("double") / F.nullif(n, F.lit(0.0)) / F.lit(100.0)
+    var_c = (
+        (F.col("n_c").cast(dec) * F.col("q_c")
+         - F.col("s_c") * F.col("s_c")).cast("double")
+        / (n * F.nullif(n - F.lit(1.0), F.lit(0.0)))
+        / F.lit(10000.0)
+    )
+    zsum = F.lit(POWER_Z_A + POWER_Z_B)
+    delta = F.col("lift") * mean_c
+    n_req = F.ceil(
+        F.round(
+            F.lit(2.0) * zsum * zsum * var_c
+            / F.nullif(delta * delta, F.lit(0.0)),
+            6,
+        )
+    ).cast("long")
+    mde_rel = (
+        zsum * F.sqrt(F.lit(2.0) * var_c / F.nullif(n, F.lit(0.0)))
+        / F.nullif(mean_c, F.lit(0.0))
+    )
+    return g.select(
+        "lift",
+        F.col("n_c").alias("n_control"),
+        mean_c.alias("mean_control"),
+        var_c.alias("var_control"),
+        n_req.alias("n_required"),
+        (F.col("n_c") >= n_req).alias("achievable_now"),
+        mde_rel.alias("mde_rel"),
+    )
+
+
+QUERIES["x6_power_means"] = x6_power_means
+
+ORACLES["x6_power_means"] = f"""
+    WITH u AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_c,
+               sum(CAST(y AS HUGEINT)) FILTER (arm = 0) AS s_c,
+               sum(CAST(y AS HUGEINT) * y) FILTER (arm = 0) AS q_c
+        FROM u
+    ), lifts(lift) AS (VALUES {", ".join(
+        f"(CAST({lift} AS DOUBLE))" for lift in POWER_MEANS_LIFTS)}),
+    g AS (
+        SELECT m.*, lifts.lift,
+               CAST(s_c AS DOUBLE) / nullif(CAST(n_c AS DOUBLE), 0.0)
+                   / CAST(100.0 AS DOUBLE) AS mean_c,
+               CAST(n_c * q_c - s_c * s_c AS DOUBLE)
+                   / (CAST(n_c AS DOUBLE)
+                      * nullif(CAST(n_c AS DOUBLE) - 1.0, 0.0))
+                   / CAST(10000.0 AS DOUBLE) AS var_c
+        FROM m CROSS JOIN lifts
+    )
+    SELECT lift,
+           n_c AS n_control,
+           mean_c AS mean_control,
+           var_c AS var_control,
+           CAST(ceil(round(
+               2.0 * {POWER_Z_A + POWER_Z_B!r} * {POWER_Z_A + POWER_Z_B!r}
+               * var_c / nullif((lift * mean_c) * (lift * mean_c), 0.0),
+               6)) AS BIGINT) AS n_required,
+           n_c >= CAST(ceil(round(
+               2.0 * {POWER_Z_A + POWER_Z_B!r} * {POWER_Z_A + POWER_Z_B!r}
+               * var_c / nullif((lift * mean_c) * (lift * mean_c), 0.0),
+               6)) AS BIGINT) AS achievable_now,
+           {POWER_Z_A + POWER_Z_B!r}
+           * sqrt(2.0 * var_c / nullif(CAST(n_c AS DOUBLE), 0.0))
+           / nullif(mean_c, 0.0) AS mde_rel
+    FROM g
+"""

@@ -220,3 +220,18 @@ class TestStatsLiveness:
         assert r["ss_between"] > 0.0 and r["ss_within"] > 0.0
         assert _finite(r["f_stat"]) and r["f_stat"] > 0.0
         assert 0.0 < r["eta_sq"] < 1.0
+
+    def test_power_means_live(self, spark, queries):
+        """Continuous-power liveness: positive control mean/variance,
+        finite monotone requirements (smaller lift -> more users), a
+        live MDE, and NOT every lift trivially achievable."""
+        rows = sorted(queries["x6_power_means"](spark, SF).collect(),
+                      key=lambda r: r["lift"])
+        assert len(rows) == 3
+        for r in rows:
+            assert r["mean_control"] > 0.0 and r["var_control"] > 0.0
+            assert r["n_required"] is not None and r["n_required"] > 0
+            assert _finite(r["mde_rel"]) and r["mde_rel"] > 0.0
+        reqs = [r["n_required"] for r in rows]
+        assert reqs[0] > reqs[1] > reqs[2]
+        assert not all(r["achievable_now"] for r in rows)

@@ -126,6 +126,8 @@ BOUNDED_BNLJ_OK = {
                                # non-equi match (RFC 9309 longest-prefix)
     "x8_lpa_modularity",       # 1-row edge total cross-joined into the
                                # bounded per-community report
+    "x6_power_means",          # 1-row control moments x 3-row lift grid
+                               # (the x6_power_analysis class)
 }
 
 
