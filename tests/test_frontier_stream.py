@@ -87,3 +87,18 @@ class TestFrontierAdmission:
         fn(b2, 1)  # at-least-once replay: same frozen prefix -> same rows
         assert _rows(read_frontier(spark, delta)) == once
         _assert_contiguous(once)
+
+    def test_delta_partition_contains_only_new_urls(self, spark, tmp_path):
+        """Batch-proportional admission made concrete: batch 2's delta
+        partition holds ONLY the URLs batch 2 introduced — overlap
+        URLs stay in batch 1's partition, untouched."""
+        delta = str(tmp_path / "frontier")
+        fn = _admit_batch(delta)
+        fn(spark.createDataFrame(_docs(range(100, 110)), SCHEMA), 0)
+        fn(spark.createDataFrame(_docs(range(105, 115)), SCHEMA), 1)
+        df = spark.read.parquet(delta)
+        b0 = {r["keeper_doc"] for r in df.filter("batch_id = 0").collect()}
+        b1 = {r["keeper_doc"] for r in df.filter("batch_id = 1").collect()}
+        assert b0 == set(range(100, 110))
+        assert b1 == set(range(110, 115))     # only the genuinely new docs
+        assert not (b0 & b1)

@@ -99,3 +99,21 @@ class TestStreamingMonitor:
                 )
             )
         )
+
+    def test_delta_partition_is_batch_proportional(self, spark, tmp_path):
+        """The 100 TB claim made concrete: batch 2's delta partition
+        contains ONLY hours batch 2 touched (its rollup never rescans
+        history), and the cross-batch hour appears in both partitions as
+        two mergeable deltas."""
+        delta = str(tmp_path / "delta")
+        fn = _write_delta(delta)
+        fn(spark.createDataFrame(BATCH1, SCHEMA), 0)
+        fn(spark.createDataFrame(BATCH2, SCHEMA), 1)
+        per_batch = {
+            b: {str(r["hour"]) for r in
+                spark.read.parquet(delta)
+                .filter(f"batch_id = {b}").collect()}
+            for b in (0, 1)
+        }
+        assert per_batch[0] == {str(_ts(1, 10)), str(_ts(1, 11))}
+        assert per_batch[1] == {str(_ts(1, 10)), str(_ts(1, 12))}
