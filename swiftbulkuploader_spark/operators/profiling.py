@@ -1249,7 +1249,15 @@ def x6_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one grouped percentile aggregate (bounded group table) +
     one broadcast join back + one grouped fold — two passes over the
-    scan, no corpus shuffle beyond the group key."""
+    scan, no corpus shuffle beyond the group key.
+
+    Scale note (EXACT_PERCENTILE_OK contract, the x6_outlier_profile
+    treatment): the clamp bounds use EXACT `percentile` so the DuckDB
+    `quantile_cont` oracle stays bit-comparable after the 6-dp round;
+    exact-percentile state grows with distinct values per group, so at
+    100 TB swap `percentile_approx(l_extendedprice, array(0.05, 0.95),
+    10000)` for the bounds — the winsorized/trimmed means downstream
+    are insensitive to sketch-level bound error (SCALING.md)."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
     bounds = (

@@ -3165,9 +3165,13 @@ def x3_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for jj in range(1, UNIGRAM_MAXP + 1)
         ]
     )
+    # every okN shape below derives from the SAME range as the per_s
+    # aggregate (r10 ADVICE: a hard-coded 4-wide struct/when-chain would
+    # silently ignore length-5+ pieces if UNIGRAM_MAXP ever grew)
+    ok_cols = [f"ok{jj}" for jj in range(1, UNIGRAM_MAXP + 1)]
     per_w = per_s.groupBy("w", "n").agg(
         F.array_sort(
-            F.collect_list(F.struct("s", "ok1", "ok2", "ok3", "ok4"))
+            F.collect_list(F.struct("s", *ok_cols))
         ).alias("fl")
     )
 
@@ -3177,13 +3181,11 @@ def x3_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = F.element_at(
             F.col("fl"), F.least(F.greatest(acc["pos"], F.lit(1)), F.col("n"))
         )
-        # longest-first: the greedy rule, identical CASE order in the oracle
-        j = (
-            F.when(e["ok4"], F.lit(4))
-            .when(e["ok3"], F.lit(3))
-            .when(e["ok2"], F.lit(2))
-            .when(e["ok1"], F.lit(1))
-        )
+        # longest-first: the greedy rule, identical CASE order in the
+        # oracle — built from the same range, maxp down to 1
+        j = F.when(e[f"ok{UNIGRAM_MAXP}"], F.lit(UNIGRAM_MAXP))
+        for jj in range(UNIGRAM_MAXP - 1, 0, -1):
+            j = j.when(e[f"ok{jj}"], F.lit(jj))
         active = (acc["pos"] <= F.col("n")) & ~acc["unk"]
         return F.when(
             active,
@@ -3250,6 +3252,17 @@ def x3_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x3_wordpiece_encode"] = x3_wordpiece_encode
 
+# the oracle's okN flag list and longest-first CASE are GENERATED from
+# the same range(1, UNIGRAM_MAXP + 1) the Spark side uses, so growing
+# UNIGRAM_MAXP widens both engines in lockstep (r10 ADVICE fix)
+_WP_OK_FLAGS_SQL = ",\n               ".join(
+    f"bool_or(g.j = {jj} AND v.piece IS NOT NULL) AS ok{jj}"
+    for jj in range(1, UNIGRAM_MAXP + 1)
+)
+_WP_JSTAR_CASE_SQL = "CASE " + " ".join(
+    f"WHEN f.ok{jj} THEN {jj}" for jj in range(UNIGRAM_MAXP, 0, -1)
+) + " END"
+
 ORACLES["x3_wordpiece_encode"] = f"""
     WITH RECURSIVE utok AS MATERIALIZED (
         SELECT source,
@@ -3293,10 +3306,7 @@ ORACLES["x3_wordpiece_encode"] = f"""
     ),
     wflags AS MATERIALIZED (
         SELECT g.w, g.n, g.s,
-               bool_or(g.j = 1 AND v.piece IS NOT NULL) AS ok1,
-               bool_or(g.j = 2 AND v.piece IS NOT NULL) AS ok2,
-               bool_or(g.j = 3 AND v.piece IS NOT NULL) AS ok3,
-               bool_or(g.j = 4 AND v.piece IS NOT NULL) AS ok4
+               {_WP_OK_FLAGS_SQL}
         FROM wg g
         LEFT JOIN wvocab v ON v.piece = g.piece AND v.cont = g.cont
         GROUP BY 1, 2, 3
@@ -3313,8 +3323,7 @@ ORACLES["x3_wordpiece_encode"] = f"""
                q.unk OR q.jstar IS NULL AS unk
         FROM (
             SELECT s.w, s.n, s.pos, s.np, s.unk,
-                   CASE WHEN f.ok4 THEN 4 WHEN f.ok3 THEN 3
-                        WHEN f.ok2 THEN 2 WHEN f.ok1 THEN 1 END AS jstar
+                   {_WP_JSTAR_CASE_SQL} AS jstar
             FROM wseg s JOIN wflags f ON f.w = s.w AND f.s = s.pos
             WHERE s.pos <= s.n AND NOT s.unk
         ) q

@@ -1808,10 +1808,15 @@ def x7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     First/last are decided by the deterministic (ts, event_id) total
     order (the x7_twap tie-break: event_id breaks same-microsecond
     ties), implemented as min_by/max_by over an exact composite key
-    packed in decimal(38,0)/HUGEINT (unix_micros * 2^20 + event_id —
-    epoch micros * 2^20 overflows int64, the round-8 lesson class, so
-    the key lives in wide-integer space on both engines; collision-free
-    while event_id < 2^20 per microsecond, which uniqueness guarantees).
+    packed in decimal(38,0)/HUGEINT: unix_micros * 10^19 + event_id.
+    The 10^19 multiplier strictly exceeds every non-negative int64
+    (max 9.22e18), so the packing is injective over the ENTIRE id
+    domain — not just ids below some per-microsecond budget (the r10
+    ADVICE fix: the old 2^20 multiplier collided once event_id reached
+    1048576, and uniqueness does not bound id magnitude). Epoch micros
+    (~1.7e15) x 10^19 is a 35-digit product: inside decimal(38,0) and
+    DuckDB HUGEINT, outside int64 — hence wide-integer space on both
+    engines (the round-8 lesson class).
 
     Shape: ONE groupBy (event_type, hour) — map-side combined
     min/max/min_by/max_by/sum state, no window, no second shuffle; the
@@ -1823,9 +1828,12 @@ def x7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the NTZ->TZ cast
     # is exact under the pinned UTC session zone (x7_twap discipline)
     dec = "decimal(38,0)"
+    # 10^19 > max int64: injective for every possible event_id; the
+    # literal exceeds int64 so it must be born decimal, not a Python int
+    id_bound = F.expr(f"CAST('{10**19}' AS {dec})")
     key = (
         F.unix_micros(F.col("ts").cast("timestamp")).cast(dec)
-        * F.lit(1048576) + F.col("event_id")
+        * id_bound + F.col("event_id")
     )
     cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
     return (
@@ -1852,9 +1860,11 @@ ORACLES["x7_ohlc_bars"] = """
     SELECT event_type,
            date_trunc('hour', ts) AS hour,
            CAST(count(*) AS BIGINT) AS n,
-           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+                          * CAST('10000000000000000000' AS HUGEINT)
                           + event_id) AS open,
-           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1048576
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+                          * CAST('10000000000000000000' AS HUGEINT)
                           + event_id) AS close,
            max(value) AS high,
            min(value) AS low,

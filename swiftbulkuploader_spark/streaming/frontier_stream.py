@@ -44,6 +44,7 @@ from swiftbulkuploader_spark.operators.urlops import (
     FRONTIER_DELAY_MS,
     _messy_url,
 )
+from swiftbulkuploader_spark.streaming.state_io import read_state_or_none
 
 _OUT_COLS = (
     "canonical_url", "registered_domain", "keeper_doc",
@@ -76,15 +77,16 @@ def _admit_batch(delta_path: str):
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         keepers = _batch_keepers(batch)
-        try:
-            frozen = (
-                spark.read.parquet(delta_path)
-                # replay safety: ONLY the strictly-earlier prefix — a
-                # replayed batch must not read its own crashed attempt
-                .filter(F.col("batch_id") < batch_id)
-            )
-        except Exception:  # first batch: no state yet
-            frozen = None
+        # None ONLY when the state genuinely doesn't exist yet (first
+        # batch); any other read failure raises and fails the batch so
+        # the checkpoint replays it against intact state — a swallowed
+        # IO error here would re-admit the whole batch from slot 0 and
+        # permanently corrupt the contiguity/never-re-admit invariants
+        frozen = read_state_or_none(spark, delta_path)
+        if frozen is not None:
+            # replay safety: ONLY the strictly-earlier prefix — a
+            # replayed batch must not read its own crashed attempt
+            frozen = frozen.filter(F.col("batch_id") < batch_id)
         if frozen is not None:
             keepers = keepers.join(
                 frozen.select("canonical_url"), "canonical_url", "left_anti"

@@ -48,11 +48,14 @@ def stream_upload(spark: SparkSession, manifest_dir: str, store_factory: StoreFa
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from swiftbulkuploader_spark.streaming.state_io import (
+            read_state_or_none,
+        )
+
         spark_b = batch_df.sparkSession
-        try:
-            prior = spark_b.read.parquet(attempts_path)
-        except Exception:  # noqa: BLE001 - no attempts yet
-            prior = None
+        # None only when no attempts exist yet; a real read failure
+        # raises so the checkpoint replays the batch (state_io docs)
+        prior = read_state_or_none(spark_b, attempts_path)
         attempts = upload(batch_df, store_factory, prior_attempts=prior,
                           cutoff=cutoff, max_attempts=max_attempts,
                           parallelism=parallelism)

@@ -72,6 +72,25 @@ def test_seeded_drifts_each_fail():
     assert any("ghost_oracle" in p for p in probs)
 
 
+def test_plans_hard_flag_fails_soft_flag_passes():
+    """Contract 4 (r10 verdict ask #1): a committed PLANS.md carrying a
+    '!'-suffixed flags-column token must fail; allowlisted soft tokens
+    and header-legend prose mentioning flag names must not."""
+    q, o, cov, readme, allow = _base_inputs()
+    header = (
+        "# PLANS\n\nprose legend mentioning EXACT-PCTL! and BNLJ! "
+        "must not match\n\n"
+        "| query | exchanges | joins | pushed filters | codegen "
+        "| exec/skip | flags |\n|---|---|---|---|---|---|---|\n"
+    )
+    bad = header + "| x1_dedup | 4 | BroadcastHash | yes | - | - | EXACT-PCTL! |\n"
+    probs = run_lint(q, o, cov, readme, allow, plans_text=bad)
+    assert any("x1_dedup" in p and "EXACT-PCTL!" in p for p in probs)
+
+    ok = header + "| x1_dedup | 4 | BroadcastHash | yes | - | - | pctl-exact-ok |\n"
+    assert run_lint(q, o, cov, readme, allow, plans_text=ok) == []
+
+
 def test_ledger_parser_extracts_names():
     _, _, _, readme, _ = _base_inputs()
     assert ledger_names(readme) == {"x1_minhash_neardup"}

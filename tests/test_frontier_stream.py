@@ -102,3 +102,51 @@ class TestFrontierAdmission:
         assert b0 == set(range(100, 110))
         assert b1 == set(range(110, 115))     # only the genuinely new docs
         assert not (b0 & b1)
+
+    def test_corrupted_state_fails_batch_not_silently_empty(
+        self, spark, tmp_path
+    ):
+        """The r10 ADVICE defect class: a state-read failure that is NOT
+        'no state yet' must FAIL the batch (so the checkpoint replays
+        it), never be treated as empty state — empty-state fallback
+        here would re-admit every URL from slot 0 and permanently
+        corrupt the never-re-admit invariant."""
+        import pytest
+
+        delta = str(tmp_path / "frontier")
+        fn = _admit_batch(delta)
+        fn(spark.createDataFrame(_docs(range(100, 110)), SCHEMA), 0)
+        before = _rows(read_frontier(spark, delta))
+        # corrupt the existing state: a parquet-suffixed file with a
+        # garbage footer inside the state dir
+        (tmp_path / "frontier" / "batch_id=0" / "part-junk.parquet") \
+            .write_bytes(b"not a parquet footer")
+        with pytest.raises(Exception):
+            fn(spark.createDataFrame(_docs(range(108, 118)), SCHEMA), 1)
+        # the frozen partition is untouched: no batch-1 rows were written
+        df = spark.read.option("ignoreCorruptFiles", "true").parquet(delta)
+        assert {r["batch_id"] for r in df.select("batch_id").collect()} \
+            == {0}
+        # and the intact rows are byte-identical to before the failure
+        good = df.filter("batch_id = 0")
+        assert {
+            r["canonical_url"]: (
+                r["registered_domain"], r["keeper_doc"], r["slot"],
+                r["sched_offset_ms"],
+            ) for r in good.collect()
+        } == before
+
+    def test_state_io_distinguishes_missing_from_broken(
+        self, spark, tmp_path
+    ):
+        from swiftbulkuploader_spark.streaming.state_io import (
+            read_state_or_none,
+            state_path_exists,
+        )
+        missing = str(tmp_path / "nope")
+        assert not state_path_exists(spark, missing)
+        assert read_state_or_none(spark, missing) is None
+        live = str(tmp_path / "live")
+        spark.range(3).write.parquet(live)
+        assert state_path_exists(spark, live)
+        assert read_state_or_none(spark, live).count() == 3

@@ -12,7 +12,12 @@ three consistency contracts are now mechanical:
 3. every plan_inventory allowlist entry (BOUNDED_BNLJ_OK,
    EXACT_PERCENTILE_OK, HOF_WINNOW_OK, BOUNDED_WINDOW_OK) names a live
    query — a renamed/retired query cannot leave a stale exemption that
-   would silently un-guard a future query taking the old name.
+   would silently un-guard a future query taking the old name;
+4. the COMMITTED PLANS.md carries zero hard flags ('!'-suffixed tokens
+   in the flags column) — round 10 shipped an EXACT-PCTL! because the
+   flag only gated the regen path, not the committed artifact
+   (VERDICT r10 ask #1); plan_inventory.py now also exits 1 on any
+   hard flag, so both the generator and the artifact are gated.
 
 Run standalone (exit 1 + problem list on drift):
 
@@ -74,6 +79,7 @@ def run_lint(
     coverage_text: str | None = None,
     readme_text: str | None = None,
     allowlists: dict[str, set[str]] | None = None,
+    plans_text: str | None = None,
 ) -> list[str]:
     """Return a list of human-readable drift problems (empty == green).
 
@@ -136,6 +142,27 @@ def run_lint(
             problems.append(
                 f"plan_inventory.{listname}: `{q}` is not a live "
                 "registry query (stale exemption)"
+            )
+
+    # 4. committed PLANS.md must carry zero hard flags. A hard flag is
+    # a '!'-suffixed token in the flags column (last cell) of a table
+    # row — the header legend's prose mentions of flag names don't
+    # match because they aren't inside a `| ... |` row's final cell.
+    if plans_text is None:
+        plans_path = os.path.join(_REPO, "PLANS.md")
+        plans_text = _read(plans_path) if os.path.exists(plans_path) else ""
+    for line in plans_text.splitlines():
+        if not line.startswith("| "):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 7:
+            continue
+        hard = [tok for tok in cells[-1].split() if tok.endswith("!")]
+        if hard:
+            problems.append(
+                f"PLANS.md: `{cells[0]}` carries hard flag(s) "
+                f"{' '.join(hard)} — fix the plan or allowlist with a "
+                "documented scale swap, then regenerate"
             )
 
     # oracles must be a subset of queries (driver contract invariant)

@@ -157,6 +157,11 @@ EXACT_PERCENTILE_OK = {
                                # per-type hourly series (~10^4 rows per
                                # type-year; approx_percentile at 100 TB,
                                # the x6_outlier_profile contract)
+    "x6_winsorized_stats",     # p05/p95 clamp bounds: exact percentile
+                               # keeps the DuckDB oracle bit-comparable
+                               # (round-to-6dp-before-decision parity);
+                               # swap approx_percentile at 100 TB — the
+                               # x6_outlier_profile contract (SCALING.md)
 }
 
 # exact percentile / percentile_disc in a physical plan; must NOT match
@@ -361,6 +366,8 @@ def main() -> None:
     print()
     print("| query | exchanges | joins | pushed filters | codegen | exec/skip | flags |")
     print("|---|---|---|---|---|---|---|")
+    hard_flags = 0  # any '!'-suffixed flag => exit 1 (round-10 lint:
+    # a round must never ship a PLANS.md with a live hard flag again)
     for name in sorted(registry.QUERIES):
         try:
             df = registry.QUERIES[name](spark, sf_dir)
@@ -404,8 +411,14 @@ def main() -> None:
             if es is not None:
                 exec_skip = f"{es[0]}/{es[1]}"
         join_str = ", ".join(j.replace("Join", "") for j in joins) or "-"
+        hard_flags += sum(1 for f in flags if f.endswith("!"))
         print(f"| {name} | {n_exch} | {join_str} | {pushed} | {codegen} | {exec_skip} | {' '.join(flags) or '-'} |")
     spark.stop()
+    if hard_flags:
+        print(f"\nHARD FLAGS: {hard_flags} — this inventory MUST NOT ship; "
+              "fix the plan or allowlist with a documented scale swap.",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
