@@ -235,3 +235,53 @@ class TestStatsLiveness:
         reqs = [r["n_required"] for r in rows]
         assert reqs[0] > reqs[1] > reqs[2]
         assert not all(r["achievable_now"] for r in rows)
+
+
+class TestGraphLiveness:
+    """Argmax/label outputs on the co-purchase projection (r10 verdict
+    ask #8, the x6_ab_test / dominant_bin lesson): an oracle match
+    can't tell a live community structure from a collapsed one — pin
+    >1 distinct label, genuine coalescence, modularity strictly inside
+    (0, 1), and non-degenerate hub/authority spread at BOTH small SFs,
+    so a future substrate change can't silently deaden the family
+    while staying oracle-green."""
+
+    SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_label_propagation_live(self, spark, queries, sf):
+        rows = queries["x8_label_propagation"](spark, sf).collect()
+        assert rows
+        labels = {r["label"] for r in rows}
+        # more than one community, AND labels genuinely coalesced
+        # (fewer labels than nodes — LPA actually propagated)
+        assert len(labels) > 1
+        assert len(labels) < len(rows)
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_lpa_modularity_live(self, spark, queries, sf):
+        rows = queries["x8_lpa_modularity"](spark, sf).collect()
+        assert len(rows) > 1          # >1 community scored
+        q_total = sum(r["q_term"] for r in rows)
+        # better than random degree-matched wiring, below the
+        # theoretical ceiling: strictly inside (0, 1)
+        assert _finite(q_total) and 0.0 < q_total < 1.0
+        for r in rows:
+            assert r["n_nodes"] > 0 and r["d_tot"] > 0
+            assert r["e_in"] >= 0
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_hits_live(self, spark, queries, sf):
+        rows = queries["x8_hits"](spark, sf).collect()
+        hub = [r["score"] for r in rows if r["role"] == "hub"]
+        auth = [r["score"] for r in rows if r["role"] == "auth"]
+        # both roles populated with strictly positive finite scores
+        assert len(hub) > 1 and len(auth) > 1
+        assert all(_finite(s) and s > 0.0 for s in hub + auth)
+        # L1-normalized per role (the fixed-point scale contract)
+        assert abs(sum(hub) - 1.0) < 1e-9
+        assert abs(sum(auth) - 1.0) < 1e-9
+        # non-degenerate spread: a flat score vector means the graph
+        # carried no preference signal (the dominant_bin defect class)
+        assert max(hub) > min(hub) * 1.1
+        assert max(auth) > min(auth) * 1.1
