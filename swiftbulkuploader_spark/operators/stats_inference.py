@@ -391,6 +391,69 @@ BOOT_THR_HEX = tuple(
     format(math.ceil(c * float(1 << 52)), "013x") for c in BOOT_CDF
 )
 
+# Shared Poisson-replica substrate (r10 verdict ask #5): the two
+# bootstrap readouts (x6_poisson_bootstrap mean CI, x6_bootstrap_diff_ci
+# uplift CI) explode the SAME rows x BOOT_B weighted frame — md5 per
+# (order, g), two 13-hex uniforms per digest, hex-threshold inverse CDF.
+# Profiled execute-bound (build 0.4 s, exec 3.5-6.6 s at sf0.1), so the
+# fix is the _LLOYD_CACHE discipline: build + persist the weighted frame
+# once per (application, sf_dir); each readout is then one map-side
+# combined groupBy over the resident blocks. At 100 TB the persisted
+# frame spills executor-local (MEMORY_AND_DISK) or each query simply
+# rebuilds its own single pass — sharing is a session optimization, not
+# a correctness dependency.
+_BOOT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _boot_weighted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(b, arm, x, w): order price x entering replica b (1..BOOT_B) with
+    deterministic Poisson(1) weight w, arm = md5-parity of o_custkey
+    (the x6_ab_test bucketing contract). Weights depend only on
+    (o_orderkey, g) so ALL consumers — armed or not — share them."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BOOT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    from swiftbulkuploader_spark.plans.layout import spread
+
+    # spread() first: a small parquet file arrives as ONE partition and
+    # the md5-per-(row, g) stage is the compute-dense step (the
+    # _ALLPAIRS_CACHE shingle-base discipline)
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 2
+    ).alias("arm")
+    g = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B // 2))).alias("g")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x"),
+        arm, g,
+    )
+    # ONE md5 yields TWO independent 52-bit uniforms (chars 1-13 /
+    # 14-26), materialized between the explode stages so codegen keeps
+    # one digest per (row, g) — the round-8 constant-cost cut
+    hh = F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
+                        F.col("g").cast("string")))
+    pairs = F.array(*[
+        F.struct(
+            ((F.col("g") - F.lit(1)) * 2 + F.lit(j)).alias("b"),
+            F.substring(hh, (j - 1) * 13 + 1, 13).alias("s"),
+        )
+        for j in (1, 2)
+    ])
+    ex = rows.select("x", "arm", F.explode(pairs).alias("p")).select(
+        "x", "arm", F.col("p.b").alias("b"), F.col("p.s").alias("s")
+    )
+    w = F.lit(6)
+    for k in range(len(BOOT_THR_HEX) - 1, -1, -1):
+        w = F.when(F.col("s") < F.lit(BOOT_THR_HEX[k]), F.lit(k)).otherwise(w)
+    out = ex.select("b", "arm", "x", w.cast("long").alias("w")).persist()
+    out.count()  # materialize once, eagerly
+    _BOOT_CACHE[cache_key] = out
+    return out
+
 
 def x6_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic POISSON BOOTSTRAP confidence interval for the mean
@@ -416,34 +479,21 @@ def x6_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: rows x 32 weighted partial sums map-side-combine down to 32
     groups; at 100 TB this is one pass and a 32-row aggregate regardless
-    of n. Exactness: weights are integers from shared hex thresholds,
+    of n. The weighted frame itself is the SHARED persisted substrate
+    _boot_weighted_rows (r10 verdict ask #5) — x6_bootstrap_diff_ci
+    reads the same blocks, so the md5+explode cost is paid once per
+    session. Exactness: weights are integers from shared hex thresholds,
     replica means are sum-order-ulp doubles (9-digit normalized), and the
     CI bounds are SELECTED values (order decided on 6-dp-rounded means
     with replica-id tie-break)."""
     orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql.window import Window
 
-    g = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B // 2))).alias("g")
-    rows = orders.select(F.col("o_orderkey").alias("k"),
-                         F.col("o_totalprice").alias("x"), g)
-    hh = F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
-                        F.col("g").cast("string")))
-    pairs = F.array(*[
-        F.struct(
-            ((F.col("g") - F.lit(1)) * 2 + F.lit(j)).alias("b"),
-            F.substring(hh, (j - 1) * 13 + 1, 13).alias("s"),
-        )
-        for j in (1, 2)
-    ])
-    ex = rows.select("x", F.explode(pairs).alias("p")).select(
-        "x", F.col("p.b").alias("b"), F.col("p.s").alias("s")
-    )
-    w = F.lit(6)
-    for k in range(len(BOOT_THR_HEX) - 1, -1, -1):
-        w = F.when(F.col("s") < F.lit(BOOT_THR_HEX[k]), F.lit(k)).otherwise(w)
+    # shared persisted replica substrate (weights ignore arm — they key
+    # on (order, g) only), one map-side-combined groupBy per readout
+    wx = _boot_weighted_rows(spark, sf_dir)
     reps = (
-        ex.select("b", "x", w.cast("long").alias("w"))
-        .groupBy("b")
+        wx.groupBy("b")
         .agg(
             (F.sum(F.col("w") * F.col("x")) / F.sum("w").cast("double")).alias("m")
         )
@@ -790,7 +840,9 @@ def x6_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev of the diffs.
 
     Shape: rows x BOOT_B weighted partials map-side-combine to BOOT_B
-    groups — one pass + a 32-row aggregate at any n. Liveness (the
+    groups — one pass + a 32-row aggregate at any n, over the SHARED
+    persisted replica substrate (_boot_weighted_rows, the _LLOYD_CACHE
+    discipline — r10 verdict ask #5). Liveness (the
     x6_ab_test lesson): both arms populated, diff nonzero, ci_lo <
     ci_hi, pinned in tests/test_liveness_pins.py.
 
@@ -804,27 +856,8 @@ def x6_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             16, 10,
         ).cast("long") % 2
     ).alias("arm")
-    g = F.explode(F.sequence(F.lit(1), F.lit(BOOT_B // 2))).alias("g")
-    rows = orders.select(
-        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x"),
-        arm, g,
-    )
-    hh = F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
-                        F.col("g").cast("string")))
-    pairs = F.array(*[
-        F.struct(
-            ((F.col("g") - F.lit(1)) * 2 + F.lit(j)).alias("b"),
-            F.substring(hh, (j - 1) * 13 + 1, 13).alias("s"),
-        )
-        for j in (1, 2)
-    ])
-    ex = rows.select("x", "arm", F.explode(pairs).alias("p")).select(
-        "x", "arm", F.col("p.b").alias("b"), F.col("p.s").alias("s")
-    )
-    w = F.lit(6)
-    for k in range(len(BOOT_THR_HEX) - 1, -1, -1):
-        w = F.when(F.col("s") < F.lit(BOOT_THR_HEX[k]), F.lit(k)).otherwise(w)
-    wx = ex.select("b", "arm", "x", w.cast("long").alias("w"))
+    # shared persisted replica substrate (see _boot_weighted_rows)
+    wx = _boot_weighted_rows(spark, sf_dir)
     is_a, is_b = F.col("arm") == 0, F.col("arm") == 1
     reps = wx.groupBy("b").agg(
         (
