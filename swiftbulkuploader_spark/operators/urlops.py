@@ -308,6 +308,10 @@ ORACLES["x1_url_domain_stats"] = f"""
 
 
 FRONTIER_DELAY_MS = 500  # per-domain politeness interval
+# order-aligned bucket width for the skew-free slot rank: every stage of
+# bucketed_rank is bounded by a hot domain's rows in ONE 64k-wide
+# keeper_doc range, not its total rows (plans/skew.py::bucketed_rank)
+FRONTIER_RANK_BUCKET = 1 << 16
 
 
 def x1_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,13 +326,26 @@ def x1_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     when total URLs are few).
 
     Ordering is deterministic end-to-end: within a domain, URLs fetch in
-    (keeper_doc, canonical_url) order — content-stable, engine-stable.
-    Shape: one shuffle to the domain key, one partitioned rank window
-    (bounded by per-domain URL counts); no global window. Reference
+    (keeper_doc, canonical_url) order — content-stable, engine-stable;
+    keeper_doc alone already totally orders a domain's keepers (URL
+    groups partition doc_ids, so their minima are distinct).
+
+    Shape — SKEW-HARDENED (r10 verdict ask #2): real crawl domain
+    distributions are Zipfian (one mega-domain can own double-digit
+    shares of a 100 TB crawl), and a per-domain rank window funnels the
+    hot domain to ONE task. The slot rank therefore runs through
+    plans/skew.py::bucketed_rank — local row_number inside order-aligned
+    keeper_doc buckets + cumulative per-(domain, bucket) offsets — whose
+    every stage is bounded by bucket occupancy regardless of the domain
+    distribution (measured flat task spread at a 20%-hot Zipf substrate,
+    SCALING.md Zipf row; the uniform-substrate plan pays two extra
+    bounded shuffles for that immunity). Reference
     parity: the reference's worker pool pops a shared queue with no
     per-host pacing (bulkupload.py:171-185) — this is that scheduler
     generalized to the per-host contract real object stores and crawl
     targets impose."""
+    from swiftbulkuploader_spark.plans.skew import bucketed_rank
+
     canon = with_registered_domain(_canon_frame(spark, sf_dir), "host")
     w = Window.partitionBy("canonical_url")
     keepers = (
@@ -339,15 +356,16 @@ def x1_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper_doc"))
         .drop("doc_id")
     )
-    wd = Window.partitionBy("registered_domain").orderBy(
-        "keeper_doc", "canonical_url"
+    ranked = bucketed_rank(
+        keepers, "registered_domain", "keeper_doc",
+        FRONTIER_RANK_BUCKET, out="rn", tie_cols=("canonical_url",),
     )
-    return keepers.select(
+    return ranked.select(
         "canonical_url",
         "registered_domain",
         "keeper_doc",
-        (F.row_number().over(wd) - 1).cast("long").alias("slot"),
-        ((F.row_number().over(wd) - 1) * F.lit(FRONTIER_DELAY_MS))
+        (F.col("rn") - 1).cast("long").alias("slot"),
+        ((F.col("rn") - 1) * F.lit(FRONTIER_DELAY_MS))
         .cast("long").alias("sched_offset_ms"),
     )
 

@@ -1393,6 +1393,76 @@ def shape_km_survival(df):
     )
 
 
+def _zipf_frontier(df):
+    """Zipf domain substrate (r10 verdict ask #2 — 'design probes to hit
+    the STRESS regime'): 20% of rows on ONE mega-domain plus a 1/d tail
+    over 100k domains (log-uniform inverse CDF = Zipf(1)), the shape of
+    a real web crawl that the uniform d%20 contract substrate never
+    exercises. keeper_doc = event_id (unique, the frontier contract)."""
+    import math as _math
+
+    u = (
+        F.abs(F.xxhash64("event_id", F.lit(7))) % 1_000_000
+    ).cast("double") / 1_000_000.0
+    tail = F.floor(F.exp(u * F.lit(_math.log(100_000.0)))).cast("long") + 1
+    dom = F.when(F.col("event_id") % 5 == 0, F.lit(1)).otherwise(tail)
+    return df.select(
+        dom.alias("registered_domain"),
+        F.col("event_id").alias("keeper_doc"),
+        F.md5(F.col("event_id").cast("string")).alias("canonical_url"),
+    )
+
+
+def shape_url_frontier_window_zipf(df):
+    """Baseline pathology: the per-domain slot rank as ONE window —
+    WindowExec moves the mega-domain's 20% of all rows to a single
+    task. The number the bucketed shape is measured against (and the
+    plan x1_url_frontier shipped before round 11)."""
+    keepers = _zipf_frontier(df)
+    wd = Window.partitionBy("registered_domain").orderBy(
+        "keeper_doc", "canonical_url"
+    )
+    return keepers.select(
+        "canonical_url", "registered_domain",
+        (F.row_number().over(wd) - 1).cast("long").alias("slot"),
+    )
+
+
+def shape_url_frontier_bucketed_zipf(df):
+    """plans/skew.py::bucketed_rank under the same Zipf skew — local
+    rank in order-aligned keeper_doc buckets + cumulative offsets;
+    every stage bounded by bucket occupancy, not domain share. The plan
+    x1_url_frontier ships since round 11."""
+    from swiftbulkuploader_spark.plans.skew import bucketed_rank
+
+    keepers = _zipf_frontier(df)
+    ranked = bucketed_rank(
+        keepers, "registered_domain", "keeper_doc", 1 << 16,
+        out="rn", tie_cols=("canonical_url",),
+    )
+    return ranked.select(
+        "canonical_url", "registered_domain",
+        (F.col("rn") - 1).cast("long").alias("slot"),
+    )
+
+
+def shape_url_domain_stats_zipf(df):
+    """x1_url_domain_stats' aggregate (count + two countDistincts) under
+    the Zipf domain substrate — measured to DOCUMENT its structural
+    skew-safety rather than salt it blindly: the distinct branches'
+    expand keys include the counted value (spread), and every partial
+    is map-side combined to <= 1 row per (domain, task), so no reducer
+    ever receives a domain's raw rows."""
+    keepers = _zipf_frontier(df).withColumn(
+        "host", F.concat(F.lit("h"), (F.col("keeper_doc") % 50).cast("string")),
+    )
+    return keepers.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("canonical_url").alias("n_urls"),
+    )
+
+
 SHAPES = {
     "km_survival": shape_km_survival,
     "containment_pairs": shape_containment_pairs,
@@ -1437,6 +1507,9 @@ SHAPES = {
     "skew_join_unsalted": shape_skew_join_unsalted,
     "skew_join_salted": shape_skew_join_salted,
     "skew_join_aqe": shape_skew_join_aqe,
+    "url_frontier_window_zipf": shape_url_frontier_window_zipf,
+    "url_frontier_bucketed_zipf": shape_url_frontier_bucketed_zipf,
+    "url_domain_stats_zipf": shape_url_domain_stats_zipf,
 }
 
 
@@ -1487,6 +1560,72 @@ def _shuffle_write_bytes(spark) -> int | None:
         return None
 
 
+def _stage_ids(spark) -> set[int]:
+    """IDs of all completed stages so far (marker for _max_task_spread)."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return set()
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            return {s["stageId"] for s in json.load(r)}
+    except Exception:  # noqa: BLE001
+        return set()
+
+
+def _max_task_spread(spark, since: set[int],
+                     min_tasks: int = 8,
+                     min_stage_ms: int = 500) -> float | None:
+    """Worst straggler ratio (max task runtime / median task runtime)
+    over the stages completed since `since` — the r10 verdict's skew
+    'done' meter ('no straggler task >10x median'). Trivial stages
+    (few tasks or sub-min_stage_ms total run time) are skipped: their
+    max/median is scheduling noise, not skew."""
+    import statistics
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+        worst = None
+        for s in stages:
+            if s["stageId"] in since or s.get("numCompleteTasks", 0) < min_tasks:
+                continue
+            if s.get("executorRunTime", 0) < min_stage_ms:
+                continue
+            durl = (f"{base}/api/v1/applications/{app_id}/stages/"
+                    f"{s['stageId']}/{s['attemptId']}?details=true")
+            with urllib.request.urlopen(durl, timeout=10) as r:
+                detail = json.load(r)
+            tasks = detail.get("tasks", {}) or {}
+            runs = [
+                t.get("taskMetrics", {}).get("executorRunTime", 0)
+                for t in tasks.values()
+                if t.get("status") == "SUCCESS" and t.get("taskMetrics")
+            ]
+            if len(runs) < min_tasks:
+                continue
+            med = statistics.median(runs)
+            if med <= 0:
+                continue
+            ratio = max(runs) / med
+            if worst is None or ratio > worst:
+                worst = ratio
+        return worst
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     wanted = sys.argv[2:]
@@ -1504,17 +1643,19 @@ def main() -> None:
 
     out = {}
     for name, shape in shapes.items():
-        times, sbytes = [], []
+        times, sbytes, spreads = [], [], []
         snap = _snapshot_confs(spark)
         try:
             for n in (base_n, base_n * 10):
                 best = float("inf")
                 bytes_run = None
+                spread_run = None
                 for rep in range(2):
                     # shape construction INSIDE the timed region: iterative
                     # shapes (dup_clusters_full) run their loop's jobs during
                     # construction, not at the final write
                     b0 = _shuffle_write_bytes(spark) if rep == 1 else None
+                    marker = _stage_ids(spark) if rep == 1 else None
                     t0 = time.time()
                     shape(_events(spark, n)).write.format("noop").mode("overwrite").save()
                     best = min(best, time.time() - t0)
@@ -1522,8 +1663,11 @@ def main() -> None:
                         b1 = _shuffle_write_bytes(spark)
                         if b1 is not None:
                             bytes_run = b1 - b0
+                    if rep == 1 and marker is not None:
+                        spread_run = _max_task_spread(spark, marker)
                 times.append(best)
                 sbytes.append(bytes_run)
+                spreads.append(spread_run)
         finally:
             _restore_confs(spark, snap)
         out[name] = {
@@ -1534,6 +1678,11 @@ def main() -> None:
         if sbytes[0] is not None and sbytes[1] is not None:
             out[name]["shuffle_mb_1x"] = round(sbytes[0] / 1e6, 1)
             out[name]["shuffle_mb_10x"] = round(sbytes[1] / 1e6, 1)
+        if spreads[0] is not None and spreads[1] is not None:
+            # worst straggler (max task / median task) across the run's
+            # non-trivial stages — >10x flags a skew-funneled operator
+            out[name]["task_spread_1x"] = round(spreads[0], 1)
+            out[name]["task_spread_10x"] = round(spreads[1], 1)
     print(json.dumps({"base_n": base_n, "shapes": out}))
     spark.stop()
 
