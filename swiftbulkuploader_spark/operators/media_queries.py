@@ -1,14 +1,15 @@
 """Driver-contract entry for the multimodal pipeline (SURVEY.md §2.9):
 decode -> resize -> feature-extract over binary media columns.
 
-The media table is synthesized DETERMINISTICALLY from `documents` (FAKEIMG
-containers whose pixel bytes come from sha2 of the text, dimensions from
-doc_id), so the full mapInPandas dataflow — Arrow binary ferry, per-row
-error capture, binary-in/binary-out resize, histogram features — runs as a
-normal contract query with a stable row count and schema. Rows-only by
-design: the codec is Python-side (stubbed per environment constraints), not
-SQL-expressible; the building blocks are value-pinned by
-tests/test_multimodal.py instead.
+Since round 11 the image substrate is REAL binary PGM (netpbm P5) built
+byte-for-byte in SQL (synth_pgm) and decoded by the genuine stdlib
+parser (multimodal/media.py::_decode_pgm) — the WAV discipline applied
+to images (r10 verdict ask #3): pixel values follow a deterministic
+integer formula, so DuckDB predicts every decoded byte arithmetically
+without parsing binary, and the full pipeline (decode -> nearest-
+neighbor resize re-encoded as P5 -> re-decode -> histogram) is
+oracle-checked end to end, including the per-bin histogram masses.
+The FAKEIMG container remains only in tests for the error paths.
 """
 
 from __future__ import annotations
@@ -53,12 +54,62 @@ def synth_media(docs: DataFrame, limit: int = 200) -> DataFrame:
     )
 
 
+PGM_LIMIT = 200
+
+
+def synth_pgm(docs: DataFrame, limit: int = PGM_LIMIT) -> DataFrame:
+    """documents -> REAL binary-PGM media frame: standard netpbm P5
+    blobs ('P5\\n[# synth\\n]<w> <h>\\n255\\n' + raw bytes), dims from
+    doc_id (4..8 x 3..6), pixel i = (media_id*7 + i*13) % 256 — the
+    x9_wav_decode_stats formula trick, so the oracle re-derives every
+    byte arithmetically. Every third image carries a '#' comment line
+    in the header, so the contract exercises the parser's
+    comment-skipping path, not just the happy path."""
+    w = (F.col("doc_id") % 5 + 4).cast("int")
+    h = (F.col("doc_id") % 4 + 3).cast("int")
+    header = F.concat_ws(
+        "",
+        F.lit("P5\n"),
+        F.when(F.col("media_id") % 3 == 0, F.lit("# synth\n"))
+        .otherwise(F.lit("")),
+        F.col("w"), F.lit(" "), F.col("h"), F.lit("\n255\n"),
+    )
+    pix_hex = F.expr(
+        "array_join(transform(sequence(0, w * h - 1), "
+        "i -> lpad(hex((media_id * 7 + i * 13) % 256), 2, '0')), '')"
+    )
+    return (
+        docs.orderBy("doc_id")
+        .limit(limit)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            w.alias("w"), h.alias("h"),
+        )
+        .withColumn("data", F.concat(F.encode(header, "utf-8"),
+                                     F.unhex(pix_hex)))
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            F.lit("pgm").alias("format"),
+            "data",
+            F.create_map(F.lit("source"), F.lit("synth")).alias("meta"),
+        )
+    )
+
+
 def x9_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode -> resize(max_side=4) -> re-decode -> 4-bin histogram over the
-    synthesized corpus; one row per image with original and resized dims,
-    mean pixel, and the feature vector's mass (1.0 for any decodable image).
-    """
-    media = synth_media(load_table(spark, sf_dir, "documents"))
+    """REAL-image pipeline, fully oracled (r10 verdict ask #3 — the
+    rows-only graduation): P5 PGM decode (genuine stdlib parser) ->
+    nearest-neighbor resize re-encoded as P5 -> re-decode -> 4-bin
+    histogram; one row per image with original and resized dims, mean
+    pixel, and the per-bin histogram masses. Every value crosses the
+    Python codec (Arrow mapInPandas) and is re-derived arithmetically
+    by the oracle from the pixel formula — a header-size, stride, or
+    binning error in the decoder shifts some column.
+
+    At 100 TB: three narrow binary scans -> Arrow ferry -> per-image
+    stats; no shuffle until the bounded joins on media_id."""
+    media = synth_pgm(load_table(spark, sf_dir, "documents"))
     meta = decode_image_meta(media).select(
         "media_id", "width", "height",
         F.round("mean_pixel", 6).alias("mean_pixel"),
@@ -71,8 +122,10 @@ def x9_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(media, n_bins=4).select(
         "media_id",
         F.size("histogram").alias("n_bins"),
-        F.round(F.aggregate("histogram", F.lit(0.0), lambda a, x: a + x), 6)
-        .alias("feat_mass"),
+        *[
+            F.round(F.element_at("histogram", b + 1), 6).alias(f"h{b}")
+            for b in range(4)
+        ],
     )
     return (
         meta.join(resized_meta, "media_id")
@@ -108,12 +161,48 @@ QUERIES = {
     "x9_media_meta": x9_media_meta,
 }
 
-# x9_media_pipeline stays rows-only (Python-side histogram features); the
-# metadata slice is fully deterministic byte math, reproduced here from the
-# raw documents table: pixels are sha256(text) hex tiled to w*h bytes, dims
-# are doc_id arithmetic, resize is numpy's arr[::scale] stride (length
-# ceil(d/scale) with scale = ceil(max(w,h)/4)).
+# x9_media_pipeline graduated from rows-only in round 11: its substrate
+# is now real P5 PGM with formula pixels ((id*7 + i*13) % 256), so every
+# decoded value — mean, resized dims (numpy arr[::scale] stride, length
+# ceil(d/scale) with scale = ceil(max(w,h)/4)), and the 4-bin histogram
+# masses (bucket = p*4//256) — is re-derived arithmetically below.
+# x9_media_meta keeps the legacy FAKEIMG substrate (sha256-tiled pixels)
+# so the stand-in container's decode path stays contract-covered too.
 ORACLES: dict[str, str] = {
+    "x9_media_pipeline": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 5 + 4 AS INT) AS width,
+                   CAST(doc_id % 4 + 3 AS INT) AS height
+            FROM documents ORDER BY doc_id LIMIT {PGM_LIMIT}
+        ), px AS (
+            SELECT media_id, width, height,
+                   CAST((media_id * 7 + j.i * 13) % 256 AS INT) AS p
+            FROM m, unnest(range(width * height)) AS j(i)
+        ), st AS (
+            SELECT media_id, width, height,
+                   round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_pixel,
+                   round(CAST(count(CASE WHEN p * 4 // 256 = 0 THEN 1 END)
+                              AS DOUBLE) / count(*), 6) AS h0,
+                   round(CAST(count(CASE WHEN p * 4 // 256 = 1 THEN 1 END)
+                              AS DOUBLE) / count(*), 6) AS h1,
+                   round(CAST(count(CASE WHEN p * 4 // 256 = 2 THEN 1 END)
+                              AS DOUBLE) / count(*), 6) AS h2,
+                   round(CAST(count(CASE WHEN p * 4 // 256 = 3 THEN 1 END)
+                              AS DOUBLE) / count(*), 6) AS h3
+            FROM px
+            GROUP BY 1, 2, 3
+        )
+        SELECT media_id, width, height, mean_pixel,
+               CAST((width + ((greatest(width,height)+3)//4) - 1)
+                    // ((greatest(width,height)+3)//4) AS INT) AS r_width,
+               CAST((height + ((greatest(width,height)+3)//4) - 1)
+                    // ((greatest(width,height)+3)//4) AS INT) AS r_height,
+               CAST(4 AS INT) AS n_bins,
+               h0, h1, h2, h3
+        FROM st
+        ORDER BY media_id
+    """,
     "x9_media_meta": """
         WITH m AS (
             SELECT doc_id AS media_id,

@@ -135,8 +135,11 @@ class TestAudio:
 
 class TestMediaContractQuery:
     def test_x9_media_pipeline_end_to_end(self, spark):
-        """The contract query drives decode -> resize -> features over the
-        synthesized corpus: stable count, valid dims, unit feature mass."""
+        """The contract query drives REAL-PGM decode -> resize ->
+        features over the synthesized corpus: stable count, valid dims,
+        per-bin masses forming a unit histogram with EVERY bin live
+        (the pixel formula sweeps all residues mod 256, so a binning
+        bug that deadens a bin fails here, not just the oracle)."""
         from swiftbulkuploader_spark.operators.media_queries import x9_media_pipeline
 
         rows = x9_media_pipeline(spark, "/root/testdata/sf0.001").collect()
@@ -146,7 +149,42 @@ class TestMediaContractQuery:
             assert max(r["r_width"], r["r_height"]) <= 4  # resized bound
             assert 0.0 <= r["mean_pixel"] <= 255.0
             assert r["n_bins"] == 4
-            assert abs(r["feat_mass"] - 1.0) < 1e-6
+            masses = [r["h0"], r["h1"], r["h2"], r["h3"]]
+            assert abs(sum(masses) - 1.0) < 1e-5
+            # a 12-pixel image spans a 144-value arc — at least 2 bins
+            assert sum(1 for m in masses if m > 0.0) >= 2
+        # corpus-wide, every bin carries mass somewhere (liveness: a
+        # binning bug that deadens one bin everywhere fails here)
+        for k in ("h0", "h1", "h2", "h3"):
+            assert any(r[k] > 0.0 for r in rows), k
+
+    def test_pgm_codec_is_format_grade(self):
+        """The stdlib P5 parser handles the real format, not just the
+        fixture's happy path: comments anywhere in the header, multi-
+        digit dims, truncation errors, 2-byte-sample and wrong-magic
+        gates."""
+        import pytest
+
+        from swiftbulkuploader_spark.multimodal.media import (
+            _decode_pgm,
+            _encode_pgm,
+        )
+
+        px = bytes(range(12))
+        # round-trip through the encoder
+        assert _decode_pgm(_encode_pgm(4, 3, px)) == (4, 3, px)
+        # comments between any header tokens + extra whitespace
+        blob = b"P5\n# c1\n  4 # c2\n 3\n# c3\n255\n" + px
+        assert _decode_pgm(blob) == (4, 3, px)
+        # multi-digit dims
+        wide = _encode_pgm(12, 1, px)
+        assert _decode_pgm(wide) == (12, 1, px)
+        with pytest.raises(ValueError):
+            _decode_pgm(b"P5\n4 3\n255\n" + px[:-1])  # truncated
+        with pytest.raises(NotImplementedError):
+            _decode_pgm(b"P5\n4 3\n65535\n" + px)  # 2-byte samples
+        with pytest.raises(NotImplementedError):
+            _decode_pgm(b"P6\n4 3\n255\n" + px)  # not P5
 
 
 class TestFrameSamplePlan:
