@@ -1,0 +1,157 @@
+"""Streaming twin of incremental dup-cluster maintenance (r10 verdict
+ask #4) — the natural close of the incremental story: new near-dup
+EDGES arrive in micro-batches (the recrawl feed's pair output), each
+batch is contracted onto the CURRENT labeling and closed, and only the
+batch's label CHANGES are appended as a delta partition. The persisted
+state is (frozen labels, built once) + (per-batch deltas), never a
+rewritten corpus labeling.
+
+Discipline inherited from incremental_stream + frontier_stream:
+
+* the frozen labeling is computed and EAGERLY MATERIALIZED once, before
+  ``.start()`` (`prepare_frozen_labels`); micro-batches only read it —
+  the derivation-count audit in tests/test_cluster_stream.py pins
+  exactly one closure of the frozen graph across a multi-batch stream;
+* batch N derives its merge ONLY from the frozen frame + delta
+  partitions with batch_id < N (read via state_io.read_state_or_none —
+  a real IO failure fails the batch for checkpoint replay, it is never
+  treated as empty state) and writes its own batch_id partition via
+  dynamic partition overwrite: an at-least-once replay recomputes the
+  identical delta from the identical prefix and overwrites in place;
+* deltas are BATCH-PROPORTIONAL: a delta row exists only for nodes
+  whose cluster changed (old labels swallowed by a merge) or that are
+  new — an empty batch writes an empty partition and the frozen rows
+  stay byte-identical (pinned).
+
+Soundness across batches is the incremental_components contraction
+argument applied inductively: the current labeling after batches
+0..N-1 is an exact min-id component labeling of frozen ∪ edges(<N)
+(base: the frozen closure; step: contracting a closed labeling
+preserves every connection a batch can add), so merging batch N onto
+it equals the from-scratch closure of the whole union — pinned
+stream == batch == from-scratch in the tests.
+
+At 100 TB: per-batch compute is the contracted closure (batch-sized
+graph) + one hash join of the bounded changed-label set against the
+materialized labeling (broadcast of the batch side — the labeling is
+scanned in memory, shuffled never); the label-change join is the same
+probe shape as incremental_screen's, and delta writes are bounded by
+the batch. Reference parity: the reference's resume re-reads only the
+not-yet-done rows (readme.md `WHERE uploaded=0`); this is that
+incrementality promoted to graph state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# module-attribute access (not from-imports) so the tests' derivation-
+# count audit can observe every closure call via monkeypatch
+from swiftbulkuploader_spark.operators import components as _components
+from swiftbulkuploader_spark.streaming.state_io import read_state_or_none
+
+_DELTA_COLS = ("node", "cluster_id")
+
+
+def prepare_frozen_labels(frozen_edges: DataFrame,
+                          frozen_nodes: DataFrame | None = None) -> DataFrame:
+    """Close the frozen graph ONCE and persist+materialize the labeling
+    (node, label) — the state every micro-batch merges into. Isolated
+    nodes (no frozen edge) get singleton labels so the stream's label
+    space covers the whole frozen corpus."""
+    cc = _components.connected_components(frozen_edges).select(
+        "node", F.col("component").alias("label")
+    )
+    if frozen_nodes is not None:
+        singles = (
+            frozen_nodes.select("node").distinct()
+            .join(cc.select("node"), "node", "left_anti")
+            .withColumn("label", F.col("node"))
+        )
+        cc = cc.unionByName(singles)
+    out = cc.persist()
+    out.count()  # materialize once, eagerly, BEFORE .start()
+    return out
+
+
+def current_labels(spark: SparkSession, frozen_labels: DataFrame,
+                   delta_path: str,
+                   before_batch: int | None = None) -> DataFrame:
+    """The labeling as of (strictly before) `before_batch`: the latest
+    delta row per node overrides the frozen label; nodes never touched
+    keep their frozen row verbatim. None -> all batches (the read-side
+    view)."""
+    deltas = read_state_or_none(spark, delta_path)
+    if deltas is None:
+        return frozen_labels.select("node", F.col("label").alias("cluster_id"))
+    if before_batch is not None:
+        deltas = deltas.filter(F.col("batch_id") < before_batch)
+    w = Window.partitionBy("node").orderBy(F.col("batch_id").desc())
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", "cluster_id")
+    )
+    untouched = frozen_labels.join(
+        latest.select("node"), "node", "left_anti"
+    ).select("node", F.col("label").alias("cluster_id"))
+    return latest.unionByName(untouched)
+
+
+def _merge_batch(frozen_labels: DataFrame, delta_path: str):
+    """foreachBatch body: contract the batch's edges onto the current
+    labeling, close the contracted graph, write ONLY the changes as
+    this batch's delta partition."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur = current_labels(
+            spark, frozen_labels, delta_path, before_batch=batch_id
+        ).select("node", F.col("cluster_id").alias("label"))
+        merged = _components.incremental_components(
+            cur, batch.select("a", "b").localCheckpoint(eager=True)
+        )
+        # batch-proportional delta: changed or brand-new nodes only
+        delta = (
+            merged.join(
+                cur.select("node", F.col("label").alias("_old")),
+                "node", "left",
+            )
+            .filter(
+                F.col("_old").isNull()
+                | (F.col("_old") != F.col("cluster_id"))
+            )
+            .select(*_DELTA_COLS)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            delta.write.partitionBy("batch_id").mode("overwrite").parquet(
+                delta_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return fn
+
+
+def stream_cluster_maintenance(edge_stream: DataFrame,
+                               frozen_labels: DataFrame,
+                               delta_path: str,
+                               checkpoint: str):
+    """Wire a streaming (a, b) edge source through the per-batch merge.
+    `frozen_labels` must be the prepare_frozen_labels output (persisted,
+    already materialized — nothing corpus-sized runs per batch). Returns
+    the StreamingQuery (caller awaits/stops)."""
+    return (
+        edge_stream.writeStream
+        .foreachBatch(_merge_batch(frozen_labels, delta_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
