@@ -138,6 +138,7 @@ HEADLINE = [
     "x7_rate_anomaly",          # rolling z-score anomaly over the hourly rollup
     "x2_embedding_profile",     # norm/anisotropy embedding-space audit
     "x2_ivf_pq_topk",           # IVFADC: probe-pruned scan + PQ re-rank
+    "x2_ivf_topk_from_artifact",  # serve from the persisted index tables
     "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
     "x3_quality_train",         # distributed logistic-regression training
     "x6_dsir_select",           # DSIR hashed importance-weight selection

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from swiftbulkuploader_spark.operators import (
     analytics_extra,
+    ann_index,
     arrays_maps,
     behavior,
     components,
@@ -48,6 +49,7 @@ from swiftbulkuploader_spark.operators import (
 )
 
 _MODULES = (
+    ann_index,
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,

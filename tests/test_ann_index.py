@@ -1,0 +1,91 @@
+"""ANN artifact persistence (r10 verdict ask #6): a session that never
+ran training serves bit-identical top-k from the loaded parquet
+artifact — training entry points are monkeypatched to RAISE in the
+serving session, so any retrain sneaking into the serve path fails
+loudly. Also pins the partition-pruned layout and codebook round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [(r["vec_id"], r["cos_sim"]) for r in df.collect()]
+
+
+class TestAnnArtifact:
+    def test_serve_without_training_is_bit_identical(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        from swiftbulkuploader_spark.catalog import load_table
+        from swiftbulkuploader_spark.operators import ann_index, similarity
+        from swiftbulkuploader_spark.operators.similarity import (
+            _query_vector,
+            x2_ivf_topk,
+        )
+
+        path = str(tmp_path / "index")
+        # session A: train + publish
+        ann_index.save_index(spark, SF, path)
+        expected = _rows(x2_ivf_topk(spark, SF))
+
+        # session B: a fresh session over the same warehouse that CANNOT
+        # train — every training entry point raises
+        spark_b = spark.newSession()
+
+        def forbidden(*a, **kw):
+            raise AssertionError("serve path invoked a training function")
+
+        monkeypatch.setattr(similarity, "_ivf_centroids", forbidden)
+        monkeypatch.setattr(similarity, "_pq_codebooks", forbidden)
+        monkeypatch.setattr(similarity, "lloyd_refined_centroids", forbidden)
+        monkeypatch.setattr(ann_index, "_ivf_centroids", forbidden)
+        monkeypatch.setattr(ann_index, "_pq_codebooks", forbidden)
+        monkeypatch.setattr(ann_index, "save_index", forbidden)
+
+        idx = ann_index.load_index(spark_b, path)
+        emb = load_table(spark_b, SF, "embeddings")
+        q = _query_vector(spark_b, SF, 0)
+        served = _rows(ann_index.serve_ivf_topk(spark_b, emb, idx, q))
+        assert served == expected  # bit-identical, no retraining
+
+    def test_artifact_layout_and_codebook_roundtrip(self, spark, tmp_path):
+        from swiftbulkuploader_spark.operators import ann_index
+        from swiftbulkuploader_spark.operators.similarity import (
+            _ivf_centroids,
+            _pq_codebooks,
+        )
+
+        path = str(tmp_path / "index")
+        ann_index.save_index(spark, SF, path)
+
+        # assignments are PHYSICALLY partitioned by cluster — the
+        # partition-pruning contract at scale
+        parts = [
+            d for d in os.listdir(os.path.join(path, "assignments"))
+            if d.startswith("cluster=")
+        ]
+        assert len(parts) > 1
+
+        idx = ann_index.load_index(spark, path)
+        assert idx.centroids == _ivf_centroids(spark, SF)
+        assert idx.codebooks == _pq_codebooks(spark, SF)
+        # every corpus vector assigned exactly once
+        n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+        assert idx.assignments.count() == n_vec
+        assert idx.assignments.select("vec_id").distinct().count() == n_vec
+
+    def test_stale_format_never_served(self, tmp_path):
+        """Version bump changes the default artifact location, so an old
+        artifact can't satisfy a new recipe's existence check."""
+        from swiftbulkuploader_spark.operators import ann_index
+
+        p1 = ann_index.default_index_path("/data/sf0.01")
+        assert f"_v{ann_index.INDEX_FORMAT_VERSION}" in p1
+        assert p1.endswith("sf0.01")
