@@ -503,3 +503,237 @@ ORACLES["x1_url_robots"] = f"""
            coalesce(allow, TRUE) AS allowed
     FROM hit WHERE rn = 1
 """
+
+
+def x10_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl pipeline composed END TO END in ONE Catalyst plan (r10
+    verdict ask #7): messy raw URLs -> canonicalization -> URL-level
+    dedup (keeper per canonical URL — the dedup a real crawler runs
+    BEFORE fetching) -> robots longest-match admission -> then the
+    content stages of x10_training_manifest over the fetched keepers
+    only: quality floor, exact content dedup, eval-probe
+    decontamination, deterministic shuffle/shard, token packing. Output
+    is the per-chunk trainer manifest.
+
+    Every stage reuses its operator family's own expressions
+    (functions/urls.py canonicalizer, ROBOTS_RULES longest-prefix,
+    functions/text.py quality/fingerprint/shingles, the md5 shard key),
+    and the oracle nests the SAME stage SQL — URL CTEs from this
+    module's fragments, content CTEs from x10_training_manifest's — so
+    the composition is value-checked end to end, not just its pieces.
+
+    Scale shape: the URL stages add one canonical-URL shuffle (keeper
+    window) and a 6-row broadcast non-equi join (bounded BNLJ class) in
+    front of the manifest's documented stage costs; Catalyst prunes
+    text out of the URL stages (only doc_id crosses the join), so the
+    crawl front-end never widens the content scan."""
+    from swiftbulkuploader_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        shingles,
+    )
+    from swiftbulkuploader_spark.functions.text import token_count
+    from swiftbulkuploader_spark.operators.training_prep import (
+        N_SHARDS,
+        QUALITY_MIN,
+        TOKEN_BUDGET,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. canonicalize + URL dedup: one keeper per canonical URL
+    canon = _canon_frame(spark, sf_dir)
+    w_url = Window.partitionBy("canonical_url")
+    keepers = (
+        canon.select(
+            "doc_id", "canonical_url",
+            F.min("doc_id").over(w_url).alias("_keep"),
+        )
+        .filter(F.col("doc_id") == F.col("_keep"))
+    )
+
+    # 2. robots admission on the keeper's canonical path (longest match,
+    #    allow wins length ties, default allow — the x1_url_robots rule)
+    path = F.regexp_extract(
+        F.col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    rules = spark.createDataFrame(
+        list(ROBOTS_RULES), "rule string, allow boolean"
+    )
+    hit = keepers.select("doc_id", path.alias("path")).join(
+        F.broadcast(rules), F.col("path").startswith(F.col("rule")), "left"
+    )
+    w_rule = Window.partitionBy("doc_id").orderBy(
+        F.length("rule").desc(), F.col("allow").desc(), F.col("rule").asc()
+    )
+    admitted = (
+        hit.withColumn("_rn", F.row_number().over(w_rule))
+        .filter(F.col("_rn") == 1)
+        .filter(F.coalesce(F.col("allow"), F.lit(True)))
+        .select("doc_id")
+    )
+
+    # 3. "fetch": the admitted keepers' content, eval probes excluded
+    corpus = docs.join(admitted, "doc_id").filter(F.col("doc_id") >= 8)
+
+    # 4-7. the x10_training_manifest content stages over the crawl corpus
+    kept = corpus.filter(quality_score(F.col("text")) >= QUALITY_MIN)
+    w_fp = Window.partitionBy(fingerprint(F.col("text")))
+    deduped = (
+        kept.withColumn("_keep", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    sh = F.array_distinct(shingles(F.col("text")))
+    probes = (
+        docs.filter(F.col("doc_id") < 8)
+        .select(sh.alias("p_sh"), F.size(sh).alias("p_n"))
+    )
+    flagged = (
+        deduped.select("doc_id", sh.alias("d_sh"))
+        .join(F.broadcast(probes))
+        .filter(
+            F.size(F.array_intersect("d_sh", "p_sh")) / F.col("p_n") >= 0.5
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    sharded = clean.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+         % F.lit(N_SHARDS)).cast("int").alias("shard_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w_pack = (
+        Window.partitionBy("shard_id")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w_pack), F.lit(0).cast("long")
+    )
+    placed = sharded.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(TOKEN_BUDGET)).cast("long")
+    )
+    return placed.groupBy("shard_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
+QUERIES["x10_crawl_manifest"] = x10_crawl_manifest
+
+
+# the crawl-manifest oracle nests the URL fragments above in front of
+# x10_training_manifest's content-stage SQL (composition value-checked
+# end to end, the x10_dedup_funnel discipline)
+from swiftbulkuploader_spark.operators.oracle_fragments import (  # noqa: E402
+    TOKENS_DUCK as _TOKENS_DUCK,
+)
+from swiftbulkuploader_spark.operators.training_prep import (  # noqa: E402
+    N_SHARDS as _N_SHARDS,
+)
+from swiftbulkuploader_spark.operators.training_prep import (  # noqa: E402
+    QUALITY_MIN as _QUALITY_MIN,
+)
+from swiftbulkuploader_spark.operators.training_prep import (  # noqa: E402
+    TOKEN_BUDGET as _TOKEN_BUDGET,
+)
+
+ORACLES["x10_crawl_manifest"] = f"""
+    WITH raw AS (
+        SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ), parts AS (
+        SELECT doc_id, url, {_URL_PARTS_DUCK}
+        FROM raw
+    ), canon AS (
+        SELECT doc_id, {_CANON_DUCK} AS canonical_url FROM parts
+    ), keepers AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id
+            FROM canon
+        ) WHERE doc_id = keep_id
+    ), kpath AS (
+        SELECT k.doc_id,
+               regexp_extract(c.canonical_url,
+                   '^[a-z][a-z0-9+.\\-]*://[^/?#]*(/[^?#]*)', 1) AS path
+        FROM keepers k JOIN canon c USING (doc_id)
+    ), rules(rule, allow) AS (VALUES {_ROBOTS_VALUES}),
+    rhit AS (
+        SELECT k.doc_id, r.allow,
+               row_number() OVER (
+                   PARTITION BY k.doc_id
+                   ORDER BY length(r.rule) DESC NULLS LAST,
+                            r.allow DESC NULLS LAST, r.rule ASC) AS rn
+        FROM kpath k
+        LEFT JOIN rules r ON starts_with(k.path, r.rule)
+    ), admitted AS (
+        SELECT doc_id FROM rhit WHERE rn = 1 AND coalesce(allow, TRUE)
+    ), corpus AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN admitted a USING (doc_id)
+        WHERE d.doc_id >= 8
+    ), quality AS (
+        SELECT doc_id, text,
+               round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
+                 * (0.7 * (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                           ELSE 0.0 END)
+                    + 0.3 * (1 - (CASE WHEN length(text) > 0
+                             THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                             ELSE 0.0 END))), 6) AS q
+        FROM corpus
+    ), kept AS (
+        SELECT doc_id, text FROM quality WHERE q >= {_QUALITY_MIN}
+    ), deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (
+                       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   ) AS keep_id
+            FROM kept
+        ) WHERE doc_id = keep_id
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 4, 1)),
+                   i -> array_to_string(t[i:least(i + 4, len(t))], ' ')
+               )) AS s
+        FROM (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+            FROM documents
+        )
+    ), probes AS (
+        SELECT s AS p_sh, len(s) AS p_n FROM sh WHERE doc_id < 8
+    ), flagged AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT d.doc_id, s.s FROM deduped d JOIN sh s USING (doc_id)) c
+        CROSS JOIN probes p
+        WHERE CAST(len(list_intersect(c.s, p.p_sh)) AS DOUBLE) / p.p_n >= 0.5
+    ), clean AS (
+        SELECT d.doc_id, d.text FROM deduped d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ), sharded AS (
+        SELECT doc_id,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {_N_SHARDS} AS INT) AS shard_id,
+               CAST({_TOKENS_DUCK} AS BIGINT) AS n_tokens
+        FROM clean
+    ), placed AS (
+        SELECT shard_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY shuffle_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_TOKEN_BUDGET} AS chunk_id
+        FROM sharded
+    )
+    SELECT shard_id, chunk_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM placed GROUP BY shard_id, chunk_id
+"""

@@ -169,3 +169,62 @@ class TestUrlRobots:
                 assert r["rule"] == "/articles/p" and not r["allowed"]
         allowed = sum(1 for r in rows.values() if r["allowed"])
         assert 0 < allowed < len(rows)          # both verdicts live
+
+
+class TestCrawlManifestComposition:
+    def test_every_stage_drops_and_manifest_live(self, spark):
+        """x10_crawl_manifest liveness (r10 ask #7): the composition is
+        only meaningful if each front-end stage actually gates rows at
+        the contract SF — URL dedup halves the corpus (canonical
+        collisions), robots denies a real share, and the packed
+        manifest still carries multiple chunks within budget."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from swiftbulkuploader_spark.operators.training_prep import (
+            TOKEN_BUDGET,
+        )
+        from swiftbulkuploader_spark.operators.urlops import (
+            ROBOTS_RULES,
+            _canon_frame,
+            x10_crawl_manifest,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        canon = _canon_frame(spark, sf)
+        n_docs = canon.count()
+        w = Window.partitionBy("canonical_url")
+        keepers = canon.select(
+            "doc_id", "canonical_url",
+            F.min("doc_id").over(w).alias("k"),
+        ).filter("doc_id = k")
+        n_keep = keepers.count()
+        path = F.regexp_extract(
+            F.col("canonical_url"),
+            "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1,
+        )
+        rules = spark.createDataFrame(
+            list(ROBOTS_RULES), "rule string, allow boolean"
+        )
+        hit = keepers.select("doc_id", path.alias("path")).join(
+            F.broadcast(rules),
+            F.col("path").startswith(F.col("rule")), "left",
+        )
+        wr = Window.partitionBy("doc_id").orderBy(
+            F.length("rule").desc(), F.col("allow").desc(),
+            F.col("rule").asc(),
+        )
+        n_adm = (
+            hit.withColumn("rn", F.row_number().over(wr))
+            .filter("rn = 1")
+            .filter(F.coalesce(F.col("allow"), F.lit(True)))
+            .count()
+        )
+        # every front-end stage gates: 500 -> 250 -> 78 at sf0.01
+        assert n_docs > n_keep > n_adm > 0
+
+        rows = x10_crawl_manifest(spark, sf).collect()
+        assert len(rows) > 1                       # multiple chunks live
+        assert sum(r["n_docs"] for r in rows) <= n_adm  # content gates too
+        for r in rows:
+            assert r["n_docs"] > 0 and r["chunk_tokens"] > 0
