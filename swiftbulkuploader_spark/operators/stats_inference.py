@@ -1848,3 +1848,215 @@ ORACLES["x6_power_means"] = f"""
            / nullif(mean_c, 0.0) AS mde_rel
     FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — Benjamini-Hochberg FDR across the per-metric test family
+# ---------------------------------------------------------------------------
+
+BH_ALPHA = 0.10
+BH_LIFT_CENTS = 2000       # injected per-event treatment lift (20.00 units)
+_INV_SQRT_2PI = 0.3989422804014327  # 1/sqrt(2*pi), shared literal
+
+
+def x6_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing correction for an experiment's metric FAMILY —
+    the readout that closes the x6 kit's loop: one z-test per
+    event_type metric (the x6_ab_test hash-arm split) is fine alone,
+    but a dashboard of m metrics at alpha each false-positives ~m*alpha
+    of the time; Benjamini-Hochberg caps the FALSE DISCOVERY RATE
+    instead. Emits, per metric: arm sizes/means, the Welch z, its
+    two-sided p, BH rank and threshold (rank/m * alpha), the step-up
+    REJECTED verdict, and the q-value (min over j >= rank of
+    p_(j)*m/j — the smallest alpha at which this metric would reject).
+
+    Scenario design (the x6_srm_check healthy+broken discipline): a
+    deterministic treatment lift of BH_LIFT_CENTS is injected into
+    arm 1 for the metrics whose md5 leading hex digit is even, so both
+    verdicts are LIVE at every SF — lifted metrics reject, null metrics
+    calibrate the threshold (liveness pinned in
+    tests/test_liveness_pins.py).
+
+    Exactness: outcomes are exact integer cents (the x6_welch_ttest
+    scaled-integer discipline — decimal vs HUGEINT sums cast to double
+    identically); z is one fixed-shape double expression over those
+    bit-identical operands; Phi uses the Abramowitz-Stegun 7.1.26
+    polynomial (max abs error 7.5e-8 — an APPROXIMATION, identical
+    literal coefficients on both engines, documented rather than
+    hidden); p is rounded to 6 dp BEFORE every ranking/threshold
+    decision with event_type tie-breaks (round-before-decision). The
+    exp() in the normal pdf is the one residual cross-engine 1-ulp
+    surface — absorbed by the 6-dp decision rounding except on
+    measure-zero boundary inputs (the lloyd_refined_centroids accepted
+    residual class).
+
+    Shape: one conditional aggregate over the scan (map-side combined)
+    -> one m-row frame; every window after that runs over the bounded
+    metric alphabet (BOUNDED_WINDOW_OK class). At 100 TB this is a
+    metrics-dashboard query: scan once, correct the whole family."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 2
+    )
+    lifted_type = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 1), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    cents = (
+        F.round(F.col("value") * F.lit(100.0), 0).cast("decimal(20,0)")
+        + F.when((arm == 1) & lifted_type, F.lit(BH_LIFT_CENTS))
+        .otherwise(F.lit(0)).cast("decimal(20,0)")
+    )
+    base = ev.select("event_type", arm.alias("arm"), cents.alias("c"))
+    agg = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c") * F.col("c"))).alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c") * F.col("c"))).alias("ss1"),
+    )
+    n0, n1 = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    s0, s1 = F.col("s0").cast("double"), F.col("s1").cast("double")
+    ss0, ss1 = F.col("ss0").cast("double"), F.col("ss1").cast("double")
+    m0, m1 = s0 / n0, s1 / n1
+    v0 = (ss0 - s0 * s0 / n0) / (n0 - F.lit(1.0))
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1.0))
+    z = (m1 - m0) / F.sqrt(v0 / n0 + v1 / n1)
+    az = F.abs(z)
+    # Abramowitz-Stegun 7.1.26 upper-tail polynomial
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        t * (F.lit(0.319381530)
+             + t * (F.lit(-0.356563782)
+                    + t * (F.lit(1.781477937)
+                           + t * (F.lit(-1.821255978)
+                                  + t * F.lit(1.330274429)))))
+    )
+    pdf = F.lit(_INV_SQRT_2PI) * F.exp(-az * az / F.lit(2.0))
+    p6 = F.round(F.lit(2.0) * pdf * poly, 6)
+    scored = agg.select(
+        "event_type", "n_a", "n_b",
+        F.round(m0 / F.lit(100.0), 6).alias("mean_a"),
+        F.round(m1 / F.lit(100.0), 6).alias("mean_b"),
+        F.round(z, 6).alias("z"),
+        p6.alias("p"),
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.orderBy(F.col("p").asc(), F.col("event_type").asc())
+    w_all = Window.partitionBy()
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    ).withColumn("m", F.count(F.lit(1)).over(w_all))
+    thr = F.round(
+        F.col("rank").cast("double") / F.col("m").cast("double")
+        * F.lit(BH_ALPHA), 6,
+    )
+    hit = F.col("p") <= thr
+    kstar = F.max(F.when(hit, F.col("rank"))).over(w_all)
+    w_tail = (
+        Window.orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.round(
+        F.min(
+            F.least(
+                F.col("p") * F.col("m").cast("double")
+                / F.col("rank").cast("double"),
+                F.lit(1.0),
+            )
+        ).over(w_tail), 6,
+    )
+    return ranked.select(
+        "event_type", "n_a", "n_b", "mean_a", "mean_b", "z", "p",
+        "rank",
+        thr.alias("bh_thresh"),
+        q.alias("q_value"),
+        (F.col("rank") <= F.coalesce(kstar, F.lit(0))).alias("rejected"),
+    )
+
+
+QUERIES["x6_bh_fdr"] = x6_bh_fdr
+
+ORACLES["x6_bh_fdr"] = f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               CAST(round(value * 100) AS HUGEINT)
+               + (CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 2 = 1
+                        AND CAST(('0x' || substr(md5(event_type), 1, 1))
+                                 AS BIGINT) % 2 = 0
+                       THEN {BH_LIFT_CENTS} ELSE 0 END) AS c
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               sum(CASE WHEN arm = 0 THEN c END) AS s0,
+               sum(CASE WHEN arm = 0 THEN c * c END) AS ss0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               sum(CASE WHEN arm = 1 THEN c END) AS s1,
+               sum(CASE WHEN arm = 1 THEN c * c END) AS ss1
+        FROM base GROUP BY 1
+    ), zc AS (
+        SELECT event_type, n_a, n_b,
+               CAST(s0 AS DOUBLE) / CAST(n_a AS DOUBLE) AS m0,
+               CAST(s1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS m1,
+               (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                    / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS v0,
+               (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS v1
+        FROM agg
+    ), zz AS (
+        SELECT event_type, n_a, n_b, m0, m1,
+               (m1 - m0) / sqrt(v0 / CAST(n_a AS DOUBLE)
+                                + v1 / CAST(n_b AS DOUBLE)) AS z
+        FROM zc
+    ), pp AS (
+        SELECT event_type, n_a, n_b, m0, m1, z,
+               round(2.0 * {_INV_SQRT_2PI!r} * exp(-abs(z) * abs(z) / 2.0)
+                 * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (0.319381530
+                       + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * (-0.356563782
+                          + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                             * (-1.821255978
+                                + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                * 1.330274429))))), 6) AS p
+        FROM zz
+    ), ranked AS (
+        SELECT event_type, n_a, n_b, m0, m1, z, p,
+               CAST(row_number() OVER (ORDER BY p ASC, event_type ASC)
+                    AS BIGINT) AS rank,
+               count(*) OVER () AS m
+        FROM pp
+    ), marked AS (
+        SELECT *,
+               round(CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)
+                     * {BH_ALPHA}, 6) AS bh_thresh,
+               max(CASE WHEN p <= round(CAST(rank AS DOUBLE)
+                                        / CAST(m AS DOUBLE)
+                                        * {BH_ALPHA}, 6)
+                        THEN rank END) OVER () AS kstar,
+               round(min(least(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE),
+                               1.0)) OVER (
+                   ORDER BY rank DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS q_value
+        FROM ranked
+    )
+    SELECT event_type, n_a, n_b,
+           round(m0 / 100.0, 6) AS mean_a,
+           round(m1 / 100.0, 6) AS mean_b,
+           round(z, 6) AS z,
+           p, rank, bh_thresh, q_value,
+           rank <= coalesce(kstar, 0) AS rejected
+    FROM marked
+"""

@@ -285,3 +285,26 @@ class TestGraphLiveness:
         # carried no preference signal (the dominant_bin defect class)
         assert max(hub) > min(hub) * 1.1
         assert max(auth) > min(auth) * 1.1
+
+
+class TestBhFdrLiveness:
+    def test_bh_fdr_live(self, spark, queries):
+        """BH family liveness: both verdicts present (injected metrics
+        reject, at least one null metric calibrates), p/q monotone in
+        rank, thresholds strictly increasing."""
+        rows = sorted(queries["x6_bh_fdr"](spark, SF).collect(),
+                      key=lambda r: r["rank"])
+        assert len(rows) >= 3
+        verdicts = {r["rejected"] for r in rows}
+        assert verdicts == {True, False}
+        ps = [r["p"] for r in rows]
+        qs = [r["q_value"] for r in rows]
+        assert ps == sorted(ps)
+        assert qs == sorted(qs)          # q is the running-min envelope
+        assert all(0.0 <= q <= 1.0 for q in qs)
+        thr = [r["bh_thresh"] for r in rows]
+        assert thr == sorted(thr) and thr[0] > 0.0
+        # step-up contract: every rejected rank below every accepted one
+        max_rej = max(r["rank"] for r in rows if r["rejected"])
+        assert all(r["rank"] <= max_rej for r in rows if r["rejected"])
+        assert all(r["rank"] > max_rej for r in rows if not r["rejected"])

@@ -202,6 +202,9 @@ BOUNDED_WINDOW_OK = {
                               # aggregate (bounded label alphabet)
     "x6_dataset_card",        # corpus-share window over the ~n_sources
                               # aggregate rows
+    "x6_bh_fdr",              # BH rank/threshold/q windows over the
+                              # per-METRIC aggregate (bounded event_type
+                              # alphabet — the class_balanced class)
     "x6_doremi_weights",      # global windows over the per-DOMAIN
                               # aggregate (bounded domain count)
     "x6_hll_mergeable",       # 3-row per-flag sketch table union
