@@ -141,6 +141,7 @@ HEADLINE = [
     "x2_embedding_profile",     # norm/anisotropy embedding-space audit
     "x2_ivf_pq_topk",           # IVFADC: probe-pruned scan + PQ re-rank
     "x2_ivf_topk_from_artifact",  # serve from the persisted index tables
+    "x2_ivf_pq_from_artifact",  # IVFADC from pre-encoded artifact codes
     "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
     "x3_quality_train",         # distributed logistic-regression training
     "x6_dsir_select",           # DSIR hashed importance-weight selection

@@ -43,18 +43,23 @@ from pyspark.sql import functions as F
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.operators.similarity import (
     N_PROBE,
+    PQ_M,
     _ivf_centroids,
     _lit_vec,
     _pq_codebooks,
+    _pq_best_frame,
+    _pq_sqdist_val,
     _probe_pick,
     _query_vector,
+    _sql_double,
     assign_ivf_cluster,
     cosine_similarity,
 )
+from swiftbulkuploader_spark.operators.similarity import PQ_DSUB, PQ_K  # noqa: E402
 
 # bump when quantizer/assignment semantics change: a stale artifact from
 # an older recipe must never be silently served
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2  # v2: + pre-encoded PQ codes table
 
 
 def default_index_path(sf_dir: str) -> str:
@@ -71,11 +76,12 @@ def default_index_path(sf_dir: str) -> str:
 @dataclass
 class AnnIndex:
     """A loaded index: bounded driver-side quantizer state + the
-    distributed assignment table (never collected)."""
+    distributed assignment and code tables (never collected)."""
 
     centroids: list[list[float]]
     codebooks: list[list[list[float]]]
     assignments: DataFrame
+    codes: DataFrame
 
 
 def save_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -109,6 +115,14 @@ def save_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .partitionBy("cluster")
         .parquet(os.path.join(path, "assignments"))
     )
+    # pre-encoded PQ codes — "at true scale codes are PRE-encoded at
+    # ingest" (x2_ivf_pq_topk docstring); the artifact IS that ingest
+    codes = _pq_best_frame(spark, sf_dir, books).select(
+        "vec_id",
+        *[F.col(f"b{m}")["k"].cast("int").alias(f"c{m}")
+          for m in range(PQ_M)],
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
 
 
 def load_index(spark: SparkSession, path: str) -> AnnIndex:
@@ -125,7 +139,8 @@ def load_index(spark: SparkSession, path: str) -> AnnIndex:
     for r in brows:
         books[r["m"]].append([float(x) for x in r["cv"]])
     assignments = spark.read.parquet(os.path.join(path, "assignments"))
-    return AnnIndex(centroids, books, assignments)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return AnnIndex(centroids, books, assignments, codes)
 
 
 def serve_ivf_topk(spark: SparkSession, emb: DataFrame, index: AnnIndex,
@@ -155,6 +170,37 @@ def serve_ivf_topk(spark: SparkSession, emb: DataFrame, index: AnnIndex,
     )
 
 
+def serve_ivf_pq_topk(spark: SparkSession, index: AnnIndex,
+                      q: list[float], n_probe: int = N_PROBE,
+                      k: int = 10) -> DataFrame:
+    """IVFADC from the LOADED artifact alone — the true billion-vector
+    serve shape: probe pick over the loaded centroids, cluster-
+    partition-pruned assignment scan, join to the PRE-ENCODED 8-byte PQ
+    codes, ADC = 8 literal table lookups per row. No raw embedding is
+    read and nothing is encoded at query time."""
+    probe = _probe_pick(spark, index.centroids, q, n_probe)
+    pruned = index.assignments.filter(
+        F.col("cluster").isin(probe)
+    ).filter(F.col("vec_id") >= 1)  # the x2_ivf_pq_topk query-vector gate
+    based = pruned.join(index.codes, "vec_id")
+    adc = None
+    for m in range(PQ_M):
+        tab = ", ".join(
+            f"round({_sql_double(_pq_sqdist_val(q, m * PQ_DSUB, index.codebooks[m][k2]))}, 6)"
+            for k2 in range(PQ_K)
+        )
+        t = F.element_at(F.expr(f"array({tab})"), F.col(f"c{m}") + 1)
+        adc = t if adc is None else adc + t
+    return (
+        based.select(
+            "vec_id", F.col("cluster").cast("int").alias("cluster"),
+            adc.alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def x2_ivf_topk_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x2_ivf_topk answered FROM the persisted index artifact: train+save
     once per dataset location (idempotent republish if the artifact is
@@ -173,8 +219,25 @@ def x2_ivf_topk_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_ivf_topk(spark, emb, index, q)
 
 
+def x2_ivf_pq_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2_ivf_pq_topk answered FROM the persisted artifact: partition-
+    pruned assignments + pre-encoded codes + literal ADC tables — the
+    serve-path cost is stages (1) + (3) of x2_ivf_pq_topk's docstring,
+    with stage (2) paid once at save time. Shares that query's oracle
+    verbatim; two-session no-retrain pinned in tests/test_ann_index.py."""
+    path = default_index_path(sf_dir)
+    from swiftbulkuploader_spark.streaming.state_io import state_path_exists
+
+    if not state_path_exists(spark, os.path.join(path, "codes")):
+        save_index(spark, sf_dir, path)
+    index = load_index(spark, path)
+    q = _query_vector(spark, sf_dir, 0)
+    return serve_ivf_pq_topk(spark, index, q)
+
+
 QUERIES = {
     "x2_ivf_topk_from_artifact": x2_ivf_topk_from_artifact,
+    "x2_ivf_pq_from_artifact": x2_ivf_pq_from_artifact,
 }
 
 # identical semantics, identical oracle: the artifact serve path must
@@ -185,4 +248,5 @@ from swiftbulkuploader_spark.operators.similarity import (  # noqa: E402
 
 ORACLES = {
     "x2_ivf_topk_from_artifact": _SIM_ORACLES["x2_ivf_topk"],
+    "x2_ivf_pq_from_artifact": _SIM_ORACLES["x2_ivf_pq_topk"],
 }

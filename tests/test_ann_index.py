@@ -30,10 +30,18 @@ class TestAnnArtifact:
             x2_ivf_topk,
         )
 
+        from swiftbulkuploader_spark.operators.similarity import (
+            x2_ivf_pq_topk,
+        )
+
         path = str(tmp_path / "index")
-        # session A: train + publish
+        # session A: train + publish, and record both inline results
         ann_index.save_index(spark, SF, path)
         expected = _rows(x2_ivf_topk(spark, SF))
+        pq_expected = [
+            (r["vec_id"], r["cluster"], r["adc_dist"])
+            for r in x2_ivf_pq_topk(spark, SF).collect()
+        ]
 
         # session B: a fresh session over the same warehouse that CANNOT
         # train — every training entry point raises
@@ -54,6 +62,14 @@ class TestAnnArtifact:
         q = _query_vector(spark_b, SF, 0)
         served = _rows(ann_index.serve_ivf_topk(spark_b, emb, idx, q))
         assert served == expected  # bit-identical, no retraining
+
+        # the IVFADC serve likewise: pre-encoded codes + literal ADC,
+        # identical to the inline x2_ivf_pq_topk (which trains)
+        pq_served = [
+            (r["vec_id"], r["cluster"], r["adc_dist"])
+            for r in ann_index.serve_ivf_pq_topk(spark_b, idx, q).collect()
+        ]
+        assert pq_served == pq_expected
 
     def test_artifact_layout_and_codebook_roundtrip(self, spark, tmp_path):
         from swiftbulkuploader_spark.operators import ann_index
