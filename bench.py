@@ -92,6 +92,7 @@ HEADLINE = [
     "x1_dup_clusters",          # near-dup pairs -> connected components
     "x3_repetition_stats",      # n-gram repetition profile
     "x9_media_pipeline",        # binary decode->resize->histogram (Arrow)
+    "x9_image_stats_real",      # variance/gradient/entropy from real PGM decode
     "x6_stratified_split",      # deterministic stratified train/val/test
     "x7_asof_join",             # as-of (nearest-prior) temporal join
     "x5_q9_product_profit",     # 6-table profit star join

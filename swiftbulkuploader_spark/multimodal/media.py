@@ -498,3 +498,75 @@ def decode_wav_goertzel(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "data").mapInPandas(fn, WAV_SPECTRAL_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("var_pixel", T.DoubleType()),
+    T.StructField("grad_mean", T.DoubleType()),
+    T.StructField("entropy16", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode image features (the r11 PGM path): per image, the
+    population pixel variance (contrast), mean absolute horizontal
+    gradient (sharpness/texture), and the 16-bin intensity entropy —
+    the cheap quality screens an image-pretraining pipeline cuts on
+    (flat/blank images have ~0 variance and entropy; noise has maximal
+    gradient).
+
+    Exactness discipline: every statistic folds EXACT integer sums
+    (Python ints — sum, sum of squares, sum of |neighbor diffs|,
+    per-bin counts) into one fixed-shape double expression, so the
+    oracle replays the identical arithmetic from the pixel formula;
+    entropy terms accumulate in ascending bin order and land under a
+    6-dp round on both engines."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        cols = ("media_id", "width", "height", "var_pixel", "grad_mean",
+                "entropy16", "decode_error")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for row in pdf.itertuples(index=False):
+                w = h = None
+                var = grad = ent = None
+                err = None
+                try:
+                    w, h, raw, _ = _decode_gray(bytes(row.data))
+                    arr = np.frombuffer(raw, dtype=np.uint8) \
+                        .astype(np.int64).reshape(h, w)
+                    n = w * h
+                    s = int(arr.sum())
+                    ss = int((arr * arr).sum())
+                    var = (float(ss) - float(s) * float(s) / n) / n
+                    gsum = int(np.abs(np.diff(arr, axis=1)).sum())
+                    n_g = h * (w - 1)
+                    grad = float(gsum) / n_g if n_g else 0.0
+                    counts = np.bincount(arr.ravel() // 16, minlength=16)
+                    ent = 0.0
+                    for c in counts.tolist():  # ascending bin order
+                        if c:
+                            p = float(c) / n
+                            ent = ent - p * math.log(p)
+                except Exception as e:  # noqa: BLE001 - errors become data
+                    err = f"{type(e).__name__}: {e}"
+                out["media_id"].append(row.media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["var_pixel"].append(var)
+                out["grad_mean"].append(grad)
+                out["entropy16"].append(ent)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        fn, IMAGE_STATS_SCHEMA
+    )

@@ -141,8 +141,9 @@ def x9_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ferry, Python codec), then hash-compared against DuckDB recomputing the
     same values from first principles (sha256 hex -> byte values, the
     nearest-neighbor stride arithmetic). This pins the Python codec math
-    itself to the oracle, not just the plumbing; only the histogram
-    features remain rows-only (x9_media_pipeline)."""
+    itself to the oracle, not just the plumbing — and since round 11 it
+    is the coverage that keeps the legacy FAKEIMG container's decode
+    path contract-checked (the PGM queries cover the real codec)."""
     media = synth_media(load_table(spark, sf_dir, "documents"))
     meta = decode_image_meta(media).select(
         "media_id", "width", "height", "n_bytes",
@@ -1001,3 +1002,80 @@ def _wav_spectral_oracle_sql() -> str:
 
 
 ORACLES["x9_wav_spectral"] = _wav_spectral_oracle_sql()
+
+
+def x9_image_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality screens over the REAL PGM decode (the r11 second-
+    modality payoff): per image, contrast (population pixel variance),
+    texture (mean |horizontal neighbor diff|), and 16-bin intensity
+    entropy — the cheap cuts an image-pretraining pipeline applies
+    before any model touches the bytes. Every value crosses the genuine
+    stdlib P5 parser in Arrow-batched mapInPandas and is re-derived
+    arithmetically by the oracle from the pixel formula (a header,
+    stride, or binning bug shifts some column).
+
+    Exactness: exact integer sums folded into fixed-shape double
+    expressions; entropy terms accumulate in ascending bin order on
+    both engines, 6-dp rounded before compare. Shape: one narrow binary
+    scan -> Arrow ferry -> per-image stats; no shuffle."""
+    from swiftbulkuploader_spark.multimodal.media import decode_image_stats
+
+    media = synth_pgm(load_table(spark, sf_dir, "documents"))
+    return decode_image_stats(media).select(
+        "media_id", "width", "height",
+        F.round("var_pixel", 6).alias("var_pixel"),
+        F.round("grad_mean", 6).alias("grad_mean"),
+        F.round("entropy16", 6).alias("entropy16"),
+    )
+
+
+QUERIES["x9_image_stats_real"] = x9_image_stats_real
+
+ORACLES["x9_image_stats_real"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 5 + 4 AS INT) AS width,
+               CAST(doc_id % 4 + 3 AS INT) AS height
+        FROM documents ORDER BY doc_id LIMIT {PGM_LIMIT}
+    ), px AS (
+        SELECT media_id, width, height, j.i AS i,
+               (media_id * 7 + j.i * 13) % 256 AS p
+        FROM m, unnest(range(width * height)) AS j(i)
+    ), mom AS (
+        SELECT media_id, width, height,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS s,
+               CAST(sum(p * p) AS BIGINT) AS ss
+        FROM px GROUP BY 1, 2, 3
+    ), grd AS (
+        SELECT a.media_id,
+               CAST(sum(abs(b.p - a.p)) AS BIGINT) AS gsum,
+               CAST(count(*) AS BIGINT) AS n_g
+        FROM px a JOIN px b
+          ON a.media_id = b.media_id AND b.i = a.i + 1
+             AND (a.i + 1) % a.width <> 0
+        GROUP BY 1
+    ), bins AS (
+        SELECT media_id, p // 16 AS b, CAST(count(*) AS BIGINT) AS c
+        FROM px GROUP BY 1, 2
+    ), ent AS (
+        -- ascending-bin fold mirrored: sum over b ordered ascending.
+        -- DuckDB sum() order is unspecified, but <= 16 terms of
+        -- magnitude <= 1/e leave only last-ulp noise under the 6-dp
+        -- round (the x6 fixed-shape discipline)
+        SELECT media_id,
+               sum(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                   AS e
+        FROM bins JOIN mom USING (media_id)
+        GROUP BY media_id
+    )
+    SELECT mom.media_id, mom.width, mom.height,
+           round((CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 6)
+               AS var_pixel,
+           round(CAST(g.gsum AS DOUBLE) / g.n_g, 6) AS grad_mean,
+           round(ent.e, 6) AS entropy16
+    FROM mom
+    JOIN grd g USING (media_id)
+    JOIN ent USING (media_id)
+"""
