@@ -3339,3 +3339,108 @@ def _probe_sweep_oracle_sql() -> str:
 
 
 ORACLES["x2_ivf_probe_sweep"] = _probe_sweep_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# X2 — mutual k-nearest-neighbor pairs (reciprocal-NN candidate generator)
+# ---------------------------------------------------------------------------
+
+MUTUAL_K = 3
+
+
+def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs — the high-precision candidate
+    generator semantic dedup and retrieval re-ranking both lean on: a
+    pair survives only if each vector ranks the OTHER in its top-K
+    (mutuality filters the hubness false-positives a one-sided kNN list
+    carries). Blocked by the deterministic IVF coarse quantizer (the
+    x1_semantic_dedup SemDeDup discipline): neighbors are ranked within
+    a vector's own cluster, so the pair space is sum of cluster sizes
+    squared, never corpus squared.
+
+    Determinism: cluster assignment, kNN ranking, and the mutual join
+    all decide on 6-dp-rounded cosines with vec_id tie-breaks
+    (round-before-decision); cosine(x,y) and cosine(y,x) are
+    bit-identical on both engines (same fold order, commutative
+    products), so mutuality is symmetric by construction.
+
+    Shape: one cluster shuffle -> within-cluster self-join (bounded by
+    cluster width) -> per-vector top-K window (partition = one vector's
+    in-cluster candidates) -> self-join on the reversed edge. At 100 TB
+    the cluster id is the partition column and each cluster's block is
+    an independent task."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "cluster",
+        assign_ivf_cluster("v", cents, round_dp=6),
+    )
+    x, y = base.alias("x"), base.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.cluster") == F.col("y.cluster"))
+        & (F.col("x.vec_id") != F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("sa"),
+        F.col("y.vec_id").alias("sb"),
+        F.round(
+            cosine_similarity(F.col("x.v"), F.col("y.v")), 6
+        ).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sa").orderBy(
+        F.col("cos").desc(), F.col("sb").asc()
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MUTUAL_K
+    ).select("sa", "sb", "cos")
+    t1, t2 = topk.alias("t1"), topk.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.sa") == F.col("t2.sb"))
+            & (F.col("t1.sb") == F.col("t2.sa")),
+        )
+        .filter(F.col("t1.sa") < F.col("t1.sb"))
+        .select(
+            F.col("t1.sa").alias("a"),
+            F.col("t1.sb").alias("b"),
+            F.col("t1.cos").alias("cos_sim"),
+        )
+    )
+
+
+QUERIES["x2_mutual_knn"] = x2_mutual_knn
+
+ORACLES["x2_mutual_knn"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE vec_id < 16
+    ), asn AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6)
+                       AS cos
+            FROM e CROSS JOIN c
+        )
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid DESC) = 1
+    ), p AS (
+        SELECT x.vec_id AS sa, y.vec_id AS sb,
+               round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        FROM asn x JOIN asn y
+          ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+    ), topk AS (
+        SELECT sa, sb, cos FROM p
+        QUALIFY row_number() OVER (PARTITION BY sa
+                                   ORDER BY cos DESC, sb ASC) <= {MUTUAL_K}
+    )
+    SELECT t1.sa AS a, t1.sb AS b, t1.cos AS cos_sim
+    FROM topk t1 JOIN topk t2 ON t1.sa = t2.sb AND t1.sb = t2.sa
+    WHERE t1.sa < t1.sb
+"""
