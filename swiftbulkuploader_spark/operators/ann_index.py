@@ -250,3 +250,102 @@ ORACLES = {
     "x2_ivf_topk_from_artifact": _SIM_ORACLES["x2_ivf_topk"],
     "x2_ivf_pq_from_artifact": _SIM_ORACLES["x2_ivf_pq_topk"],
 }
+
+
+def x2_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness monitor — the lifecycle readout between save_index
+    and the next retrain: per coarse cluster, how far the SAVED centroid
+    has drifted from the current data (cosine of the centroid against
+    the mean of the vectors now assigned to it), its population, and a
+    relative reindex flag (below the run's mean drift — the clusters a
+    reindex budget spends on first). Absolute thresholds are
+    corpus-dependent (measured: the healthy band moves 0.73-0.95 across
+    SFs), so the flag is RELATIVE by design; the ranking is the
+    contract.
+
+    Determinism: the per-(cluster, pos) mean is 6-dp rounded (the Lloyd
+    update discipline) before the fixed-shape cosine, and every
+    decision (flag cut) compares 6-dp-rounded values. Shape: one
+    assignment pass (broadcast centroid argmax) -> posexplode mean
+    (map-side combined, k x dim groups) -> k-row join against the
+    centroid table; the flag windows run over the bounded k-row frame
+    (BOUNDED_WINDOW_OK class)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("cluster", assign_ivf_cluster("v", cents, round_dp=6))
+    means = (
+        base.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mv"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
+        .select("cluster", F.transform("pairs", lambda p: p["mv"]).alias("mv"))
+    )
+    sizes = base.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, cv array<double>",
+    )
+    scored = (
+        means.join(F.broadcast(cent_df), "cluster")
+        .join(sizes, "cluster")
+        .select(
+            "cluster", "n_assigned",
+            F.round(
+                cosine_similarity(F.col("mv"), F.col("cv")), 6
+            ).alias("cos_to_mean"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    cut = F.round(F.avg("cos_to_mean").over(w_all), 6)
+    return scored.select(
+        "cluster", "n_assigned", "cos_to_mean",
+        cut.alias("drift_cut"),
+        (F.col("cos_to_mean") < cut).alias("reindex_first"),
+    )
+
+
+QUERIES["x2_index_staleness"] = x2_index_staleness
+
+ORACLES["x2_index_staleness"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE vec_id < 16
+    ), asn AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6)
+                       AS cos
+            FROM e CROSS JOIN c
+        )
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid DESC) = 1
+    ), mpos AS (
+        SELECT cluster, p.i AS pos, round(avg(v[p.i]), 6) AS mv
+        FROM asn, unnest(range(1, 65)) AS p(i)
+        GROUP BY 1, 2
+    ), means AS (
+        SELECT cluster, list(mv ORDER BY pos) AS mv FROM mpos GROUP BY 1
+    ), sizes AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_assigned
+        FROM asn GROUP BY 1
+    ), scored AS (
+        SELECT m.cluster, s.n_assigned,
+               round(list_cosine_similarity(m.mv, c.cv), 6) AS cos_to_mean
+        FROM means m
+        JOIN c ON c.cid = m.cluster
+        JOIN sizes s ON s.cluster = m.cluster
+    )
+    SELECT cluster, n_assigned, cos_to_mean,
+           round(avg(cos_to_mean) OVER (), 6) AS drift_cut,
+           cos_to_mean < round(avg(cos_to_mean) OVER (), 6) AS reindex_first
+    FROM scored
+"""

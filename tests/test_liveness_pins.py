@@ -308,3 +308,17 @@ class TestBhFdrLiveness:
         max_rej = max(r["rank"] for r in rows if r["rejected"])
         assert all(r["rank"] <= max_rej for r in rows if r["rejected"])
         assert all(r["rank"] > max_rej for r in rows if not r["rejected"])
+
+
+class TestIndexStalenessLiveness:
+    def test_staleness_flags_both_live(self, spark, queries):
+        """A relative drift flag is only a ranking if both sides exist:
+        some clusters below the mean drift, some above, cosines inside
+        a sane band, every cluster populated."""
+        rows = queries["x2_index_staleness"](spark, SF).collect()
+        assert len(rows) >= 8
+        flags = {r["reindex_first"] for r in rows}
+        assert flags == {True, False}
+        for r in rows:
+            assert r["n_assigned"] > 0
+            assert 0.0 < r["cos_to_mean"] < 1.0
