@@ -1810,3 +1810,86 @@ ORACLES["x8_lpa_modularity"] = f"""
     FROM dt LEFT JOIN ein ON dt.label = ein.label
     CROSS JOIN mt
 """
+
+
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 100  # seeds: projection nodes with part id % 100 == 0
+
+
+def x8_bfs_layers(spark, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance layers over the co-purchase projection
+    — the shortest-hop structure none of the other x8 readouts expose
+    (CC gives membership, PageRank mass, LPA communities; BFS gives
+    PROXIMITY to a seed set — the 'how far is every item from the
+    catalog anchors' question recommendation backfills ask). Seeds are
+    the projection nodes with id % BFS_SEED_MOD == 0 (2 at sf0.001, 20
+    at sf0.01 — every layer 0..3 populated at both, pinned); output is
+    (node, dist) for nodes reached within BFS_ROUNDS hops.
+
+    Fixed-round frontier expansion (the x8_pagerank budget discipline):
+    per round one hash join frontier->edges + one anti-join against the
+    visited set, over the memoized persisted projection
+    (_COPURCHASE_CACHE) — round cost ∝ frontier edges, never graph
+    size. The DuckDB oracle unrolls the same three rounds as
+    MATERIALIZED CTEs (CLAUDE.md 11a)."""
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    visited = (
+        nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = visited.select("node")
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r))
+            # read twice next round (frontier join + visited anti-join):
+            # materialize so the union lineage doesn't re-execute
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+QUERIES["x8_bfs_layers"] = x8_bfs_layers
+
+_BFS_ROUND_SQL = """{name} AS MATERIALIZED (
+        SELECT DISTINCT u.b AS node
+        FROM und u JOIN {prev} f ON u.a = f.node
+        WHERE u.b NOT IN (SELECT node FROM {vis})
+    ), {vis_next} AS MATERIALIZED (
+        SELECT node, dist FROM {vis}
+        UNION ALL SELECT node, {r} AS dist FROM {name}
+    )"""
+
+ORACLES["x8_bfs_layers"] = f"""
+    WITH cells0 AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), cells AS (
+        SELECT * FROM cells0
+        WHERE ok IN (SELECT ok FROM cells0
+                     GROUP BY ok HAVING count(*) <= {LP_BASKET_CAP})
+    ), e0 AS MATERIALIZED (
+        SELECT c1.pk AS a, c2.pk AS b
+        FROM cells c1 JOIN cells c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {LP_MIN_SHARED}
+    ), und AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), v0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, 0 AS dist FROM und
+        WHERE a % {BFS_SEED_MOD} = 0
+    ), f0 AS (SELECT node FROM v0),
+    {_BFS_ROUND_SQL.format(name="f1", prev="f0", vis="v0",
+                           vis_next="v1", r=1)},
+    {_BFS_ROUND_SQL.format(name="f2", prev="f1", vis="v1",
+                           vis_next="v2", r=2)},
+    {_BFS_ROUND_SQL.format(name="f3", prev="f2", vis="v2",
+                           vis_next="v3", r=3)}
+    SELECT node, CAST(dist AS INT) AS dist FROM v3
+"""

@@ -286,6 +286,19 @@ class TestGraphLiveness:
         assert max(hub) > min(hub) * 1.1
         assert max(auth) > min(auth) * 1.1
 
+    @pytest.mark.parametrize("sf", SFS)
+    def test_bfs_layers_live(self, spark, queries, sf):
+        """Every BFS layer 0..3 populated at both small SFs — a seed-set
+        or projection change that strands the frontier in round 1 would
+        stay oracle-green while measuring nothing."""
+        rows = queries["x8_bfs_layers"](spark, sf).collect()
+        dists = {}
+        for r in rows:
+            dists[r["dist"]] = dists.get(r["dist"], 0) + 1
+        assert set(dists) == {0, 1, 2, 3}, dists
+        assert all(v > 0 for v in dists.values())
+
+
 
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):

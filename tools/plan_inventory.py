@@ -205,6 +205,8 @@ BOUNDED_WINDOW_OK = {
     "x6_bh_fdr",              # BH rank/threshold/q windows over the
                               # per-METRIC aggregate (bounded event_type
                               # alphabet — the class_balanced class)
+    "x2_index_staleness",     # mean-drift cut window over the k-row
+                              # (N_CENTROIDS=16) cluster frame
     "x6_doremi_weights",      # global windows over the per-DOMAIN
                               # aggregate (bounded domain count)
     "x6_hll_mergeable",       # 3-row per-flag sketch table union
