@@ -146,6 +146,7 @@ HEADLINE = [
     "x2_mutual_knn",            # reciprocal-NN pairs, IVF-blocked
     "x2_index_staleness",       # per-cluster quantizer drift monitor
     "x8_bfs_layers",            # multi-source BFS over the co-purchase graph
+    "x7_gap_profile",           # missing-hour completeness profile (scenario pair)
     "x1_cdc_chunks",            # content-defined chunking chunk-level dedup
     "x3_quality_train",         # distributed logistic-regression training
     "x6_dsir_select",           # DSIR hashed importance-weight selection

@@ -1873,3 +1873,112 @@ ORACLES["x7_ohlc_bars"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+def x7_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness gap profile — the 'are we missing hours of
+    data' check every telemetry pipeline runs before trusting a rollup:
+    per event type, the observed-hour count, the expected count over
+    the type's own [first, last] span, the missing-hour count, and the
+    LONGEST interior gap in hours (the outage-length readout; 0 when
+    the span is dense).
+
+    Scenario pair (the x6_srm_check discipline — at sf0.1 the hourly
+    series is DENSE and a raw-only gap stat would be forever 0, the
+    CLAUDE.md 12b dead-output class): scenario 'raw' profiles the
+    stream as-is; scenario 'outage_sim' drops every 7th hour index
+    before profiling, so the detector demonstrably fires at every SF
+    (n_missing > 0, longest gap >= 1) while 'raw' reports the true
+    stream.
+
+    All integer math over hour-truncated timestamps (the x7_twap
+    NTZ->UTC discipline: unix seconds are exact under the pinned UTC
+    session zone, hour deltas are exact divisions of multiples of
+    3600). Shape: one distinct (type, hour) aggregate (map-side
+    combined — never more than types x hours rows), one
+    (scenario, type)-PARTITIONED lag window over the bounded hourly
+    series, one final fold. At 100 TB the rollup bound (types x hours)
+    is calendar-scale, independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    obs0 = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).distinct()
+    hidx = F.floor(
+        F.unix_timestamp(F.col("h").cast("timestamp")) / F.lit(3600)
+    )
+    obs = (
+        obs0.withColumn("scenario", F.lit("raw"))
+        .unionByName(
+            obs0.filter(hidx % 7 != 0)
+            .withColumn("scenario", F.lit("outage_sim"))
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("scenario", "event_type").orderBy("h")
+    hsec = F.unix_timestamp(F.col("h").cast("timestamp"))
+    gap = (
+        (hsec - F.unix_timestamp(F.lag("h", 1).over(w).cast("timestamp")))
+        / F.lit(3600) - F.lit(1)
+    ).cast("long")
+    per = obs.withColumn("gap", gap)
+    agg = per.groupBy("scenario", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        F.min("h").alias("first_hour"),
+        F.max("h").alias("last_hour"),
+        F.max(F.coalesce(F.col("gap"), F.lit(0))).cast("long")
+        .alias("longest_gap_hours"),
+    )
+    span = (
+        (F.unix_timestamp(F.col("last_hour").cast("timestamp"))
+         - F.unix_timestamp(F.col("first_hour").cast("timestamp")))
+        / F.lit(3600) + F.lit(1)
+    ).cast("long")
+    return agg.select(
+        "scenario", "event_type", "n_observed",
+        span.alias("n_expected"),
+        (span - F.col("n_observed")).cast("long").alias("n_missing"),
+        "longest_gap_hours",
+        F.date_format("first_hour", "yyyy-MM-dd HH:mm:ss")
+        .alias("first_hour"),
+        F.date_format("last_hour", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_hour"),
+    )
+
+
+QUERIES["x7_gap_profile"] = x7_gap_profile
+
+ORACLES["x7_gap_profile"] = """
+    WITH obs0 AS (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS h
+        FROM events
+    ), obs AS (
+        SELECT 'raw' AS scenario, event_type, h FROM obs0
+        UNION ALL
+        SELECT 'outage_sim' AS scenario, event_type, h FROM obs0
+        WHERE CAST(floor(epoch(h) / 3600) AS BIGINT) % 7 <> 0
+    ), g AS (
+        SELECT scenario, event_type, h,
+               CAST((epoch(h) - epoch(lag(h) OVER (
+                   PARTITION BY scenario, event_type ORDER BY h)))
+                   / 3600 - 1 AS BIGINT) AS gap
+        FROM obs
+    ), agg AS (
+        SELECT scenario, event_type,
+               CAST(count(*) AS BIGINT) AS n_observed,
+               min(h) AS first_hour,
+               max(h) AS last_hour,
+               CAST(max(coalesce(gap, 0)) AS BIGINT) AS longest_gap_hours
+        FROM g GROUP BY 1, 2
+    )
+    SELECT scenario, event_type, n_observed,
+           CAST((epoch(last_hour) - epoch(first_hour)) / 3600 + 1 AS BIGINT)
+               AS n_expected,
+           CAST((epoch(last_hour) - epoch(first_hour)) / 3600 + 1
+                - n_observed AS BIGINT) AS n_missing,
+           longest_gap_hours,
+           strftime(first_hour, '%Y-%m-%d %H:%M:%S') AS first_hour,
+           strftime(last_hour, '%Y-%m-%d %H:%M:%S') AS last_hour
+    FROM agg
+"""

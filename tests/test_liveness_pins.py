@@ -335,3 +335,26 @@ class TestIndexStalenessLiveness:
         for r in rows:
             assert r["n_assigned"] > 0
             assert 0.0 < r["cos_to_mean"] < 1.0
+
+
+class TestGapProfileLiveness:
+    def test_outage_sim_fires_at_every_sf(self, spark, queries):
+        """The raw hourly series is DENSE at sf0.1 (n_missing forever 0)
+        — the scenario pair keeps the detector demonstrably live: the
+        outage_sim rows must report missing hours and a positive
+        longest gap, and raw must never report MORE gaps than sim."""
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            rows = queries["x7_gap_profile"](spark, sf).collect()
+            raw = {r["event_type"]: r for r in rows
+                   if r["scenario"] == "raw"}
+            sim = {r["event_type"]: r for r in rows
+                   if r["scenario"] == "outage_sim"}
+            assert set(raw) == set(sim) and raw
+            for t in sim:
+                assert sim[t]["n_missing"] > 0
+                assert sim[t]["longest_gap_hours"] >= 1
+                assert sim[t]["n_missing"] >= raw[t]["n_missing"]
+                assert raw[t]["n_observed"] >= sim[t]["n_observed"]
+                assert raw[t]["n_expected"] == (
+                    raw[t]["n_observed"] + raw[t]["n_missing"]
+                )
