@@ -3368,7 +3368,16 @@ def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster width) -> per-vector top-K window (partition = one vector's
     in-cluster candidates) -> self-join on the reversed edge. At 100 TB
     the cluster id is the partition column and each cluster's block is
-    an independent task."""
+    an independent task.
+
+    Scale contract (measured, SCALING.md mutual-kNN rows): the pair
+    space is sum of squared cluster widths — with the contract's FIXED
+    16-centroid quantizer that is O(n^2/16), fine for the bounded
+    contract corpus and a pathology beyond it (probe: ~quadratic wall
+    at 10x). The 100 TB form trains n_list ∝ n/TARGET_WIDTH centroids
+    so width stays constant and the pair space is ∝ n * width = linear
+    (probe: linear wall at width 256) — one constant in the quantizer,
+    not a plan change."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
     base = emb.select(

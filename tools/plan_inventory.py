@@ -124,6 +124,8 @@ BOUNDED_BNLJ_OK = {
                                # broadcast, the x6_ab_test family)
     "x1_url_robots",           # 6-row broadcast policy table, startswith
                                # non-equi match (RFC 9309 longest-prefix)
+    "x10_crawl_manifest",      # the same 6-row robots policy BNLJ, now
+                               # composed in front of the manifest stages
     "x8_lpa_modularity",       # 1-row edge total cross-joined into the
                                # bounded per-community report
     "x6_power_means",          # 1-row control moments x 3-row lift grid

@@ -1446,6 +1446,71 @@ def shape_url_frontier_bucketed_zipf(df):
     )
 
 
+def _mutual_knn_core(df, n_clusters):
+    """Shared body: synth 8-dim vectors, cluster-assign, within-cluster
+    self-join -> per-vector top-3 -> reciprocal join (the x2_mutual_knn
+    shape with the quantizer width as the variable). n_clusters=None
+    buckets contiguous 256-id ranges (width constant at any n);
+    an int hashes into that many clusters (width grows with n)."""
+    cluster = (
+        F.floor(F.col("event_id") / F.lit(256))
+        if n_clusters is None
+        else (F.abs(F.xxhash64("event_id", F.lit(99))) % n_clusters)
+    )
+    vecs = df.select(
+        F.col("event_id").alias("vec_id"),
+        F.array(*[
+            ((F.abs(F.xxhash64("event_id", F.lit(j))) % 1000) / 1000.0)
+            for j in range(8)
+        ]).alias("v"),
+        cluster.alias("cluster"),
+    )
+    x, y = vecs.alias("x"), vecs.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, e: acc + e,
+    )
+    pairs = x.join(
+        y,
+        (F.col("x.cluster") == F.col("y.cluster"))
+        & (F.col("x.vec_id") != F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("sa"), F.col("y.vec_id").alias("sb"),
+        F.round(dot, 6).alias("cos"),
+    )
+    w = Window.partitionBy("sa").orderBy(F.col("cos").desc(),
+                                         F.col("sb").asc())
+    topk = pairs.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= 3).select("sa", "sb", "cos")
+    t1, t2 = topk.alias("t1"), topk.alias("t2")
+    return (
+        t1.join(t2, (F.col("t1.sa") == F.col("t2.sb"))
+                & (F.col("t1.sb") == F.col("t2.sa")))
+        .filter(F.col("t1.sa") < F.col("t1.sb"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def shape_mutual_knn_fixed_nlist(df):
+    """Pathology: mutual kNN blocked by a FIXED 16-cluster quantizer —
+    cluster width grows with n, so the within-cluster pair space is
+    O(n^2/16): the wall ratio at 10x data should read ~quadratic. This
+    is the x2_mutual_knn contract plan run beyond its design point (the
+    contract corpus is bounded; a 100 TB run must NOT use fixed
+    n_list)."""
+    return _mutual_knn_core(df, 16)
+
+
+def shape_mutual_knn_fixed_width(df):
+    """The scale path: the quantizer's n_list grows with the corpus so
+    cluster WIDTH stays ~256 — pair space ∝ n * width = linear. The
+    documented 100 TB form of x2_mutual_knn (SCALING.md). Width is held
+    by bucketing contiguous id ranges (a stand-in for training
+    n_list ∝ n centroids — the blocking arithmetic is what's being
+    measured, not the quantizer)."""
+    return _mutual_knn_core(df, None)
+
+
 def shape_url_domain_stats_zipf(df):
     """x1_url_domain_stats' aggregate (count + two countDistincts) under
     the Zipf domain substrate — measured to DOCUMENT its structural
@@ -1510,6 +1575,8 @@ SHAPES = {
     "url_frontier_window_zipf": shape_url_frontier_window_zipf,
     "url_frontier_bucketed_zipf": shape_url_frontier_bucketed_zipf,
     "url_domain_stats_zipf": shape_url_domain_stats_zipf,
+    "mutual_knn_fixed_nlist": shape_mutual_knn_fixed_nlist,
+    "mutual_knn_fixed_width": shape_mutual_knn_fixed_width,
 }
 
 
