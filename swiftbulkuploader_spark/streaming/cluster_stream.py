@@ -155,3 +155,25 @@ def stream_cluster_maintenance(edge_stream: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_labels(spark: SparkSession, frozen_labels: DataFrame,
+                   delta_path: str, compacted_path: str) -> DataFrame:
+    """Collapse frozen labels + every delta partition into a NEW frozen
+    snapshot at `compacted_path` (the rollup_stream compact discipline:
+    a separate path, so a crashed compaction never corrupts the live
+    deltas — swap the stream to the new snapshot with an empty delta
+    dir after success). The snapshot is the full current labeling, one
+    row per node, and is itself a valid `prepare_frozen_labels`-shaped
+    frame (min-id labels survive folding, so a restarted stream merges
+    into it directly). Returns the snapshot frame read back from disk.
+
+    At 100 TB this is the periodic maintenance job that keeps the
+    per-batch prefix read (latest-delta window over all batches)
+    bounded: after compaction the window scans one snapshot + the new
+    tail, not the whole delta history."""
+    snap = current_labels(spark, frozen_labels, delta_path)
+    snap.write.mode("overwrite").parquet(compacted_path)
+    return spark.read.parquet(compacted_path).select(
+        "node", F.col("cluster_id").alias("label")
+    )

@@ -130,3 +130,41 @@ class TestClusterStreamTwin:
         assert _labels(current_labels(spark, frozen, delta)) == once
         raw = spark.read.parquet(delta)
         assert raw.filter("batch_id = 2").count() == 0
+
+    def test_compaction_preserves_labels_and_restarts_clean(self, spark,
+                                                            tmp_path):
+        """compact_labels folds frozen + deltas into a new frozen
+        snapshot that (a) equals the live labeling exactly and (b) works
+        as the frozen frame of a RESTARTED stream — the maintenance job
+        that keeps the per-batch prefix read bounded."""
+        from swiftbulkuploader_spark.streaming.cluster_stream import (
+            _merge_batch,
+            compact_labels,
+            current_labels,
+            prepare_frozen_labels,
+        )
+
+        frozen = prepare_frozen_labels(
+            spark.createDataFrame(FROZEN_EDGES, EDGE_SCHEMA),
+            spark.createDataFrame(FROZEN_NODES, "node: long"),
+        )
+        delta = str(tmp_path / "labels")
+        fn = _merge_batch(frozen, delta)
+        fn(spark.createDataFrame(BATCH1, EDGE_SCHEMA), 0)
+        fn(spark.createDataFrame(BATCH2, EDGE_SCHEMA), 1)
+
+        snap = compact_labels(spark, frozen, delta,
+                              str(tmp_path / "snapshot"))
+        assert {r["node"]: r["label"] for r in snap.collect()} == EXPECTED
+
+        # restart against the snapshot with an empty delta dir: a new
+        # batch merging node 200 into the big cluster behaves exactly
+        # as it would have against the live state
+        delta2 = str(tmp_path / "labels2")
+        fn2 = _merge_batch(snap.persist(), delta2)
+        fn2(spark.createDataFrame([(200, 11)], EDGE_SCHEMA), 0)
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in current_labels(spark, snap, delta2).collect()
+        }
+        assert got == {**EXPECTED, 200: 1}
