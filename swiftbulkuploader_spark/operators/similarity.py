@@ -3378,14 +3378,27 @@ def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     so width stays constant and the pair space is ∝ n * width = linear
     (probe: linear wall at width 256) — one constant in the quantizer,
     not a plan change."""
+    from swiftbulkuploader_spark.functions.vectors import (
+        dot_product_unrolled,
+        l2_norm_unrolled,
+    )
+    from swiftbulkuploader_spark.plans.layout import spread
+
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    dim = len(cents[0])
+    # spread + unrolled codegen'd dot over once-per-row norms: the
+    # per-pair HOF cosine ran interpreted and cost 11 s at sf0.1 (the
+    # x1_semantic_dedup round-4 trap — unrolled form is bit-identical
+    # to the HOF fold and ~10x cheaper per pair)
+    base = spread(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     ).withColumn(
         "cluster",
         assign_ivf_cluster("v", cents, round_dp=6),
-    )
+    ).withColumn("nrm", l2_norm_unrolled("v", dim))
     x, y = base.alias("x"), base.alias("y")
     pairs = x.join(
         y,
@@ -3395,7 +3408,9 @@ def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.vec_id").alias("sa"),
         F.col("y.vec_id").alias("sb"),
         F.round(
-            cosine_similarity(F.col("x.v"), F.col("y.v")), 6
+            dot_product_unrolled("x.v", "y.v", dim)
+            / (F.col("x.nrm") * F.col("y.nrm")),
+            6,
         ).alias("cos"),
     )
     from pyspark.sql.window import Window
@@ -3403,9 +3418,12 @@ def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("sa").orderBy(
         F.col("cos").desc(), F.col("sb").asc()
     )
+    # read TWICE by the reciprocal join (t1 and t2 are the same frame) —
+    # union/join branches re-execute their subtree without this
+    # (CLAUDE.md rule 4), doubling the pair-scoring work
     topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= MUTUAL_K
-    ).select("sa", "sb", "cos")
+    ).select("sa", "sb", "cos").localCheckpoint(eager=True)
     t1, t2 = topk.alias("t1"), topk.alias("t2")
     return (
         t1.join(
