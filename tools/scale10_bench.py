@@ -46,17 +46,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # added mid-round, is now the single most expensive bench query;
 # x1_incremental_dedup is measured by the ASYMMETRIC runner below, not
 # as a whole-substrate query)
+# refreshed per round from the committed bench ranking (CLAUDE.md 12b:
+# static lists go stale silently). r11: the bootstrap pair left the
+# top-10 (shared replica substrate, 9.6 s -> 5.3 s combined) and the
+# new x2 entrants joined (mutual_knn post codegen-dot fix,
+# index_staleness).
 TOP10 = [
-    "x6_bootstrap_diff_ci",
     "x2_mmd_drift",
-    "x6_poisson_bootstrap",
     "x1_novelty_score",
+    "x1_incremental_dedup",
     "x9_phash_dedup",
     "x7_theil_sen",
     "x1_repeated_passages",
-    "x1_lsh_recall_eval",
-    "x1_simhash_recall_eval",
-    "x10_training_manifest",
+    "x2_mutual_knn",
+    "x2_kcenter_select",
+    "x1_semantic_dedup",
+    "x2_index_staleness",
 ]
 
 # tables the TOP10 actually read (generating the rest would waste the
