@@ -1359,7 +1359,17 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("vec")
         )
     )
-    cents = _ivf_centroids(spark, sf_dir, n=SEMANTIC_N_CENTROIDS)
+    # adaptive width (similarity.IVF_TARGET_WIDTH): k stays
+    # SEMANTIC_N_CENTROIDS at the contract SFs, grows with the corpus —
+    # the r11 scale10 probe measured the fixed-k form at 14.2x at 10x
+    # data (quadratic in cluster width); width-held is linear. The
+    # oracle replays the same greatest/ceil as a scalar subquery.
+    from swiftbulkuploader_spark.operators.similarity import (
+        _adaptive_nlist,
+    )
+
+    k = _adaptive_nlist(emb.count(), SEMANTIC_N_CENTROIDS)
+    cents = _ivf_centroids(spark, sf_dir, n=k)
     dim = len(cents[0])
     # centroid norms precomputed driver-side: same sequential sum + sqrt as
     # l2_norm, so the quotient is bit-identical to cosine_similarity's
@@ -1906,7 +1916,8 @@ ORACLES = {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), c AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-            FROM e WHERE vec_id < 32
+            FROM e WHERE vec_id < (SELECT greatest(32,
+                CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM e)
         ), a AS (
             SELECT e.vec_id, e.v, c.cid,
                    round(coalesce(list_cosine_similarity(e.v, c.cv), -2.0), 6) AS cos

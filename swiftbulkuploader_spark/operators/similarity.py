@@ -3346,6 +3346,25 @@ ORACLES["x2_ivf_probe_sweep"] = _probe_sweep_oracle_sql()
 # ---------------------------------------------------------------------------
 
 MUTUAL_K = 3
+# adaptive quantizer width for the QUADRATIC-in-width consumers
+# (x2_mutual_knn, x1_semantic_dedup): n_list grows past the base once
+# the corpus outgrows base * width, so per-cluster pair work stays
+# bounded — the r11 scale10 probe measured the fixed-n_list forms at
+# 18.8x / 14.2x at 10x data (quadratic), the width-held forms linear
+IVF_TARGET_WIDTH = 128
+
+
+def _adaptive_nlist(n_vectors: int, base: int) -> int:
+    import math as _math
+
+    return max(base, _math.ceil(n_vectors / IVF_TARGET_WIDTH))
+
+
+# the oracle-side twin: a scalar subquery over the vector CTE `e`,
+# identical arithmetic (greatest/ceil over the same count)
+def _adaptive_nlist_sql(base: int) -> str:
+    return (f"(SELECT greatest({base}, CAST(ceil(count(*) / "
+            f"{IVF_TARGET_WIDTH}.0) AS BIGINT)) FROM e)")
 
 
 def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3384,21 +3403,63 @@ def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from swiftbulkuploader_spark.plans.layout import spread
 
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(spark, sf_dir)
+    # adaptive width (see IVF_TARGET_WIDTH): k stays N_CENTROIDS at the
+    # contract SFs (<= 2048 vectors), grows with the corpus beyond —
+    # the count is a metadata-cheap scalar, the oracle replays the same
+    # greatest/ceil arithmetic as a scalar subquery
+    k = _adaptive_nlist(emb.count(), N_CENTROIDS)
+    cents = _ivf_centroids(spark, sf_dir, n=k)
     dim = len(cents[0])
-    # spread + unrolled codegen'd dot over once-per-row norms: the
-    # per-pair HOF cosine ran interpreted and cost 11 s at sf0.1 (the
-    # x1_semantic_dedup round-4 trap — unrolled form is bit-identical
-    # to the HOF fold and ~10x cheaper per pair)
-    base = spread(
-        emb.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # assignment via the BROADCAST-JOIN + max-of-struct template (the
+    # x1_semantic_dedup / x2_pq_codes janino-safe form): the k-wide
+    # literal scoring array is the fast path at k=16 but a ~20k-term
+    # expression at adaptive k — past janino's 64 KB method limit it
+    # silently falls back to interpreted eval (CLAUDE.md rules 9/12a;
+    # measured 76 s at the 10x substrate before this form, 8 s after)
+    cnorms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in cents]
+    cdf = spark.createDataFrame(
+        [(i, list(c), cn) for i, (c, cn) in enumerate(zip(cents, cnorms))],
+        "cid: int, cv: array<double>, cn: double",
+    )
+    nrm = l2_norm_unrolled("v", dim)
+    ccos = F.round(
+        F.coalesce(
+            F.when(
+                F.col("nrm") * F.col("cn") > 0,
+                dot_product_unrolled("v", "cv", dim)
+                / (F.col("nrm") * F.col("cn")),
+            ),
+            F.lit(-2.0),
+        ),
+        6,
+    )
+    base = (
+        spread(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
         )
-    ).withColumn(
-        "cluster",
-        assign_ivf_cluster("v", cents, round_dp=6),
-    ).withColumn("nrm", l2_norm_unrolled("v", dim))
+        .withColumn("nrm", nrm)
+        .join(F.broadcast(cdf))  # bounded: k centroid rows
+        .select(
+            "vec_id", "v", "nrm",
+            F.struct(ccos.alias("cos"), F.col("cid").alias("cid")).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            # (cos, cid) struct max: equal rounded cosines -> higher cid,
+            # the oracle's ORDER BY cos DESC, cid DESC
+            F.max("sc")["cid"].alias("cluster"),
+        )
+        # read by BOTH sides of the within-cluster self-join — persist,
+        # or the assignment pipeline executes twice per materialization
+        .persist()
+    )
     x, y = base.alias("x"), base.alias("y")
     pairs = x.join(
         y,
@@ -3447,7 +3508,7 @@ ORACLES["x2_mutual_knn"] = f"""
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-        FROM e WHERE vec_id < 16
+        FROM e WHERE vec_id < (SELECT greatest(16, CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM e)
     ), asn AS (
         SELECT vec_id, v, cid AS cluster FROM (
             SELECT e.vec_id, e.v, c.cid,
