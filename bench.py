@@ -103,6 +103,7 @@ HEADLINE = [
     "x10_training_manifest",    # composed quality->dedup->decontam->pack plan
     "x10_crawl_manifest",       # URL canon/dedup/robots composed in front
     "x6_bh_fdr",                # multiple-testing correction over the metric family
+    "x6_cohens_kappa",          # inter-rater agreement: heuristic vs teacher
     "x2_hybrid_search",         # lexical+vector RRF fusion (RAG retrieval)
     "x3_chunk_documents",       # overlapping-window RAG chunking
     "x1_semantic_dedup",        # SemDeDup: IVF-cluster-blocked cosine pruning

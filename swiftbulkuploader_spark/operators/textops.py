@@ -3488,3 +3488,125 @@ ORACLES["x3_html_extract"] = f"""
                AS text_ratio
     FROM stripped
 """
+
+
+KAPPA_HEUR_T = 0.875  # the heuristic-score MEDIAN: quality_score masses
+# at ~0.875 on this corpus (the manifest's 0.5 gate keeps ~99.8% of
+# docs — a labeler that says yes to everything produces kappa ~ 0 and
+# an empty n01 cell, the dead-substrate class). The median cut makes
+# labeler A a real rater: ~50/50 split, all four cells live at every
+# SF, and a kappa that measures genuine (im)agreement with the teacher.
+
+
+def x6_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's two INDEPENDENT quality
+    labelers — the inter-rater agreement readout a labeling pipeline
+    signs off before trusting either: labeler A is the cheap heuristic
+    (functions/text.py::quality_score >= KAPPA_HEUR_T, the manifest
+    gate's scorer at its corpus-median cut — see the constant note), labeler B the frozen teacher model
+    (x3_quality_train's QM-weighted z >= QT_TEACHER_T). Emits the full
+    confusion matrix, raw agreement p_o, chance agreement p_e, and
+    kappa = (p_o - p_e) / (1 - p_e) — agreement beyond what the two
+    marginal keep-rates would produce by luck.
+
+    Both labels decide on 6-dp-rounded scores (round-before-boolean);
+    the kappa arithmetic is one fixed-shape double expression over
+    exact integer cells. Shape: one map-side-combined aggregate over
+    the scan — a 1-row report at any corpus size.
+
+    The measurement on this corpus is NEGATIVE kappa (~-0.14 to -0.22
+    across SFs): the heuristic's punctuation-heavy score and the
+    teacher's stopword-weighted model systematically DISAGREE at their
+    median cuts — exactly the readout that tells a pipeline owner the
+    cheap screen is not a drop-in for the model. Liveness: all four
+    confusion cells nonzero at every SF and |kappa| bounded away from
+    both 0 (no signal) and 1 (degenerate identity), pinned in
+    tests/test_liveness_pins.py."""
+    from swiftbulkuploader_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_ws(F.col("text")), " ")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "is"))
+    )
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    x1 = F.round(F.log(F.lit(1.0) + F.col("n_chars").cast("double")), 6)
+    x2 = F.round(alpha_ratio, 6)
+    x3 = F.round(stop_hits.cast("double") / n_toks, 6)
+    teacher_z = F.round(
+        F.lit(QM_W[0]) + F.lit(QM_W[1]) * x1
+        + F.lit(QM_W[2]) * x2 + F.lit(QM_W[3]) * x3, 6,
+    )
+    a = quality_score(F.col("text")) >= F.lit(KAPPA_HEUR_T)
+    b = teacher_z >= F.lit(QT_TEACHER_T)
+    cells = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pa1 = (F.col("n11") + F.col("n10")).cast("double") / nd
+    pb1 = (F.col("n11") + F.col("n01")).cast("double") / nd
+    pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
+    return cells.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+QUERIES["x6_cohens_kappa"] = x6_cohens_kappa
+
+ORACLES["x6_cohens_kappa"] = f"""
+    WITH f AS (
+        SELECT doc_id, text, n_chars,
+               round(ln(CAST(1.0 AS DOUBLE) + CAST(n_chars AS DOUBLE)), 6) AS x1,
+               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS x2,
+               round(len(list_filter(
+                         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                         t -> t IN ('the','and','of','to','is')))::DOUBLE
+                     / greatest(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 1),
+                     6) AS x3
+        FROM documents
+    ), lab AS (
+        SELECT
+            round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
+              * (0.7 * (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0.0 END)
+                 + 0.3 * (1 - (CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                          ELSE 0.0 END))), 6) >= CAST({KAPPA_HEUR_T} AS DOUBLE) AS a,
+            round({QM_W[0]!r} + {QM_W[1]!r} * x1 + {QM_W[2]!r} * x2
+                  + {QM_W[3]!r} * x3, 6) >= CAST({QT_TEACHER_T} AS DOUBLE) AS b
+        FROM f
+    ), cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed,
+           round((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                   * (1.0 - CAST(n11 + n01 AS DOUBLE) / n), 6) AS p_chance,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                     + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                       * (1.0 - CAST(n11 + n01 AS DOUBLE) / n)))
+                 / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                     + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                       * (1.0 - CAST(n11 + n01 AS DOUBLE) / n))), 6) AS kappa
+    FROM cells
+"""

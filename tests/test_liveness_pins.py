@@ -358,3 +358,18 @@ class TestGapProfileLiveness:
                 assert raw[t]["n_expected"] == (
                     raw[t]["n_observed"] + raw[t]["n_missing"]
                 )
+
+
+class TestKappaLiveness:
+    def test_kappa_cells_and_signal_live(self, spark, queries):
+        """All four confusion cells populated and kappa carrying real
+        signal: bounded away from 0 (a yes-to-everything rater) and
+        from |1| (degenerate identity). The measured band on this
+        corpus is negative (the two screens systematically disagree)."""
+        r = queries["x6_cohens_kappa"](spark, SF).collect()[0]
+        for c in ("n11", "n10", "n01", "n00"):
+            assert r[c] > 0, (c, r)
+        assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+        assert 0.0 < r["p_observed"] < 1.0
+        assert 0.0 < r["p_chance"] < 1.0
+        assert 0.05 < abs(r["kappa"]) < 0.9
