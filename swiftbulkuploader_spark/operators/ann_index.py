@@ -73,6 +73,63 @@ def default_index_path(sf_dir: str) -> str:
     )
 
 
+# dataset fingerprints are deterministic per (sf_dir contents); memoized
+# per session so the two artifact queries + any lifecycle query pay the
+# bounded (count, first-row dim) probe once
+_FPRINT_CACHE: dict[tuple, str] = {}
+
+
+def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> str:
+    """Identity of the data an artifact was trained on (r11 ADVICE #1:
+    path existence alone served stale artifacts silently — a regenerated
+    dataset, a different dataset sharing a basename, or a leftover dir in
+    world-shared /tmp). sha256 over (absolute sf_dir, embeddings row
+    count, embedding dim, format version): row count + dim catch
+    regeneration and shape changes; the full path disambiguates
+    same-basename datasets. Cost: one metadata-pruned count + a 1-row
+    dim probe, memoized per session."""
+    import hashlib
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FPRINT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim_row = emb.select(F.size("embedding").alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"] if dim_row else 0
+    raw = f"{os.path.abspath(sf_dir)}|{n}|{dim}|v{INDEX_FORMAT_VERSION}"
+    fp = hashlib.sha256(raw.encode("utf-8")).hexdigest()
+    _FPRINT_CACHE[key] = fp
+    return fp
+
+
+def _manifest_matches(spark: SparkSession, path: str, fingerprint: str) -> bool:
+    """True iff the artifact at `path` carries a manifest whose
+    fingerprint equals the current dataset's. Missing manifest (old or
+    partial artifact) is a mismatch; real IO errors propagate
+    (state_io discipline)."""
+    from swiftbulkuploader_spark.streaming.state_io import state_path_exists
+
+    mpath = os.path.join(path, "manifest")
+    if not state_path_exists(spark, mpath):
+        return False
+    rows = spark.read.parquet(mpath).collect()
+    return len(rows) == 1 and rows[0]["fingerprint"] == fingerprint
+
+
+def ensure_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """Idempotent publish: (re)train IFF the artifact is missing, partial,
+    or trained on different data (fingerprint mismatch) — the serve
+    queries' single entry point."""
+    if path is None:
+        path = default_index_path(sf_dir)
+    fp = dataset_fingerprint(spark, sf_dir)
+    if not _manifest_matches(spark, path, fp):
+        save_index(spark, sf_dir, path)
+    return path
+
+
 @dataclass
 class AnnIndex:
     """A loaded index: bounded driver-side quantizer state + the
@@ -123,6 +180,14 @@ def save_index(spark: SparkSession, sf_dir: str, path: str) -> None:
           for m in range(PQ_M)],
     )
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    # manifest LAST: a partially-written artifact never matches, so an
+    # interrupted publish is retrained rather than served (r11 ADVICE #1)
+    spark.createDataFrame(
+        [(dataset_fingerprint(spark, sf_dir), INDEX_FORMAT_VERSION)],
+        "fingerprint string, format_version int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "manifest")
+    )
 
 
 def load_index(spark: SparkSession, path: str) -> AnnIndex:
@@ -207,13 +272,11 @@ def x2_ivf_topk_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing), then load and serve — the contract-level proof that the
     serve path needs only the artifact tables. Shares x2_ivf_topk's
     oracle verbatim; the two-session independence (serve with training
-    entry points disabled) is pinned in tests/test_ann_index.py."""
-    path = default_index_path(sf_dir)
-    from swiftbulkuploader_spark.streaming.state_io import state_path_exists
-
-    if not state_path_exists(spark, os.path.join(path, "assignments")):
-        save_index(spark, sf_dir, path)
-    index = load_index(spark, path)
+    entry points disabled) is pinned in tests/test_ann_index.py. Round
+    12 (r11 ADVICE #1): the existence check became a dataset-fingerprint
+    manifest check — a stale or foreign artifact is retrained, never
+    served."""
+    index = load_index(spark, ensure_index(spark, sf_dir))
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
     return serve_ivf_topk(spark, emb, index, q)
@@ -224,13 +287,10 @@ def x2_ivf_pq_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned assignments + pre-encoded codes + literal ADC tables — the
     serve-path cost is stages (1) + (3) of x2_ivf_pq_topk's docstring,
     with stage (2) paid once at save time. Shares that query's oracle
-    verbatim; two-session no-retrain pinned in tests/test_ann_index.py."""
-    path = default_index_path(sf_dir)
-    from swiftbulkuploader_spark.streaming.state_io import state_path_exists
-
-    if not state_path_exists(spark, os.path.join(path, "codes")):
-        save_index(spark, sf_dir, path)
-    index = load_index(spark, path)
+    verbatim; two-session no-retrain pinned in tests/test_ann_index.py.
+    Serve gate is the fingerprint manifest (ensure_index), not bare
+    path existence."""
+    index = load_index(spark, ensure_index(spark, sf_dir))
     q = _query_vector(spark, sf_dir, 0)
     return serve_ivf_pq_topk(spark, index, q)
 

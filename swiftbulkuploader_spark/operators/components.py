@@ -1219,14 +1219,13 @@ def x1_lsh_recall_eval(spark, sf_dir: str) -> DataFrame:
     the dedup family already materialized. Three 1-row summaries
     cross-join for the single-row report (bounded BNLJ, allowlisted).
     Oracle nests BOTH generated pipelines as MATERIALIZED CTEs."""
-    from swiftbulkuploader_spark.catalog import load_table
     from swiftbulkuploader_spark.operators.dedup import (
         allpairs_prefix_pairs,
-        minhash_exact_pairs,
+        minhash_corpus_pairs,
     )
 
     gt = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    mh = minhash_exact_pairs(load_table(spark, sf_dir, "documents")).select(
+    mh = minhash_corpus_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     hit = gt.join(mh, ["a", "b"], "left_semi")

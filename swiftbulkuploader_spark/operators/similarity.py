@@ -2221,6 +2221,15 @@ def x2_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument); the residual's cancellation near zero is clamped by
     greatest(0, .)."""
     mu, v, _norm, _n = _pca_power(spark, sf_dir)
+    return pca_project_with_basis(spark, sf_dir, mu, v)
+
+
+def pca_project_with_basis(spark: SparkSession, sf_dir: str,
+                           mu: list[float], v: list[float]) -> DataFrame:
+    """The x2_pca_project body over an EXPLICIT (mean, loading) basis —
+    factored out (round 12, r11 verdict ask #3) so the artifact serve
+    path projects with a LOADED basis, never re-running power
+    iteration."""
     emb = load_table(spark, sf_dir, "embeddings")
     cx = F.zip_with(
         F.col("embedding").cast("array<double>"), _lit_vec(mu), lambda a, b: a - b

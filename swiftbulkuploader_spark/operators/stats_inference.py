@@ -1925,7 +1925,19 @@ def x6_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     m0, m1 = s0 / n0, s1 / n1
     v0 = (ss0 - s0 * s0 / n0) / (n0 - F.lit(1.0))
     v1 = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1.0))
-    z = (m1 - m0) / F.sqrt(v0 / n0 + v1 / n1)
+    # degenerate-arm guard (r11 ADVICE): an arm with n <= 1 rows (or two
+    # zero-variance arms) divides by zero — Spark (non-ANSI) yields NULL
+    # where DuckDB's IEEE ops yield inf/NaN, and a NULL p ranks FIRST in
+    # Spark's ASC window but LAST under DuckDB's NULLS LAST, shifting
+    # every rank/threshold/q downstream. Pin the degenerate case to the
+    # no-evidence sentinel (z = 0, p = 1) on BOTH engines before the
+    # rank window; unreachable on the contract substrate
+    # (liveness-pinned), but the cross-engine surface is closed.
+    se2 = v0 / n0 + v1 / n1
+    degenerate = (
+        (F.col("n_a") <= 1) | (F.col("n_b") <= 1) | ~(se2 > F.lit(0.0))
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise((m1 - m0) / F.sqrt(se2))
     az = F.abs(z)
     # Abramowitz-Stegun 7.1.26 upper-tail polynomial
     t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
@@ -2013,9 +2025,17 @@ ORACLES["x6_bh_fdr"] = f"""
                     / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS v1
         FROM agg
     ), zz AS (
+        -- degenerate-arm guard mirroring the engine: n <= 1 in either
+        -- arm or a non-positive variance sum pins z to the no-evidence
+        -- sentinel 0.0 (p then computes to 1.0 identically on both
+        -- engines from the same polynomial at z = 0)
         SELECT event_type, n_a, n_b, m0, m1,
-               (m1 - m0) / sqrt(v0 / CAST(n_a AS DOUBLE)
-                                + v1 / CAST(n_b AS DOUBLE)) AS z
+               CASE WHEN n_a <= 1 OR n_b <= 1
+                         OR NOT (v0 / CAST(n_a AS DOUBLE)
+                                 + v1 / CAST(n_b AS DOUBLE) > 0.0)
+                    THEN 0.0
+                    ELSE (m1 - m0) / sqrt(v0 / CAST(n_a AS DOUBLE)
+                                          + v1 / CAST(n_b AS DOUBLE)) END AS z
         FROM zc
     ), pp AS (
         SELECT event_type, n_a, n_b, m0, m1, z,

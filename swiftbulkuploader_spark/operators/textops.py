@@ -172,6 +172,31 @@ def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences are absorbed by the 6-dp gradient rounding and the
     verifier's 9-significant-digit normalization — booleans (the teacher
     label, the accuracy hit test) are decided on rounded z only."""
+    feats = _qt_feats(spark, sf_dir)
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(QT_ROUNDS):
+        z6 = F.round(
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
+        )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)) - F.col("y")
+        row = feats.agg(*[
+            F.round(F.lit(w[j]) - F.lit(QT_LR) * F.avg(err * xs[j]), 6)
+            .alias(f"w{j}")
+            for j in range(4)
+        ]).first()  # bounded: one 4-scalar gradient row per round
+        w = [float(row[f"w{j}"]) for j in range(4)]
+
+    _QT_CACHE[(spark.sparkContext.applicationId, sf_dir)] = (feats, w)
+    return qt_report(feats, w)
+
+
+def _qt_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-training FEATURE frame (doc_id, x1..x3 centered, y) —
+    a pure persisted scan, no training; factored out (round 12) so the
+    artifact serve path rebuilds features without running GD."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_ws(F.col("text")), " ")
     n_toks = F.greatest(F.size(toks), F.lit(1))
@@ -201,23 +226,13 @@ def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x3r") - F.lit(QT_CENTER[2]), 6).alias("x3"),
         F.when(teacher_z >= QT_TEACHER_T, 1.0).otherwise(0.0).alias("y"),
     ).persist()
+    return feats
 
-    w = [0.0, 0.0, 0.0, 0.0]
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
-    for _ in range(QT_ROUNDS):
-        z6 = F.round(
-            F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
-        )
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)) - F.col("y")
-        row = feats.agg(*[
-            F.round(F.lit(w[j]) - F.lit(QT_LR) * F.avg(err * xs[j]), 6)
-            .alias(f"w{j}")
-            for j in range(4)
-        ]).first()  # bounded: one 4-scalar gradient row per round
-        w = [float(row[f"w{j}"]) for j in range(4)]
 
-    _QT_CACHE[(spark.sparkContext.applicationId, sf_dir)] = (feats, w)
+def qt_report(feats: DataFrame, w: list[float]) -> DataFrame:
+    """The trained-model report row (w0..w3, training accuracy, n) from
+    an explicit weight vector — shared by x3_quality_train and the
+    artifact serve path."""
     zf = F.round(
         F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"), 6
@@ -648,6 +663,7 @@ QUERIES = {
 }
 
 from swiftbulkuploader_spark.operators.oracle_fragments import (  # noqa: E402
+    QUALITY_SCORE_DUCK,
     TOKENS_DUCK,
     TOKENS_DUCK_BARE as _TOKENS_DUCK,
 )
@@ -798,15 +814,7 @@ ORACLES = {
     """,
     "x3_quality_scores": """
         SELECT doc_id,
-               round(
-                   (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
-                   * (0.7 * (CASE WHEN length(text) > 0
-                             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
-                             ELSE 0.0 END)
-                      + 0.3 * (1 - (CASE WHEN length(text) > 0
-                               THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text)
-                               ELSE 0.0 END))),
-                   6) AS quality
+               """ + QUALITY_SCORE_DUCK + """ AS quality
         FROM documents
     """,
     "x3_repetition_stats": """
@@ -867,15 +875,7 @@ ORACLES = {
             SELECT doc_id, source,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
                    """ + TOKENS_DUCK + """ AS n_tokens,
-                   round(
-                       (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
-                       * (0.7 * (CASE WHEN length(text) > 0
-                                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
-                                 ELSE 0.0 END)
-                          + 0.3 * (1 - (CASE WHEN length(text) > 0
-                                   THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text)
-                                   ELSE 0.0 END))),
-                       6) AS quality
+                   """ + QUALITY_SCORE_DUCK + """ AS quality
             FROM documents
             WHERE lang = 'en'
         ), dedup AS (
@@ -1826,7 +1826,15 @@ def x3_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge table is DERIVED, not copied from the engine) carrying the
     original word through the encode chain, then the same join-back.
     coalesce() keeps exhausted-round replaces as no-ops on both sides."""
-    merges = _bpe_merges(spark, sf_dir)
+    return bpe_encode_with_merges(spark, sf_dir, _bpe_merges(spark, sf_dir))
+
+
+def bpe_encode_with_merges(spark: SparkSession, sf_dir: str,
+                           merges: list[tuple]) -> DataFrame:
+    """The x3_bpe_encode body over an EXPLICIT merge table — factored out
+    (round 12, r11 verdict ask #3) so the artifact serve path
+    (model_store.x3_bpe_encode_from_artifact) applies LOADED merges
+    without touching the training loop."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(normalize_ws(F.col("text")))
     toks = docs.filter(F.length(F.trim(norm)) > 0).select(
@@ -3578,13 +3586,7 @@ ORACLES["x6_cohens_kappa"] = f"""
         FROM documents
     ), lab AS (
         SELECT
-            round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
-              * (0.7 * (CASE WHEN length(text) > 0
-                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
-                        ELSE 0.0 END)
-                 + 0.3 * (1 - (CASE WHEN length(text) > 0
-                          THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
-                          ELSE 0.0 END))), 6) >= CAST({KAPPA_HEUR_T} AS DOUBLE) AS a,
+            {QUALITY_SCORE_DUCK} >= CAST({KAPPA_HEUR_T} AS DOUBLE) AS a,
             round({QM_W[0]!r} + {QM_W[1]!r} * x1 + {QM_W[2]!r} * x2
                   + {QM_W[3]!r} * x3, 6) >= CAST({QT_TEACHER_T} AS DOUBLE) AS b
         FROM f

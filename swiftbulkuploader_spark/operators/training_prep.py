@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
 from swiftbulkuploader_spark.functions.text import normalize_ws, token_count
-from swiftbulkuploader_spark.operators.oracle_fragments import TOKENS_DUCK
+from swiftbulkuploader_spark.operators.oracle_fragments import (
+    QUALITY_SCORE_DUCK,
+    TOKENS_DUCK,
+)
 
 TOKEN_BUDGET = 2048
 
@@ -474,13 +477,7 @@ ORACLES["x6_global_shuffle"] = f"""
 ORACLES["x10_training_manifest"] = f"""
     WITH quality AS (
         SELECT doc_id, text,
-               round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
-                 * (0.7 * (CASE WHEN length(text) > 0
-                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
-                           ELSE 0.0 END)
-                    + 0.3 * (1 - (CASE WHEN length(text) > 0
-                             THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
-                             ELSE 0.0 END))), 6) AS q
+               {QUALITY_SCORE_DUCK} AS q
         FROM documents WHERE doc_id >= 8
     ), kept AS (
         SELECT doc_id, text FROM quality WHERE q >= {QUALITY_MIN}

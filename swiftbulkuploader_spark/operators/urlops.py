@@ -631,6 +631,7 @@ QUERIES["x10_crawl_manifest"] = x10_crawl_manifest
 # x10_training_manifest's content-stage SQL (composition value-checked
 # end to end, the x10_dedup_funnel discipline)
 from swiftbulkuploader_spark.operators.oracle_fragments import (  # noqa: E402
+    QUALITY_SCORE_DUCK as _QUALITY_SCORE_DUCK,
     TOKENS_DUCK as _TOKENS_DUCK,
 )
 from swiftbulkuploader_spark.operators.training_prep import (  # noqa: E402
@@ -679,13 +680,7 @@ ORACLES["x10_crawl_manifest"] = f"""
         WHERE d.doc_id >= 8
     ), quality AS (
         SELECT doc_id, text,
-               round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.5 END)
-                 * (0.7 * (CASE WHEN length(text) > 0
-                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
-                           ELSE 0.0 END)
-                    + 0.3 * (1 - (CASE WHEN length(text) > 0
-                             THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
-                             ELSE 0.0 END))), 6) AS q
+               {_QUALITY_SCORE_DUCK} AS q
         FROM corpus
     ), kept AS (
         SELECT doc_id, text FROM quality WHERE q >= {_QUALITY_MIN}

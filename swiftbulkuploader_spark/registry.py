@@ -28,6 +28,7 @@ from swiftbulkuploader_spark.operators import (
     media_queries,
     misc_surface,
     ml_lsh,
+    model_store,
     mutations,
     pipeline_queries,
     profiling,
@@ -49,7 +50,7 @@ from swiftbulkuploader_spark.operators import (
 )
 
 _MODULES = (
-    ann_index,
+    ann_index, model_store,
     pipeline_queries, star, textops, jsonops, profiling, dedup, similarity,
     sessions, misc_surface, analytics_extra, grouped_map, ml_lsh, range_join,
     temporal, tpch_like, tpch_more, timeseries, windows_extra, arrays_maps,

@@ -29,7 +29,13 @@ _LOCAL_DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # 24g (round 12): at 8g the ~200-query bench session's persisted/
+    # checkpointed substrate blocks overflowed the unified storage pool
+    # and evicted each other — a measured 251 s -> 221 s total-bench
+    # recovery (x1_minhash_exact 6.3 -> 2.7 s, the whole x8 family back
+    # to r10 levels) came from the heap bump ALONE. The box has 128 GiB;
+    # on a real cluster executor memory is sized per-node by spark-submit.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.warehouse.dir": os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
 }
 

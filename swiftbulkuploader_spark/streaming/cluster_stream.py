@@ -20,8 +20,12 @@ Discipline inherited from incremental_stream + frontier_stream:
   identical delta from the identical prefix and overwrites in place;
 * deltas are BATCH-PROPORTIONAL: a delta row exists only for nodes
   whose cluster changed (old labels swallowed by a merge) or that are
-  new — an empty batch writes an empty partition and the frozen rows
-  stay byte-identical (pinned).
+  new — and the frozen rows stay byte-identical (pinned). An empty
+  batch writes NO batch_id partition at all (dynamic partition
+  overwrite of an empty frame touches no directory), so the absence of
+  a batch_id partition is indistinguishable from an empty batch; the
+  prefix-read contract (`batch_id < N`) is indifferent to which it
+  was, but nothing may rely on a per-batch partition existing.
 
 Soundness across batches is the incremental_components contraction
 argument applied inductively: the current labeling after batches

@@ -105,3 +105,48 @@ class TestAnnArtifact:
         p1 = ann_index.default_index_path("/data/sf0.01")
         assert f"_v{ann_index.INDEX_FORMAT_VERSION}" in p1
         assert p1.endswith("sf0.01")
+    def test_fingerprint_manifest_gates_serving(self, spark, tmp_path,
+                                                monkeypatch):
+        """r11 ADVICE #1: ensure_index serves an existing artifact ONLY
+        when its manifest fingerprint matches the current dataset —
+        a manifest-less directory (old/partial artifact), or one trained
+        on different data, is retrained; a matching one is never."""
+        from swiftbulkuploader_spark.operators import ann_index
+
+        path = str(tmp_path / "index")
+        ann_index.save_index(spark, SF, path)
+        fp = ann_index.dataset_fingerprint(spark, SF)
+        assert ann_index._manifest_matches(spark, path, fp)
+
+        # matching manifest: ensure_index must NOT retrain
+        def forbidden(*a, **kw):
+            raise AssertionError("retrained despite a current manifest")
+
+        monkeypatch.setattr(ann_index, "save_index", forbidden)
+        assert ann_index.ensure_index(spark, SF, path) == path
+        monkeypatch.undo()
+
+        # foreign artifact: same layout, wrong fingerprint -> retrain
+        spark.createDataFrame(
+            [("not-this-dataset", ann_index.INDEX_FORMAT_VERSION)],
+            "fingerprint string, format_version int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "manifest")
+        )
+        calls = {"n": 0}
+        real_save = ann_index.save_index
+
+        def counting_save(*a, **kw):
+            calls["n"] += 1
+            return real_save(*a, **kw)
+
+        monkeypatch.setattr(ann_index, "save_index", counting_save)
+        ann_index.ensure_index(spark, SF, path)
+        assert calls["n"] == 1  # retrained
+        assert ann_index._manifest_matches(spark, path, fp)  # republished
+
+        # manifest-less directory (pre-manifest or partial publish)
+        import shutil
+        shutil.rmtree(os.path.join(path, "manifest"))
+        ann_index.ensure_index(spark, SF, path)
+        assert calls["n"] == 2
