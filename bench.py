@@ -267,6 +267,14 @@ HEADLINE = [
     "x6_anova_oneway",          # k-group F statistic + eta^2
     "x8_lpa_modularity",        # modularity scoring of LPA communities
     "x6_power_means",           # continuous-metric experiment sizing
+    # round 12
+    "x3_bpe_encode_from_artifact",    # tokenizer served from parquet artifact
+    "x3_quality_model_from_artifact",  # quality report from loaded weights
+    "x2_pca_project_from_artifact",   # projection from the persisted basis
+    "x2_reindex_partial",             # flag-scoped partial re-Lloyd repair
+    "x9_rgb_stats",                   # per-channel stats over real P6 decode
+    "x8_ppr",                         # seeded random-walk-with-restart (3 rounds)
+    "x10_dataset_diff",               # epoch-over-epoch training-set CDC
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;
@@ -324,7 +332,7 @@ def _bench_pipeline(spark, n_files: int = PIPE_N_FILES,
         run_pipeline(spark, src, warm_factory,
                      os.path.join(root, "attempts_warm"),
                      cutoff="src", parallelism=16)
-        for r in range(reps):
+        def _one_rep(r: int) -> None:
             factory = StoreFactory(
                 "localfs", root=os.path.join(root, f"bucket{r}")
             )
@@ -343,6 +351,23 @@ def _bench_pipeline(spark, n_files: int = PIPE_N_FILES,
                                 cutoff="src", parallelism=16)
             resume_samples.append(time.time() - t1)
             assert res2["uploaded"] == n_files and res2["failed"] == 0, res2
+
+        for r in range(reps):
+            _one_rep(r)
+        # load gate (r11 verdict ask #8): the committed artifact's pipeline
+        # number must be a distribution statement, not load-noise — the r11
+        # builder close recorded 7,302 uploads/s (spread 1.376) under a
+        # co-running loadavg spike vs the driver's 10,895 (1.015). While
+        # the median/min spread exceeds 1.1, run up to 4 extra reps (the
+        # bench_ab re-measure discipline): extra samples dilute any slow
+        # window out of the median instead of shipping it.
+        extra = 0
+        while reps >= 2 and extra < 4:
+            dt_g = statistics.median(up_samples)
+            if dt_g / min(up_samples) <= 1.1:
+                break
+            _one_rep(reps + extra)
+            extra += 1
         loads.append(round(os.getloadavg()[0], 2))
         dt = statistics.median(up_samples)
         dt_min = min(up_samples)

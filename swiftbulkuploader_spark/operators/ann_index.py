@@ -315,21 +315,216 @@ ORACLES = {
 def x2_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-staleness monitor — the lifecycle readout between save_index
     and the next retrain: per coarse cluster, how far the SAVED centroid
-    has drifted from the current data (cosine of the centroid against
-    the mean of the vectors now assigned to it), its population, and a
-    relative reindex flag (below the run's mean drift — the clusters a
-    reindex budget spends on first). Absolute thresholds are
-    corpus-dependent (measured: the healthy band moves 0.73-0.95 across
-    SFs), so the flag is RELATIVE by design; the ranking is the
-    contract.
+    has drifted from the data currently quantized by it (cosine of the
+    centroid against the mean of the vectors now assigned to it) and a
+    reindex flag against the fresh-corpus FLOOR.
 
-    Determinism: the per-(cluster, pos) mean is 6-dp rounded (the Lloyd
-    update discipline) before the fixed-shape cosine, and every
-    decision (flag cut) compares 6-dp-rounded values. Shape: one
-    assignment pass (broadcast centroid argmax) -> posexplode mean
-    (map-side combined, k x dim groups) -> k-row join against the
-    centroid table; the flag windows run over the bounded k-row frame
+    Scenario pair (round 12, r11 verdict ask #6 — the x6_srm_check /
+    x7_gap_profile discipline): the round-11 relative flag (below-mean)
+    marked ~half the clusters on ANY substrate, so its liveness was
+    relative-by-design. Now the query quantizes TWO corpora against the
+    same saved quantizer in one plan: scenario 'fresh' is the corpus the
+    index was trained on; scenario 'drifted' is a deliberately stale
+    serve — every embedding sign-flipped (an embedding-model swap, the
+    catastrophic-drift case). The flag compares each cluster's
+    cos_to_mean against the fresh scenario's MINIMUM (the floor observed
+    at publish time): fresh clusters never flag (>= their own floor by
+    construction), genuinely drifted clusters fall far below it — both
+    flag values are live at every SF (pinned in
+    tests/test_liveness_pins.py).
+
+    Determinism: the per-(scenario, cluster, pos) mean is 6-dp rounded
+    (the Lloyd update discipline) before the fixed-shape cosine, and the
+    flag compares 6-dp-rounded values; sign-flip is exact in IEEE
+    double on both engines. Shape: one assignment pass per scenario
+    (broadcast centroid argmax over a 2x union) -> posexplode mean
+    (map-side combined, 2k x dim groups) -> 2k-row join against the
+    centroid table; the floor window runs over the bounded 2k-row frame
     (BOUNDED_WINDOW_OK class)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fresh = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    drifted = fresh.select(
+        "vec_id", F.transform("v", lambda x: -x).alias("v")
+    )
+    both = fresh.withColumn("scenario", F.lit("fresh")).unionByName(
+        drifted.withColumn("scenario", F.lit("drifted"))
+    )
+    base = both.withColumn("cluster", assign_ivf_cluster("v", cents, round_dp=6))
+    means = (
+        base.select("scenario", "cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("scenario", "cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mv"))
+        .groupBy("scenario", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
+        .select(
+            "scenario", "cluster",
+            F.transform("pairs", lambda p: p["mv"]).alias("mv"),
+        )
+    )
+    sizes = base.groupBy("scenario", "cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, cv array<double>",
+    )
+    scored = (
+        means.join(F.broadcast(cent_df), "cluster")
+        .join(sizes, ["scenario", "cluster"])
+        .select(
+            "scenario", "cluster", "n_assigned",
+            F.round(
+                cosine_similarity(F.col("mv"), F.col("cv")), 6
+            ).alias("cos_to_mean"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    floor = F.round(
+        F.min(
+            F.when(F.col("scenario") == "fresh", F.col("cos_to_mean"))
+        ).over(w_all), 6,
+    )
+    return scored.select(
+        "scenario", "cluster", "n_assigned", "cos_to_mean",
+        floor.alias("fresh_floor"),
+        (F.col("cos_to_mean") < floor).alias("reindex_flag"),
+    )
+
+
+QUERIES["x2_index_staleness"] = x2_index_staleness
+
+def partial_reindex(spark: SparkSession, sf_dir: str,
+                    src_path: str, dst_path: str) -> list[int]:
+    """Artifact-level repair (round 12, r11 verdict ask #4): read the
+    PUBLISHED artifact at ``src_path`` (never retrain the quantizer),
+    flag drifted clusters by the relative below-mean
+    cos(saved centroid, mean of stored members) rule, re-Lloyd ONLY the
+    flagged clusters (new centroid = 6-dp mean of the cluster's stored
+    members), re-quantize only those members among the flagged
+    replacement centroids, and republish to ``dst_path``. Unflagged
+    clusters' centroid rows and assignment sets are BIT-IDENTICAL across
+    the two versions (pinned in tests/test_ann_index.py) — repair cost
+    is proportional to drifted mass, not corpus size. Codebooks/codes
+    are copied forward unchanged (PQ re-training is a separate budget).
+    Returns the flagged cluster ids."""
+    idx = load_index(spark, src_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = idx.assignments.join(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    means = (
+        members.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mv"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
+        .select("cluster", F.transform("pairs", lambda p: p["mv"]).alias("mv"))
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)],
+        "cluster int, cv array<double>",
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        means.join(F.broadcast(cent_df), "cluster")
+        .withColumn(
+            "cos_to_mean",
+            F.round(cosine_similarity(F.col("mv"), F.col("cv")), 6),
+        )
+        .withColumn(
+            "flagged",
+            F.col("cos_to_mean")
+            < F.round(F.avg("cos_to_mean").over(Window.partitionBy()), 6),
+        )
+        .select("cluster", "flagged", "mv")
+        .collect()  # bounded: k rows (allowlisted quantizer-state class)
+    )
+    flagged = sorted(r["cluster"] for r in scored if r["flagged"])
+    new_cents = list(idx.centroids)
+    by_cluster = {r["cluster"]: r for r in scored}
+    for cid in flagged:
+        new_cents[cid] = [float(x) for x in by_cluster[cid]["mv"]]
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(new_cents)],
+        "cid int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dst_path, "centroids")
+    )
+    # unflagged membership copied VERBATIM; flagged members re-quantized
+    # among the flagged replacement centroids only
+    keep = idx.assignments.filter(~F.col("cluster").isin(flagged)) \
+        .select("vec_id", "cluster")
+    fl_cents = spark.createDataFrame(
+        [(cid, new_cents[cid]) for cid in flagged],
+        "nc int, ncv array<double>",
+    )
+    moved = (
+        members.filter(F.col("cluster").isin(flagged))
+        .join(F.broadcast(fl_cents))
+        .select(
+            "vec_id", "nc",
+            F.round(
+                F.coalesce(
+                    cosine_similarity(F.col("v"), F.col("ncv")), F.lit(-2.0)
+                ), 6,
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("nc", F.struct(F.col("cos"), F.col("nc")))
+             .alias("cluster"))
+    )
+    keep.unionByName(moved.select("vec_id", "cluster")) \
+        .write.mode("overwrite").partitionBy("cluster") \
+        .parquet(os.path.join(dst_path, "assignments"))
+    # codebooks/codes forward-copied; manifest last (publish discipline)
+    spark.read.parquet(os.path.join(src_path, "codebooks")) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(dst_path, "codebooks"))
+    spark.read.parquet(os.path.join(src_path, "codes")) \
+        .write.mode("overwrite").parquet(os.path.join(dst_path, "codes"))
+    spark.createDataFrame(
+        [(dataset_fingerprint(spark, sf_dir), INDEX_FORMAT_VERSION)],
+        "fingerprint string, format_version int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dst_path, "manifest")
+    )
+    return flagged
+
+
+def x2_reindex_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial retrain from the staleness flag (round 12, r11 verdict
+    ask #4) — the repair step that closes monitor -> repair -> serve:
+    clusters whose saved centroid drifted below the run's mean
+    cos-to-assigned-mean (the r11 relative flag, i.e. the clusters a
+    reindex budget spends on first) get ONE re-Lloyd update (new
+    centroid = 6-dp mean of currently assigned vectors), and ONLY their
+    members are re-quantized among the flagged replacement centroids;
+    unflagged clusters keep their centroid and their membership
+    bit-identically (the artifact-level republish is
+    ``partial_reindex``; byte-stability of unflagged partitions is
+    pinned in tests/test_ann_index.py).
+
+    Per cluster: the flag, population before/after the repair, and
+    cos(old centroid, new centroid) — 1.0 exactly for unflagged rows
+    (same vector through the same rounded cosine on both engines).
+
+    Shape: the staleness assignment pass (broadcast centroid argmax) ->
+    k-row flag window (bounded) -> the repair reassignment joins the
+    flagged clusters' members against the k' <= k replacement-centroid
+    frame (broadcast, bounded by construction) with a max_by(cos, cid)
+    argmax — per-member work is k' cosines, the Lloyd assignment shape;
+    nothing outside flagged clusters is touched, which is the entire
+    point at 100 TB (reindex cost ∝ drifted mass, not corpus size)."""
+    from pyspark.sql.window import Window
+
     cents = _ivf_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
@@ -344,36 +539,71 @@ def x2_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", F.transform("pairs", lambda p: p["mv"]).alias("mv"))
     )
     sizes = base.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("long").alias("n_assigned")
+        F.count(F.lit(1)).cast("long").alias("n_before")
     )
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster int, cv array<double>",
     )
+    w_all = Window.partitionBy()
     scored = (
         means.join(F.broadcast(cent_df), "cluster")
         .join(sizes, "cluster")
-        .select(
-            "cluster", "n_assigned",
-            F.round(
-                cosine_similarity(F.col("mv"), F.col("cv")), 6
-            ).alias("cos_to_mean"),
+        .withColumn(
+            "cos_to_mean",
+            F.round(cosine_similarity(F.col("mv"), F.col("cv")), 6),
+        )
+        .withColumn(
+            "flagged",
+            F.col("cos_to_mean")
+            < F.round(F.avg("cos_to_mean").over(w_all), 6),
         )
     )
-    from pyspark.sql.window import Window
-
-    w_all = Window.partitionBy()
-    cut = F.round(F.avg("cos_to_mean").over(w_all), 6)
-    return scored.select(
-        "cluster", "n_assigned", "cos_to_mean",
-        cut.alias("drift_cut"),
-        (F.col("cos_to_mean") < cut).alias("reindex_first"),
+    repaired = scored.select(
+        "cluster", "n_before", "flagged",
+        F.when(F.col("flagged"), F.col("mv")).otherwise(F.col("cv")).alias("ncv"),
+        "cv",
+    ).withColumn(
+        "cos_old_new",
+        F.round(cosine_similarity(F.col("cv"), F.col("ncv")), 6),
+    ).localCheckpoint(eager=True)  # k rows, referenced 3x (CLAUDE.md 4)
+    # re-quantize ONLY flagged members among the flagged new centroids
+    flagged_cents = repaired.filter("flagged").select(
+        F.col("cluster").alias("nc"), "ncv"
+    )
+    moved = (
+        base.join(
+            repaired.filter("flagged").select("cluster"), "cluster"
+        )
+        .join(F.broadcast(flagged_cents))
+        .select(
+            "vec_id", "nc",
+            F.round(
+                F.coalesce(
+                    cosine_similarity(F.col("v"), F.col("ncv")), F.lit(-2.0)
+                ), 6,
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("nc", F.struct(F.col("cos"), F.col("nc"))).alias("nc"))
+        .groupBy("nc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moved"))
+    )
+    return (
+        repaired.join(moved, repaired["cluster"] == moved["nc"], "left")
+        .select(
+            "cluster", "flagged", "n_before",
+            F.when(F.col("flagged"),
+                   F.coalesce(F.col("n_moved"), F.lit(0)))
+            .otherwise(F.col("n_before")).cast("long").alias("n_after"),
+            "cos_old_new",
+        )
     )
 
 
-QUERIES["x2_index_staleness"] = x2_index_staleness
+QUERIES["x2_reindex_partial"] = x2_reindex_partial
 
-ORACLES["x2_index_staleness"] = """
+ORACLES["x2_reindex_partial"] = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
@@ -395,17 +625,86 @@ ORACLES["x2_index_staleness"] = """
     ), means AS (
         SELECT cluster, list(mv ORDER BY pos) AS mv FROM mpos GROUP BY 1
     ), sizes AS (
-        SELECT cluster, CAST(count(*) AS BIGINT) AS n_assigned
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_before
         FROM asn GROUP BY 1
     ), scored AS (
-        SELECT m.cluster, s.n_assigned,
+        SELECT m.cluster, s.n_before, c.cv, m.mv,
                round(list_cosine_similarity(m.mv, c.cv), 6) AS cos_to_mean
         FROM means m
         JOIN c ON c.cid = m.cluster
         JOIN sizes s ON s.cluster = m.cluster
+    ), repaired AS (
+        SELECT cluster, n_before,
+               cos_to_mean < round(avg(cos_to_mean) OVER (), 6) AS flagged,
+               CASE WHEN cos_to_mean < round(avg(cos_to_mean) OVER (), 6)
+                    THEN mv ELSE cv END AS ncv,
+               cv
+        FROM scored
+    ), delta AS (
+        SELECT cluster, n_before, flagged, ncv,
+               round(list_cosine_similarity(cv, ncv), 6) AS cos_old_new
+        FROM repaired
+    ), moved AS (
+        SELECT nc, CAST(count(*) AS BIGINT) AS n_moved FROM (
+            SELECT a.vec_id, r.cluster AS nc,
+                   round(coalesce(list_cosine_similarity(a.v, r.ncv), -2.0), 6)
+                       AS cos
+            FROM asn a
+            JOIN repaired fl ON fl.cluster = a.cluster AND fl.flagged
+            CROSS JOIN (SELECT cluster, ncv FROM repaired WHERE flagged) r
+            QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                       ORDER BY cos DESC, nc DESC) = 1
+        ) GROUP BY nc
     )
-    SELECT cluster, n_assigned, cos_to_mean,
-           round(avg(cos_to_mean) OVER (), 6) AS drift_cut,
-           cos_to_mean < round(avg(cos_to_mean) OVER (), 6) AS reindex_first
+    SELECT d.cluster, d.flagged, d.n_before,
+           CAST(CASE WHEN d.flagged THEN coalesce(m.n_moved, 0)
+                     ELSE d.n_before END AS BIGINT) AS n_after,
+           d.cos_old_new
+    FROM delta d LEFT JOIN moved m ON m.nc = d.cluster
+"""
+
+ORACLES["x2_index_staleness"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE vec_id < 16
+    ), corpora AS (
+        SELECT vec_id, v, 'fresh' AS scenario FROM e
+        UNION ALL
+        SELECT vec_id, list_transform(v, x -> -x) AS v, 'drifted' AS scenario
+        FROM e
+    ), asn AS (
+        SELECT scenario, vec_id, v, cid AS cluster FROM (
+            SELECT b.scenario, b.vec_id, b.v, c.cid,
+                   round(coalesce(list_cosine_similarity(b.v, c.cv), -2.0), 6)
+                       AS cos
+            FROM corpora b CROSS JOIN c
+        )
+        QUALIFY row_number() OVER (PARTITION BY scenario, vec_id
+                                   ORDER BY cos DESC, cid DESC) = 1
+    ), mpos AS (
+        SELECT scenario, cluster, p.i AS pos, round(avg(v[p.i]), 6) AS mv
+        FROM asn, unnest(range(1, 65)) AS p(i)
+        GROUP BY 1, 2, 3
+    ), means AS (
+        SELECT scenario, cluster, list(mv ORDER BY pos) AS mv
+        FROM mpos GROUP BY 1, 2
+    ), sizes AS (
+        SELECT scenario, cluster, CAST(count(*) AS BIGINT) AS n_assigned
+        FROM asn GROUP BY 1, 2
+    ), scored AS (
+        SELECT m.scenario, m.cluster, s.n_assigned,
+               round(list_cosine_similarity(m.mv, c.cv), 6) AS cos_to_mean
+        FROM means m
+        JOIN c ON c.cid = m.cluster
+        JOIN sizes s ON s.scenario = m.scenario AND s.cluster = m.cluster
+    )
+    SELECT scenario, cluster, n_assigned, cos_to_mean,
+           round(min(CASE WHEN scenario = 'fresh' THEN cos_to_mean END)
+                 OVER (), 6) AS fresh_floor,
+           cos_to_mean < round(min(CASE WHEN scenario = 'fresh'
+                                        THEN cos_to_mean END)
+                               OVER (), 6) AS reindex_flag
     FROM scored
 """

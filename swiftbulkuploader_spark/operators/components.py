@@ -1892,3 +1892,129 @@ ORACLES["x8_bfs_layers"] = f"""
                            vis_next="v3", r=3)}
     SELECT node, CAST(dist AS INT) AS dist FROM v3
 """
+
+
+# ---------------------------------------------------------------------------
+# X8 — personalized PageRank (round 12 widening)
+# ---------------------------------------------------------------------------
+
+PPR_ALPHA = 0.15   # restart probability (mass returned to the seed)
+PPR_ITERS = 3      # fixed budget: the x8_pagerank oracle discipline
+
+
+def x8_ppr(spark, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a single seed item over the CO-PURCHASE
+    graph — the 'related items for THIS item' primitive (random walk with
+    restart; Jeh & Widom WWW'03 scaled-personalization setting), and the
+    seed-conditioned complement to x8_pagerank's global importance: at
+    equal cost per round, the walk mass concentrates in the seed's
+    community instead of the global hubs.
+
+    Deterministic and fully oracled: seed = MIN node id of the projection
+    (a stable choice at every SF), p0 = e_seed, then PPR_ITERS synchronous
+    rounds of p <- alpha*e_seed + (1-alpha) * P^T p over the memoized
+    undirected projection (_copurchase_edges). DuckDB unrolls the same
+    rounds as chained MATERIALIZED CTEs; every step is forced IEEE double
+    on both engines and the 9-sig hash normalization absorbs
+    summation-order ulps (the x8_pagerank precedent). Nodes the walk has
+    not reached report pr = 0.0 exactly (alpha-term 0 + 0.85 * 0).
+
+    Spark round = one shuffle join (rank -> edges on src) + one dst
+    aggregate + the node rebuild, localCheckpoint per round (linear
+    chain, CLAUDE.md rule 4). At 100 TB the walk's frontier is
+    community-local: contributions exist only where p > 0, so early
+    rounds touch the seed's neighborhood, not the corpus."""
+    from swiftbulkuploader_spark.operators.hierarchy import _graph_tables
+
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .localCheckpoint(eager=True)
+    deg, nodes, _n = _graph_tables(und)
+    seed = nodes.agg(F.min("node")).first()[0]  # bounded: 1 scalar
+    seed_term = F.when(
+        F.col("node") == F.lit(seed), F.lit(PPR_ALPHA)
+    ).otherwise(F.lit(0.0))
+    pr = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(seed), F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("pr"),
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            und.join(deg, "src")
+            .join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_pr"))
+        )
+        pr = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("node"), "in_pr"),
+                "node", "left",
+            )
+            .select(
+                "node",
+                (
+                    seed_term
+                    + F.lit(1.0 - PPR_ALPHA)
+                    * F.coalesce("in_pr", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", "pr")
+
+
+QUERIES["x8_ppr"] = x8_ppr
+
+_PPR_ROUND_SQL = """
+    {name} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(CASE WHEN n.node = (SELECT s FROM seed)
+                         THEN {alpha} ELSE 0.0 END AS DOUBLE)
+               + CAST({damp} AS DOUBLE) * coalesce(c.in_pr,
+                                                   CAST(0.0 AS DOUBLE)) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / dg.d) AS in_pr
+            FROM und e
+            JOIN deg dg ON e.src = dg.node
+            JOIN {prev} p ON e.src = p.node
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )"""
+
+ORACLES["x8_ppr"] = f"""
+    WITH cells0 AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), cells AS (
+        SELECT * FROM cells0
+        WHERE ok IN (SELECT ok FROM cells0
+                     GROUP BY ok HAVING count(*) <= {LP_BASKET_CAP})
+    ), e0 AS (
+        SELECT c1.pk AS a, c2.pk AS b
+        FROM cells c1 JOIN cells c2 ON c1.ok = c2.ok AND c1.pk < c2.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {LP_MIN_SHARED}
+    ), und AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL SELECT b AS src, a AS dst FROM e0
+    ), deg AS MATERIALIZED (
+        SELECT src AS node, count(*) AS d FROM und GROUP BY src
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM und
+    ), seed AS (
+        SELECT min(node) AS s FROM nodes
+    ), p0 AS (
+        SELECT node,
+               CAST(CASE WHEN node = (SELECT s FROM seed)
+                         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS pr
+        FROM nodes
+    ),{_PPR_ROUND_SQL.format(name="p1", prev="p0",
+                             alpha=PPR_ALPHA, damp=1.0 - PPR_ALPHA)},{
+        _PPR_ROUND_SQL.format(name="p2", prev="p1",
+                              alpha=PPR_ALPHA, damp=1.0 - PPR_ALPHA)},{
+        _PPR_ROUND_SQL.format(name="p3", prev="p2",
+                              alpha=PPR_ALPHA, damp=1.0 - PPR_ALPHA)}
+    SELECT node, pr FROM p3
+"""

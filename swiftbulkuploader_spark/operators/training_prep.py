@@ -1553,3 +1553,75 @@ ORACLES["x10_resume_plan"] = f"""
                 ELSE -1 END AS BIGINT) AS tokens_before
     FROM st
 """
+
+
+def x10_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the CDC primitive for TRAINING-SET
+    versioning (round 12 widening; the doc-level complement to
+    x4_json_diff's field-level diff): given two epochs of the corpus,
+    classify every doc_id as added / removed / changed / unchanged by
+    CONTENT fingerprint, so an epoch-over-epoch manifest records exactly
+    what a retrain will see differently. This is the audit a 100 TB
+    recrawl publishes next to its manifest: counts by status gate the
+    retrain decision (a 40% 'changed' epoch needs a different learning
+    schedule than a 2% one).
+
+    Deterministic two-epoch fixture from one corpus:
+    A = docs with doc_id % 5 != 0, B = docs with doc_id % 7 != 0 with
+    text rewritten for doc_id % 11 == 0 (recrawl edits). A-only ids
+    (doc_id % 7 == 0, % 5 != 0) classify 'removed', B-only ids
+    (doc_id % 5 == 0, % 7 != 0) 'added', and ids in both classify by
+    fingerprint equality ('changed' iff doc_id % 11 == 0 via the edit)
+    — all four statuses live at every SF.
+
+    Shape: one scan builds both epoch fingerprint frames (md5 of
+    ws-normalized lowercased text — the x1_exact_dedup identity), one
+    full outer join on doc_id, a CASE. At scale both sides hash-shuffle
+    once on doc_id; with both manifests bucketed by doc_id the join is
+    co-located and shuffle-free."""
+    from swiftbulkuploader_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp_a")
+    )
+    edited = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" recrawl-edit")),
+    ).otherwise(F.col("text"))
+    b = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", fingerprint(edited).alias("fp_b")
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+QUERIES["x10_dataset_diff"] = x10_dataset_diff
+
+ORACLES["x10_dataset_diff"] = """
+    WITH a AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fp_a
+        FROM documents WHERE doc_id % 5 <> 0
+    ), b AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(
+                   CASE WHEN doc_id % 11 = 0
+                        THEN text || ' recrawl-edit' ELSE text END,
+                   '\\s+', ' ', 'g')))) AS fp_b
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN fp_a = fp_b THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""

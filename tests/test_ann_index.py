@@ -150,3 +150,47 @@ class TestAnnArtifact:
         shutil.rmtree(os.path.join(path, "manifest"))
         ann_index.ensure_index(spark, SF, path)
         assert calls["n"] == 2
+
+    def test_partial_reindex_unflagged_byte_stable(self, spark, tmp_path):
+        """r11 verdict ask #4: the repair republish touches ONLY flagged
+        clusters — unflagged centroid rows and assignment sets are
+        bit-identical across the two artifact versions, flagged
+        centroids changed, and the new artifact carries a current
+        manifest (servable without retrain)."""
+        from swiftbulkuploader_spark.operators import ann_index
+
+        v1 = str(tmp_path / "index_v1")
+        v2 = str(tmp_path / "index_v2")
+        ann_index.save_index(spark, SF, v1)
+        flagged = ann_index.partial_reindex(spark, SF, v1, v2)
+        assert flagged  # the relative rule always selects a budget
+
+        c1 = {r["cid"]: list(r["cv"]) for r in
+              spark.read.parquet(os.path.join(v1, "centroids")).collect()}
+        c2 = {r["cid"]: list(r["cv"]) for r in
+              spark.read.parquet(os.path.join(v2, "centroids")).collect()}
+        assert set(c1) == set(c2)
+        changed = [cid for cid in c1 if c1[cid] != c2[cid]]
+        assert sorted(changed) == sorted(
+            cid for cid in flagged if c1[cid] != c2[cid])
+        assert all(cid in flagged for cid in changed)
+        assert any(c1[cid] != c2[cid] for cid in flagged)
+        for cid in c1:
+            if cid not in flagged:
+                assert c1[cid] == c2[cid]  # byte-stable centroid
+
+        a1 = spark.read.parquet(os.path.join(v1, "assignments"))
+        a2 = spark.read.parquet(os.path.join(v2, "assignments"))
+        for cid in c1:
+            if cid in flagged:
+                continue
+            s1 = {r["vec_id"] for r in
+                  a1.filter(F.col("cluster") == cid).collect()}
+            s2 = {r["vec_id"] for r in
+                  a2.filter(F.col("cluster") == cid).collect()}
+            assert s1 == s2  # byte-stable membership
+        # population conserved overall
+        assert a1.count() == a2.count()
+        # the repaired artifact is immediately servable (manifest current)
+        fp = ann_index.dataset_fingerprint(spark, SF)
+        assert ann_index._manifest_matches(spark, v2, fp)

@@ -324,17 +324,60 @@ class TestBhFdrLiveness:
 
 
 class TestIndexStalenessLiveness:
-    def test_staleness_flags_both_live(self, spark, queries):
-        """A relative drift flag is only a ranking if both sides exist:
-        some clusters below the mean drift, some above, cosines inside
-        a sane band, every cluster populated."""
+    def test_staleness_scenario_pair_live(self, spark, queries):
+        """r11 verdict ask #6: the flag must be provably able to fire
+        both ways — the fresh scenario (the corpus the index was trained
+        on) never flags against its own floor, the drifted scenario
+        (sign-flipped embeddings on the same quantizer) must flag, and
+        every cluster row is populated with a sane cosine."""
         rows = queries["x2_index_staleness"](spark, SF).collect()
-        assert len(rows) >= 8
-        flags = {r["reindex_first"] for r in rows}
-        assert flags == {True, False}
+        assert len(rows) >= 16  # both scenarios present
+        scen = {r["scenario"] for r in rows}
+        assert scen == {"fresh", "drifted"}
+        fresh = [r for r in rows if r["scenario"] == "fresh"]
+        drifted = [r for r in rows if r["scenario"] == "drifted"]
+        assert fresh and drifted
+        # fresh never flags (>= its own floor by construction)
+        assert all(not r["reindex_flag"] for r in fresh)
+        # genuine drift is detected: at least one drifted cluster flags
+        assert any(r["reindex_flag"] for r in drifted)
         for r in rows:
             assert r["n_assigned"] > 0
+            assert -1.0 <= r["cos_to_mean"] <= 1.0
+        for r in fresh:
             assert 0.0 < r["cos_to_mean"] < 1.0
+
+    def test_reindex_partial_repairs_only_flagged(self, spark, queries):
+        """The repair query's contract: unflagged clusters keep their
+        population and centroid exactly (cos_old_new = 1.0); flagged
+        clusters exist, moved their centroid, and total population is
+        conserved across the repair."""
+        rows = queries["x2_reindex_partial"](spark, SF).collect()
+        assert len(rows) >= 8
+        flagged = [r for r in rows if r["flagged"]]
+        unflagged = [r for r in rows if not r["flagged"]]
+        assert flagged and unflagged
+        for r in unflagged:
+            assert r["n_after"] == r["n_before"]
+            assert r["cos_old_new"] == 1.0
+        assert any(r["cos_old_new"] < 1.0 for r in flagged)
+        assert (sum(r["n_after"] for r in rows)
+                == sum(r["n_before"] for r in rows))
+
+
+class TestPprLiveness:
+    def test_ppr_concentrates_at_seed(self, spark, queries):
+        """Walk-with-restart sanity: the seed holds the maximum mass,
+        the walk reaches beyond the seed (>1 node with positive mass),
+        unreached nodes are exactly 0, and total mass is <= 1."""
+        rows = queries["x8_ppr"](spark, SF).collect()
+        assert len(rows) > 10
+        seed = min(r["node"] for r in rows)
+        by = {r["node"]: r["pr"] for r in rows}
+        assert by[seed] == max(by.values()) > 0.0
+        assert sum(1 for v in by.values() if v > 0.0) > 1
+        assert all(v >= 0.0 for v in by.values())
+        assert sum(by.values()) <= 1.0 + 1e-9
 
 
 class TestGapProfileLiveness:

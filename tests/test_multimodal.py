@@ -184,7 +184,50 @@ class TestMediaContractQuery:
         with pytest.raises(NotImplementedError):
             _decode_pgm(b"P5\n4 3\n65535\n" + px)  # 2-byte samples
         with pytest.raises(NotImplementedError):
-            _decode_pgm(b"P6\n4 3\n255\n" + px)  # not P5
+            _decode_pgm(b"P6\n4 3\n255\n" + px)  # P6 is the COLOR decoder
+
+    def test_ppm_codec_is_format_grade(self):
+        """The P6 color decoder (round 12): same header grammar as P5,
+        3-byte interleaved samples, the same truncation/magic gates."""
+        import pytest
+
+        from swiftbulkuploader_spark.multimodal.media import _decode_ppm
+
+        rgb = bytes(range(36))  # 4x3 RGB
+        assert _decode_ppm(b"P6\n4 3\n255\n" + rgb) == (4, 3, rgb)
+        # comments + extra whitespace anywhere in the header
+        blob = b"P6\n# c1\n  4 # c2\n 3\n# c3\n255\n" + rgb
+        assert _decode_ppm(blob) == (4, 3, rgb)
+        with pytest.raises(ValueError):
+            _decode_ppm(b"P6\n4 3\n255\n" + rgb[:-1])  # truncated
+        with pytest.raises(NotImplementedError):
+            _decode_ppm(b"P6\n4 3\n65535\n" + rgb)  # 2-byte samples
+        with pytest.raises(NotImplementedError):
+            _decode_ppm(b"P5\n4 3\n255\n" + rgb)  # grayscale magic
+
+    def test_rgb_stats_exact_sums(self, spark):
+        """decode_rgb_stats returns EXACT integer channel sums and the
+        4-bin red histogram for a hand-computable blob; decode failures
+        become rows, not task failures."""
+        from swiftbulkuploader_spark.multimodal.media import (
+            MEDIA_SCHEMA,
+            decode_rgb_stats,
+        )
+
+        rgb = bytes([10, 20, 30, 200, 21, 31, 64, 22, 32, 129, 23, 33,
+                     11, 24, 34, 255, 25, 35])  # 3x2
+        good = (1, "image", "ppm", b"P6\n3 2\n255\n" + rgb, {})
+        bad = (2, "image", "ppm", b"P6\n3 2\n255\n" + rgb[:-1], {})
+        df = spark.createDataFrame([good, bad], MEDIA_SCHEMA)
+        rows = {r["media_id"]: r for r in decode_rgb_stats(df).collect()}
+        g = rows[1]
+        assert (g["sum_r"], g["sum_g"], g["sum_b"]) == (
+            10 + 200 + 64 + 129 + 11 + 255, 20 + 21 + 22 + 23 + 24 + 25,
+            30 + 31 + 32 + 33 + 34 + 35)
+        # red bins: 10,11 -> b0; 64 -> b1; 129 -> b2; 200,255 -> b3
+        assert (g["r0"], g["r1"], g["r2"], g["r3"]) == (2, 1, 1, 2)
+        assert g["decode_error"] is None
+        assert rows[2]["decode_error"] and rows[2]["sum_r"] is None
 
 
 class TestFrameSamplePlan:

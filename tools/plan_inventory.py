@@ -39,6 +39,9 @@ BOUNDED_BNLJ_OK = {
                                # 3-row per-flag sketch table (tolerance check)
     "x1_semantic_dedup",       # 32-row broadcast centroid table cross-joined
                                # for the cluster assignment
+    "x2_reindex_partial",      # k' <= 16-row flagged replacement-centroid
+                               # frame cross-joined into the flagged-member
+                               # re-quantization (bounded by n_list)
     "x3_unigram_logprob",      # 1-row corpus totals (N, V) cross-joined into
                                # the per-token scorer
     "x3_bigram_logprob",       # same 1-row vocab-size broadcast, bigram scorer

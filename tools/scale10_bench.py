@@ -181,7 +181,11 @@ def _incremental_asym(spark, out_dir: str) -> dict:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale10"
-    spark = get_spark("scale10_bench")
+    # spark.ui on: the close-out table meters per-stage task spread at the
+    # 10x point via the UI REST API (r11 verdict ask #7 — a query can hold
+    # wall ratio <= 10 while hiding a growing straggler)
+    spark = get_spark("scale10_bench",
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     sentinel = os.path.join(out_dir, "_GENERATED")
@@ -194,14 +198,22 @@ def main() -> None:
     # warm both catalogs
     registry.QUERIES["a1_total_count"](spark, SF_DIR).collect()
 
+    from tools.scaling_probe import _max_task_spread, _stage_ids
+
     rows = {}
     for name in TOP10:
         s1 = _time_query(spark, name, SF_DIR)
+        marker = _stage_ids(spark)
         s10 = _time_query(spark, name, out_dir)
+        spread = _max_task_spread(spark, marker)
         rows[name] = {
             "sec_sf01": round(s1, 3),
             "sec_10x": round(s10, 3),
             "ratio": round(s10 / s1, 2),
+            # worst max/median task runtime over the 10x run's stages —
+            # None when every stage is trivial (sub-8-task or <500 ms)
+            "task_spread_10x": (round(spread, 1)
+                                if spread is not None else None),
         }
     rows["x1_incremental_dedup_asym"] = _incremental_asym(spark, out_dir)
     print(json.dumps({"rep": REP, "queries": rows}))
