@@ -275,6 +275,8 @@ HEADLINE = [
     "x9_rgb_stats",                   # per-channel stats over real P6 decode
     "x8_ppr",                         # seeded random-walk-with-restart (3 rounds)
     "x10_dataset_diff",               # epoch-over-epoch training-set CDC
+    "x6_tost",                        # TOST equivalence (scenario pair)
+    "x9_silence_detect",              # VAD/trim profile over real WAV decode
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

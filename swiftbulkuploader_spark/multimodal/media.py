@@ -368,6 +368,63 @@ WAV_STATS_SCHEMA = T.StructType([
 ])
 
 
+WAV_SILENCE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("lead_silence", T.LongType()),
+    T.StructField("trail_silence", T.LongType()),
+    T.StructField("n_silent", T.LongType()),
+])
+
+
+def decode_wav_silence(media: DataFrame) -> DataFrame:
+    """Silence profile over the REAL ``wave`` decode (round 12): per
+    clip, the leading/trailing runs of silent samples and the total
+    silent count — the trim/VAD pre-filter an audio-pretraining
+    pipeline applies before feature extraction. 'Silent' is exact zero
+    (threshold 0): the substrate is integer PCM, so the oracle replays
+    the predicate exactly; a real deployment would widen the threshold,
+    which changes the constant, not the shape. All outputs are exact
+    integers — ratios are computed Spark-side (the decode_rgb_stats
+    discipline). An all-silent clip reports lead = trail = n (the
+    coalesce(n) convention, mirrored in the oracle)."""
+    import io
+    import struct
+    import wave
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_samples", "lead_silence", "trail_silence",
+                "n_silent",
+            )}
+            for row in pdf.itertuples(index=False):
+                with wave.open(io.BytesIO(bytes(row.data))) as w:
+                    nc = w.getnchannels()
+                    sw = w.getsampwidth()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                if sw != 2:
+                    raise NotImplementedError(
+                        f"only PCM16 decode is implemented (width {sw})"
+                    )
+                vals = struct.unpack(f"<{nf * nc}h", raw)
+                n = len(vals)
+                active = [i for i, v in enumerate(vals) if v != 0]
+                out["media_id"].append(row.media_id)
+                out["n_samples"].append(n)
+                out["lead_silence"].append(active[0] if active else n)
+                out["trail_silence"].append(
+                    n - 1 - active[-1] if active else n
+                )
+                out["n_silent"].append(n - len(active))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        fn, WAV_SILENCE_SCHEMA
+    )
+
+
 def decode_wav_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode (r9 verdict ask #7): parse RIFF/WAVE PCM blobs
     with the stdlib ``wave`` codec — no external media libraries needed —

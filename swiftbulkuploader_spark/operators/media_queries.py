@@ -983,6 +983,144 @@ def synth_wav_tone(docs: DataFrame, limit: int = WAV_LIMIT) -> DataFrame:
     )
 
 
+def synth_wav_gated(docs: DataFrame, limit: int = WAV_LIMIT) -> DataFrame:
+    """documents -> REAL RIFF/WAVE PCM16-mono blobs with a GATED tone:
+    sample i = TONE[(k*i) % 32] inside the active window
+    [lead, n - trail) and EXACT 0 outside — lead = (media_id % 4) * 8,
+    trail = (media_id % 3) * 4 cover both-zero through 24+8 cases, so
+    leading/trailing silence detection is live at every residue. Same
+    canonical 44-byte header as synth_wav_tone; the oracle re-derives
+    every sample from the gate + tone formula."""
+    from swiftbulkuploader_spark.multimodal.media import (
+        SPEC_BINS,
+        SPEC_WINDOW,
+    )
+
+    tone = _spec_tone_table()
+    rate = "sample_rate"
+    nsamp = "n_samples"
+    karr = "array(" + ", ".join(str(k) for k in SPEC_BINS) + ")"
+    tarr = "array(" + ", ".join(str(v) for v in tone) + ")"
+    kexpr = f"element_at({karr}, CAST(media_id % 4 AS INT) + 1)"
+    tone_i = (
+        f"element_at({tarr}, CAST(({kexpr} * i) % {SPEC_WINDOW} AS INT) + 1)"
+    )
+    gated = (
+        f"(CASE WHEN i >= (media_id % 4) * 8 "
+        f"AND i < {nsamp} - (media_id % 3) * 4 "
+        f"THEN ({tone_i}) ELSE 0 END)"
+    )
+    samp_u16 = f"(({gated}) + 65536) % 65536"
+    header_hex = (
+        "concat('52494646', "
+        + _le_hex(f"36 + {nsamp} * 2", 4)
+        + ", '57415645', '666d7420', "
+        + _le_hex("16", 4)
+        + ", " + _le_hex("1", 2)
+        + ", " + _le_hex("1", 2)
+        + ", " + _le_hex(rate, 4)
+        + ", " + _le_hex(f"{rate} * 2", 4)
+        + ", " + _le_hex("2", 2)
+        + ", " + _le_hex("16", 2)
+        + ", '64617461', "
+        + _le_hex(f"{nsamp} * 2", 4)
+        + ")"
+    )
+    data_hex = (
+        f"array_join(transform(sequence(0, CAST({nsamp} AS INT) - 1), "
+        f"i -> {_le_hex(samp_u16, 2)}), '')"
+    )
+    return (
+        docs.orderBy("doc_id").limit(limit)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(16000))
+            .otherwise(F.lit(8000)).cast("long").alias("sample_rate"),
+            (F.lit(40) + F.col("doc_id") % 160).cast("long")
+            .alias("n_samples"),
+        )
+        .withColumn(
+            "data", F.unhex(F.expr(f"concat({header_hex}, {data_hex})"))
+        )
+    )
+
+
+def x9_silence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trim/VAD pre-filter over REALLY-decoded PCM (round 12
+    widening): per clip, the leading/trailing silent runs, total silent
+    samples, and the silence ratio — the cut an audio-pretraining
+    pipeline applies before any feature extraction (a mostly-silent
+    clip wastes tokens; leading/trailing runs are trim points). The
+    substrate gates a pure tone to zero outside a per-clip window
+    (synth_wav_gated), so every statistic is live across clips and the
+    oracle re-derives each sample arithmetically while the engine path
+    crosses the genuine stdlib ``wave`` parse.
+
+    Exactness: the decoder emits ONLY exact integers; the ratio is one
+    exact-int double division rounded 6 dp Spark-side. Shape: one
+    narrow binary scan -> Arrow ferry -> row-local counting; no
+    shuffle."""
+    from swiftbulkuploader_spark.multimodal.media import decode_wav_silence
+
+    media = synth_wav_gated(load_table(spark, sf_dir, "documents"))
+    s = decode_wav_silence(media)
+    return s.select(
+        "media_id", "n_samples", "lead_silence", "trail_silence",
+        "n_silent",
+        F.round(
+            F.col("n_silent").cast("double")
+            / F.col("n_samples").cast("double"), 6,
+        ).alias("silence_ratio"),
+    )
+
+
+def _silence_oracle_sql() -> str:
+    from swiftbulkuploader_spark.multimodal.media import (
+        SPEC_BINS,
+        SPEC_WINDOW,
+    )
+
+    tone = _spec_tone_table()
+    tone_rows = ", ".join(f"({t}, {tone[t]})" for t in range(SPEC_WINDOW))
+    kbin_rows = ", ".join(f"({m}, {k})" for m, k in enumerate(SPEC_BINS))
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(40 + doc_id % 160 AS BIGINT) AS n,
+               (doc_id % 4) * 8 AS lead,
+               (doc_id % 3) * 4 AS trail
+        FROM documents ORDER BY doc_id LIMIT {WAV_LIMIT}
+    ), kbin(m4, k) AS (VALUES {kbin_rows}),
+    tone(t, amp) AS (VALUES {tone_rows}),
+    s AS (
+        SELECT m.media_id, m.n, u.i,
+               CASE WHEN u.i >= m.lead AND u.i < m.n - m.trail
+                    THEN tone.amp ELSE 0 END AS v
+        FROM m
+        JOIN kbin ON kbin.m4 = m.media_id % 4
+        CROSS JOIN unnest(range(n)) AS u(i)
+        JOIN tone ON tone.t = (kbin.k * u.i) % {SPEC_WINDOW}
+    ), agg AS (
+        SELECT media_id, n,
+               coalesce(min(CASE WHEN v <> 0 THEN i END), n)
+                   AS lead_silence,
+               coalesce(n - 1 - max(CASE WHEN v <> 0 THEN i END), n)
+                   AS trail_silence,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent
+        FROM s GROUP BY 1, 2
+    )
+    SELECT media_id,
+           n AS n_samples,
+           CAST(lead_silence AS BIGINT) AS lead_silence,
+           CAST(trail_silence AS BIGINT) AS trail_silence,
+           n_silent,
+           round(CAST(n_silent AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS silence_ratio
+    FROM agg
+"""
+
+
 def x9_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral energy at 4 fixed DFT bins over REALLY-decoded
     PCM — the frequency-domain twin of x9_wav_decode_stats and the
@@ -1185,3 +1323,6 @@ ORACLES["x9_image_stats_real"] = f"""
 
 QUERIES["x9_rgb_stats"] = x9_rgb_stats
 ORACLES["x9_rgb_stats"] = _X9_RGB_ORACLE
+
+QUERIES["x9_silence_detect"] = x9_silence_detect
+ORACLES["x9_silence_detect"] = _silence_oracle_sql()

@@ -2080,3 +2080,146 @@ ORACLES["x6_bh_fdr"] = f"""
            rank <= coalesce(kstar, 0) AS rejected
     FROM marked
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — TOST equivalence (round 12 widening)
+# ---------------------------------------------------------------------------
+
+TOST_MARGIN_CENTS = 2000   # equivalence margin delta (20.00 units)
+TOST_SHIFT_CENTS = 4000    # scenario 'shifted': injected arm-1 lift = 2*delta
+TOST_ZCRIT = 1.644854      # one-sided alpha = 0.05 critical value
+
+
+def x6_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two One-Sided Tests equivalence readout — the experiment question
+    the z/t kit cannot answer: 'did this change NOT move the metric by
+    more than delta?' (non-inferiority / do-no-harm launches; Schuirmann
+    1987). Per (scenario, event_type): both one-sided Welch z statistics
+    against the +/-delta bounds and the equivalence verdict (reject both
+    one-sided nulls: z_lower > z_crit AND z_upper < -z_crit).
+
+    Scenario pair built in (the x6_srm_check discipline): scenario
+    'null' splits identically-distributed arms — equivalent at the
+    contract margin; scenario 'shifted' injects a 2*delta arm-1 lift —
+    z_upper lands at ~+delta/se, decisively NOT equivalent. Both
+    verdicts are live at every pinned SF (tests/test_liveness_pins.py).
+
+    Exactness: the x6_welch_ttest scaled-integer discipline (exact
+    decimal/HUGEINT cent sums cast to double identically); z's are 6-dp
+    rounded BEFORE the verdict comparison (round-before-decision); the
+    x6_bh_fdr degenerate-arm guard pins n<=1 / zero-variance cells to
+    z = 0 (never equivalent) on both engines. Shape: one conditional
+    aggregate per scenario over the scan (map-side combined) -> bounded
+    metric-alphabet rows; at 100 TB this is a scan-once dashboard query."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 2
+    )
+    base_cents = F.round(F.col("value") * F.lit(100.0), 0).cast("decimal(20,0)")
+    rows = []
+    for scen, shift in (("null", 0), ("shifted", TOST_SHIFT_CENTS)):
+        cents = base_cents + F.when(arm == 1, F.lit(shift)).otherwise(
+            F.lit(0)
+        ).cast("decimal(20,0)")
+        b = ev.select("event_type", arm.alias("arm"), cents.alias("c"))
+        agg = b.groupBy("event_type").agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("s0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c") * F.col("c"))).alias("ss0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("s1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c") * F.col("c"))).alias("ss1"),
+        )
+        rows.append(agg.select(F.lit(scen).alias("scenario"), "*"))
+    both = rows[0].unionByName(rows[1])
+    n0, n1 = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    s0, s1 = F.col("s0").cast("double"), F.col("s1").cast("double")
+    ss0, ss1 = F.col("ss0").cast("double"), F.col("ss1").cast("double")
+    m0, m1 = s0 / n0, s1 / n1
+    v0 = (ss0 - s0 * s0 / n0) / (n0 - F.lit(1.0))
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1.0))
+    se2 = v0 / n0 + v1 / n1
+    degenerate = (
+        (F.col("n_a") <= 1) | (F.col("n_b") <= 1) | ~(se2 > F.lit(0.0))
+    )
+    diff = m1 - m0
+    se = F.sqrt(se2)
+    zl = F.when(degenerate, F.lit(0.0)).otherwise(
+        (diff + F.lit(float(TOST_MARGIN_CENTS))) / se
+    )
+    zu = F.when(degenerate, F.lit(0.0)).otherwise(
+        (diff - F.lit(float(TOST_MARGIN_CENTS))) / se
+    )
+    zl6, zu6 = F.round(zl, 6), F.round(zu, 6)
+    return both.select(
+        "scenario", "event_type", "n_a", "n_b",
+        F.round(diff / F.lit(100.0), 6).alias("diff"),
+        F.round(se / F.lit(100.0), 6).alias("se"),
+        zl6.alias("z_lower"),
+        zu6.alias("z_upper"),
+        (
+            (zl6 > F.lit(TOST_ZCRIT)) & (zu6 < F.lit(-TOST_ZCRIT))
+        ).alias("equivalent"),
+    )
+
+
+QUERIES["x6_tost"] = x6_tost
+
+_TOST_SCEN_SQL = """
+        SELECT '{scen}' AS scenario, event_type,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               sum(CASE WHEN arm = 0 THEN c END) AS s0,
+               sum(CASE WHEN arm = 0 THEN c * c END) AS ss0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               sum(CASE WHEN arm = 1 THEN c END) AS s1,
+               sum(CASE WHEN arm = 1 THEN c * c END) AS ss1
+        FROM (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 AS arm,
+                   CAST(round(value * 100) AS HUGEINT)
+                   + (CASE WHEN CAST(('0x' || substr(md5(CAST(user_id
+                                 AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+                           THEN {shift} ELSE 0 END) AS c
+            FROM events
+        ) GROUP BY 2"""
+
+ORACLES["x6_tost"] = f"""
+    WITH agg AS ({_TOST_SCEN_SQL.format(scen="null", shift=0)}
+        UNION ALL{_TOST_SCEN_SQL.format(scen="shifted",
+                                        shift=TOST_SHIFT_CENTS)}
+    ), zc AS (
+        SELECT scenario, event_type, n_a, n_b,
+               CAST(s1 AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(s0 AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff,
+               (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                    / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+                   / CAST(n_a AS DOUBLE)
+               + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+                   / CAST(n_b AS DOUBLE) AS se2
+        FROM agg
+    ), zz AS (
+        SELECT scenario, event_type, n_a, n_b, diff, sqrt(se2) AS se,
+               CASE WHEN n_a <= 1 OR n_b <= 1 OR NOT (se2 > 0.0) THEN 0.0
+                    ELSE (diff + CAST({TOST_MARGIN_CENTS} AS DOUBLE))
+                         / sqrt(se2) END AS zl,
+               CASE WHEN n_a <= 1 OR n_b <= 1 OR NOT (se2 > 0.0) THEN 0.0
+                    ELSE (diff - CAST({TOST_MARGIN_CENTS} AS DOUBLE))
+                         / sqrt(se2) END AS zu
+        FROM zc
+    )
+    SELECT scenario, event_type, n_a, n_b,
+           round(diff / 100.0, 6) AS diff,
+           round(se / 100.0, 6) AS se,
+           round(zl, 6) AS z_lower,
+           round(zu, 6) AS z_upper,
+           round(zl, 6) > CAST({TOST_ZCRIT} AS DOUBLE)
+               AND round(zu, 6) < -CAST({TOST_ZCRIT} AS DOUBLE)
+               AS equivalent
+    FROM zz
+"""

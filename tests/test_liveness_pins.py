@@ -365,6 +365,25 @@ class TestIndexStalenessLiveness:
                 == sum(r["n_before"] for r in rows))
 
 
+class TestTostLiveness:
+    def test_tost_scenario_pair_live(self, spark, queries):
+        """Equivalence must be provable BOTH ways: the identically-
+        distributed null scenario is equivalent at the contract margin
+        for every metric, the 2*delta shifted scenario never is, and
+        the z statistics are finite and ordered (z_lower > z_upper)."""
+        rows = queries["x6_tost"](spark, SF).collect()
+        assert len(rows) >= 10
+        null = [r for r in rows if r["scenario"] == "null"]
+        shifted = [r for r in rows if r["scenario"] == "shifted"]
+        assert null and shifted
+        assert all(r["equivalent"] for r in null)
+        assert not any(r["equivalent"] for r in shifted)
+        for r in rows:
+            assert _finite(r["z_lower"]) and _finite(r["z_upper"])
+            assert r["z_lower"] > r["z_upper"]
+            assert r["se"] > 0
+
+
 class TestPprLiveness:
     def test_ppr_concentrates_at_seed(self, spark, queries):
         """Walk-with-restart sanity: the seed holds the maximum mass,
