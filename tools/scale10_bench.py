@@ -52,16 +52,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # new x2 entrants joined (mutual_knn post codegen-dot fix,
 # index_staleness).
 TOP10 = [
+    # r12 refresh against the 24g BENCH_LOCAL ranking; x1_lsh_recall_eval
+    # joined the top set, and the round's new/changed shapes ride along:
+    # x2_index_staleness (now a 2x-union scenario pair), x2_reindex_partial
+    # (flagged-member re-quantization), x8_ppr (seeded 3-round walk)
     "x2_mmd_drift",
     "x1_novelty_score",
     "x1_incremental_dedup",
     "x9_phash_dedup",
     "x7_theil_sen",
     "x1_repeated_passages",
+    "x1_lsh_recall_eval",
     "x2_mutual_knn",
     "x2_kcenter_select",
     "x1_semantic_dedup",
     "x2_index_staleness",
+    "x2_reindex_partial",
+    "x8_ppr",
 ]
 
 # tables the TOP10 actually read (generating the rest would waste the
