@@ -1646,12 +1646,18 @@ def _stage_ids(spark) -> set[int]:
 
 def _max_task_spread(spark, since: set[int],
                      min_tasks: int = 8,
-                     min_stage_ms: int = 500) -> float | None:
+                     min_stage_ms: int = 500,
+                     min_med_ms: int = 0) -> float | None:
     """Worst straggler ratio (max task runtime / median task runtime)
     over the stages completed since `since` — the r10 verdict's skew
     'done' meter ('no straggler task >10x median'). Trivial stages
     (few tasks or sub-min_stage_ms total run time) are skipped: their
-    max/median is scheduling noise, not skew."""
+    max/median is scheduling noise, not skew. ``min_med_ms`` (round 12)
+    additionally skips stages whose MEDIAN task is below the floor: a
+    max/median over a ~1 ms median measures scheduler jitter on a
+    sub-second stage, not a scale-relevant straggler (the first
+    close-out run reported '836x' on such a stage while the query's
+    wall ratio was 1.34)."""
     import statistics
     import urllib.request
 
@@ -1683,7 +1689,7 @@ def _max_task_spread(spark, since: set[int],
             if len(runs) < min_tasks:
                 continue
             med = statistics.median(runs)
-            if med <= 0:
+            if med <= 0 or med < min_med_ms:
                 continue
             ratio = max(runs) / med
             if worst is None or ratio > worst:
