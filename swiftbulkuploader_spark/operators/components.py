@@ -1941,6 +1941,9 @@ def x8_ppr(spark, sf_dir: str) -> DataFrame:
         F.when(F.col("node") == F.lit(seed), F.lit(1.0))
         .otherwise(F.lit(0.0)).alias("pr"),
     )
+    # linear 3-round chain over checkpointed base tables: no
+    # intermediate checkpoint needed (the x8_pagerank round-12 lesson —
+    # the eager materializations WERE the query's bench cost)
     for _ in range(PPR_ITERS):
         contrib = (
             und.join(deg, "src")
@@ -1961,7 +1964,6 @@ def x8_ppr(spark, sf_dir: str) -> DataFrame:
                     * F.coalesce("in_pr", F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return pr.select("node", "pr")
 

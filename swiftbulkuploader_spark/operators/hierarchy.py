@@ -83,8 +83,14 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _interaction_edges(spark, sf_dir)
     deg, nodes, n = _graph_tables(edges)
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    # the PR_ITERS=3 chain is LINEAR (each round reads the previous pr
+    # exactly once), so no intermediate checkpoint is needed: lineage
+    # depth 3 over checkpointed base tables analyzes fine, and the three
+    # eager materializations were ~2.7 s of the query's 2.8 s bench
+    # median (round 12 — the convergence path keeps its per-burst
+    # checkpoints because it iterates ~48 rounds)
     for _ in range(PR_ITERS):
-        pr = _pr_round(edges, deg, nodes, n, pr).localCheckpoint(eager=True)
+        pr = _pr_round(edges, deg, nodes, n, pr)
     return pr.select("node", "pr")
 
 

@@ -210,7 +210,9 @@ BOUNDED_WINDOW_OK = {
     "x6_bh_fdr",              # BH rank/threshold/q windows over the
                               # per-METRIC aggregate (bounded event_type
                               # alphabet — the class_balanced class)
-    "x2_index_staleness",     # mean-drift cut window over the k-row
+    "x2_index_staleness",     # fresh-floor window over the 2k-row
+                              # (scenario x N_CENTROIDS=16) cluster frame
+    "x2_reindex_partial",     # drift-flag window over the k-row
                               # (N_CENTROIDS=16) cluster frame
     "x6_doremi_weights",      # global windows over the per-DOMAIN
                               # aggregate (bounded domain count)
