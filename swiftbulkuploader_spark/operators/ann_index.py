@@ -352,7 +352,9 @@ def x2_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = fresh.withColumn("scenario", F.lit("fresh")).unionByName(
         drifted.withColumn("scenario", F.lit("drifted"))
     )
-    base = both.withColumn("cluster", assign_ivf_cluster("v", cents, round_dp=6))
+    base = both.withColumn(
+        "cluster", assign_ivf_cluster("v", cents, round_dp=6)
+    ).persist()  # read twice: per-cluster means + sizes
     means = (
         base.select("scenario", "cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("scenario", "cluster", "pos")
@@ -529,7 +531,9 @@ def x2_reindex_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("cluster", assign_ivf_cluster("v", cents, round_dp=6))
+    ).withColumn(
+        "cluster", assign_ivf_cluster("v", cents, round_dp=6)
+    ).persist()  # read 3x: means, sizes, and the flagged-member reassign
     means = (
         base.select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
