@@ -277,6 +277,8 @@ HEADLINE = [
     "x10_dataset_diff",               # epoch-over-epoch training-set CDC
     "x6_tost",                        # TOST equivalence (scenario pair)
     "x9_silence_detect",              # VAD/trim profile over real WAV decode
+    "x2_ann_delta_serve",             # top-k over base + streamed-delta union
+    "x3_feature_hashing",             # hashing-trick bag-of-ngrams featurizer
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

@@ -398,6 +398,93 @@ def x2_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x2_ann_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k over BASE + DELTA assignments — the query-side close
+    of the ingest loop (round 12; streaming/index_stream.py is the
+    write side): a production IVF tier answers from the published
+    artifact's assignments UNION the stream's delta partitions, so a
+    vector ingested after the last republish is findable immediately.
+    This contract query runs that exact composition as one pure plan
+    (oracle-checkable; the artifact/stream IO halves are pinned by
+    tests/test_ann_index.py and tests/test_index_stream.py): the delta
+    batch is a deterministic recrawl — every vec_id % 17 == 0 vector
+    re-ingested VERBATIM under id+100000 (recrawled embeddings are
+    near-identical; verbatim makes delta liveness provable — the query
+    vector's own twin must surface at cos 1.0, so the top-k contains
+    BOTH is_delta values at every SF, pinned in
+    tests/test_liveness_pins.py).
+
+    Shape: the x2_ivf_topk assign/probe/exact-cosine path over the
+    2-source union — at scale the base side is the partition-pruned
+    artifact read and the delta side is the (batch-sized) stream
+    output, so serving cost is unchanged by ingestion volume between
+    republishes."""
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    delta = base.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    corpus = base.unionByName(delta).withColumn(
+        "cluster", assign_ivf_cluster("v", cents, round_dp=6)
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    probe = _probe_pick(spark, cents, q, N_PROBE)
+    qcol = _lit_vec(q)
+    return (
+        corpus.filter(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            (F.col("vec_id") >= 100000).alias("is_delta"),
+            F.round(cosine_similarity(F.col("v"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+QUERIES["x2_ann_delta_serve"] = x2_ann_delta_serve
+
+ORACLES["x2_ann_delta_serve"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e WHERE vec_id < 16
+    ), q AS (
+        SELECT v AS qv FROM e WHERE vec_id = 0
+    ), corpus AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 17 = 0
+    ), probe AS (
+        SELECT c.cid FROM c, q
+        ORDER BY round(coalesce(list_cosine_similarity(c.cv, q.qv), -2.0), 6)
+                     DESC,
+                 c.cid DESC
+        LIMIT 4
+    ), a AS (
+        SELECT corpus.vec_id, corpus.v, c.cid,
+               round(coalesce(list_cosine_similarity(corpus.v, c.cv), -2.0), 6)
+                   AS cos
+        FROM corpus CROSS JOIN c
+    ), asn AS (
+        SELECT vec_id, v, cid AS cluster FROM a
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid DESC) = 1
+    )
+    SELECT asn.vec_id,
+           asn.vec_id >= 100000 AS is_delta,
+           round(list_cosine_similarity(asn.v, q.qv), 6) AS cos_sim
+    FROM asn, probe, q
+    WHERE asn.cluster = probe.cid
+    ORDER BY cos_sim DESC, asn.vec_id
+    LIMIT 10
+"""
+
+
 QUERIES["x2_index_staleness"] = x2_index_staleness
 
 def partial_reindex(spark: SparkSession, sf_dir: str,

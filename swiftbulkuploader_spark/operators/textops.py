@@ -3612,3 +3612,90 @@ ORACLES["x6_cohens_kappa"] = f"""
                        * (1.0 - CAST(n11 + n01 AS DOUBLE) / n))), 6) AS kappa
     FROM cells
 """
+
+
+# ---------------------------------------------------------------------------
+# X3 — feature hashing (round 12 widening)
+# ---------------------------------------------------------------------------
+
+FH_DIM = 4096  # hashed feature dimensionality (the fastText default scale-down)
+
+
+def x3_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-ngrams featurizer audit (Weinberger et al.
+    ICML'09; the fastText input layer): every token and token-bigram
+    hashes into FH_DIM buckets, and the query reports per document the
+    gram count, occupied buckets (nnz), in-doc collision count
+    (grams landing in an already-occupied bucket — the capacity signal
+    that says when FH_DIM is too small), and the L2 norm of the bucket
+    count vector (the normalization constant an embedding lookup
+    needs). This is the featurize-at-scan-speed primitive a hashed
+    linear classifier (quality filter, language filter) consumes — no
+    vocabulary table, no shuffle wider than (doc_id, bucket).
+
+    Engine-reproducible hashing: 32-bit md5-prefix % FH_DIM (the
+    x1_minhash_exact integer-hash discipline — xxhash64 has no DuckDB
+    replay). Exact integers everywhere; the L2 norm is one sqrt over an
+    exact integer sum, 6-dp rounded. Shape: explode -> (doc, bucket)
+    count (map-side combined) -> per-doc aggregate; 100 TB cost is one
+    token-stream shuffle, same as x3_token_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(normalize_ws(F.col("text")))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(toks, bigrams)
+    base = docs.filter(F.length(F.trim(norm)) > 0).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % FH_DIM
+    )
+    cells = (
+        base.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cells.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_collisions"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")), 6)
+            .alias("l2_norm"),
+    )
+
+
+QUERIES["x3_feature_hashing"] = x3_feature_hashing
+
+ORACLES["x3_feature_hashing"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                   'g')), ' ') AS toks
+        FROM documents
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ), grams AS (
+        SELECT doc_id, toks[i] AS g
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        UNION ALL
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        FROM t, unnest(range(1, len(toks))) AS u(i)
+    ), cells AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {FH_DIM} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_collisions,
+           round(sqrt(CAST(sum(c * c) AS DOUBLE)), 6) AS l2_norm
+    FROM cells GROUP BY doc_id
+"""

@@ -347,6 +347,18 @@ class TestIndexStalenessLiveness:
         for r in fresh:
             assert 0.0 < r["cos_to_mean"] < 1.0
 
+    def test_delta_serve_surfaces_both_sources(self, spark, queries):
+        """The base+delta serve must return rows from BOTH sources: the
+        query vector's verbatim re-ingested twin sits at cos 1.0 next
+        to the original, and base rows fill the rest of the top-k."""
+        rows = queries["x2_ann_delta_serve"](spark, SF).collect()
+        assert len(rows) == 10
+        flags = {r["is_delta"] for r in rows}
+        assert flags == {True, False}
+        by = {r["vec_id"]: r for r in rows}
+        assert by[0]["cos_sim"] == 1.0
+        assert by[100000]["cos_sim"] == 1.0  # the re-ingested twin
+
     def test_reindex_partial_repairs_only_flagged(self, spark, queries):
         """The repair query's contract: unflagged clusters keep their
         population and centroid exactly (cos_old_new = 1.0); flagged
