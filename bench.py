@@ -279,6 +279,7 @@ HEADLINE = [
     "x9_silence_detect",              # VAD/trim profile over real WAV decode
     "x2_ann_delta_serve",             # top-k over base + streamed-delta union
     "x3_feature_hashing",             # hashing-trick bag-of-ngrams featurizer
+    "x3_pii_scrub",                   # PII detect/redact compliance scan
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

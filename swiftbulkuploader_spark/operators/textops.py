@@ -3699,3 +3699,115 @@ ORACLES["x3_feature_hashing"] = f"""
            round(sqrt(CAST(sum(c * c) AS DOUBLE)), 6) AS l2_norm
     FROM cells GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# X3 — PII detection / redaction (round 12 widening)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def x3_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the compliance stage every
+    training-data pipeline runs before anything ships (emails, NANP
+    phone numbers, IPv4 addresses; the regex tier of a scrubber — an
+    NER tier would stack behind the same plumbing). Per document:
+    per-class match counts, the post-redaction length (each match
+    masked with a typed token, e-mail -> phone -> ip order), and the
+    pii_free verdict.
+
+    Substrate liveness (the CLAUDE.md 12b rule — the synthetic corpus
+    contains no organic PII, which would make every counter 0 forever):
+    a deterministic contact line is appended engine-side — an e-mail
+    for doc_id % 3 == 0, a phone for doc_id % 4 == 0, an IP for
+    doc_id % 7 == 0 — so every counter and both pii_free values occur
+    at every SF (pinned in tests/test_liveness_pins.py). The oracle
+    mirrors the injection and replays the same patterns (RE2 and Java
+    regex agree on these ASCII character-class forms; no lookarounds,
+    no unicode classes).
+
+    Shape: pure row-local regex scan — no shuffle, no UDF (JVM
+    regexp_count/regexp_replace); at 100 TB this runs at scan speed
+    next to the quality screens."""
+    docs = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" call 555-000-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" from 192.168."),
+                     (F.col("doc_id") % 256).cast("string"),
+                     F.lit("."),
+                     (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = F.concat(F.col("text"), contact)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_phone = F.regexp_count(t, F.lit(PII_PHONE_RE))
+    n_ip = F.regexp_count(t, F.lit(PII_IP_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IP_RE, "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ips"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        ((n_email + n_phone + n_ip) == 0).alias("pii_free"),
+    )
+
+
+QUERIES["x3_pii_scrub"] = x3_pii_scrub
+
+ORACLES["x3_pii_scrub"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0
+                        THEN ' call 555-000-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST(doc_id % 100 AS VARCHAR)
+                        ELSE '' END) AS tx
+        FROM documents
+    ), counted AS (
+        SELECT doc_id, tx,
+               CAST(len(regexp_extract_all(tx, '{PII_EMAIL_RE}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(tx, '{PII_PHONE_RE}'))
+                    AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(tx, '{PII_IP_RE}'))
+                    AS BIGINT) AS n_ips
+        FROM t
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(tx,
+                '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                '{PII_IP_RE}', '<IP>', 'g')) AS BIGINT) AS redacted_len,
+           n_emails + n_phones + n_ips = 0 AS pii_free
+    FROM counted
+"""

@@ -377,6 +377,22 @@ class TestIndexStalenessLiveness:
                 == sum(r["n_before"] for r in rows))
 
 
+class TestPiiScrubLiveness:
+    def test_every_class_and_both_verdicts_fire(self, spark, queries):
+        """The synthetic corpus has no organic PII — the injected
+        contact lines must keep every counter and BOTH pii_free values
+        live, and redaction must never lengthen a doc by more than the
+        mask-token overhead."""
+        rows = queries["x3_pii_scrub"](spark, SF).collect()
+        assert sum(r["n_emails"] for r in rows) > 0
+        assert sum(r["n_phones"] for r in rows) > 0
+        assert sum(r["n_ips"] for r in rows) > 0
+        verdicts = {r["pii_free"] for r in rows}
+        assert verdicts == {True, False}
+        for r in rows:
+            assert r["redacted_len"] > 0
+
+
 class TestTostLiveness:
     def test_tost_scenario_pair_live(self, spark, queries):
         """Equivalence must be provable BOTH ways: the identically-
