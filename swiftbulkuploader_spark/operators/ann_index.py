@@ -59,7 +59,16 @@ from swiftbulkuploader_spark.operators.similarity import PQ_DSUB, PQ_K  # noqa: 
 
 # bump when quantizer/assignment semantics change: a stale artifact from
 # an older recipe must never be silently served
-INDEX_FORMAT_VERSION = 2  # v2: + pre-encoded PQ codes table
+INDEX_FORMAT_VERSION = 3  # v3: content-signal fingerprint (r12 ADVICE #1)
+
+# Delta vectors are re-keyed above every base vec_id so base and delta
+# ids can never collide and `vec_id >= DELTA_ID_OFFSET` IS the is_delta
+# flag (r12 ADVICE #2: the bare 100000 literal carried no guard — a
+# larger embeddings table would silently misreport base rows as deltas
+# while the oracle, sharing the constant, stayed green). The pin test
+# asserts max(vec_id) < DELTA_ID_OFFSET at every test SF
+# (tests/test_liveness_pins.py::test_delta_offset_clears_corpus_ids).
+DELTA_ID_OFFSET = 100_000
 
 
 def default_index_path(sf_dir: str) -> str:
@@ -78,16 +87,26 @@ def default_index_path(sf_dir: str) -> str:
 # bounded (count, first-row dim) probe once
 _FPRINT_CACHE: dict[tuple, str] = {}
 
+# memoized persisted bases keyed (appId, sf_dir) — the _LLOYD_CACHE
+# pattern (r12 ADVICE #3): per-call persists in repeated bench reps
+# accumulate storage-pool blocks and recreate the eviction pressure
+# round 12 root-caused
+_STALE_BASE_CACHE: dict[tuple, DataFrame] = {}
+_REINDEX_BASE_CACHE: dict[tuple, DataFrame] = {}
+
 
 def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> str:
     """Identity of the data an artifact was trained on (r11 ADVICE #1:
     path existence alone served stale artifacts silently — a regenerated
     dataset, a different dataset sharing a basename, or a leftover dir in
     world-shared /tmp). sha256 over (absolute sf_dir, embeddings row
-    count, embedding dim, format version): row count + dim catch
-    regeneration and shape changes; the full path disambiguates
-    same-basename datasets. Cost: one metadata-pruned count + a 1-row
-    dim probe, memoized per session."""
+    count, embedding dim, content signal, format version): the content
+    signal — bit_xor(xxhash64(vec_id, embedding)) — is exact, commutative
+    across partitions, and catches a same-count/same-dim regeneration the
+    r12 shape-only form was blind to (r12 verdict #3 / ADVICE #1). Cost:
+    one map-side-combined scan, memoized per session; retrain paths call
+    invalidate_dataset_fingerprint first so a republish stamps the
+    CURRENT data's identity."""
     import hashlib
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -95,13 +114,26 @@ def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None:
         return hit
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    dim_row = emb.select(F.size("embedding").alias("d")).limit(1).collect()
-    dim = dim_row[0]["d"] if dim_row else 0
-    raw = f"{os.path.abspath(sf_dir)}|{n}|{dim}|v{INDEX_FORMAT_VERSION}"
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("d"),
+        F.expr(
+            "bit_xor(xxhash64(vec_id, cast(embedding as string)))"
+        ).alias("sig"),
+    ).collect()[0]  # bounded: one 3-scalar row
+    raw = (f"{os.path.abspath(sf_dir)}|{row['n']}|{row['d']}|{row['sig']}"
+           f"|v{INDEX_FORMAT_VERSION}")
     fp = hashlib.sha256(raw.encode("utf-8")).hexdigest()
     _FPRINT_CACHE[key] = fp
     return fp
+
+
+def invalidate_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the memoized fingerprint so the next dataset_fingerprint call
+    re-reads the data — called by the retrain/republish paths (a
+    mid-session dataset swap must never stamp a manifest with the cached
+    pre-swap identity)."""
+    _FPRINT_CACHE.pop((spark.sparkContext.applicationId, sf_dir), None)
 
 
 def _manifest_matches(spark: SparkSession, path: str, fingerprint: str) -> bool:
@@ -145,6 +177,7 @@ def save_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """TRAIN and persist: centroid table, PQ codebooks, and the corpus
     assignment partitioned by cluster. Overwrites any prior artifact at
     `path` (the retrain-and-republish flow)."""
+    invalidate_dataset_fingerprint(spark, sf_dir)
     cents = _ivf_centroids(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
     spark.createDataFrame(
@@ -343,18 +376,26 @@ def x2_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BOUNDED_WINDOW_OK class)."""
     cents = _ivf_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    fresh = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    drifted = fresh.select(
-        "vec_id", F.transform("v", lambda x: -x).alias("v")
-    )
-    both = fresh.withColumn("scenario", F.lit("fresh")).unionByName(
-        drifted.withColumn("scenario", F.lit("drifted"))
-    )
-    base = both.withColumn(
-        "cluster", assign_ivf_cluster("v", cents, round_dp=6)
-    ).persist()  # read twice: per-cluster means + sizes
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _STALE_BASE_CACHE.get(key)
+    if base is None:
+        fresh = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        drifted = fresh.select(
+            "vec_id", F.transform("v", lambda x: -x).alias("v")
+        )
+        both = fresh.withColumn("scenario", F.lit("fresh")).unionByName(
+            drifted.withColumn("scenario", F.lit("drifted"))
+        )
+        # read twice per call (per-cluster means + sizes); memoized so
+        # repeated bench reps reuse ONE persisted frame instead of
+        # stacking storage-pool blocks per call (r12 ADVICE #3 — the
+        # eviction pressure class round 12 diagnosed)
+        base = both.withColumn(
+            "cluster", assign_ivf_cluster("v", cents, round_dp=6)
+        ).persist()
+        _STALE_BASE_CACHE[key] = base
     means = (
         base.select("scenario", "cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("scenario", "cluster", "pos")
@@ -425,7 +466,7 @@ def x2_ann_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     delta = base.filter(F.col("vec_id") % 17 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+        (F.col("vec_id") + DELTA_ID_OFFSET).alias("vec_id"), "v"
     )
     corpus = base.unionByName(delta).withColumn(
         "cluster", assign_ivf_cluster("v", cents, round_dp=6)
@@ -437,7 +478,7 @@ def x2_ann_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("cluster").isin(probe))
         .select(
             "vec_id",
-            (F.col("vec_id") >= 100000).alias("is_delta"),
+            (F.col("vec_id") >= DELTA_ID_OFFSET).alias("is_delta"),
             F.round(cosine_similarity(F.col("v"), qcol), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
@@ -447,7 +488,7 @@ def x2_ann_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x2_ann_delta_serve"] = x2_ann_delta_serve
 
-ORACLES["x2_ann_delta_serve"] = """
+ORACLES["x2_ann_delta_serve"] = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), c AS (
@@ -458,7 +499,8 @@ ORACLES["x2_ann_delta_serve"] = """
     ), corpus AS (
         SELECT vec_id, v FROM e
         UNION ALL
-        SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 17 = 0
+        SELECT vec_id + {DELTA_ID_OFFSET} AS vec_id, v
+        FROM e WHERE vec_id % 17 = 0
     ), probe AS (
         SELECT c.cid FROM c, q
         ORDER BY round(coalesce(list_cosine_similarity(c.cv, q.qv), -2.0), 6)
@@ -476,7 +518,7 @@ ORACLES["x2_ann_delta_serve"] = """
                                    ORDER BY cos DESC, cid DESC) = 1
     )
     SELECT asn.vec_id,
-           asn.vec_id >= 100000 AS is_delta,
+           asn.vec_id >= {DELTA_ID_OFFSET} AS is_delta,
            round(list_cosine_similarity(asn.v, q.qv), 6) AS cos_sim
     FROM asn, probe, q
     WHERE asn.cluster = probe.cid
@@ -501,6 +543,17 @@ def partial_reindex(spark: SparkSession, sf_dir: str,
     is proportional to drifted mass, not corpus size. Codebooks/codes
     are copied forward unchanged (PQ re-training is a separate budget).
     Returns the flagged cluster ids."""
+    # an in-place repair would overwrite src mid-read (the rewritten
+    # assignments/codebooks are LAZY reads of src_path while dst_path is
+    # being overwritten) and could corrupt the published artifact —
+    # require a fresh destination (r12 ADVICE #4)
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+        raise ValueError(
+            "partial_reindex requires dst_path != src_path: the repair "
+            "reads the source artifact lazily while writing the "
+            f"destination (got {src_path!r} for both)"
+        )
+    invalidate_dataset_fingerprint(spark, sf_dir)  # republish = fresh stamp
     idx = load_index(spark, src_path)
     emb = load_table(spark, sf_dir, "embeddings")
     members = idx.assignments.join(
@@ -616,11 +669,17 @@ def x2_reindex_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _ivf_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn(
-        "cluster", assign_ivf_cluster("v", cents, round_dp=6)
-    ).persist()  # read 3x: means, sizes, and the flagged-member reassign
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _REINDEX_BASE_CACHE.get(key)
+    if base is None:
+        # read 3x per call (means, sizes, flagged-member reassign);
+        # memoized across calls (r12 ADVICE #3)
+        base = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).withColumn(
+            "cluster", assign_ivf_cluster("v", cents, round_dp=6)
+        ).persist()
+        _REINDEX_BASE_CACHE[key] = base
     means = (
         base.select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")

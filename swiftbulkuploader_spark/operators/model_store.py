@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
 
-MODEL_FORMAT_VERSION = 1
+MODEL_FORMAT_VERSION = 2  # v2: content-signal fingerprint (r12 verdict #3)
 
 
 def default_model_path(sf_dir: str) -> str:
@@ -59,19 +59,54 @@ def default_model_path(sf_dir: str) -> str:
 _FPRINT_CACHE: dict[tuple, str] = {}
 
 
+def _content_signal(df, table: str):
+    """One order-independent aggregate over the table's content column —
+    the piece a row count can't see (r12 verdict #3 / ADVICE #1: a
+    same-count regeneration of `documents` matched the count-only
+    fingerprint and was silently served a stale artifact). documents:
+    sum(octet_length(text)) — one columnar scan, integer-exact, catches
+    any text edit that changes a byte count; embeddings (and any other
+    table): bit_xor(xxhash64(every column as string)) — exact, commutative
+    across partitions, catches any value change anywhere. Both are single
+    map-side-combined aggregates, the same cost class as the count."""
+    if "text" in df.columns:
+        return df.agg(F.sum(F.octet_length("text")).alias("sig"))
+    cols = ", ".join(
+        f"cast({c} as string)" for c in df.columns
+    )
+    return df.agg(F.expr(f"bit_xor(xxhash64({cols}))").alias("sig"))
+
+
 def table_fingerprint(spark: SparkSession, sf_dir: str, table: str) -> str:
     """Identity of the training data: sha256 over (absolute sf_dir,
-    table, row count, format version). Count is a metadata-pruned scan;
-    memoized per session."""
+    table, row count, a content signal, format version). The content
+    signal (see _content_signal) closes the same-count-regeneration blind
+    spot of the r12 count-only form; memoized per session — retrain paths
+    call invalidate_fingerprint first so a republish always stamps the
+    CURRENT data's identity."""
     key = (spark.sparkContext.applicationId, sf_dir, table)
     hit = _FPRINT_CACHE.get(key)
     if hit is not None:
         return hit
-    n = load_table(spark, sf_dir, table).count()
-    raw = f"{os.path.abspath(sf_dir)}|{table}|{n}|v{MODEL_FORMAT_VERSION}"
+    df = load_table(spark, sf_dir, table)
+    n = df.count()
+    sig = _content_signal(df, table).collect()[0]["sig"]  # bounded: 1 row
+    raw = (f"{os.path.abspath(sf_dir)}|{table}|{n}|{sig}"
+           f"|v{MODEL_FORMAT_VERSION}")
     fp = hashlib.sha256(raw.encode("utf-8")).hexdigest()
     _FPRINT_CACHE[key] = fp
     return fp
+
+
+def invalidate_fingerprint(spark: SparkSession, sf_dir: str,
+                           table: str) -> None:
+    """Drop the memoized fingerprint so the next table_fingerprint call
+    re-reads the data — called by every save_* retrain path (a
+    mid-session dataset swap must republish against the swapped data's
+    identity, not the cached one)."""
+    _FPRINT_CACHE.pop(
+        (spark.sparkContext.applicationId, sf_dir, table), None
+    )
 
 
 def _manifest_matches(spark: SparkSession, mdir: str, fingerprint: str) -> bool:
@@ -103,6 +138,7 @@ def save_bpe(spark: SparkSession, sf_dir: str, mdir: str) -> None:
     table; manifest last."""
     from swiftbulkuploader_spark.operators.textops import _bpe_merges
 
+    invalidate_fingerprint(spark, sf_dir, "documents")
     merges = _bpe_merges(spark, sf_dir)
     spark.createDataFrame(
         [(int(r), x, y, m, int(c)) for r, x, y, m, c in merges],
@@ -152,6 +188,7 @@ def x3_bpe_encode_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def save_quality_model(spark: SparkSession, sf_dir: str, mdir: str) -> None:
     from swiftbulkuploader_spark.operators.textops import _qt_train
 
+    invalidate_fingerprint(spark, sf_dir, "documents")
     _feats, w = _qt_train(spark, sf_dir)
     spark.createDataFrame(
         [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double",
@@ -198,6 +235,7 @@ def x3_quality_model_from_artifact(spark: SparkSession,
 def save_pca(spark: SparkSession, sf_dir: str, mdir: str) -> None:
     from swiftbulkuploader_spark.operators.similarity import _pca_power
 
+    invalidate_fingerprint(spark, sf_dir, "embeddings")
     mu, v, nrm, n = _pca_power(spark, sf_dir)
     spark.createDataFrame(
         [(p, float(mu[p]), float(v[p])) for p in range(len(mu))],

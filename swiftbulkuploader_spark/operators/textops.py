@@ -193,10 +193,24 @@ def x3_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qt_report(feats, w)
 
 
+# the feature frame alone, keyed like _QT_CACHE — the artifact serve path
+# (model_store.x3_quality_model_from_artifact) rebuilds features without
+# GD, and was persisting a fresh identical frame PER CALL (r12 ADVICE #3:
+# repeated bench reps stack storage-pool blocks, the round-12 eviction
+# pressure class)
+_QT_FEATS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _qt_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-training FEATURE frame (doc_id, x1..x3 centered, y) —
     a pure persisted scan, no training; factored out (round 12) so the
-    artifact serve path rebuilds features without running GD."""
+    artifact serve path rebuilds features without running GD. Memoized
+    per (appId, sf_dir): one persisted frame per session, shared by the
+    train and serve paths."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _QT_FEATS_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_ws(F.col("text")), " ")
     n_toks = F.greatest(F.size(toks), F.lit(1))
@@ -226,6 +240,7 @@ def _qt_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x3r") - F.lit(QT_CENTER[2]), 6).alias("x3"),
         F.when(teacher_z >= QT_TEACHER_T, 1.0).otherwise(0.0).alias("y"),
     ).persist()
+    _QT_FEATS_CACHE[memo_key] = feats
     return feats
 
 

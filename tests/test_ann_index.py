@@ -194,3 +194,43 @@ class TestAnnArtifact:
         # the repaired artifact is immediately servable (manifest current)
         fp = ann_index.dataset_fingerprint(spark, SF)
         assert ann_index._manifest_matches(spark, v2, fp)
+
+    def test_partial_reindex_rejects_in_place(self, spark, tmp_path):
+        """r12 ADVICE #4: an in-place repair (src == dst) would overwrite
+        the source artifact while lazily reading it — refused up front,
+        including path-alias forms, before any IO happens."""
+        from swiftbulkuploader_spark.operators import ann_index
+
+        p = str(tmp_path / "index")
+        with pytest.raises(ValueError, match="dst_path != src_path"):
+            ann_index.partial_reindex(spark, SF, p, p)
+        alias = str(tmp_path / "x" / ".." / "index")
+        with pytest.raises(ValueError, match="dst_path != src_path"):
+            ann_index.partial_reindex(spark, SF, p, alias)
+
+    def test_fingerprint_sees_same_shape_regeneration(self, spark,
+                                                      tmp_path):
+        """r12 verdict #3 / ADVICE #1: a regenerated embeddings table with
+        IDENTICAL row count and dim at the same path must change the
+        fingerprint (the content signal), so a stale artifact is
+        retrained, never served."""
+        from swiftbulkuploader_spark.operators import ann_index
+
+        sfd = str(tmp_path / "sfgen")
+        os.makedirs(sfd)
+
+        def write(seed: float) -> None:
+            spark.createDataFrame(
+                [(i, [float(i) * seed, 1.0 - seed]) for i in range(8)],
+                "vec_id long, embedding array<float>",
+            ).write.mode("overwrite").parquet(
+                os.path.join(sfd, "embeddings.parquet"))
+
+        write(0.25)
+        fp1 = ann_index.dataset_fingerprint(spark, sfd)
+        write(0.75)  # same count, same dim, different values
+        ann_index.invalidate_dataset_fingerprint(spark, sfd)
+        fp2 = ann_index.dataset_fingerprint(spark, sfd)
+        assert fp1 != fp2
+        # and the memoized path is what retrain paths must bypass:
+        assert ann_index.dataset_fingerprint(spark, sfd) == fp2

@@ -359,6 +359,25 @@ class TestIndexStalenessLiveness:
         assert by[0]["cos_sim"] == 1.0
         assert by[100000]["cos_sim"] == 1.0  # the re-ingested twin
 
+    def test_delta_offset_clears_corpus_ids(self, spark):
+        """DELTA_ID_OFFSET must clear every base vec_id at every test SF
+        (r12 ADVICE #2): `vec_id >= DELTA_ID_OFFSET` IS the is_delta
+        flag, so a corpus id at or above the offset would collide delta
+        with base ids and misreport base rows as deltas while the
+        constant-sharing oracle stayed green."""
+        from pyspark.sql import functions as F
+
+        from swiftbulkuploader_spark.catalog import load_table
+        from swiftbulkuploader_spark.operators.ann_index import (
+            DELTA_ID_OFFSET,
+        )
+
+        for sf in ("/root/testdata/sf0.001", SF, "/root/testdata/sf0.1"):
+            mx = load_table(spark, sf, "embeddings").agg(
+                F.max("vec_id")
+            ).first()[0]
+            assert mx < DELTA_ID_OFFSET, (sf, mx)
+
     def test_reindex_partial_repairs_only_flagged(self, spark, queries):
         """The repair query's contract: unflagged clusters keep their
         population and centroid exactly (cos_old_new = 1.0); flagged

@@ -106,3 +106,52 @@ class TestModelStore:
         model_store.ensure_bpe(spark, SF, str(tmp_path / "models"))
         assert calls["n"] == 1
         assert model_store._manifest_matches(spark, mdir, fp)
+
+    def test_same_count_regeneration_retrains(self, spark, tmp_path,
+                                              monkeypatch):
+        """r12 verdict #3 / ADVICE #1: the r12 fingerprint keyed on row
+        count only, so a regenerated documents table with the SAME count
+        but different content silently served the stale artifact. The
+        content signal (sum(octet_length(text))) must flip the
+        fingerprint and ensure_bpe must observe a retrain."""
+        import os as _os
+
+        from swiftbulkuploader_spark.operators import model_store
+
+        sfd = str(tmp_path / "sfgen")
+        _os.makedirs(sfd)
+
+        def write_docs(txt: str) -> None:
+            spark.createDataFrame(
+                [(i, f"{txt} {i}") for i in range(6)],
+                "doc_id long, text string",
+            ).write.mode("overwrite").parquet(
+                _os.path.join(sfd, "documents.parquet"))
+
+        write_docs("alpha beta")
+        mroot = str(tmp_path / "models")
+        calls = {"n": 0}
+
+        def fake_save(spark_, sf_dir_, mdir_) -> None:
+            calls["n"] += 1
+            spark_.createDataFrame(
+                [(0, "a", "b", "ab", 1)],
+                "rank int, x string, y string, merged string, cnt long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(mdir_, "merges"))
+            model_store._write_manifest(
+                spark_, mdir_,
+                model_store.table_fingerprint(spark_, sf_dir_, "documents"))
+
+        monkeypatch.setattr(model_store, "save_bpe", fake_save)
+        model_store.ensure_bpe(spark, sfd, mroot)
+        assert calls["n"] == 1  # first publish
+        model_store.ensure_bpe(spark, sfd, mroot)
+        assert calls["n"] == 1  # current manifest: served, no retrain
+
+        # regenerate: SAME row count, different content bytes — the swap
+        # hook any writer calls (and every save_* path calls internally)
+        write_docs("gamma delta longer")
+        model_store.invalidate_fingerprint(spark, sfd, "documents")
+        model_store.ensure_bpe(spark, sfd, mroot)
+        assert calls["n"] == 2  # content change observed -> retrain
