@@ -280,6 +280,46 @@ HEADLINE = [
     "x2_ann_delta_serve",             # top-k over base + streamed-delta union
     "x3_feature_hashing",             # hashing-trick bag-of-ngrams featurizer
     "x3_pii_scrub",                   # PII detect/redact compliance scan
+    # round 13 (r12 verdict ask #1): the COMPLETE x5 TPC-H-equivalent
+    # suite benches — the shuffle-heaviest shapes in the repo
+    # (q18 HAVING-on-big-agg, q21 multi-anti-join) were invisible to the
+    # round-over-round timeline. Membership is lint-enforced
+    # (tools/coverage_lint.py contract 5): an x5 query cannot register
+    # without joining the bench.
+    "x5_above_avg_orders",
+    "x5_brand_volume",
+    "x5_date_arithmetic",
+    "x5_filtered_aggs",
+    "x5_full_outer_recon",
+    "x5_grouping_id",
+    "x5_grouping_sets",
+    "x5_lateral_topn",
+    "x5_monthly_trend",
+    "x5_order_lists",
+    "x5_pivot_status",
+    "x5_q10_returned_revenue",
+    "x5_q11_important_parts",
+    "x5_q12_late_priority_by_year",
+    "x5_q13_order_count_distribution",
+    "x5_q14_promo_share",
+    "x5_q15_top_supplier",
+    "x5_q16_supplier_part_counts",
+    "x5_q17_small_quantity_revenue",
+    "x5_q18_large_orders",
+    "x5_q19_disjunctive_revenue",
+    "x5_q20_volume_suppliers",
+    "x5_q21_waiting_suppliers",
+    "x5_q22_idle_customers",
+    "x5_q2_min_cost_supplier",
+    "x5_q4_priority_with_late_items",
+    "x5_q6_revenue_delta",
+    "x5_q7_volume_shipping",
+    "x5_q8_market_share",
+    "x5_rollup_customers",
+    "x5_semi_join_high_value",
+    "x5_set_ops",
+    "x5_string_agg",
+    "x5_unpivot_measures",
 ]
 # x10_dedup_funnel stays OUT of the headline set (house rule: slow composed
 # queries don't bench — it re-times its stages, which are all timed above;

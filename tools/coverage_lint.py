@@ -18,6 +18,11 @@ three consistency contracts are now mechanical:
    flag only gated the regen path, not the committed artifact
    (VERDICT r10 ask #1); plan_inventory.py now also exits 1 on any
    hard flag, so both the generator and the artifact are gated.
+5. every `x5_*` contract query is a member of bench.HEADLINE (r12
+   verdict ask #1: the 34-query TPC-H-equivalent suite — the
+   shuffle-heaviest shapes in the repo — was silently unbenched, so a
+   >2x regression there was invisible round-over-round); HEADLINE
+   entries must also all be live registry queries.
 
 Run standalone (exit 1 + problem list on drift):
 
@@ -80,6 +85,7 @@ def run_lint(
     readme_text: str | None = None,
     allowlists: dict[str, set[str]] | None = None,
     plans_text: str | None = None,
+    bench_headline: set[str] | None = None,
 ) -> list[str]:
     """Return a list of human-readable drift problems (empty == green).
 
@@ -169,6 +175,24 @@ def run_lint(
     for q in sorted(oracles - queries):
         problems.append(
             f"oracle_sql: `{q}` has an oracle but no queries() entry"
+        )
+
+    # 5. x5 suite bench membership (r12 verdict ask #1) + no stale
+    # HEADLINE entries pointing at renamed/retired queries
+    if bench_headline is None:
+        import bench
+
+        bench_headline = set(bench.HEADLINE)
+    for q in sorted({n for n in queries if n.startswith("x5_")}
+                    - bench_headline):
+        problems.append(
+            f"bench.HEADLINE: x5 contract query `{q}` is not benched — "
+            "the TPC-H-equivalent suite is lint-forced into HEADLINE"
+        )
+    for q in sorted(bench_headline - queries):
+        problems.append(
+            f"bench.HEADLINE: `{q}` is not a live registry query "
+            "(stale bench entry)"
         )
 
     return problems
