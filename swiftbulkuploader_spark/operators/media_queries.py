@@ -756,6 +756,27 @@ def synth_phash_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# Full-corpus pHash pair memo (round 13): the pair frame is consumed by
+# x9_phash_dedup AND the composed x10_multimodal_manifest — one banded
+# join + verify per (appId, sf_dir), the _MH_CORPUS_CACHE discipline
+# (CLAUDE.md 11a: deterministic derived frames consumed by several
+# queries get persist + memoize).
+_PHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def phash_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (a, b, hamming) pHash near-dup pairs over the rendered
+    image corpus — the body of x9_phash_dedup, factored so composed
+    pipelines reuse ONE persisted materialization."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PHASH_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = _phash_pairs_build(spark, sf_dir).persist()
+    _PHASH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def x9_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection over a BINARY image column —
     the image-dedup stage of a multimodal pipeline, end to end in SQL
@@ -779,6 +800,12 @@ def x9_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where completeness is the point).
 
     Reference parity: none (§2.9 multimodal extension)."""
+    return phash_corpus_pairs(spark, sf_dir)
+
+
+def _phash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized pHash pipeline (see x9_phash_dedup's docstring for
+    semantics and scale analysis)."""
     docs = load_table(spark, sf_dir, "documents")
     # materialize the binary column before decoding: without the
     # checkpoint CollapseProject merges synth and decode projections and
@@ -1326,3 +1353,230 @@ ORACLES["x9_rgb_stats"] = _X9_RGB_ORACLE
 
 QUERIES["x9_silence_detect"] = x9_silence_detect
 ORACLES["x9_silence_detect"] = _silence_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# X10 — composed multimodal training manifest (round 13, r12 verdict ask #4)
+# ---------------------------------------------------------------------------
+
+# gate thresholds sit INSIDE the engine-computed distributions at every SF
+# (CLAUDE.md 12a): var_pixel spans 2013..8414 with ~6% below the floor;
+# silence_ratio spans 0.05..0.83 with ~31% above the cap; measured
+# 200 -> 189 -> 131 -> 129 at sf0.01/sf0.1 (tests/test_multimodal.py pins
+# every stage drops). .5 offsets keep integer-rational stats off the
+# threshold boundary.
+MM_IMG_VAR_MIN = 4000.5   # contrast floor (drop flat/blank images)
+MM_SIL_MAX = 0.5          # drop mostly-silent clips
+MM_BYTE_BUDGET = 4096     # payload bytes per packed chunk
+MM_SHARDS = 4
+
+
+def x10_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pre-training data-prep pipeline composed into ONE
+    manifest plan (round 13, r12 verdict ask #4 — x10 was text-only):
+    image quality gate -> audio silence gate -> pHash image dedup ->
+    deterministic shuffle/shard -> BYTE-budget packing, ending in the
+    per-chunk manifest a multimodal trainer reads. An example is the
+    (image, audio, text) triple keyed on media_id; its payload cost is
+    the BYTES a loader ships (w*h image + 2*n_samples PCM + UTF-8 text),
+    not tokens — the x10_training_manifest discipline with the budget in
+    the modality-native unit.
+
+    Stage reuse: the image gate crosses the genuine stdlib P5 decode
+    (decode_image_stats over synth_pgm — the x9_image_stats_real stage),
+    the audio gate the genuine ``wave`` decode (decode_wav_silence over
+    synth_wav_gated — the x9_silence_detect stage), and the dedup
+    consumes the memoized pHash pair frame (phash_corpus_pairs — the
+    x9_phash_dedup stage), dropping the higher id of every
+    Hamming<=PHASH_HAM_T pair (keep-first). The oracle nests each x9
+    stage's SQL verbatim-in-structure, so a drift in ANY stage breaks
+    this query too.
+
+    Exactness: both gates compare bit-identical exact-integer-derived
+    doubles (variance from integer moments, ratio from integer counts),
+    so threshold decisions agree across engines without rounding games.
+
+    Shape at 100 TB: the two gates are scan-speed Arrow ferries over the
+    stored media table (no shuffle); the dedup is the banded pHash join
+    (4 rows/image shuffled, never all-pairs); the triple join is keyed
+    on media_id (bucketing co-locates it); shard/pack is one shuffle on
+    shard_id + a per-shard sort — each stage individually probed, the
+    composition adds joins only on the bounded gated survivor set."""
+    from swiftbulkuploader_spark.multimodal.media import (
+        decode_image_stats,
+        decode_wav_silence,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = decode_image_stats(synth_pgm(docs)).select(
+        "media_id", "width", "height", "var_pixel"
+    ).filter(F.col("var_pixel") >= MM_IMG_VAR_MIN)
+    aud = decode_wav_silence(synth_wav_gated(docs)).select(
+        "media_id", "n_samples",
+        (F.col("n_silent").cast("double")
+         / F.col("n_samples").cast("double")).alias("sil_ratio"),
+    ).filter(F.col("sil_ratio") <= MM_SIL_MAX)
+    dropped = phash_corpus_pairs(spark, sf_dir).select(
+        F.col("b").alias("media_id")
+    ).distinct()
+    ex = (
+        img.join(aud, "media_id")
+        .join(dropped, "media_id", "left_anti")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("media_id"),
+                F.octet_length("text").alias("text_bytes"),
+            ),
+            "media_id",
+        )
+        .select(
+            "media_id",
+            (F.col("width") * F.col("height")
+             + 2 * F.col("n_samples") + F.col("text_bytes"))
+            .cast("long").alias("example_bytes"),
+        )
+    )
+    key = F.md5(F.concat(F.lit("mm:"), F.col("media_id").cast("string")))
+    sharded = ex.select(
+        "example_bytes",
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+         % F.lit(MM_SHARDS)).cast("int").alias("shard_id"),
+    )
+    w_pack = (
+        Window.partitionBy("shard_id")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(
+        F.sum("example_bytes").over(w_pack), F.lit(0).cast("long")
+    )
+    placed = sharded.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(MM_BYTE_BUDGET)).cast("long")
+    )
+    return placed.groupBy("shard_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("example_bytes").alias("chunk_bytes"),
+    )
+
+
+def _mm_manifest_oracle_sql() -> str:
+    """The composed oracle: the x9_image_stats_real variance CTE, the
+    x9_silence_detect gate CTE (tone/kbin VALUES re-derived from the same
+    Python tables), and the x9_phash_dedup all-pairs CTE, nested under
+    the shard/pack tail of the x10_training_manifest oracle."""
+    from swiftbulkuploader_spark.multimodal.media import (
+        SPEC_BINS,
+        SPEC_WINDOW,
+    )
+
+    tone = _spec_tone_table()
+    tone_rows = ", ".join(f"({t}, {tone[t]})" for t in range(SPEC_WINDOW))
+    kbin_rows = ", ".join(f"({m}, {k})" for m, k in enumerate(SPEC_BINS))
+    return f"""
+    WITH im AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 5 + 4 AS INT) AS width,
+               CAST(doc_id % 4 + 3 AS INT) AS height
+        FROM documents ORDER BY doc_id LIMIT {PGM_LIMIT}
+    ), ipx AS (
+        SELECT media_id, width, height,
+               (media_id * 7 + j.i * 13) % 256 AS p
+        FROM im, unnest(range(width * height)) AS j(i)
+    ), ivar AS (
+        SELECT media_id, width, height,
+               (CAST(sum(p * p) AS DOUBLE)
+                - CAST(sum(p) AS DOUBLE) * sum(p) / count(*)) / count(*)
+                   AS var_pixel
+        FROM ipx GROUP BY 1, 2, 3
+    ), am AS (
+        SELECT doc_id AS media_id,
+               CAST(40 + doc_id % 160 AS BIGINT) AS n,
+               (doc_id % 4) * 8 AS lead,
+               (doc_id % 3) * 4 AS trail
+        FROM documents ORDER BY doc_id LIMIT {WAV_LIMIT}
+    ), kbin(m4, k) AS (VALUES {kbin_rows}),
+    tone(t, amp) AS (VALUES {tone_rows}),
+    asamp AS (
+        SELECT am.media_id, am.n, u.i,
+               CASE WHEN u.i >= am.lead AND u.i < am.n - am.trail
+                    THEN tone.amp ELSE 0 END AS v
+        FROM am
+        JOIN kbin ON kbin.m4 = am.media_id % 4
+        CROSS JOIN unnest(range(n)) AS u(i)
+        JOIN tone ON tone.t = (kbin.k * u.i) % {SPEC_WINDOW}
+    ), asil AS (
+        SELECT media_id, n,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS sil_ratio
+        FROM asamp GROUP BY 1, 2
+    ), pt AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), pgg AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+        FROM pt, unnest(range(1, len(toks))) AS z(i)
+        WHERE len(toks) >= 2
+    ), pb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(bg), 1, 2)) AS BIGINT) % {PHASH_BINS}
+                   AS bin,
+               count(*) AS c
+        FROM pgg GROUP BY 1, 2
+    ), full_px AS (
+        SELECT d.doc_id, g.bin, least(coalesce(pb.c, 0), 255) AS p
+        FROM (SELECT DISTINCT doc_id FROM pgg) d
+        CROSS JOIN (SELECT unnest(range({PHASH_BINS})) AS bin) g
+        LEFT JOIN pb ON pb.doc_id = d.doc_id AND pb.bin = g.bin
+    ), st AS (
+        SELECT doc_id, sum(p) AS s FROM full_px GROUP BY 1
+    ), ah AS (
+        SELECT f.doc_id,
+               sum(CASE WHEN f.bin < 32 AND f.p * 64 > st.s
+                        THEN CAST(1 AS BIGINT) << CAST(f.bin AS INT)
+                        ELSE 0 END) AS lo,
+               sum(CASE WHEN f.bin >= 32 AND f.p * 64 > st.s
+                        THEN CAST(1 AS BIGINT) << CAST(f.bin - 32 AS INT)
+                        ELSE 0 END) AS hi
+        FROM full_px f JOIN st USING (doc_id)
+        GROUP BY f.doc_id
+    ), dropped AS (
+        SELECT DISTINCT y.doc_id AS media_id
+        FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+              <= {PHASH_HAM_T}
+    ), ex AS (
+        SELECT i.media_id,
+               CAST(i.width * i.height + 2 * a.n + strlen(d.text)
+                    AS BIGINT) AS example_bytes
+        FROM ivar i
+        JOIN asil a USING (media_id)
+        JOIN documents d ON d.doc_id = i.media_id
+        WHERE i.var_pixel >= CAST({MM_IMG_VAR_MIN} AS DOUBLE)
+          AND a.sil_ratio <= CAST({MM_SIL_MAX} AS DOUBLE)
+          AND i.media_id NOT IN (SELECT media_id FROM dropped)
+    ), sharded AS (
+        SELECT example_bytes,
+               md5('mm:' || CAST(media_id AS VARCHAR)) AS shuffle_key,
+               CAST(CAST(('0x' || substr(md5('mm:' || CAST(media_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {MM_SHARDS} AS INT) AS shard_id
+        FROM ex
+    ), placed AS (
+        SELECT shard_id, example_bytes,
+               coalesce(sum(example_bytes) OVER (
+                   PARTITION BY shard_id ORDER BY shuffle_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {MM_BYTE_BUDGET} AS chunk_id
+        FROM sharded
+    )
+    SELECT shard_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           count(*) AS n_examples,
+           CAST(sum(example_bytes) AS BIGINT) AS chunk_bytes
+    FROM placed GROUP BY 1, 2
+"""
+
+
+QUERIES["x10_multimodal_manifest"] = x10_multimodal_manifest
+ORACLES["x10_multimodal_manifest"] = _mm_manifest_oracle_sql()

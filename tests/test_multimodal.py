@@ -451,3 +451,67 @@ class TestWavSpectral:
         assert all(
             r["dominant_bin"] == SPEC_BINS[r["media_id"] % 4] for r in rows
         )
+
+
+class TestMultimodalManifestComposition:
+    def test_every_stage_drops_and_manifest_live(self, spark):
+        """x10_multimodal_manifest liveness (r12 verdict ask #4, the
+        x10_crawl_manifest discipline): the composition is only
+        meaningful if each gate actually drops rows at the contract SF —
+        the image contrast floor, the silence cap, AND the pHash dedup
+        each shrink the example set, and the packed manifest carries
+        multiple chunks whose totals conserve the survivor count."""
+        from pyspark.sql import functions as F
+
+        from swiftbulkuploader_spark.multimodal.media import (
+            decode_image_stats,
+            decode_wav_silence,
+        )
+        from swiftbulkuploader_spark.operators.media_queries import (
+            MM_BYTE_BUDGET,
+            MM_IMG_VAR_MIN,
+            MM_SIL_MAX,
+            phash_corpus_pairs,
+            synth_pgm,
+            synth_wav_gated,
+            x10_multimodal_manifest,
+        )
+        from swiftbulkuploader_spark.catalog import load_table
+
+        sf = "/root/testdata/sf0.01"
+        docs = load_table(spark, sf, "documents")
+        img = decode_image_stats(synth_pgm(docs)).select(
+            "media_id", "var_pixel")
+        aud = decode_wav_silence(synth_wav_gated(docs)).select(
+            "media_id",
+            (F.col("n_silent").cast("double")
+             / F.col("n_samples").cast("double")).alias("r"))
+        n_domain = img.join(aud, "media_id").count()
+        g1 = img.filter(F.col("var_pixel") >= MM_IMG_VAR_MIN)
+        n_img = g1.join(aud, "media_id").count()
+        g2 = g1.join(aud.filter(F.col("r") <= MM_SIL_MAX), "media_id")
+        n_aud = g2.count()
+        dropped = phash_corpus_pairs(spark, sf).select(
+            F.col("b").alias("media_id")).distinct()
+        n_final = g2.join(dropped, "media_id", "left_anti").count()
+        # every gate drops: 200 -> 189 -> 131 -> 129 at sf0.01
+        assert n_domain > n_img > n_aud > n_final > 0
+        # the dedup drop is live INSIDE the gated domain, not only
+        # corpus-wide
+        assert g2.join(dropped, "media_id").count() > 0
+
+        rows = x10_multimodal_manifest(spark, sf).collect()
+        assert len(rows) > 1                        # multiple chunks live
+        assert sum(r["n_examples"] for r in rows) == n_final
+        assert len({r["shard_id"] for r in rows}) > 1
+        for r in rows:
+            assert r["n_examples"] > 0
+            assert r["chunk_bytes"] > 0
+            # a chunk overruns the budget by at most one example's bytes
+            # (the exclusive-cumsum placement rule)
+        # per (shard, chunk) ids are dense from 0 within each shard
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard_id"], []).append(r["chunk_id"])
+        for cids in by_shard.values():
+            assert sorted(cids) == list(range(len(cids)))
