@@ -2020,3 +2020,119 @@ ORACLES["x8_ppr"] = f"""
                               alpha=PPR_ALPHA, damp=1.0 - PPR_ALPHA)}
     SELECT node, pr FROM p3
 """
+
+
+# ---------------------------------------------------------------------------
+# X8 — local-bridge / edge-embeddedness triage of the near-dup graph
+# (round 13, r12 verdict ask #6a)
+# ---------------------------------------------------------------------------
+
+
+def local_bridges_from_edges(edges: DataFrame) -> DataFrame:
+    """Edge embeddedness over an undirected (a < b) edge list: for every
+    edge, the number of common neighbors (the triangles it closes), both
+    endpoint degrees, the neighborhood-support Jaccard
+    cn / (deg_a + deg_b - 2 - cn), and the LOCAL-BRIDGE flag
+    (embeddedness 0 — Granovetter's span > 2 criterion: removing the
+    edge puts its endpoints at distance >= 3). Factored from
+    x8_local_bridges so crafted-graph tests pin the semantics."""
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    cn = (
+        edges.join(und.select(F.col("a").alias("a"),
+                              F.col("b").alias("w")), "a")
+        .join(und.select(F.col("a").alias("b"),
+                         F.col("b").alias("w")), ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    denom = F.col("deg_a") + F.col("deg_b") - 2 - F.col("embeddedness")
+    return (
+        edges.join(cn, ["a", "b"], "left")
+        .join(deg.select(F.col("node").alias("a"),
+                         F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("d").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.coalesce(F.col("cn"), F.lit(0)).cast("long")
+            .alias("embeddedness"),
+        )
+        .withColumn(
+            "support",
+            F.when(denom <= 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("embeddedness").cast("double")
+                    / denom.cast("double"), 6,
+                )
+            ),
+        )
+        .withColumn("is_local_bridge", F.col("embeddedness") == 0)
+    )
+
+
+def x8_local_bridges(spark, sf_dir: str) -> DataFrame:
+    """Local-bridge detection over the near-dup graph — the ACTIONABLE
+    successor to the transitivity alarm (x8_triangle_count flags that
+    closure MAY be chaining unlike documents; this names the edges to
+    re-verify): an edge with zero embeddedness (no common neighbor) is a
+    SINGLE-EVIDENCE merge — no third document corroborates it, and if it
+    is a false positive, transitive closure welds two unrelated clusters
+    through it. A dedup triage run re-verifies exactly these edges
+    (cheap: it's the bounded bridge set, not the corpus).
+
+    On this corpus every bridge is a 2-clique (the dup graph's components
+    are pair/triangle cliques — both flag values live at every SF, pinned
+    in tests/test_liveness_pins.py); a CHAINED false merge would surface
+    as embeddedness 0 with an endpoint degree > 1, which
+    tests/test_round13_ops.py pins on a crafted path-plus-triangle graph.
+
+    Shape: the x8_clustering_coeff edge substrate (allpairs_prefix_pairs,
+    memoized) + one wedge join through the shared neighbor — per-edge
+    fan-out is bounded by neighborhood size, the triangle-join class
+    already probed for this family. Embeddedness/degrees are exact
+    integers; `support` is one exact-int division rounded 6 dp.
+
+    Reference parity: none (§2.9 graph-dedup extension)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    return local_bridges_from_edges(e)
+
+
+QUERIES["x8_local_bridges"] = x8_local_bridges
+
+ORACLES["x8_local_bridges"] = _E0_CTES + """
+    , und AS (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM und GROUP BY a
+    ), cn AS (
+        SELECT e0.a, e0.b, count(*) AS cn
+        FROM e0
+        JOIN und ua ON ua.a = e0.a
+        JOIN und ub ON ub.a = e0.b AND ub.b = ua.b
+        GROUP BY 1, 2
+    )
+    SELECT e0.a AS doc_a, e0.b AS doc_b,
+           CAST(da.d AS BIGINT) AS deg_a,
+           CAST(db.d AS BIGINT) AS deg_b,
+           CAST(coalesce(cn.cn, 0) AS BIGINT) AS embeddedness,
+           CASE WHEN da.d + db.d - 2 - coalesce(cn.cn, 0) <= 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE round(CAST(coalesce(cn.cn, 0) AS DOUBLE)
+                           / (da.d + db.d - 2 - coalesce(cn.cn, 0)), 6)
+           END AS support,
+           coalesce(cn.cn, 0) = 0 AS is_local_bridge
+    FROM e0
+    JOIN deg da ON da.node = e0.a
+    JOIN deg db ON db.node = e0.b
+    LEFT JOIN cn ON cn.a = e0.a AND cn.b = e0.b
+"""

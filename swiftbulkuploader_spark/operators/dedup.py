@@ -3138,3 +3138,122 @@ ORACLES["x1_incremental_dedup"] = f"""
     LEFT JOIN best b USING (doc_id)
     LEFT JOIN conta co USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# X1 — variable-length longest-shared-substring profile
+# (round 13, r12 verdict ask #6b)
+# ---------------------------------------------------------------------------
+
+LSS_K = 8  # the fixed gram width the variable-length runs are built from
+
+
+def longest_shared_spans(docs: DataFrame) -> DataFrame:
+    """Per candidate pair, the variable-length shared-substring profile
+    from fixed-k gram matches: a shared token run of length L contains
+    L-k+1 consecutive k-gram matches at a CONSTANT position offset
+    (pa - pb), so per (pair, diagonal) the gaps-and-islands trick
+    (pa - row_number ordered by pa) groups consecutive matches into
+    runs and longest_span_tokens = max(run) + k - 1 — the
+    suffix-automaton answer ("longest common substring, in tokens")
+    recovered with joins and windows only. Factored from
+    x1_longest_shared_span so crafted-text tests pin the arithmetic."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    g = (
+        spread(docs)
+        .filter(F.size(toks) >= LSS_K)
+        .select(
+            "doc_id",
+            F.posexplode(shingles(F.col("text"), LSS_K)).alias("pos", "gram"),
+        )
+    )
+    gx = g.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"),
+                  "gram")
+    gy = g.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"),
+                  "gram")
+    # merge pin: the gram join's build side is DATA-DEPENDENT (corpus-
+    # sized on boilerplate) — the x1_dup_span_removal lesson (CLAUDE.md
+    # rule 12); sort-merge spills instead of OOMing
+    m = (
+        gx.join(gy.hint("merge"), "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb")
+    )
+    r = m.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "island",
+        F.col("pa") - F.row_number().over(
+            Window.partitionBy("a", "b", "diag").orderBy("pa")
+        ),
+    )
+    runs = r.groupBy("a", "b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return runs.groupBy("a", "b").agg(
+        F.sum("run").cast("long").alias("n_matched_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        (F.max("run") + F.lit(LSS_K - 1)).cast("long")
+        .alias("longest_span_tokens"),
+    ).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+        "n_matched_grams", "n_islands", "longest_span_tokens",
+    )
+
+
+def x1_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-shared-substring LENGTH profile per candidate pair — the
+    variable-length signal beside the fixed-k span family (r12 verdict
+    ask #6b): x1_dup_span_removal excises fixed 8-gram lattices and
+    x1_containment_pairs measures set containment, but neither says HOW
+    LONG the longest verbatim shared passage is; this does, per pair
+    sharing >= 1 exact 8-gram — the statistic that separates full-text
+    mirrors (span ~ doc length) from quote-level reuse (span ~ tens of
+    tokens), i.e. the tuning signal for a span-dedup threshold. Spans
+    10..95 tokens at every SF (variance pinned in
+    tests/test_liveness_pins.py); exact run arithmetic pinned on
+    crafted overlapping/offset texts in tests/test_round13_ops.py.
+
+    Shape at 100 TB: one posexplode of the linear-shingle arrays, one
+    gram-keyed sort-merge join (pinned — the data-dependent-build-side
+    lesson), then windows PARTITIONED by (pair, diagonal) whose width is
+    bounded by the longer document, never the corpus. Candidate volume
+    is gram-collision volume — the x1_repeated_passages class (at true
+    scale the join would ride the 8-byte xxhash64 key twin; the literal
+    form keeps the full value oracle).
+
+    Reference parity: none (§2.9 span-dedup extension; Lee et al. 2022
+    ExactSubstr's "longest duplicated substring" diagnostic)."""
+    return longest_shared_spans(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["x1_longest_shared_span"] = x1_longest_shared_span
+
+ORACLES["x1_longest_shared_span"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(toks[u.i + 1 : u.i + {LSS_K}], ' ') AS gram
+        FROM t, unnest(range(len(toks) - {LSS_K - 1})) AS u(i)
+        WHERE len(toks) >= {LSS_K}
+    ), m AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    ), r AS (
+        SELECT a, b, pa - pb AS diag, pa,
+               pa - row_number() OVER (PARTITION BY a, b, pa - pb
+                                       ORDER BY pa) AS island
+        FROM m
+    ), runs AS (
+        SELECT a, b, count(*) AS run
+        FROM r GROUP BY a, b, diag, island
+    )
+    SELECT a AS doc_a, b AS doc_b,
+           CAST(sum(run) AS BIGINT) AS n_matched_grams,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run) + {LSS_K - 1} AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY 1, 2
+"""

@@ -300,6 +300,37 @@ class TestGraphLiveness:
 
 
 
+class TestRound13Liveness:
+    def test_local_bridges_both_flags_live(self, spark, queries):
+        """Both bridge verdicts must occur on the natural substrate
+        (embedded triangle edges AND single-evidence bridges), else the
+        triage flag is decorative (the argmax/flag liveness class,
+        CLAUDE.md 12b)."""
+        rows = queries["x8_local_bridges"](spark, SF).collect()
+        assert rows
+        assert {r["is_local_bridge"] for r in rows} == {True, False}
+        for r in rows:
+            assert r["deg_a"] >= 1 and r["deg_b"] >= 1
+            assert r["embeddedness"] >= 0
+            assert 0.0 <= r["support"] <= 1.0
+            assert r["is_local_bridge"] == (r["embeddedness"] == 0)
+
+    def test_longest_span_profile_live(self, spark, queries):
+        """The variable-length signal must actually vary: spans at
+        >= LSS_K with real spread, run bookkeeping self-consistent."""
+        from swiftbulkuploader_spark.operators.dedup import LSS_K
+
+        rows = queries["x1_longest_shared_span"](spark, SF).collect()
+        assert rows
+        spans = [r["longest_span_tokens"] for r in rows]
+        assert min(spans) >= LSS_K
+        assert min(spans) < max(spans)          # variance, not a constant
+        for r in rows:
+            assert r["n_matched_grams"] >= r["n_islands"] >= 1
+            assert (r["longest_span_tokens"]
+                    <= r["n_matched_grams"] + LSS_K - 1)
+
+
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):
         """BH family liveness: both verdicts present (injected metrics

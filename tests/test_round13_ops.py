@@ -1,0 +1,126 @@
+"""Crafted-data semantics pins for the round-13 operators (the house
+rule: oracle agreement proves both engines MATCH; these pin that the
+values are the RIGHT ones on hand-computable fixtures)."""
+
+from __future__ import annotations
+
+
+class TestLocalBridges:
+    def test_path_plus_triangle_graph(self, spark):
+        """A triangle (1-2-3) with a chain hanging off it (3-4-5): the
+        triangle edges are embedded (cn = 1), the chain edges are local
+        bridges, and 3-4 is the CHAINED-false-merge shape — a bridge
+        whose endpoints both have degree > 1 (the edge the triage
+        docstring says to re-verify first)."""
+        from swiftbulkuploader_spark.operators.components import (
+            local_bridges_from_edges,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a long, b long"
+        )
+        out = {(r["doc_a"], r["doc_b"]): r
+               for r in local_bridges_from_edges(edges).collect()}
+        assert len(out) == 5
+
+        tri = out[(1, 2)]
+        assert tri["embeddedness"] == 1 and not tri["is_local_bridge"]
+        # support: 1 common / (2 + 2 - 2 - 1) = 1.0
+        assert tri["support"] == 1.0
+        assert out[(1, 3)]["support"] == 0.5     # 1 / (2 + 3 - 2 - 1)
+        assert out[(2, 3)]["support"] == 0.5
+
+        chain = out[(3, 4)]
+        assert chain["is_local_bridge"] and chain["embeddedness"] == 0
+        assert chain["deg_a"] == 3 and chain["deg_b"] == 2  # both > 1
+        assert chain["support"] == 0.0
+
+        leaf = out[(4, 5)]
+        assert leaf["is_local_bridge"]
+        assert leaf["deg_b"] == 1
+        assert leaf["support"] == 0.0
+
+    def test_isolated_pair_zero_denominator(self, spark):
+        """A 2-clique has denominator deg_a + deg_b - 2 - cn = 0; the
+        support must be 0.0, not a division error."""
+        from swiftbulkuploader_spark.operators.components import (
+            local_bridges_from_edges,
+        )
+
+        edges = spark.createDataFrame([(7, 8)], "a long, b long")
+        r = local_bridges_from_edges(edges).collect()[0]
+        assert r["is_local_bridge"] and r["support"] == 0.0
+        assert r["deg_a"] == 1 and r["deg_b"] == 1
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def _toks(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+class TestLongestSharedSpan:
+    def test_single_embedded_span(self, spark):
+        """A 12-token passage shared at different offsets: 12 - 8 + 1 = 5
+        consecutive 8-gram matches on one diagonal -> longest span
+        5 + 7 = 12 tokens, one island."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            longest_shared_spans,
+        )
+
+        s = _toks("s", 12)
+        a = _toks("a", 4) + " " + s + " " + _toks("q", 4)    # 20 tokens
+        b = _toks("b", 2) + " " + s + " " + _toks("z", 6)    # 20 tokens
+        out = longest_shared_spans(_docs(spark, [(1, a), (2, b)])).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["longest_span_tokens"] == 12
+        assert r["n_matched_grams"] == 5
+        assert r["n_islands"] == 1
+
+    def test_two_separate_runs(self, spark):
+        """Two disjoint shared passages (8 and 9 tokens) at inconsistent
+        offsets -> two islands, longest = 9."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            longest_shared_spans,
+        )
+
+        s1 = _toks("u", 8)   # exactly one 8-gram
+        s2 = _toks("v", 9)   # two consecutive 8-grams
+        a = s1 + " " + _toks("a", 5) + " " + s2
+        b = s2 + " " + _toks("b", 7) + " " + s1
+        out = longest_shared_spans(_docs(spark, [(1, a), (2, b)])).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["longest_span_tokens"] == 9
+        assert r["n_matched_grams"] == 3          # 1 + 2
+        assert r["n_islands"] == 2
+
+    def test_identical_docs_full_span(self, spark):
+        """Verbatim mirrors: the span IS the document length."""
+        from swiftbulkuploader_spark.operators.dedup import (
+            longest_shared_spans,
+        )
+
+        t = _toks("w", 15)
+        out = longest_shared_spans(_docs(spark, [(1, t), (2, t)])).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["longest_span_tokens"] == 15
+        assert r["n_matched_grams"] == 8          # 15 - 8 + 1
+        assert r["n_islands"] == 1
+
+    def test_no_shared_gram_no_row(self, spark):
+        from swiftbulkuploader_spark.operators.dedup import (
+            longest_shared_spans,
+        )
+
+        out = longest_shared_spans(
+            _docs(spark, [(1, _toks("a", 12)), (2, _toks("b", 12))])
+        ).collect()
+        assert out == []
