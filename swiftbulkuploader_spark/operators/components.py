@@ -2136,3 +2136,141 @@ ORACLES["x8_local_bridges"] = _E0_CTES + """
     JOIN deg db ON db.node = e0.b
     LEFT JOIN cn ON cn.a = e0.a AND cn.b = e0.b
 """
+
+
+def bridge_fragments_from_edges(edges: DataFrame) -> DataFrame:
+    """Split preview: connected components BEFORE vs AFTER removing every
+    local bridge (zero-embeddedness edge). Per before-component: size,
+    how many bridges it contains, how many fragments it shatters into
+    when they are cut (nodes stranded without a kept edge become
+    singletons), the largest fragment, and the splits flag. Factored
+    from x8_bridge_fragments so crafted-graph tests pin the semantics."""
+    br = local_bridges_from_edges(edges).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        "is_local_bridge",
+    )
+    kept = br.filter(~F.col("is_local_bridge")).select("a", "b")
+    comp1 = connected_components_star(edges)
+    comp2 = connected_components_star(kept).select(
+        "node", F.col("component").alias("frag0")
+    )
+    after = (
+        comp1.join(comp2, "node", "left")
+        .select(
+            "node", "component",
+            F.coalesce(F.col("frag0"), F.col("node")).alias("fragment"),
+        )
+    )
+    frag_sizes = after.groupBy("component", "fragment").agg(
+        F.count(F.lit(1)).alias("fsz")
+    )
+    per_comp = frag_sizes.groupBy("component").agg(
+        F.sum("fsz").cast("long").alias("size_before"),
+        F.count(F.lit(1)).cast("long").alias("n_fragments"),
+        F.max("fsz").cast("long").alias("max_fragment"),
+    )
+    nb = (
+        br.filter("is_local_bridge")
+        .join(comp1.select(F.col("node").alias("a"), "component"), "a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bridges"))
+    )
+    return (
+        per_comp.join(nb, "component", "left")
+        .select(
+            "component", "size_before",
+            F.coalesce(F.col("n_bridges"), F.lit(0)).cast("long")
+            .alias("n_bridges"),
+            "n_fragments", "max_fragment",
+            (F.col("n_fragments") > 1).alias("splits"),
+        )
+    )
+
+
+def x8_bridge_fragments(spark, sf_dir: str) -> DataFrame:
+    """Cluster-splitting check over the near-dup graph (round 13, the
+    min-cut-flavored companion to x8_local_bridges): if every
+    single-evidence edge (local bridge) were rejected on re-verify, what
+    does each dup cluster become? Components held together ONLY by
+    bridges shatter (the chained-false-merge damage preview); components
+    with embedded cores survive intact — so the report ranks clusters by
+    how much of their mass hangs on unverified evidence BEFORE a
+    transitive collapse deletes documents. Both split verdicts are live
+    at every SF (2-cliques shatter, triangles hold — pinned in
+    tests/test_liveness_pins.py); exact fragment arithmetic pinned on a
+    crafted path-plus-triangle graph in tests/test_round13_ops.py.
+
+    Shape: the memoized pair graph + the x8_local_bridges wedge join +
+    TWO star closures (O(log n) rounds each, the x1_dup_clusters_star
+    plan) + three small aggregates; the oracle replays both closures as
+    TRUE recursive-CTE transitive closures, so this also re-certifies
+    the star fixed point on the cut subgraph.
+
+    Reference parity: none (§2.9 graph-dedup extension)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    return bridge_fragments_from_edges(edges)
+
+
+QUERIES["x8_bridge_fragments"] = x8_bridge_fragments
+
+# WITH RECURSIVE prefix: the reach1/reach2 closures below are recursive;
+# DuckDB requires the whole WITH clause to declare it
+ORACLES["x8_bridge_fragments"] = _E0_CTES.replace(
+    "WITH t AS (", "WITH RECURSIVE t AS (", 1
+) + """
+    , und AS MATERIALIZED (
+        SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+    ), cnb AS (
+        SELECT e0.a, e0.b, count(*) AS cn
+        FROM e0
+        JOIN und ua ON ua.a = e0.a
+        JOIN und ub ON ub.a = e0.b AND ub.b = ua.b
+        GROUP BY 1, 2
+    ), flagged AS MATERIALIZED (
+        SELECT e0.a, e0.b, coalesce(cnb.cn, 0) = 0 AS is_bridge
+        FROM e0 LEFT JOIN cnb ON cnb.a = e0.a AND cnb.b = e0.b
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT a AS node FROM und
+    ), kept AS MATERIALIZED (
+        SELECT a, b FROM flagged WHERE NOT is_bridge
+        UNION ALL
+        SELECT b AS a, a AS b FROM flagged WHERE NOT is_bridge
+    ), reach1(node, label) AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.a AS node, r.label
+        FROM und e JOIN reach1 r ON e.b = r.node
+    ), comp1 AS MATERIALIZED (
+        SELECT node, min(label) AS component FROM reach1 GROUP BY node
+    ), reach2(node, label) AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.a AS node, r.label
+        FROM kept e JOIN reach2 r ON e.b = r.node
+    ), comp2 AS MATERIALIZED (
+        SELECT node, min(label) AS fragment FROM reach2 GROUP BY node
+    ), frag_sizes AS (
+        SELECT c1.component, c2.fragment, count(*) AS fsz
+        FROM comp1 c1 JOIN comp2 c2 USING (node)
+        GROUP BY 1, 2
+    ), per_comp AS (
+        SELECT component,
+               CAST(sum(fsz) AS BIGINT) AS size_before,
+               CAST(count(*) AS BIGINT) AS n_fragments,
+               CAST(max(fsz) AS BIGINT) AS max_fragment
+        FROM frag_sizes GROUP BY 1
+    ), nb AS (
+        SELECT c1.component, CAST(count(*) AS BIGINT) AS n_bridges
+        FROM flagged f
+        JOIN comp1 c1 ON c1.node = f.a
+        WHERE f.is_bridge
+        GROUP BY 1
+    )
+    SELECT p.component, p.size_before,
+           CAST(coalesce(nb.n_bridges, 0) AS BIGINT) AS n_bridges,
+           p.n_fragments, p.max_fragment,
+           p.n_fragments > 1 AS splits
+    FROM per_comp p LEFT JOIN nb USING (component)
+"""

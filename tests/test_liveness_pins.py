@@ -315,6 +315,20 @@ class TestRound13Liveness:
             assert 0.0 <= r["support"] <= 1.0
             assert r["is_local_bridge"] == (r["embeddedness"] == 0)
 
+    def test_bridge_fragments_both_verdicts_live(self, spark, queries):
+        """Both split verdicts must occur (2-cliques shatter, triangles
+        hold) and the bookkeeping must be conservative."""
+        rows = queries["x8_bridge_fragments"](spark, SF).collect()
+        assert rows
+        assert {r["splits"] for r in rows} == {True, False}
+        for r in rows:
+            assert r["size_before"] >= 2
+            assert 1 <= r["n_fragments"] <= r["size_before"]
+            assert 1 <= r["max_fragment"] <= r["size_before"]
+            assert r["splits"] == (r["n_fragments"] > 1)
+            if r["n_bridges"] == 0:
+                assert not r["splits"]
+
     def test_longest_span_profile_live(self, spark, queries):
         """The variable-length signal must actually vary: spans at
         >= LSS_K with real spread, run bookkeeping self-consistent."""

@@ -124,3 +124,48 @@ class TestLongestSharedSpan:
             _docs(spark, [(1, _toks("a", 12)), (2, _toks("b", 12))])
         ).collect()
         assert out == []
+
+
+class TestBridgeFragments:
+    def test_path_plus_triangle_split_preview(self, spark):
+        """Same crafted graph as TestLocalBridges: cutting the two chain
+        bridges shatters the single 5-node component into the triangle
+        core and two singletons; an isolated pair shatters fully."""
+        from swiftbulkuploader_spark.operators.components import (
+            bridge_fragments_from_edges,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (7, 8)],
+            "a long, b long",
+        )
+        out = {r["component"]: r
+               for r in bridge_fragments_from_edges(edges).collect()}
+        assert set(out) == {1, 7}
+
+        big = out[1]
+        assert big["size_before"] == 5
+        assert big["n_bridges"] == 2          # (3,4) and (4,5)
+        assert big["n_fragments"] == 3        # {1,2,3}, {4}, {5}
+        assert big["max_fragment"] == 3
+        assert big["splits"]
+
+        pair = out[7]
+        assert pair["size_before"] == 2
+        assert pair["n_bridges"] == 1
+        assert pair["n_fragments"] == 2 and pair["max_fragment"] == 1
+        assert pair["splits"]
+
+    def test_pure_clique_never_splits(self, spark):
+        from swiftbulkuploader_spark.operators.components import (
+            bridge_fragments_from_edges,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+            "a long, b long",
+        )
+        r = bridge_fragments_from_edges(edges).collect()[0]
+        assert r["component"] == 1 and r["size_before"] == 4
+        assert r["n_bridges"] == 0 and r["n_fragments"] == 1
+        assert r["max_fragment"] == 4 and not r["splits"]
