@@ -2223,3 +2223,120 @@ ORACLES["x6_tost"] = f"""
                AS equivalent
     FROM zz
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — split-conformal prediction interval + coverage audit (round 13)
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1  # nominal miscoverage: the 90% interval
+
+
+def x6_conformal_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for token count given n_chars,
+    with its held-out coverage audit — the distribution-free uncertainty
+    primitive (Vovk et al.; Lei et al. JASA'18) a data pipeline uses to
+    turn ANY point model into calibrated bounds (e.g. "predicted tokens
+    ± q̂" for budget planning) without distributional assumptions.
+
+    Recipe: deterministic split (even doc_id = calibration, odd = test);
+    fit OLS tokens ~ n_chars on calibration (regr_slope/intercept, 6-dp
+    rounded so both engines share exact coefficients); conformity score =
+    |y - ŷ| (6-dp rounded, bit-identical fixed-shape arithmetic on
+    integer-derived inputs); q̂ = the exact interpolated 1-alpha quantile
+    of calibration scores (Spark `percentile` == DuckDB `quantile_cont`,
+    the x6_quantiles pairing; the finite-sample (n+1)/n correction is
+    absorbed into the audit, which is the point of the query); coverage =
+    share of TEST docs with score <= q̂ — valid iff ~>= 1 - alpha.
+
+    Liveness: coverage strictly inside (0, 1) and near 0.9 at every SF
+    (tests/test_liveness_pins.py); the interval is informative (q̂ far
+    below the score range's top).
+
+    Shape: two corpus scans folded to 1-row aggregates chained by
+    bounded 1-row broadcasts (BNLJ-bounded-ok class); the exact
+    calibration percentile is the test-scale form (EXACT_PERCENTILE_OK —
+    the GK-sketch `approx_percentile` swap gives approximately-valid
+    conformal at 100 TB, same schema).
+
+    Reference parity: none (§2.9 stats extension)."""
+    from swiftbulkuploader_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x"),
+        token_count(F.col("text")).cast("double").alias("y"),
+        (F.col("doc_id") % 2 == 0).alias("is_cal"),
+    )
+    fit = base.filter("is_cal").agg(
+        F.round(F.regr_slope(F.col("y"), F.col("x")), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("y"), F.col("x")), 6)
+        .alias("intercept"),
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+    )
+    scored = base.crossJoin(F.broadcast(fit)).withColumn(
+        "res",
+        F.round(
+            F.abs(
+                F.col("y") - F.col("intercept") - F.col("slope") * F.col("x")
+            ), 6,
+        ),
+    )
+    qrow = scored.filter("is_cal").agg(
+        F.round(
+            F.expr(f"percentile(res, {1.0 - CONF_ALPHA!r}D)"), 6
+        ).alias("q_hat")
+    )
+    return (
+        scored.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(qrow))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("slope").alias("slope"),
+            F.max("intercept").alias("intercept"),
+            F.max("q_hat").alias("q_hat"),
+            F.round(
+                F.avg((F.col("res") <= F.col("q_hat")).cast("double")), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+QUERIES["x6_conformal_bounds"] = x6_conformal_bounds
+
+from swiftbulkuploader_spark.operators.oracle_fragments import (  # noqa: E402
+    TOKENS_DUCK as _TOKENS_DUCK,
+)
+
+ORACLES["x6_conformal_bounds"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS x,
+               CAST({_TOKENS_DUCK} AS DOUBLE) AS y,
+               doc_id % 2 = 0 AS is_cal
+        FROM documents
+    ), fit AS (
+        SELECT round(regr_slope(y, x), 6) AS slope,
+               round(regr_intercept(y, x), 6) AS intercept,
+               CAST(count(*) AS BIGINT) AS n_cal
+        FROM d WHERE is_cal
+    ), scored AS (
+        SELECT d.doc_id, d.is_cal,
+               round(abs(d.y - fit.intercept - fit.slope * d.x), 6) AS res
+        FROM d, fit
+    ), q AS (
+        SELECT round(quantile_cont(res, CAST({1.0 - CONF_ALPHA} AS DOUBLE)), 6)
+                   AS q_hat
+        FROM scored WHERE is_cal
+    )
+    SELECT fit.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           fit.slope, fit.intercept, q.q_hat,
+           round(avg(CASE WHEN res <= q.q_hat THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END), 6) AS coverage
+    FROM scored, fit, q
+    WHERE NOT is_cal
+    GROUP BY fit.n_cal, fit.slope, fit.intercept, q.q_hat
+"""

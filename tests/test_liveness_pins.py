@@ -329,6 +329,16 @@ class TestRound13Liveness:
             if r["n_bridges"] == 0:
                 assert not r["splits"]
 
+    def test_conformal_bounds_live(self, spark, queries):
+        """Coverage strictly inside (0, 1) near the nominal level, an
+        informative interval, and a real fit."""
+        r = queries["x6_conformal_bounds"](spark, SF).collect()[0]
+        assert r["n_cal"] > 0 and r["n_test"] > 0
+        assert _finite(r["slope"]) and r["slope"] != 0.0
+        assert _finite(r["q_hat"]) and r["q_hat"] > 0.0
+        assert 0.0 < r["coverage"] < 1.0
+        assert 0.8 <= r["coverage"] <= 0.99   # near-nominal, not saturated
+
     def test_longest_span_profile_live(self, spark, queries):
         """The variable-length signal must actually vary: spans at
         >= LSS_K with real spread, run bookkeeping self-consistent."""

@@ -27,6 +27,8 @@ from swiftbulkuploader_spark import registry  # noqa: E402
 # O(n * k) with k constant by construction, not a quadratic accident; the
 # bound is documented in each query's docstring
 BOUNDED_BNLJ_OK = {
+    "x6_conformal_bounds",     # two 1-row broadcasts (fit coefficients,
+                               # calibration quantile)
     "x6_equiwidth_histogram",  # 1-row min/max bounds
     "x2_knn_join",             # fixed 8-vector query batch
     "x6_drift_metrics",        # 1-row midpoint + 1-row totals
@@ -142,6 +144,9 @@ BOUNDED_BNLJ_OK = {
 # EXACT-PCTL!, so a composed pipeline can never silently acquire an exact
 # percentile the way the BNLJ allowlist guards quadratic joins.
 EXACT_PERCENTILE_OK = {
+    "x6_conformal_bounds",     # exact calibration quantile at test scale;
+                               # approx_percentile is the documented
+                               # approximately-valid 100 TB swap
     "x6_quantiles",            # the exact-percentile contract query itself
                                # (scale default is the GK sketch twin, which
                                # is what bench.py times)
