@@ -285,6 +285,7 @@ HEADLINE = [
     "x1_longest_shared_span",         # variable-length shared-substring profile
     "x8_bridge_fragments",            # bridge-cut cluster-splitting preview
     "x6_conformal_bounds",            # split-conformal interval + coverage audit
+    "x6_adjusted_effect",             # direct-standardization confounding guard
     # round 13 (r12 verdict ask #1): the COMPLETE x5 TPC-H-equivalent
     # suite benches — the shuffle-heaviest shapes in the repo
     # (q18 HAVING-on-big-agg, q21 multi-anti-join) were invisible to the

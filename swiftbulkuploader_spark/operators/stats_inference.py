@@ -2340,3 +2340,235 @@ ORACLES["x6_conformal_bounds"] = f"""
     WHERE NOT is_cal
     GROUP BY fit.n_cal, fit.slope, fit.intercept, q.q_hat
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — confounding adjustment via direct standardization (round 13)
+# ---------------------------------------------------------------------------
+
+CFD_GAP_THRESH = 20000.0  # dollars; the confounded scenario's gap sits at
+                          # ~78-80k and the randomized one at <=1.7k at
+                          # every SF (measured sf0.001/0.01/0.1) — an
+                          # order of magnitude clear on both sides.
+
+
+def x6_adjusted_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounding-adjusted treatment effect via direct standardization
+    (Cochran, Biometrics'68 "The effectiveness of adjustment by
+    subclassification"; the Simpson's-paradox guard every observational
+    readout needs): compare the CRUDE arm difference in mean per-order
+    revenue against the STRATUM-ADJUSTED difference, where the stratum
+    is order size (few = <=3 lineitems vs many) — a variable that
+    genuinely drives per-order revenue (~122k vs ~284k mean at sf0.01,
+    compositional structure, not injected).
+
+    TWO scenarios so both flag polarities are exercised (the
+    x6_srm_check discipline): 'randomized' assigns arms by a
+    'cfd:'-salted md5 parity (independent of stratum — crude ~=
+    adjusted, gap <=1.7k at every SF, flag false); 'confounded'
+    simulates a selection-biased rollout that over-samples many-line
+    orders into treatment (75%/25% by the same hash's mod-4 value) —
+    the crude estimate inflates to ~+79k while the adjusted estimate
+    stays ~0, so gap = crude - adjusted fires the flag. adjusted =
+    sum over strata of (n_s/n) * (mean_t,s - mean_c,s), standardized
+    to the total population.
+
+    EXACTNESS (the x6_diff_in_diff discipline): revenue cent-quantized
+    to exact BIGINTs, all 24 cell moments (both scenarios) accumulate
+    via conditional decimal(38,0) sums in ONE 1-row aggregate, and
+    every mean/gap is a fixed-shape double expression over
+    bit-identical operands, 6-dp rounded before the boolean.
+
+    Shape: one narrow rollup shuffle on l_orderkey, then a single
+    constant-size fold; the two output rows explode from the 1-row
+    frame (no second scan, no union re-execution) — O(1) after the
+    rollup at any scale.
+
+    Reference parity: none (§2.9 stats extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+    orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents).alias("y"), F.count(F.lit(1)).alias("nl"))
+        .select(
+            F.col("y"),
+            (F.col("nl") <= 3).cast("int").alias("few"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cfd:"),
+                                F.col("l_orderkey").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % 4
+            ).alias("h4"),
+        )
+        .select(
+            "y", "few",
+            (F.col("h4") % 2).cast("int").alias("arm_r"),
+            F.when(
+                ((F.col("few") == 0) & (F.col("h4") < 3))
+                | ((F.col("few") == 1) & (F.col("h4") < 1)),
+                1,
+            ).otherwise(0).alias("arm_c"),
+        )
+    )
+
+    return adjusted_effect_cells(orders)
+
+
+def adjusted_effect_cells(
+    orders: DataFrame, thresh: float = CFD_GAP_THRESH
+) -> DataFrame:
+    """Core of x6_adjusted_effect, factored for crafted-fixture tests:
+    `orders` carries (y: long cents, few: int, arm_r: int, arm_c: int);
+    returns the 2-row (confounded, randomized) scenario readout. All 24
+    cell moments fold in ONE constant-size aggregate; the two output
+    rows explode from the 1-row frame."""
+    dec = "decimal(38,0)"
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _s(cond):
+        return F.sum(F.when(cond, F.col("y")).otherwise(0).cast(dec))
+
+    aggs = []
+    for p, armc in (("r", "arm_r"), ("c", "arm_c")):
+        a1, a0 = F.col(armc) == 1, F.col(armc) == 0
+        f1, f0 = F.col("few") == 1, F.col("few") == 0
+        aggs += [
+            _cnt(a1).alias(f"{p}_nt"), _cnt(a0).alias(f"{p}_nc"),
+            _cnt(a1 & f1).alias(f"{p}_nt1"), _cnt(a0 & f1).alias(f"{p}_nc1"),
+            _cnt(a1 & f0).alias(f"{p}_nt0"), _cnt(a0 & f0).alias(f"{p}_nc0"),
+            _s(a1).alias(f"{p}_st"), _s(a0).alias(f"{p}_sc"),
+            _s(a1 & f1).alias(f"{p}_st1"), _s(a0 & f1).alias(f"{p}_sc1"),
+            _s(a1 & f0).alias(f"{p}_st0"), _s(a0 & f0).alias(f"{p}_sc0"),
+        ]
+    row = orders.agg(*aggs)
+
+    def _d(name):
+        return F.col(name).cast("double")
+
+    def _scenario_struct(label, p):
+        crude = F.round(
+            (_d(f"{p}_st") / _d(f"{p}_nt") - _d(f"{p}_sc") / _d(f"{p}_nc"))
+            / F.lit(100.0),
+            6,
+        )
+        adjusted = F.round(
+            (
+                (_d(f"{p}_nt1") + _d(f"{p}_nc1"))
+                / (_d(f"{p}_nt") + _d(f"{p}_nc"))
+                * (_d(f"{p}_st1") / _d(f"{p}_nt1")
+                   - _d(f"{p}_sc1") / _d(f"{p}_nc1"))
+                + (_d(f"{p}_nt0") + _d(f"{p}_nc0"))
+                / (_d(f"{p}_nt") + _d(f"{p}_nc"))
+                * (_d(f"{p}_st0") / _d(f"{p}_nt0")
+                   - _d(f"{p}_sc0") / _d(f"{p}_nc0"))
+            )
+            / F.lit(100.0),
+            6,
+        )
+        gap = F.round(crude - adjusted, 6)
+        return F.struct(
+            F.lit(label).alias("scenario"),
+            F.col(f"{p}_nt").alias("n_treat"),
+            F.col(f"{p}_nc").alias("n_control"),
+            crude.alias("crude_effect"),
+            adjusted.alias("adjusted_effect"),
+            gap.alias("confound_gap"),
+            (F.abs(gap) > F.lit(float(thresh))).alias("confounded"),
+        )
+
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    _scenario_struct("confounded", "c"),
+                    _scenario_struct("randomized", "r"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("scenario")
+    )
+
+
+QUERIES["x6_adjusted_effect"] = x6_adjusted_effect
+
+_CFD_SCEN_SQL = """
+        SELECT '{label}' AS scenario,
+               CAST({p}_nt AS BIGINT) AS n_treat,
+               CAST({p}_nc AS BIGINT) AS n_control,
+               round((CAST({p}_st AS DOUBLE) / CAST({p}_nt AS DOUBLE)
+                      - CAST({p}_sc AS DOUBLE) / CAST({p}_nc AS DOUBLE))
+                     / CAST(100.0 AS DOUBLE), 6) AS crude_effect,
+               round(((CAST({p}_nt1 AS DOUBLE) + CAST({p}_nc1 AS DOUBLE))
+                      / (CAST({p}_nt AS DOUBLE) + CAST({p}_nc AS DOUBLE))
+                      * (CAST({p}_st1 AS DOUBLE) / CAST({p}_nt1 AS DOUBLE)
+                         - CAST({p}_sc1 AS DOUBLE) / CAST({p}_nc1 AS DOUBLE))
+                      + (CAST({p}_nt0 AS DOUBLE) + CAST({p}_nc0 AS DOUBLE))
+                        / (CAST({p}_nt AS DOUBLE) + CAST({p}_nc AS DOUBLE))
+                        * (CAST({p}_st0 AS DOUBLE) / CAST({p}_nt0 AS DOUBLE)
+                           - CAST({p}_sc0 AS DOUBLE) / CAST({p}_nc0 AS DOUBLE)))
+                     / CAST(100.0 AS DOUBLE), 6) AS adjusted_effect
+        FROM cells"""
+
+ORACLES["x6_adjusted_effect"] = f"""
+    WITH orders AS (
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS y,
+               CASE WHEN count(*) <= 3 THEN 1 ELSE 0 END AS few,
+               CAST(('0x' || substr(md5('cfd:' || CAST(l_orderkey AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 4 AS h4
+        FROM lineitem GROUP BY l_orderkey
+    ), arms AS (
+        SELECT y, few,
+               h4 % 2 AS arm_r,
+               CASE WHEN (few = 0 AND h4 < 3) OR (few = 1 AND h4 < 1)
+                    THEN 1 ELSE 0 END AS arm_c
+        FROM orders
+    ), cells AS (
+        SELECT
+            sum(CASE WHEN arm_r = 1 THEN 1 ELSE 0 END) AS r_nt,
+            sum(CASE WHEN arm_r = 0 THEN 1 ELSE 0 END) AS r_nc,
+            sum(CASE WHEN arm_r = 1 AND few = 1 THEN 1 ELSE 0 END) AS r_nt1,
+            sum(CASE WHEN arm_r = 0 AND few = 1 THEN 1 ELSE 0 END) AS r_nc1,
+            sum(CASE WHEN arm_r = 1 AND few = 0 THEN 1 ELSE 0 END) AS r_nt0,
+            sum(CASE WHEN arm_r = 0 AND few = 0 THEN 1 ELSE 0 END) AS r_nc0,
+            sum(CASE WHEN arm_r = 1 THEN y ELSE 0 END) AS r_st,
+            sum(CASE WHEN arm_r = 0 THEN y ELSE 0 END) AS r_sc,
+            sum(CASE WHEN arm_r = 1 AND few = 1 THEN y ELSE 0 END) AS r_st1,
+            sum(CASE WHEN arm_r = 0 AND few = 1 THEN y ELSE 0 END) AS r_sc1,
+            sum(CASE WHEN arm_r = 1 AND few = 0 THEN y ELSE 0 END) AS r_st0,
+            sum(CASE WHEN arm_r = 0 AND few = 0 THEN y ELSE 0 END) AS r_sc0,
+            sum(CASE WHEN arm_c = 1 THEN 1 ELSE 0 END) AS c_nt,
+            sum(CASE WHEN arm_c = 0 THEN 1 ELSE 0 END) AS c_nc,
+            sum(CASE WHEN arm_c = 1 AND few = 1 THEN 1 ELSE 0 END) AS c_nt1,
+            sum(CASE WHEN arm_c = 0 AND few = 1 THEN 1 ELSE 0 END) AS c_nc1,
+            sum(CASE WHEN arm_c = 1 AND few = 0 THEN 1 ELSE 0 END) AS c_nt0,
+            sum(CASE WHEN arm_c = 0 AND few = 0 THEN 1 ELSE 0 END) AS c_nc0,
+            sum(CASE WHEN arm_c = 1 THEN y ELSE 0 END) AS c_st,
+            sum(CASE WHEN arm_c = 0 THEN y ELSE 0 END) AS c_sc,
+            sum(CASE WHEN arm_c = 1 AND few = 1 THEN y ELSE 0 END) AS c_st1,
+            sum(CASE WHEN arm_c = 0 AND few = 1 THEN y ELSE 0 END) AS c_sc1,
+            sum(CASE WHEN arm_c = 1 AND few = 0 THEN y ELSE 0 END) AS c_st0,
+            sum(CASE WHEN arm_c = 0 AND few = 0 THEN y ELSE 0 END) AS c_sc0
+        FROM arms
+    ), scen AS (
+        {_CFD_SCEN_SQL.format(label="confounded", p="c")}
+        UNION ALL
+        {_CFD_SCEN_SQL.format(label="randomized", p="r")}
+    )
+    SELECT scenario, n_treat, n_control, crude_effect, adjusted_effect,
+           round(crude_effect - adjusted_effect, 6) AS confound_gap,
+           abs(round(crude_effect - adjusted_effect, 6))
+               > CAST({CFD_GAP_THRESH!r} AS DOUBLE) AS confounded
+    FROM scen ORDER BY scenario
+"""

@@ -354,6 +354,29 @@ class TestRound13Liveness:
             assert (r["longest_span_tokens"]
                     <= r["n_matched_grams"] + LSS_K - 1)
 
+    def test_adjusted_effect_both_flags_live(self, spark, queries):
+        """Both confounding verdicts must occur on the natural substrate
+        (the scenario-pair discipline): the confounded rollout's gap
+        clears the threshold with an order of magnitude to spare, the
+        randomized split stays an order of magnitude under it, and the
+        adjusted estimate actually removes the composition bias."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            CFD_GAP_THRESH,
+        )
+
+        rows = {r["scenario"]: r
+                for r in queries["x6_adjusted_effect"](spark, SF).collect()}
+        assert set(rows) == {"randomized", "confounded"}
+        for r in rows.values():
+            assert r["n_treat"] > 0 and r["n_control"] > 0
+        c, r = rows["confounded"], rows["randomized"]
+        assert c["confounded"] and not r["confounded"]
+        assert abs(c["confound_gap"]) > 2 * CFD_GAP_THRESH
+        assert abs(r["confound_gap"]) < CFD_GAP_THRESH / 2
+        # adjustment works: the adjusted estimate is far closer to the
+        # (true-null) zero effect than the crude one in the biased world
+        assert abs(c["adjusted_effect"]) < abs(c["crude_effect"]) / 10
+
 
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):

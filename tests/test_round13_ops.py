@@ -169,3 +169,62 @@ class TestBridgeFragments:
         assert r["component"] == 1 and r["size_before"] == 4
         assert r["n_bridges"] == 0 and r["n_fragments"] == 1
         assert r["max_fragment"] == 4 and not r["splits"]
+
+
+class TestAdjustedEffect:
+    def test_hand_computed_scenarios(self, spark):
+        """8 orders, zero within-stratum effect everywhere: few orders
+        are worth $1 (100 cents), many orders $3. The randomized arms
+        are balanced within strata (crude = adjusted = gap = 0); the
+        confounded arms over-sample many-line orders into treatment
+        (3/1 vs 1/3), so crude = (250 - 150)/100 = $1.00 while the
+        standardized adjusted effect stays exactly 0."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            adjusted_effect_cells,
+        )
+
+        rows = [
+            (100, 1, 1, 1), (100, 1, 1, 0), (100, 1, 0, 0), (100, 1, 0, 0),
+            (300, 0, 1, 1), (300, 0, 1, 1), (300, 0, 0, 1), (300, 0, 0, 0),
+        ]
+        orders = spark.createDataFrame(
+            rows, "y long, few int, arm_r int, arm_c int"
+        )
+        out = {r["scenario"]: r
+               for r in adjusted_effect_cells(orders, thresh=0.5).collect()}
+        assert set(out) == {"randomized", "confounded"}
+
+        r = out["randomized"]
+        assert r["n_treat"] == 4 and r["n_control"] == 4
+        assert r["crude_effect"] == 0.0
+        assert r["adjusted_effect"] == 0.0
+        assert r["confound_gap"] == 0.0 and not r["confounded"]
+
+        c = out["confounded"]
+        assert c["n_treat"] == 4 and c["n_control"] == 4
+        assert c["crude_effect"] == 1.0
+        assert c["adjusted_effect"] == 0.0
+        assert c["confound_gap"] == 1.0 and c["confounded"]
+
+    def test_pure_stratum_effect_survives_adjustment(self, spark):
+        """When the treatment effect is REAL (+$1 within every stratum)
+        and arms are balanced, the adjusted estimate keeps it: crude =
+        adjusted = 1.0, gap = 0 — adjustment removes composition bias,
+        not signal."""
+        from swiftbulkuploader_spark.operators.stats_inference import (
+            adjusted_effect_cells,
+        )
+
+        rows = [
+            (200, 1, 1, 1), (100, 1, 0, 0),
+            (400, 0, 1, 1), (300, 0, 0, 0),
+        ]
+        orders = spark.createDataFrame(
+            rows, "y long, few int, arm_r int, arm_c int"
+        )
+        out = {r["scenario"]: r
+               for r in adjusted_effect_cells(orders, thresh=0.5).collect()}
+        r = out["randomized"]
+        assert r["crude_effect"] == 1.0
+        assert r["adjusted_effect"] == 1.0
+        assert r["confound_gap"] == 0.0 and not r["confounded"]
