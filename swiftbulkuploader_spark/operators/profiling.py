@@ -1330,3 +1330,132 @@ ORACLES["x6_winsorized_stats"] = """
            n_trim, n_clamped_low, n_clamped_high
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# X6 — k-anonymity / l-diversity re-identification audit (round 13)
+# ---------------------------------------------------------------------------
+
+K_ANON = 10  # minimum safe equivalence-class size (Sweeney's k)
+L_DIV = 2    # minimum sensitive-value diversity per class
+
+
+def x6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit over a generalization ladder —
+    k-anonymity (Sweeney, IJUFKS'02) and l-diversity (Machanavajjhala
+    et al., ICDE'06) for the customer table's quasi-identifiers. The
+    x3_pii_scrub successor a data-governance pipeline actually needs:
+    scrubbing direct identifiers is not enough when (segment, nation,
+    balance-bucket) combinations single out individuals; this query
+    measures HOW exposed each release candidate (generalization level)
+    is, so the pipeline can pick the coarsest level that meets policy.
+
+    Ladder (the Samarati/Sweeney lattice walk): level 0 = (segment,
+    nation, balance_k-thousand-bucket), level 1 drops the balance
+    bucket, level 2 keeps segment only. Sensitive attribute =
+    delinquency (acctbal < 0): if every member of a class shares it,
+    class membership discloses it (hence l-diversity). Per level:
+    class count, k_min/k_max, records in classes below K_ANON as a
+    share (pct_below_k), minimum sensitive diversity, and the two
+    policy flags. Liveness (measured at every SF): level 0 is never
+    k-anonymous (k_min 1-2), level 2 always is (k_min 23+), so both
+    flag polarities occur; n_records is SF-invariantly the full table
+    at every level (each level partitions all rows — pinned).
+
+    Shape: ONE rollup shuffle computes every ladder level in a single
+    pass (no per-level rescans; grand-total row filtered out), then an
+    O(levels) fold. All counts exact integers; pct is one fixed-shape
+    double division, 6-dp rounded. Scales: partial-aggregated rollup,
+    output bounded by class cardinality.
+
+    Reference parity: none (§2.9 governance extension)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+        .alias("bal_k"),
+        (F.col("c_acctbal") < 0).cast("int").alias("delinquent"),
+    )
+    return k_anonymity_ladder(base)
+
+
+def k_anonymity_ladder(
+    base: DataFrame, k_anon: int = K_ANON, l_div: int = L_DIV
+) -> DataFrame:
+    """Core of x6_k_anonymity, factored for crafted-fixture tests:
+    `base` carries (seg, nat, bal_k, delinquent); returns the 3-row
+    per-generalization-level audit from ONE rollup pass."""
+    classes = (
+        base.rollup("seg", "nat", "bal_k")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.countDistinct("delinquent").cast("long").alias("l"),
+        )
+        .filter(F.col("gid") < 7)  # drop the grand-total row
+    )
+    return (
+        classes.groupBy("gid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").cast("long").alias("n_records"),
+            F.round(
+                F.sum(
+                    F.when(F.col("k") < F.lit(k_anon), F.col("k"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("k").cast("double"),
+                6,
+            ).alias("pct_below_k"),
+            F.min("l").alias("l_div_min"),
+        )
+        .select(
+            F.when(F.col("gid") == 0, 0)
+            .when(F.col("gid") == 1, 1)
+            .otherwise(2).alias("level"),
+            F.when(F.col("gid") == 0, "segment,nation,balance_k")
+            .when(F.col("gid") == 1, "segment,nation")
+            .otherwise("segment").alias("quasi_identifier"),
+            "n_classes", "k_min", "k_max", "n_records", "pct_below_k",
+            "l_div_min",
+            (F.col("k_min") >= F.lit(k_anon)).alias("k_anonymous"),
+            (F.col("l_div_min") >= F.lit(l_div)).alias("l_diverse"),
+        )
+        .orderBy("level")
+    )
+
+
+QUERIES["x6_k_anonymity"] = x6_k_anonymity
+
+ORACLES["x6_k_anonymity"] = f"""
+    WITH base AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_k,
+               CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS delinquent
+        FROM customer
+    ), classes AS (
+        SELECT GROUPING(seg, nat, bal_k) AS gid,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(count(DISTINCT delinquent) AS BIGINT) AS l
+        FROM base GROUP BY ROLLUP(seg, nat, bal_k)
+    )
+    SELECT CASE WHEN gid = 0 THEN 0 WHEN gid = 1 THEN 1 ELSE 2 END AS level,
+           CASE WHEN gid = 0 THEN 'segment,nation,balance_k'
+                WHEN gid = 1 THEN 'segment,nation'
+                ELSE 'segment' END AS quasi_identifier,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           CAST(sum(k) AS BIGINT) AS n_records,
+           round(CAST(sum(CASE WHEN k < {K_ANON} THEN k ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(k) AS DOUBLE), 6) AS pct_below_k,
+           min(l) AS l_div_min,
+           min(k) >= {K_ANON} AS k_anonymous,
+           min(l) >= {L_DIV} AS l_diverse
+    FROM classes WHERE gid < 7
+    GROUP BY gid ORDER BY level
+"""

@@ -377,6 +377,24 @@ class TestRound13Liveness:
         # (true-null) zero effect than the crude one in the biased world
         assert abs(c["adjusted_effect"]) < abs(c["crude_effect"]) / 10
 
+    def test_k_anonymity_ladder_live(self, spark, queries):
+        """Both policy-flag polarities on the natural substrate: the
+        finest level is never k-anonymous, the coarsest always is, risk
+        falls monotonically as the ladder generalizes, and every level
+        accounts for the whole table."""
+        rows = {r["level"]: r
+                for r in queries["x6_k_anonymity"](spark, SF).collect()}
+        assert set(rows) == {0, 1, 2}
+        assert not rows[0]["k_anonymous"]
+        assert rows[2]["k_anonymous"] and rows[2]["l_diverse"]
+        recs = {r["n_records"] for r in rows.values()}
+        assert len(recs) == 1                     # partitions all rows
+        assert (rows[0]["pct_below_k"] >= rows[1]["pct_below_k"]
+                >= rows[2]["pct_below_k"])
+        assert rows[0]["k_min"] <= rows[1]["k_min"] <= rows[2]["k_min"]
+        assert rows[0]["n_classes"] > rows[1]["n_classes"] \
+            > rows[2]["n_classes"]
+
 
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):

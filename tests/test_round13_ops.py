@@ -228,3 +228,61 @@ class TestAdjustedEffect:
         assert r["crude_effect"] == 1.0
         assert r["adjusted_effect"] == 1.0
         assert r["confound_gap"] == 0.0 and not r["confounded"]
+
+
+class TestKAnonymity:
+    def test_hand_computed_ladder(self, spark):
+        """6 rows, hand-walked lattice: level 0 has two singleton
+        classes (k_min 1, 2/6 of records below k=2, no diversity in
+        the singletons); level 2 groups to A(k=4,l=2) / B(k=2,l=2) —
+        k-anonymous AND l-diverse at k=2, l=2."""
+        from swiftbulkuploader_spark.operators.profiling import (
+            k_anonymity_ladder,
+        )
+
+        base = spark.createDataFrame(
+            [
+                ("A", 1, 0, 0), ("A", 1, 0, 1), ("A", 1, 1, 0),
+                ("A", 2, 0, 0), ("B", 1, 0, 1), ("B", 1, 0, 0),
+            ],
+            "seg string, nat int, bal_k int, delinquent int",
+        )
+        rows = {r["level"]: r
+                for r in k_anonymity_ladder(base, k_anon=2, l_div=2)
+                .collect()}
+        assert set(rows) == {0, 1, 2}
+
+        l0 = rows[0]
+        assert l0["quasi_identifier"] == "segment,nation,balance_k"
+        assert l0["n_classes"] == 4
+        assert l0["k_min"] == 1 and l0["k_max"] == 2
+        assert l0["n_records"] == 6
+        assert l0["pct_below_k"] == 0.333333
+        assert l0["l_div_min"] == 1
+        assert not l0["k_anonymous"] and not l0["l_diverse"]
+
+        l1 = rows[1]
+        assert l1["n_classes"] == 3
+        assert l1["k_min"] == 1 and l1["k_max"] == 3
+        assert l1["pct_below_k"] == 0.166667
+
+        l2 = rows[2]
+        assert l2["n_classes"] == 2
+        assert l2["k_min"] == 2 and l2["k_max"] == 4
+        assert l2["pct_below_k"] == 0.0
+        assert l2["l_div_min"] == 2
+        assert l2["k_anonymous"] and l2["l_diverse"]
+
+    def test_every_level_partitions_all_rows(self, spark):
+        """Each generalization level must account for every record —
+        the rollup's grand-total exclusion must not drop data rows."""
+        from swiftbulkuploader_spark.operators.profiling import (
+            k_anonymity_ladder,
+        )
+
+        base = spark.createDataFrame(
+            [("A", i % 3, i % 2, i % 2) for i in range(17)],
+            "seg string, nat int, bal_k int, delinquent int",
+        )
+        rows = k_anonymity_ladder(base).collect()
+        assert [r["n_records"] for r in rows] == [17, 17, 17]
