@@ -287,6 +287,7 @@ HEADLINE = [
     "x6_conformal_bounds",            # split-conformal interval + coverage audit
     "x6_adjusted_effect",             # direct-standardization confounding guard
     "x6_k_anonymity",                 # re-identification audit over the QI ladder
+    "x10_integrity_manifest",         # order-independent shard checksums + root
     # round 13 (r12 verdict ask #1): the COMPLETE x5 TPC-H-equivalent
     # suite benches — the shuffle-heaviest shapes in the repo
     # (q18 HAVING-on-big-agg, q21 multi-anti-join) were invisible to the

@@ -1625,3 +1625,96 @@ ORACLES["x10_dataset_diff"] = """
                 ELSE 'changed' END AS status
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# X10 — dataset integrity manifest (round 13)
+# ---------------------------------------------------------------------------
+
+INTEGRITY_SHARDS = 8  # manifest granularity: one checksum row per shard
+
+
+def x10_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent shard checksums + root for the documents
+    corpus — the tamper-evidence manifest a served training dataset
+    ships with (the artifact-manifest discipline of ann_index /
+    model_store, extended to the DATA itself): any single-byte change
+    to any document flips its 60-bit content hash, which propagates to
+    its shard checksum and the root. The consumer re-derives the
+    manifest and diffs — a mismatch names the shard, x10_dataset_diff
+    then names the row.
+
+    Checksums are SUMS of per-row md5-prefix hashes, so they are
+    ORDER- and PARTITIONING-independent: at 100 TB the recompute runs
+    on whatever partitioning the cluster has, no sort required, and
+    shard checksums combine into the root by the same addition
+    (mergeable, like every sketch in the x6 family). Integrity, not
+    cryptography: a 60-bit additive hash detects corruption and drift,
+    not a deliberate collision-crafting adversary (document, don't
+    oversell).
+
+    Shape: one scan, one rollup on an 8-value key (map-side combined),
+    O(shards) output. The grand-total rollup row IS the root (shard
+    -1) — per-shard and root come from the same single pass.
+
+    Reference parity: none (§2.9 lifecycle extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return integrity_manifest_from_docs(docs)
+
+
+def integrity_manifest_from_docs(
+    docs: DataFrame, n_shards: int = INTEGRITY_SHARDS
+) -> DataFrame:
+    """Core of x10_integrity_manifest, factored for crafted tamper
+    tests: `docs` carries (doc_id, text); returns per-shard rows plus
+    the root (shard -1) from ONE rollup pass."""
+    base = docs.select(
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("row_hash"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        base.rollup("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.sum(F.col("row_hash").cast("decimal(38,0)"))
+            .cast("string").alias("checksum"),
+        )
+        .select(
+            F.coalesce(F.col("shard"), F.lit(-1)).alias("shard"),
+            "n_docs", "n_bytes", "checksum",
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["x10_integrity_manifest"] = x10_integrity_manifest
+
+ORACLES["x10_integrity_manifest"] = f"""
+    WITH base AS (
+        SELECT doc_id % {INTEGRITY_SHARDS} AS shard,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                    1, 15)) AS BIGINT) AS row_hash,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT COALESCE(shard, -1) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(sum(row_hash) AS VARCHAR) AS checksum
+    FROM base GROUP BY ROLLUP(shard)
+    ORDER BY shard
+"""

@@ -395,6 +395,27 @@ class TestRound13Liveness:
         assert rows[0]["n_classes"] > rows[1]["n_classes"] \
             > rows[2]["n_classes"]
 
+    def test_integrity_manifest_live(self, spark, queries):
+        """Every shard populated with distinct nonzero checksums, root
+        = additive combine of the shards, byte totals real."""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            INTEGRITY_SHARDS,
+        )
+
+        rows = {r["shard"]: r
+                for r in queries["x10_integrity_manifest"](spark, SF)
+                .collect()}
+        assert set(rows) == {-1, *range(INTEGRITY_SHARDS)}
+        shards = [rows[s] for s in range(INTEGRITY_SHARDS)]
+        assert all(r["n_docs"] > 0 and r["n_bytes"] > 0 for r in shards)
+        sums = {r["checksum"] for r in shards}
+        assert len(sums) == INTEGRITY_SHARDS      # no degenerate collisions
+        root = rows[-1]
+        assert root["n_docs"] == sum(r["n_docs"] for r in shards)
+        assert int(root["checksum"]) == sum(
+            int(r["checksum"]) for r in shards
+        )
+
 
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):

@@ -286,3 +286,61 @@ class TestKAnonymity:
         )
         rows = k_anonymity_ladder(base).collect()
         assert [r["n_records"] for r in rows] == [17, 17, 17]
+
+
+class TestIntegrityManifest:
+    def test_single_byte_tamper_localizes_to_shard_and_root(self, spark):
+        """Flip one character in one document: that document's shard
+        checksum and the root change; every other shard's row is
+        byte-identical. n_docs/n_bytes bookkeeping stays consistent
+        (the tamper keeps the byte length)."""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            integrity_manifest_from_docs,
+        )
+
+        docs = [(i, f"document body {i}") for i in range(10)]
+        clean = spark.createDataFrame(docs, "doc_id long, text string")
+        tampered_rows = [
+            (i, t.replace("body 7", "bodY 7")) for i, t in docs
+        ]
+        tampered = spark.createDataFrame(
+            tampered_rows, "doc_id long, text string"
+        )
+
+        a = {r["shard"]: r
+             for r in integrity_manifest_from_docs(clean, 4).collect()}
+        b = {r["shard"]: r
+             for r in integrity_manifest_from_docs(tampered, 4).collect()}
+        assert set(a) == set(b) == {-1, 0, 1, 2, 3}
+
+        # doc 7 lives in shard 7 % 4 = 3
+        assert a[3]["checksum"] != b[3]["checksum"]
+        assert a[-1]["checksum"] != b[-1]["checksum"]
+        for s in (0, 1, 2):
+            assert a[s] == b[s]
+        # same-length tamper: byte/doc bookkeeping identical everywhere
+        for s in a:
+            assert a[s]["n_docs"] == b[s]["n_docs"]
+            assert a[s]["n_bytes"] == b[s]["n_bytes"]
+
+    def test_root_is_sum_of_shards(self, spark):
+        """The root row must be the additive combine of the shard rows
+        — the mergeability that lets 100 TB recompute on any
+        partitioning."""
+        from swiftbulkuploader_spark.operators.training_prep import (
+            integrity_manifest_from_docs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i * 31}") for i in range(23)],
+            "doc_id long, text string",
+        )
+        rows = {r["shard"]: r
+                for r in integrity_manifest_from_docs(docs, 4).collect()}
+        shards = [rows[s] for s in (0, 1, 2, 3)]
+        root = rows[-1]
+        assert root["n_docs"] == sum(r["n_docs"] for r in shards) == 23
+        assert root["n_bytes"] == sum(r["n_bytes"] for r in shards)
+        assert int(root["checksum"]) == sum(
+            int(r["checksum"]) for r in shards
+        )
