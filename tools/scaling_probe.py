@@ -1528,12 +1528,42 @@ def shape_url_domain_stats_zipf(df):
     )
 
 
+def shape_span_islands(df):
+    """x1_longest_shared_span's post-join half (round 13): matched-gram
+    rows -> (pair, diagonal) gaps-and-islands window -> run fold ->
+    per-pair profile. The gram join FEEDING it is the probed
+    repeated_grams / span_removal class; this isolates the NEW
+    per-diagonal window, whose partition width is bounded by document
+    length (64 here), never the corpus — expected linear."""
+    m = df.select(
+        (F.col("event_id") / 256).cast("long").alias("pair"),
+        ((F.col("event_id") % 256) / 64).cast("long").alias("diag"),
+        ((F.col("event_id") % 64) * 2
+         + (F.abs(F.xxhash64("event_id", F.lit(3))) % 2)).alias("pa"),
+    )
+    r = m.withColumn(
+        "island",
+        F.col("pa") - F.row_number().over(
+            Window.partitionBy("pair", "diag").orderBy("pa")
+        ),
+    )
+    runs = r.groupBy("pair", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return runs.groupBy("pair").agg(
+        F.sum("run").alias("n_matched"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run").alias("max_run"),
+    )
+
+
 SHAPES = {
     "km_survival": shape_km_survival,
     "containment_pairs": shape_containment_pairs,
     "pca_power_2round": shape_pca_power,
     "link_prediction": shape_link_prediction,
     "span_removal": shape_span_removal,
+    "span_islands": shape_span_islands,
     "triangle_count": shape_triangle_count,
     "bpe_train_3round": shape_bpe_train,
     "kcenter_greedy": shape_kcenter_greedy,
