@@ -1662,13 +1662,13 @@ def x10_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return integrity_manifest_from_docs(docs)
 
 
-def integrity_manifest_from_docs(
+def integrity_base(
     docs: DataFrame, n_shards: int = INTEGRITY_SHARDS
 ) -> DataFrame:
-    """Core of x10_integrity_manifest, factored for crafted tamper
-    tests: `docs` carries (doc_id, text); returns per-shard rows plus
-    the root (shard -1) from ONE rollup pass."""
-    base = docs.select(
+    """Per-row integrity derivation (shard, row_hash, n_bytes) — shared
+    by the batch manifest and the streaming partials so stream == batch
+    holds by construction."""
+    return docs.select(
         (F.col("doc_id") % n_shards).alias("shard"),
         F.conv(
             F.substring(
@@ -1685,8 +1685,16 @@ def integrity_manifest_from_docs(
         ).cast("long").alias("row_hash"),
         F.octet_length("text").cast("long").alias("n_bytes"),
     )
+
+
+def integrity_manifest_from_docs(
+    docs: DataFrame, n_shards: int = INTEGRITY_SHARDS
+) -> DataFrame:
+    """Core of x10_integrity_manifest, factored for crafted tamper
+    tests: `docs` carries (doc_id, text); returns per-shard rows plus
+    the root (shard -1) from ONE rollup pass."""
     return (
-        base.rollup("shard")
+        integrity_base(docs, n_shards).rollup("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_bytes").cast("long").alias("n_bytes"),
