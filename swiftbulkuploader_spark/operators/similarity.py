@@ -3541,3 +3541,126 @@ ORACLES["x2_mutual_knn"] = f"""
     FROM topk t1 JOIN topk t2 ON t1.sa = t2.sb AND t1.sb = t2.sa
     WHERE t1.sa < t1.sb
 """
+
+
+# ---------------------------------------------------------------------------
+# X2 — maximum-inner-product search via norm augmentation (round 13)
+# ---------------------------------------------------------------------------
+
+MIPS_K = 10
+
+
+def x2_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (the recommender/retrieval scoring
+    the cosine family can't express: a long vector SHOULD outrank a
+    well-aligned short one), with the norm-augmentation reduction
+    (Bachrach et al., RecSys'14; Neyshabur & Srebro, ICML'15) verified
+    in-query: augmenting every corpus vector with sqrt(M^2 - |x|^2)
+    and the query with 0 turns inner-product order into cosine order —
+    aug_cos = ip / (M * |q|), monotone in ip — which is what lets MIPS
+    ride the ENTIRE cosine serving stack (IVF partition pruning, LSH
+    buckets, PQ codes) unchanged at 100 TB. Both scores and both ranks
+    are emitted; rank agreement is the reduction's correctness witness
+    (asserted in tests/test_liveness_pins.py, not flattened into a
+    flag that could only ever be true).
+
+    Determinism: M and |q| are 6-dp rounded ENGINE-side before use
+    (one bounded 1-row agg — the allowlisted scalar-collect class);
+    M * |q| is a single IEEE multiply, identical in both engines; all
+    scores 6-dp rounded before any ordering with vec_id tie-breaks
+    (the cosine-ranking discipline). Shape: one scan +
+    TakeOrderedAndProject; the rank windows run over the k-row result
+    only (BOUNDED_WINDOW_OK class). At the 100 TB serve tier the scan
+    becomes the unrolled-codegen scoring of the IVF-pruned candidate
+    set (dot_product_unrolled — x1_semantic_dedup's hot-path template).
+
+    SUBSTRATE: the corpus embeddings are unit-normalized (norm spread
+    ~1e-7), on which MIPS degenerates to cosine and every claim here
+    would verify nothing (the substrate-liveness rule) — so the query
+    scores a deterministically POPULARITY-WEIGHTED view: each item
+    vector scaled by 0.5 + (vec_id % 8)/4 (dyadic-exact factors, norms
+    0.5..2.25), the exact structure recommender item embeddings carry
+    (norm = popularity/quality). On this substrate the ip top-k
+    genuinely differs from the cosine top-k (pinned) while rank_aug
+    still equals rank_ip — the reduction witness, now non-trivial.
+
+    Reference parity: none (§2.9 similarity extension)."""
+    from pyspark.sql.window import Window
+
+    from swiftbulkuploader_spark.functions.vectors import l2_norm
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    w = F.lit(0.5) + (F.col("vec_id") % 8).cast("double") / F.lit(4.0)
+    emb = raw.select(
+        "vec_id", "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * w
+        ).alias("embedding"),
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    qcol = _lit_vec(q)
+    e = F.col("embedding")
+    consts = emb.agg(
+        F.round(F.max(l2_norm(e)), 6).alias("m"),
+        F.round(F.min(l2_norm(qcol)), 6).alias("qn"),
+    ).first()
+    denom = float(consts["m"]) * float(consts["qn"])  # one IEEE multiply
+    ip_raw = dot_product(e, qcol)
+    top = (
+        emb.select(
+            "vec_id", "label",
+            F.round(ip_raw, 6).alias("ip"),
+            F.round(ip_raw / F.lit(denom), 6).alias("aug_cos"),
+        )
+        .orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+        .limit(MIPS_K)
+    )
+    w_ip = Window.orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+    w_aug = Window.orderBy(F.col("aug_cos").desc(), F.col("vec_id").asc())
+    return (
+        top.select(
+            "vec_id", "label", "ip", "aug_cos",
+            F.row_number().over(w_ip).cast("long").alias("rank_ip"),
+            F.row_number().over(w_aug).cast("long").alias("rank_aug"),
+        )
+        .orderBy("rank_ip")
+    )
+
+
+QUERIES["x2_mips_topk"] = x2_mips_topk
+
+ORACLES["x2_mips_topk"] = f"""
+    WITH qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id = 0
+    ), emb AS (
+        SELECT vec_id, label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x * (0.5 + CAST(vec_id % 8 AS DOUBLE) / 4.0)
+               ) AS embedding
+        FROM embeddings
+    ), consts AS (
+        SELECT round(max(sqrt(list_inner_product(embedding, embedding))),
+                     6)
+               * (SELECT round(sqrt(list_inner_product(v, v)), 6) FROM qv)
+                   AS denom
+        FROM emb
+    ), scored AS (
+        SELECT vec_id, label,
+               round(list_inner_product(embedding,
+                                        (SELECT v FROM qv)), 6) AS ip,
+               round(list_inner_product(embedding,
+                                        (SELECT v FROM qv))
+                     / consts.denom, 6) AS aug_cos
+        FROM emb, consts
+    ), top AS (
+        SELECT * FROM scored ORDER BY ip DESC, vec_id ASC LIMIT {MIPS_K}
+    )
+    SELECT vec_id, label, ip, aug_cos,
+           CAST(row_number() OVER (ORDER BY ip DESC, vec_id ASC)
+                AS BIGINT) AS rank_ip,
+           CAST(row_number() OVER (ORDER BY aug_cos DESC, vec_id ASC)
+                AS BIGINT) AS rank_aug
+    FROM top ORDER BY rank_ip
+"""

@@ -416,6 +416,27 @@ class TestRound13Liveness:
             int(r["checksum"]) for r in shards
         )
 
+    def test_mips_topk_live(self, spark, queries):
+        """The reduction witness must be NON-trivial: on the
+        popularity-weighted substrate the MIPS top-k differs from the
+        cosine top-k (norm signal is live), yet the augmented-cosine
+        rank equals the ip rank on every row (the monotone-reduction
+        guarantee MIPS serving depends on)."""
+        mips = queries["x2_mips_topk"](spark, SF).collect()
+        assert len(mips) == 10
+        for r in mips:
+            assert r["rank_ip"] == r["rank_aug"]
+        ips = [r["ip"] for r in mips]
+        assert ips == sorted(ips, reverse=True)
+        # norm signal is live: high-popularity classes (w >= 1.75)
+        # dominate the ip ranking, which a cosine ranking cannot see
+        high = sum(1 for r in mips if r["vec_id"] % 8 >= 5)
+        assert high >= 7
+        cos_ids = {r["vec_id"]
+                   for r in queries["x2_cosine_topk"](spark, SF).collect()}
+        mips_ids = {r["vec_id"] for r in mips}
+        assert mips_ids != cos_ids         # MIPS is its own semantic
+
 
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):

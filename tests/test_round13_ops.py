@@ -4,6 +4,8 @@ values are the RIGHT ones on hand-computable fixtures)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 class TestLocalBridges:
     def test_path_plus_triangle_graph(self, spark):
@@ -344,3 +346,60 @@ class TestIntegrityManifest:
         assert int(root["checksum"]) == sum(
             int(r["checksum"]) for r in shards
         )
+
+
+class TestMipsReduction:
+    def test_ip_order_differs_from_cosine_and_augmentation_recovers_it(
+        self, spark
+    ):
+        """Hand vectors where MIPS and cosine disagree: a = (1,0) is
+        perfectly aligned with q = (1,0) (cos 1.0, ip 1.0) but b =
+        (2.4, 1.8) carries 3x the norm (cos 0.8, ip 2.4) — cosine ranks
+        a first, inner product ranks b first. The norm augmentation
+        (append sqrt(M^2 - |x|^2), M = 3) maps both into cosine space
+        WITHOUT changing the ip order: aug_cos(a) = 1/3, aug_cos(b) =
+        0.8 — b still first. That monotone equivalence is what lets
+        MIPS ride a cosine serving stack."""
+        from swiftbulkuploader_spark.functions.vectors import (
+            dot_product,
+            l2_norm,
+        )
+
+        rows = [(1, [1.0, 0.0]), (2, [2.4, 1.8])]
+        df = spark.createDataFrame(rows, "vid long, v array<double>")
+        q = F.array(F.lit(1.0), F.lit(0.0))
+        m = 3.0
+        out = {
+            r["vid"]: r
+            for r in df.select(
+                "vid",
+                F.round(dot_product(F.col("v"), q), 6).alias("ip"),
+                F.round(
+                    dot_product(F.col("v"), q)
+                    / (l2_norm(F.col("v")) * l2_norm(q)), 6
+                ).alias("cos"),
+                F.round(
+                    dot_product(
+                        F.concat(
+                            "v",
+                            F.array(F.sqrt(
+                                F.lit(m * m)
+                                - dot_product(F.col("v"), F.col("v"))
+                            )),
+                        ),
+                        F.concat(q, F.array(F.lit(0.0))),
+                    )
+                    / (F.lit(m) * l2_norm(q)),
+                    6,
+                ).alias("aug_cos"),
+            ).collect()
+        }
+        a, b = out[1], out[2]
+        assert a["ip"] == 1.0 and b["ip"] == 2.4
+        assert a["cos"] == 1.0 and b["cos"] == 0.8
+        # cosine prefers a; inner product prefers b
+        assert a["cos"] > b["cos"] and b["ip"] > a["ip"]
+        # augmentation preserves the ip order in cosine space
+        assert b["aug_cos"] > a["aug_cos"]
+        assert a["aug_cos"] == round(1.0 / 3.0, 6)
+        assert b["aug_cos"] == 0.8

@@ -205,6 +205,8 @@ BOUNDED_WINDOW_OK = {
     "x2_hybrid_search",       # two HYBRID_POOL=50-row candidate pools
                               # (TakeOrderedAndProject before the ranks)
     "x2_ndcg_eval",           # top-10 ranking rows per query (bounded k)
+    "x2_mips_topk",           # rank windows over the MIPS_K=10-row
+                              # TakeOrderedAndProject result
     "x3_vocab_growth",        # corpus_size/50-bucket growth curve —
                               # 5 orders of magnitude below corpus rows
     "x3_zipf_fit",            # top-ZIPF_TOP_R=1000 head ranks
