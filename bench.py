@@ -289,6 +289,7 @@ HEADLINE = [
     "x6_k_anonymity",                 # re-identification audit over the QI ladder
     "x10_integrity_manifest",         # order-independent shard checksums + root
     "x2_mips_topk",                   # MIPS + norm-augmentation reduction witness
+    "x3_encoding_audit",              # mojibake / replacement-char / ctrl screen
     # round 13 (r12 verdict ask #1): the COMPLETE x5 TPC-H-equivalent
     # suite benches — the shuffle-heaviest shapes in the repo
     # (q18 HAVING-on-big-agg, q21 multi-anti-join) were invisible to the

@@ -3826,3 +3826,94 @@ ORACLES["x3_pii_scrub"] = f"""
            n_emails + n_phones + n_ips = 0 AS pii_free
     FROM counted
 """
+
+
+# ---------------------------------------------------------------------------
+# X3 — encoding-corruption audit (round 13)
+# ---------------------------------------------------------------------------
+
+# \x{...} escapes parse identically in Java regex (Spark) and RE2 (DuckDB).
+ENC_DOUBLE_RE = r"[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]"
+ENC_REPL_RE = r"\x{FFFD}"
+ENC_CTRL_RE = r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]"
+
+
+def x3_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption screen — the mojibake audit a web-scale
+    ingest runs beside the quality filters: (a) double-encoded UTF-8
+    signatures (a '\u00c3'/'\u00c2' lead followed by a
+    continuation-range codepoint — the classic
+    utf8-bytes-decoded-as-latin1 scar, e.g. 'caf\u00e9' ->
+    'caf\u00c3\u00a9'), (b) U+FFFD replacement characters (a lossy
+    decode already happened upstream), (c) C0 control characters
+    outside tab/newline (binary bleed-through). Per document: the
+    three counters and the encoding_clean verdict; downstream the
+    pipeline drops or re-decodes flagged docs before tokenization
+    (mojibake inflates BPE vocab with garbage merges).
+
+    Substrate liveness (the x3_pii_scrub discipline — the synthetic
+    corpus is clean, which would pin every counter at 0 forever): a
+    deterministic corruption tail is appended engine-side — a mojibake
+    'caf\u00c3\u00a9' for doc_id % 5 == 0, a replacement char for
+    % 11 == 0, a BEL control char for % 13 == 0 — so every counter and
+    both verdicts occur at every SF (pinned). The oracle mirrors the
+    injection via chr() codepoints and replays the same \\x{{...}}
+    patterns.
+
+    Shape: pure row-local JVM regex scan — no shuffle, no UDF; runs at
+    scan speed at 100 TB.
+
+    Reference parity: none (\u00a72.9 text-quality extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tail = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" caf\u00c3\u00a9")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" broken \ufffd decode")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\u0007")
+        ).otherwise(F.lit("")),
+    )
+    t = F.concat(F.col("text"), tail)
+    n_double = F.regexp_count(t, F.lit(ENC_DOUBLE_RE)).cast("long")
+    n_repl = F.regexp_count(t, F.lit(ENC_REPL_RE)).cast("long")
+    n_ctrl = F.regexp_count(t, F.lit(ENC_CTRL_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_double.alias("n_double_enc"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_ctrl"),
+        ((n_double + n_repl + n_ctrl) == 0).alias("encoding_clean"),
+    )
+
+
+QUERIES["x3_encoding_audit"] = x3_encoding_audit
+
+ORACLES["x3_encoding_audit"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 5 = 0
+                        THEN ' caf' || chr(195) || chr(169) ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN ' broken ' || chr(65533) || ' decode'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0
+                        THEN chr(7) ELSE '' END) AS tx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(tx, '{ENC_DOUBLE_RE}'))
+                AS BIGINT) AS n_double_enc,
+           CAST(len(regexp_extract_all(tx, '{ENC_REPL_RE}'))
+                AS BIGINT) AS n_replacement,
+           CAST(len(regexp_extract_all(tx, '{ENC_CTRL_RE}'))
+                AS BIGINT) AS n_ctrl,
+           len(regexp_extract_all(tx, '{ENC_DOUBLE_RE}'))
+           + len(regexp_extract_all(tx, '{ENC_REPL_RE}'))
+           + len(regexp_extract_all(tx, '{ENC_CTRL_RE}')) = 0
+               AS encoding_clean
+    FROM t
+"""

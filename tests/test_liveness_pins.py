@@ -437,6 +437,20 @@ class TestRound13Liveness:
         mips_ids = {r["vec_id"] for r in mips}
         assert mips_ids != cos_ids         # MIPS is its own semantic
 
+    def test_encoding_audit_live(self, spark, queries):
+        """Every corruption counter fires somewhere on the injected
+        substrate and both verdicts occur — no decorative detector."""
+        rows = queries["x3_encoding_audit"](spark, SF).collect()
+        assert rows
+        assert sum(r["n_double_enc"] for r in rows) > 0
+        assert sum(r["n_replacement"] for r in rows) > 0
+        assert sum(r["n_ctrl"] for r in rows) > 0
+        assert {r["encoding_clean"] for r in rows} == {True, False}
+        for r in rows:
+            assert r["encoding_clean"] == (
+                r["n_double_enc"] + r["n_replacement"] + r["n_ctrl"] == 0
+            )
+
 
 class TestBhFdrLiveness:
     def test_bh_fdr_live(self, spark, queries):

@@ -403,3 +403,38 @@ class TestMipsReduction:
         assert b["aug_cos"] > a["aug_cos"]
         assert a["aug_cos"] == round(1.0 / 3.0, 6)
         assert b["aug_cos"] == 0.8
+
+
+class TestEncodingAudit:
+    def test_detectors_on_hand_strings(self, spark):
+        """Each detector fires on exactly its own corruption class:
+        mojibake 'caf\u00c3\u00a9' (and not clean accented text),
+        U+FFFD, and a C0 control char (but not tab/newline)."""
+        from swiftbulkuploader_spark.operators.textops import (
+            ENC_CTRL_RE,
+            ENC_DOUBLE_RE,
+            ENC_REPL_RE,
+        )
+
+        rows = [
+            (1, "clean caf\u00e9 text with tab\tand newline\n"),
+            (2, "mojibake caf\u00c3\u00a9 scar"),
+            (3, "lossy \ufffd char"),
+            (4, "binary\u0007bleedthrough"),
+            (5, "\u00c3\u00a9\u00c2\u00a0 double scar twice"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                F.regexp_count("text", F.lit(ENC_DOUBLE_RE)).alias("d"),
+                F.regexp_count("text", F.lit(ENC_REPL_RE)).alias("r"),
+                F.regexp_count("text", F.lit(ENC_CTRL_RE)).alias("c"),
+            ).collect()
+        }
+        assert (out[1]["d"], out[1]["r"], out[1]["c"]) == (0, 0, 0)
+        assert (out[2]["d"], out[2]["r"], out[2]["c"]) == (1, 0, 0)
+        assert (out[3]["d"], out[3]["r"], out[3]["c"]) == (0, 1, 0)
+        assert (out[4]["d"], out[4]["r"], out[4]["c"]) == (0, 0, 1)
+        assert out[5]["d"] == 2
