@@ -196,6 +196,31 @@ def x1_dup_clusters_exact(spark, sf_dir: str) -> DataFrame:
     )
 
 
+_STARCC_CACHE: dict[tuple, DataFrame] = {}
+
+
+def allpairs_star_components(spark, sf_dir: str) -> DataFrame:
+    """Memoized star-closure labels over the shared allpairs pair graph
+    — the _ALLPAIRS_CACHE pattern one tier up (CLAUDE.md rule 11a):
+    x1_dup_clusters_star, x8_component_sizes and x8_bridge_fragments
+    all consume the SAME deterministic component labeling of the same
+    memoized edge frame; close it once per session, persist, reuse
+    (the round-13 bench showed each consumer re-running the O(log n)
+    closure rounds independently)."""
+    from swiftbulkuploader_spark.operators.dedup import (
+        allpairs_prefix_pairs,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STARCC_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    comp = connected_components_star(edges).persist()
+    _STARCC_CACHE[cache_key] = comp
+    return comp
+
+
 def x1_dup_clusters_star(spark, sf_dir: str) -> DataFrame:
     """Contract query for the star algorithm: the SAME deterministic
     exact-Jaccard pair graph as ``x1_dup_clusters_exact``, closed by
@@ -207,12 +232,7 @@ def x1_dup_clusters_star(spark, sf_dir: str) -> DataFrame:
     algorithm reaches the real fixed point on arbitrary component
     shapes, not just the diameter-2-3 graphs 3 propagation rounds
     happen to close."""
-    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
-
-    edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).selectExpr(
-        "a", "b"
-    )
-    comp = connected_components_star(edges)
+    comp = allpairs_star_components(spark, sf_dir)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -1489,10 +1509,7 @@ def x8_component_sizes(spark, sf_dir: str) -> DataFrame:
     two tiny aggregates (component -> size -> histogram). The oracle
     replays the TRUE transitive closure via a recursive CTE, so this also
     re-certifies the star fixed point, histogram-shaped."""
-    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
-
-    edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    comp = connected_components_star(edges)
+    comp = allpairs_star_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
@@ -2138,19 +2155,25 @@ ORACLES["x8_local_bridges"] = _E0_CTES + """
 """
 
 
-def bridge_fragments_from_edges(edges: DataFrame) -> DataFrame:
+def bridge_fragments_from_edges(
+    edges: DataFrame, comp1: DataFrame | None = None
+) -> DataFrame:
     """Split preview: connected components BEFORE vs AFTER removing every
     local bridge (zero-embeddedness edge). Per before-component: size,
     how many bridges it contains, how many fragments it shatters into
     when they are cut (nodes stranded without a kept edge become
     singletons), the largest fragment, and the splits flag. Factored
-    from x8_bridge_fragments so crafted-graph tests pin the semantics."""
+    from x8_bridge_fragments so crafted-graph tests pin the semantics.
+    `comp1` optionally supplies an already-computed (node, component)
+    labeling of `edges` (the memoized allpairs_star_components frame) so
+    the before-closure is not re-run per call."""
     br = local_bridges_from_edges(edges).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
         "is_local_bridge",
     )
     kept = br.filter(~F.col("is_local_bridge")).select("a", "b")
-    comp1 = connected_components_star(edges)
+    if comp1 is None:
+        comp1 = connected_components_star(edges)
     comp2 = connected_components_star(kept).select(
         "node", F.col("component").alias("frag0")
     )
@@ -2210,7 +2233,9 @@ def x8_bridge_fragments(spark, sf_dir: str) -> DataFrame:
     from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
 
     edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    return bridge_fragments_from_edges(edges)
+    return bridge_fragments_from_edges(
+        edges, comp1=allpairs_star_components(spark, sf_dir)
+    )
 
 
 QUERIES["x8_bridge_fragments"] = x8_bridge_fragments
