@@ -1493,6 +1493,35 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram8_per_doc(docs: DataFrame) -> DataFrame:
+    """(gram, doc_id, occ): literal word-8-gram occurrence counts per
+    document — the shared substrate of the literal span-signal family,
+    persist()ed (r13-opt, the shingle_base discipline). x1_repeated_passages
+    and x1_novelty_score build the IDENTICAL (gram, doc) pre-aggregation
+    (linear zip_with shingling, one partially-aggregated shuffle keyed on
+    the gram); before this helper each ran its own shingle+explode+agg
+    pass per call — and novelty's first-doc join re-executed it up to 4x
+    inside one plan (4 parquet scans in the r13-opt before-plan). The
+    cache manager keys on the logical plan, so both queries (and all bench
+    reps) read one InMemoryRelation."""
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    grams = (
+        # spread(): the interpreted-HOF shingling is compute-dense and a
+        # small parquet file arrives as one partition
+        spread(docs)
+        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+        .filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    # two-level aggregation instead of count(distinct): a mixed
+    # countDistinct+count agg would Expand every row 2x before the shuffle;
+    # pre-aggregating per (gram, doc) first shuffles each distinct
+    # (gram, doc) once and the second level is count/sum/min only
+    return grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    ).persist()
+
+
 def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-passage detection: word 8-grams appearing in >= 2
     distinct documents — the shingle-level signal behind exact-substring
@@ -1515,22 +1544,7 @@ def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, verified against THIS form's results via key-invariant stats.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
-    grams = (
-        # spread(): the interpreted-HOF shingling is compute-dense and a
-        # small parquet file arrives as one partition
-        spread(docs)
-        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
-        .filter(F.size(toks) >= 8)
-        .select("doc_id", F.explode("grams").alias("gram"))
-    )
-    # two-level aggregation instead of count(distinct): a mixed
-    # countDistinct+count agg would Expand every row 2x before the shuffle;
-    # pre-aggregating per (gram, doc) first shuffles each distinct
-    # (gram, doc) once and the second level is count/sum/min only
-    per_doc = grams.groupBy("gram", "doc_id").agg(
-        F.count(F.lit(1)).alias("occ")
-    )
+    per_doc = _gram8_per_doc(docs)  # shared persisted substrate (r13-opt)
     return (
         per_doc.groupBy("gram")
         .agg(
@@ -2312,16 +2326,7 @@ def x1_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bulkupload.py is a counter-only uploader); §2.9 north-star extension
     alongside Lee et al. 2022's repeated-passage analysis."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
-    grams = (
-        spread(docs)
-        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
-        .filter(F.size(toks) >= 8)
-        .select("doc_id", F.explode("grams").alias("gram"))
-    )
-    per_doc = grams.groupBy("gram", "doc_id").agg(
-        F.count(F.lit(1)).alias("occ")
-    )
+    per_doc = _gram8_per_doc(docs)  # shared persisted substrate (r13-opt)
     first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         per_doc.join(first, "gram")

@@ -486,7 +486,15 @@ def _dense_hourly_counts(events: DataFrame) -> DataFrame:
     spine-explode shape as `gap_fill`: rows ∝ types x hours, independent of
     event count. x is the integer count cast to double so every downstream
     arithmetic step is identical on both engines (integer sums are exact in
-    double regardless of summation order)."""
+    double regardless of summation order).
+
+    persist()ed (r13-opt, guide §2.4/§5 — the shingle_base discipline):
+    twelve x7 queries derive from this one rollup, and several reference it
+    2-3x inside one plan (theil_sen's pair self-join + residual join ran
+    the events scan + rollup 12x per action). The frame is types x hours
+    rows — metadata-sized at ANY corpus scale — and the cache manager keys
+    on the logical plan, so every consumer building the same rollup hits
+    the same InMemoryRelation instead of re-aggregating events."""
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n0"))
@@ -501,7 +509,7 @@ def _dense_hourly_counts(events: DataFrame) -> DataFrame:
         "event_type",
         "bucket",
         F.coalesce("n0", F.lit(0)).cast("double").alias("x"),
-    )
+    ).persist()
 
 
 _DENSE_SQL = """

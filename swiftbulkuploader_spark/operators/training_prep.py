@@ -213,8 +213,15 @@ def x10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 8)
         .select(sh.alias("p_sh"), F.size(sh).alias("p_n"))
     )
+    # r13-opt (guide §2.4): flag containment over CORPUS, not `deduped` —
+    # referencing `deduped` here made the quality+window-dedup subtree a
+    # second branch of the plan (re-executed in full; the before-plan shows
+    # the fingerprint window twice). Flagging a superset is equivalent:
+    # `flagged` is only anti-joined against `deduped`, and
+    # flagged(corpus) ∩ deduped == flagged(deduped) ∩ deduped, so `clean`
+    # is row-identical while the window/quality branch executes once.
     flagged = (
-        deduped.select("doc_id", sh.alias("d_sh"))
+        corpus.select("doc_id", sh.alias("d_sh"))
         .join(F.broadcast(probes))
         .filter(F.size(F.array_intersect("d_sh", "p_sh")) / F.col("p_n") >= 0.5)
         .select("doc_id")
