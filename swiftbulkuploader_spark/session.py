@@ -35,6 +35,17 @@ _LOCAL_DEFAULTS = {
     # recovery (x1_minhash_exact 6.3 -> 2.7 s, the whole x8 family back
     # to r10 levels) came from the heap bump ALONE. The box has 128 GiB;
     # on a real cluster executor memory is sized per-node by spark-submit.
+    # 8000 = HotSpot's HugeMethodLimit: the JVM NEVER JIT-compiles a
+    # method above 8000 bytecodes, so a whole-stage-codegen function past
+    # it executes as INTERPRETED BYTECODE — measured ~4.5x slower than
+    # Spark's own interpreted expression path on the 64-term unrolled
+    # kernel (r13-opt, x2_mmd_drift diagnosis; no janino warning fires,
+    # the CLAUDE.md rule-9 silent-fallback class one level down). With
+    # the limit at HotSpot's real boundary Spark falls back to
+    # per-operator execution exactly when compiled code stops being
+    # compiled. Scale-independent (a JVM property, not a data-size tune);
+    # Spark's default 65535 only guards janino's hard 64 KB failure.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.warehouse.dir": os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
 }
