@@ -39,10 +39,18 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
       keeps instant<->wall-clock conversions the identity;
     * nanosAsLong — events.ts is parquet TIMESTAMP(NANOS), which Spark has
       no native type for; read as long and convert (see load_table).
+    * hugeMethodLimit 8000 — perf-defensive, not semantic: generated
+      methods past HotSpot's 8000-bytecode JIT limit execute as
+      interpreted bytecode (~4.5x slower than Spark's interpreted path,
+      silently); falling back to per-operator execution at the JVM's
+      real boundary keeps the unrolled-expression queries (MMD kernel,
+      JL projection) off that cliff in sessions the harness built
+      itself (session.py sets the same for ours).
     """
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     except Exception:  # pragma: no cover - conf may be frozen in odd harnesses
         pass
 
