@@ -559,6 +559,70 @@ _E0_CTES = """
     )"""
 
 
+# Memoized persisted views of the tau=0.5 near-dup graph, keyed
+# (appId, sf_dir) — the _COPURCHASE_CACHE discipline (r13-opt).
+# x8_triangle_count, x8_clustering_coeff and x8_assortativity all
+# derive the IDENTICAL symmetrized edge list + degree table (and the
+# first two the identical degree-ordered oriented edge list) from the
+# memoized allpairs pair frame; before this each query re-ran the
+# degree aggregation / orientation joins once per in-plan reference
+# (deg 3x, o 3x in the triangle plan — union/join branches re-execute,
+# no cross-branch CSE).
+_DUPGRAPH_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_ORIENTED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dup_graph_deg(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Persisted (und, deg) of the deterministic near-dup graph:
+    und = symmetrized tau=0.5 allpairs edges, deg = (node, d)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DUPGRAPH_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    deg = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("a").alias("node"), "d")
+        .persist()
+    )
+    _DUPGRAPH_CACHE[cache_key] = (und, deg)
+    return und, deg
+
+
+def _oriented_dup_edges(spark, sf_dir: str) -> DataFrame:
+    """Persisted degree-ordered orientation (src, dst) of the near-dup
+    edge list: every edge points from its (degree, id)-smaller endpoint
+    to the larger (Suri & Vassilvitskii WWW'11) — the shared wedge
+    substrate of the triangle family."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ORIENTED_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    _, deg = _dup_graph_deg(spark, sf_dir)
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).persist()
+    _ORIENTED_CACHE[cache_key] = o
+    return o
+
+
 def x8_triangle_count(spark, sf_dir: str) -> DataFrame:
     """Triangle count + global transitivity of the deterministic near-dup
     graph — the cluster-density diagnostic for a dedup pass: a near-dup
@@ -579,27 +643,17 @@ def x8_triangle_count(spark, sf_dir: str) -> DataFrame:
 
     Edges: ``allpairs_prefix_pairs`` (Jaccard >= 0.5, shared with the
     dup-clustering family, so the measured prefix-filtered plan exists
-    once). Wedge denominator sum(d*(d-1))/2 comes off the degree table.
-    Output: one row — nodes/edges/wedges/triangles and transitivity =
-    3*tri/wedges (NULL on a wedge-free graph)."""
+    once); degree table and oriented edge list ride the memoized
+    persisted graph views (_dup_graph_deg / _oriented_dup_edges — the
+    r13-opt substrate sharing with x8_clustering_coeff and
+    x8_assortativity). Wedge denominator sum(d*(d-1))/2 comes off the
+    degree table. Output: one row — nodes/edges/wedges/triangles and
+    transitivity = 3*tri/wedges (NULL on a wedge-free graph)."""
     from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
 
     e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("a").alias("node"), "d"
-    )
-    ed = (
-        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    o = ed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    _, deg = _dup_graph_deg(spark, sf_dir)
+    o = _oriented_dup_edges(spark, sf_dir)
     paths = o.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
         o.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v"
     )
@@ -683,19 +737,15 @@ def x8_assortativity(spark, sf_dir: str) -> DataFrame:
     collapse.
 
     Shape: the shared prefix-filtered pair generator (one measured plan,
-    dedup.py::allpairs_prefix_pairs), one degree aggregate, two broadcast-size
-    joins of the degree table back onto edges, and a single-pass corr()
+    dedup.py::allpairs_prefix_pairs) via the memoized persisted graph views
+    (_dup_graph_deg — und + degree computed once per session, shared with
+    the triangle family), two broadcast-size joins of the degree table back
+    onto edges, and a single-pass corr()
     (mergeable moment state). The two 1-row summaries cross-join at the end
     (bounded BNLJ, allowlisted). corr rounded to 6 dp on both engines — same
     margin argument as x6_regression_stats (summation-order ulps ~1e-12 rel).
     """
-    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
-
-    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("a").alias("node"), "d"
-    )
+    und, deg = _dup_graph_deg(spark, sf_dir)
     ed = (
         und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
@@ -1179,25 +1229,11 @@ def x8_clustering_coeff(spark, sf_dir: str) -> DataFrame:
     triangle rows and exploding them so each triangle credits all three
     corners; one (node) aggregate and one left join back to the degree
     table. lcc is an exact integer division; degree-1 nodes get NULL
-    (undefined, not 0)."""
-    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
-
-    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("a").alias("node"), "d"
-    )
-    ed = (
-        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    o = ed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    (undefined, not 0). Degree table and oriented edges ride the
+    memoized persisted graph views (_dup_graph_deg /
+    _oriented_dup_edges, shared with x8_triangle_count)."""
+    _, deg = _dup_graph_deg(spark, sf_dir)
+    o = _oriented_dup_edges(spark, sf_dir)
     tri = (
         o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .join(o.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")

@@ -2598,7 +2598,14 @@ def x1_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("df") >= 2) & (F.col("df") <= X1_CONT_DF_CAP))
         .select("s")
     )
-    gg = g.join(dfc.hint("merge"), "s")
+    # r13-opt (guide §5): gg feeds BOTH sides of the pair self-join and
+    # Catalyst plans no exchange reuse across the aliased branches — the
+    # df-cap merge join (and the dfc aggregation under it) executed twice
+    # per action. Persist computes it once; the join STRATEGY pins are
+    # untouched (the rule-12 OOM tuning concerned broadcast/shuffle-hash
+    # build sides, not a spillable MEMORY_AND_DISK cache of the capped
+    # posting list, whose size is bounded by df_cap * distinct grams).
+    gg = g.join(dfc.hint("merge"), "s").persist()
     p1 = gg.select("s", F.col("doc_id").alias("a"))
     p2 = gg.select("s", F.col("doc_id").alias("b"))
     pr = (

@@ -902,22 +902,40 @@ PQ_DSUB = 8   # dims per subspace (8 x 8 = 64)
 PQ_K = 16     # codebook entries per subspace -> 4-bit codes, 8 B/vector
 
 
+# r13-opt: the codebook collect is a deterministic session scalar (the
+# _LLOYD_CACHE discipline) — before memoization every PQ query re-ran
+# the bounded 16-row collect per call; and the full-table PQ assignment
+# (_pq_best_frame with the default embeddings input) is the identical
+# broadcast-join + min-struct pipeline for x2_pq_codes, x2_pq_topk,
+# x2_pq_distortion and ensure_index — persist + memoize it once per
+# (appId, sf_dir). The pruned-input form (x2_ivf_pq_topk) bypasses the
+# cache: its substrate is the probe-filtered subset, not the corpus.
+_PQ_BOOKS_CACHE: dict[tuple, list] = {}
+_PQ_BEST_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """books[m][k] = the k-th codebook entry of subspace m: the first PQ_K
     vectors' subvectors (deterministic init, same discipline as
     _ivf_centroids; a production build refines with per-subspace k-means —
     the encode/search path is identical either way). Bounded collect:
-    PQ_K rows."""
+    PQ_K rows, memoized per session (_PQ_BOOKS_CACHE)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_BOOKS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
         emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id")
         .select("embedding").collect()
     )
     vecs = [[float(v) for v in r[0]] for r in rows]
-    return [
+    out = [
         [vec[m * PQ_DSUB:(m + 1) * PQ_DSUB] for vec in vecs]
         for m in range(PQ_M)
     ]
+    _PQ_BOOKS_CACHE[cache_key] = out
+    return out
 
 
 def _pq_sqdist_val(q: list[float], offset: int, cent: list[float]) -> float:
@@ -975,7 +993,17 @@ def _pq_best_frame(spark: SparkSession, sf_dir: str, books,
     back to INTERPRETED eval (~1.7 ms/row, measured) — the join form keeps
     every expression small enough for whole-stage codegen. min(struct)
     ties go to the smaller code (field-order comparison), matching the
-    generated oracle's ORDER BY d, k."""
+    generated oracle's ORDER BY d, k.
+
+    The full-table form (emb=None) is memoized + persisted per
+    (appId, sf_dir) — see _PQ_BEST_CACHE above; an explicit emb input
+    (the IVF-pruned subset) always computes fresh."""
+    full_table = emb is None
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if full_table:
+        cached = _PQ_BEST_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
     cb = spark.createDataFrame(
         [(m, k, books[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
         "m int, k int, c array<double>",
@@ -995,12 +1023,16 @@ def _pq_best_frame(spark: SparkSession, sf_dir: str, books,
     scored = joined.select(
         "vec_id", "m", "k", F.round(dist, 6).alias("d")
     )
-    return scored.groupBy("vec_id").agg(
+    out = scored.groupBy("vec_id").agg(
         *[
             F.min(F.when(F.col("m") == mm, F.struct("d", "k"))).alias(f"b{mm}")
             for mm in range(PQ_M)
         ]
     )
+    if full_table:
+        out = out.persist()
+        _PQ_BEST_CACHE[cache_key] = out
+    return out
 
 
 def x2_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2031,24 +2063,52 @@ def x2_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join (16 x 16 — driver-trivial at any corpus scale). The oracle
     replays the full fixed-round Lloyd chain (the x2_ivf_kmeans_topk CTE
     discipline) and re-derives the same report."""
+    import math as _math
+
     from pyspark.sql.window import Window
+
+    from swiftbulkuploader_spark.functions.vectors import (
+        dot_product_unrolled,
+        l2_norm_unrolled,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = lloyd_refined_centroids(emb)
+    dim = len(cents[0])
+    # r13-opt (guide §1.2 step 2 / the round-4 interpreted-HOF lesson):
+    # the n x k assignment pass scored with the HOF cosine — an
+    # interpreted per-element lambda fold, outside whole-stage codegen.
+    # Switched to the unrolled-dot + precomputed-norm broadcast template
+    # (the x1_semantic_dedup recipe — bit-identical to the HOF fold:
+    # same sequential term order, Python sqrt == l2_norm's fold), so the
+    # per-row scoring whole-stage-codegens. The bounded k x k separation
+    # matrix below keeps the HOF form (256 rows, not a hot path).
+    cnorms = [_math.sqrt(sum(float(x) * float(x) for x in c)) for c in cents]
     cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+        [(i, list(c), cn) for i, (c, cn) in enumerate(zip(cents, cnorms))],
+        "cid int, cv array<double>, cn double",
     )
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    nrm = l2_norm_unrolled("v", dim)
     sc = F.struct(
         F.round(
-            F.coalesce(cosine_similarity(F.col("v"), F.col("cv")), F.lit(-2.0)), 6
+            F.coalesce(
+                F.when(
+                    F.col("nrm") * F.col("cn") > 0,
+                    dot_product_unrolled("v", "cv", dim)
+                    / (F.col("nrm") * F.col("cn")),
+                ),
+                F.lit(-2.0),
+            ),
+            6,
         ).alias("cos"),
         F.col("cid").alias("cid"),
     )
     asn = (
-        vecs.crossJoin(F.broadcast(cdf))  # bounded: k=16 centroid rows
+        vecs.withColumn("nrm", nrm)
+        .join(F.broadcast(cdf.select("cid", "cv", "cn")))  # bounded: k=16 rows
         .select("vec_id", sc.alias("sc"))
         .groupBy("vec_id")
         .agg(F.max("sc").alias("m"))

@@ -589,6 +589,17 @@ def x10_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("_keep", F.min("doc_id").over(w_fp))
         .filter(F.col("doc_id") == F.col("_keep"))
         .drop("_keep")
+        # r13-opt (guide §5): referenced twice (decontamination flag
+        # source + the clean anti-join), and its subtree is the WHOLE
+        # crawl front-end (canonicalize -> keeper window -> robots join
+        # -> quality -> fingerprint window) — without the persist that
+        # chain executed twice per action. The x10_training_manifest
+        # fix (flag a cheap superset) does NOT transfer here: the
+        # cheapest superset of this `deduped` is still behind the URL
+        # stages, and flagging raw docs was MEASURED slower (the
+        # per-row shingle+intersect of the flag branch dominates; 2.58
+        # -> 3.58 s) — so materialize the branch point once instead.
+        .persist()
     )
     sh = F.array_distinct(shingles(F.col("text")))
     probes = (

@@ -438,3 +438,50 @@ class TestEncodingAudit:
         assert (out[3]["d"], out[3]["r"], out[3]["c"]) == (0, 1, 0)
         assert (out[4]["d"], out[4]["r"], out[4]["c"]) == (0, 0, 1)
         assert out[5]["d"] == 2
+
+
+class TestR13OptSubstrates:
+    """r13-opt internals: the memoized persisted substrates return the
+    SAME frame per (session, sf_dir) and their derivations match the
+    per-query expressions they replaced."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_dup_graph_views_memoized_and_consistent(self, spark):
+        from swiftbulkuploader_spark.operators.components import (
+            _dup_graph_deg,
+            _oriented_dup_edges,
+        )
+        from swiftbulkuploader_spark.operators.dedup import (
+            allpairs_prefix_pairs,
+        )
+
+        und1, deg1 = _dup_graph_deg(spark, self.SF)
+        und2, deg2 = _dup_graph_deg(spark, self.SF)
+        assert und1 is und2 and deg1 is deg2  # memo hit, not a rebuild
+        o1 = _oriented_dup_edges(spark, self.SF)
+        assert o1 is _oriented_dup_edges(spark, self.SF)
+        e_n = allpairs_prefix_pairs(spark, self.SF, tau=0.5).count()
+        assert und1.count() == 2 * e_n  # symmetrized
+        assert o1.count() == e_n  # one oriented row per undirected edge
+        # orientation invariant: src is the (degree, id)-smaller endpoint
+        deg_map = {r["node"]: r["d"] for r in deg1.collect()}
+        for r in o1.collect():
+            ds, dd = deg_map[r["src"]], deg_map[r["dst"]]
+            assert (ds, r["src"]) < (dd, r["dst"])
+
+    def test_pq_best_frame_full_table_memo(self, spark):
+        from swiftbulkuploader_spark.operators.similarity import (
+            _pq_best_frame,
+            _pq_codebooks,
+        )
+        from swiftbulkuploader_spark.catalog import load_table
+
+        books = _pq_codebooks(spark, self.SF)
+        assert _pq_codebooks(spark, self.SF) is books  # collect memoized
+        f1 = _pq_best_frame(spark, self.SF, books)
+        assert _pq_best_frame(spark, self.SF, books) is f1  # memo hit
+        emb = load_table(spark, self.SF, "embeddings").limit(4)
+        pruned = _pq_best_frame(spark, self.SF, books, emb=emb)
+        assert pruned is not f1  # explicit-input form bypasses the cache
+        assert pruned.count() == 4

@@ -137,6 +137,16 @@ BOUNDED_BNLJ_OK = {
                                # (the x6_power_analysis class)
 }
 
+# Deliberate CartesianProduct plans over BOUNDED sides (both inputs fixed
+# sample/constant frames, never corpus-sized) — the r13-opt MMD kernel
+# pins shuffle_replicate_nl precisely so the 64-term unrolled kernel
+# aggregation plans OUTSIDE whole-stage codegen (the HotSpot
+# HugeMethodLimit cliff; OPTIMIZATION_r13.md change 1).
+BOUNDED_CARTESIAN_OK = {
+    "x2_mmd_drift",            # 256-row persisted sample x itself (the
+                               # fused symmetric kernel pair frame)
+}
+
 
 # queries whose plan deliberately contains EXACT percentile state (grows
 # with distinct values — the plan this engine refuses at 100 TB except
@@ -358,7 +368,11 @@ def main() -> None:
     print("codegen participation. BNLJ/CartesianProduct are flagged — except the")
     print("documented bounded-broadcast cases (1-row global aggregates, fixed")
     print("small query batches), where a broadcast nested-loop against a")
-    print("constant-size build side is O(n*k) and is the intended plan.")
+    print("constant-size build side is O(n*k) and is the intended plan, and")
+    print("the documented bounded-cartesian cases (BOUNDED_CARTESIAN_OK:")
+    print("fixed-size sample x sample pair frames pinned shuffle_replicate_nl")
+    print("so their unrolled kernel aggregation plans outside whole-stage")
+    print("codegen — the r13 HugeMethodLimit lesson).")
     print("EXACT percentile state (grows with distinct values) is likewise")
     print("flagged unless the query is in EXACT_PERCENTILE_OK (the exact-form")
     print("contract queries and the exact-vs-sketch tolerance twins), so a")
@@ -409,7 +423,8 @@ def main() -> None:
             else:
                 flags.append("BNLJ!")
         if "CartesianProduct" in plan:
-            flags.append("CARTESIAN!")
+            flags.append("cartesian-bounded-ok"
+                         if name in BOUNDED_CARTESIAN_OK else "CARTESIAN!")
         if _EXACT_PCTL.search(plan):
             flags.append("pctl-exact-ok" if name in EXACT_PERCENTILE_OK
                          else "EXACT-PCTL!")
