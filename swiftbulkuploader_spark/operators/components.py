@@ -2140,20 +2140,28 @@ ORACLES["x8_ppr"] = f"""
 # ---------------------------------------------------------------------------
 
 
-def local_bridges_from_edges(edges: DataFrame) -> DataFrame:
+def local_bridges_from_edges(edges: DataFrame,
+                             und: DataFrame | None = None,
+                             deg: DataFrame | None = None) -> DataFrame:
     """Edge embeddedness over an undirected (a < b) edge list: for every
     edge, the number of common neighbors (the triangles it closes), both
     endpoint degrees, the neighborhood-support Jaccard
     cn / (deg_a + deg_b - 2 - cn), and the LOCAL-BRIDGE flag
     (embeddedness 0 — Granovetter's span > 2 criterion: removing the
     edge puts its endpoints at distance >= 3). Factored from
-    x8_local_bridges so crafted-graph tests pin the semantics."""
-    und = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("a").alias("node"), "d"
-    )
+    x8_local_bridges so crafted-graph tests pin the semantics.
+    `und`/`deg` optionally supply the already-persisted symmetrized edge
+    list and degree table (_dup_graph_deg) so the wedge join's two und
+    references read cached blocks instead of re-running the union+agg
+    subtree per branch (r13-opt)."""
+    if und is None:
+        und = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    if deg is None:
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+            F.col("a").alias("node"), "d"
+        )
     cn = (
         edges.join(und.select(F.col("a").alias("a"),
                               F.col("b").alias("w")), "a")
@@ -2190,6 +2198,32 @@ def local_bridges_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+# Memoized persisted edge-embeddedness frame of the tau=0.5 near-dup
+# graph (doc_a, doc_b, deg_a, deg_b, embeddedness, support,
+# is_local_bridge) — the _DUPGRAPH_CACHE discipline. x8_local_bridges
+# returns it directly and x8_bridge_fragments references it TWICE
+# (kept-edge filter + per-component bridge counts): before the memo the
+# wedge-join subtree executed once per reference per query (the 450 KB
+# before-plan), ~3x per bench pass across the two queries.
+_BRIDGES_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dup_graph_bridges(spark, sf_dir: str) -> DataFrame:
+    """Persisted local_bridges_from_edges over the memoized near-dup
+    graph, riding the shared und/deg views (_dup_graph_deg)."""
+    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BRIDGES_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
+    und, deg = _dup_graph_deg(spark, sf_dir)
+    out = local_bridges_from_edges(e, und=und, deg=deg).persist()
+    _BRIDGES_CACHE[cache_key] = out
+    return out
+
+
 def x8_local_bridges(spark, sf_dir: str) -> DataFrame:
     """Local-bridge detection over the near-dup graph — the ACTIONABLE
     successor to the transitivity alarm (x8_triangle_count flags that
@@ -2213,10 +2247,7 @@ def x8_local_bridges(spark, sf_dir: str) -> DataFrame:
     integers; `support` is one exact-int division rounded 6 dp.
 
     Reference parity: none (§2.9 graph-dedup extension)."""
-    from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
-
-    e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    return local_bridges_from_edges(e)
+    return _dup_graph_bridges(spark, sf_dir)
 
 
 QUERIES["x8_local_bridges"] = x8_local_bridges
@@ -2251,7 +2282,8 @@ ORACLES["x8_local_bridges"] = _E0_CTES + """
 
 
 def bridge_fragments_from_edges(
-    edges: DataFrame, comp1: DataFrame | None = None
+    edges: DataFrame, comp1: DataFrame | None = None,
+    bridges: DataFrame | None = None,
 ) -> DataFrame:
     """Split preview: connected components BEFORE vs AFTER removing every
     local bridge (zero-embeddedness edge). Per before-component: size,
@@ -2261,8 +2293,14 @@ def bridge_fragments_from_edges(
     from x8_bridge_fragments so crafted-graph tests pin the semantics.
     `comp1` optionally supplies an already-computed (node, component)
     labeling of `edges` (the memoized allpairs_star_components frame) so
-    the before-closure is not re-run per call."""
-    br = local_bridges_from_edges(edges).select(
+    the before-closure is not re-run per call; `bridges` an
+    already-computed local_bridges_from_edges(edges) frame (the memoized
+    _dup_graph_bridges view) — it is referenced twice below (kept-edge
+    filter + bridge counts), so an unmaterialized input re-executes the
+    wedge join per reference (r13-opt)."""
+    if bridges is None:
+        bridges = local_bridges_from_edges(edges)
+    br = bridges.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
         "is_local_bridge",
     )
@@ -2318,18 +2356,24 @@ def x8_bridge_fragments(spark, sf_dir: str) -> DataFrame:
     tests/test_liveness_pins.py); exact fragment arithmetic pinned on a
     crafted path-plus-triangle graph in tests/test_round13_ops.py.
 
-    Shape: the memoized pair graph + the x8_local_bridges wedge join +
-    TWO star closures (O(log n) rounds each, the x1_dup_clusters_star
-    plan) + three small aggregates; the oracle replays both closures as
-    TRUE recursive-CTE transitive closures, so this also re-certifies
-    the star fixed point on the cut subgraph.
+    Shape: the memoized pair graph + the x8_local_bridges wedge join
+    (shared via the persisted _dup_graph_bridges view — computed once
+    per session for both queries, and read once per reference here
+    instead of re-running the wedge join per branch) + TWO star
+    closures (O(log n) rounds each, the x1_dup_clusters_star plan; the
+    before-closure rides the memoized allpairs_star_components frame) +
+    three small aggregates; the oracle replays both closures as TRUE
+    recursive-CTE transitive closures, so this also re-certifies the
+    star fixed point on the cut subgraph.
 
     Reference parity: none (§2.9 graph-dedup extension)."""
     from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
 
     edges = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
     return bridge_fragments_from_edges(
-        edges, comp1=allpairs_star_components(spark, sf_dir)
+        edges,
+        comp1=allpairs_star_components(spark, sf_dir),
+        bridges=_dup_graph_bridges(spark, sf_dir),
     )
 
 

@@ -470,6 +470,66 @@ class TestR13OptSubstrates:
             ds, dd = deg_map[r["src"]], deg_map[r["dst"]]
             assert (ds, r["src"]) < (dd, r["dst"])
 
+    def test_dup_graph_bridges_memoized_and_consistent(self, spark):
+        from swiftbulkuploader_spark.operators.components import (
+            _dup_graph_bridges,
+            local_bridges_from_edges,
+        )
+        from swiftbulkuploader_spark.operators.dedup import (
+            allpairs_prefix_pairs,
+        )
+
+        b1 = _dup_graph_bridges(spark, self.SF)
+        assert b1 is _dup_graph_bridges(spark, self.SF)  # memo hit
+        # the memoized frame (shared und/deg views) matches a fresh
+        # local_bridges_from_edges over the same edge list exactly
+        e = allpairs_prefix_pairs(spark, self.SF, tau=0.5).select("a", "b")
+        fresh = {
+            (r["doc_a"], r["doc_b"]): (
+                r["deg_a"], r["deg_b"], r["embeddedness"], r["support"],
+                r["is_local_bridge"],
+            )
+            for r in local_bridges_from_edges(e).collect()
+        }
+        memo = {
+            (r["doc_a"], r["doc_b"]): (
+                r["deg_a"], r["deg_b"], r["embeddedness"], r["support"],
+                r["is_local_bridge"],
+            )
+            for r in b1.collect()
+        }
+        assert memo == fresh
+
+    def test_scalar_and_frame_memos_identity(self, spark):
+        from swiftbulkuploader_spark.operators.similarity import (
+            _ivf_centroids,
+            x2_knn_accuracy,
+            x2_mutual_knn,
+            _KNN_CLUSTERED_CACHE,
+            _MUTUAL_BASE_CACHE,
+        )
+        from swiftbulkuploader_spark.operators.dedup import (
+            x1_semantic_dedup,
+            _SEMANTIC_CLUSTERED_CACHE,
+        )
+
+        c1 = _ivf_centroids(spark, self.SF)
+        assert _ivf_centroids(spark, self.SF) is c1  # collect memoized
+        key = (spark.sparkContext.applicationId, self.SF)
+        # building each query twice reuses ONE persisted assignment frame
+        x2_knn_accuracy(spark, self.SF)
+        f = _KNN_CLUSTERED_CACHE[key]
+        x2_knn_accuracy(spark, self.SF)
+        assert _KNN_CLUSTERED_CACHE[key] is f
+        x2_mutual_knn(spark, self.SF)
+        f = _MUTUAL_BASE_CACHE[key]
+        x2_mutual_knn(spark, self.SF)
+        assert _MUTUAL_BASE_CACHE[key] is f
+        x1_semantic_dedup(spark, self.SF)
+        f = _SEMANTIC_CLUSTERED_CACHE[key]
+        x1_semantic_dedup(spark, self.SF)
+        assert _SEMANTIC_CLUSTERED_CACHE[key] is f
+
     def test_pq_best_frame_full_table_memo(self, spark):
         from swiftbulkuploader_spark.operators.similarity import (
             _pq_best_frame,
