@@ -1136,7 +1136,15 @@ def x2_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pruned assignment once (shared-base discipline, CLAUDE.md r5)
         .persist()
     )
-    based = _pq_best_frame(spark, sf_dir, books, emb=pruned).join(
+    # r13-opt: the per-row PQ code depends only on the row's own
+    # embedding + the codebook, so encode-then-filter == filter-then-
+    # encode — ride the SHARED memoized full-table code frame
+    # (_PQ_BEST_CACHE, the x2_pq_codes substrate) and semi-restrict it
+    # to the probed ids, instead of re-running the broadcast-codebook
+    # encode over the pruned subset per call. This also matches the
+    # at-scale serve path more closely (codes are PRE-encoded at
+    # ingest; the serve query only reads the probed partitions' codes).
+    based = _pq_best_frame(spark, sf_dir, books).join(
         pruned.select("vec_id", "cluster"), "vec_id"
     )
     adc = _adc_expr(q, books)

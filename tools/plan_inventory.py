@@ -65,6 +65,12 @@ BOUNDED_BNLJ_OK = {
     "x2_knn_accuracy",         # 32-row broadcast centroid table cross-joined
                                # for the cluster assignment (the
                                # x1_semantic_dedup pattern)
+    "x2_mutual_knn",           # adaptive-k (>= 16)-row broadcast centroid
+                               # table cross-joined for the cluster
+                               # assignment (x1_semantic_dedup pattern; the
+                               # node became inventory-visible when change
+                               # 22 exposed the memoized base's lineage —
+                               # the former eager checkpoint hid it)
     "x6_poisson_bootstrap",    # 1-row corpus mean x 1-row bootstrap stats
                                # cross-joined for the single-row CI report
     "x6_bootstrap_diff_ci",    # same shape, two-arm twin: 1-row replica
