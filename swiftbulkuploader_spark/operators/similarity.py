@@ -3235,11 +3235,19 @@ def x2_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(side(pos, "label_split", "a"))
         .unionByName(side(neg, "label_split", "b"))
     )
+    # r13-opt follow-up (guide §2.6 idle capacity): the kernel cartesian
+    # ran as ONE task (1x1 partitions) on a 32-core box — the dominant
+    # ~17M-multiply stage was single-threaded. Round-robin the LEFT side
+    # into 16 slices (deterministic: sortBeforeRepartition is on, and
+    # the 1e-8-grid kernel sums are exact BIGINT — partitioning cannot
+    # change any output bit); shuffle_replicate_nl replicates the 1-
+    # partition right side to every slice, so the same bounded pair
+    # multiset now computes in 16 parallel tasks.
     left = tagged.select(
         F.col("comparison").alias("cl"), F.col("s").alias("sl"),
         F.col("vec_id").alias("il"),
         F.col("v").alias("vl"), F.col("n").alias("nl"),
-    ).coalesce(1)
+    ).repartition(16)
     right = tagged.select(
         F.col("comparison").alias("cr"), F.col("s").alias("sr"),
         F.col("vec_id").alias("ir"),
