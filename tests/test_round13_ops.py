@@ -530,6 +530,18 @@ class TestR13OptSubstrates:
         x1_semantic_dedup(spark, self.SF)
         assert _SEMANTIC_CLUSTERED_CACHE[key] is f
 
+    def test_sb_counts_memo(self, spark):
+        from swiftbulkuploader_spark.operators.textops import (
+            x3_stupid_backoff,
+            _SB_COUNTS_CACHE,
+        )
+
+        x3_stupid_backoff(spark, self.SF)
+        key = (spark.sparkContext.applicationId, self.SF)
+        tables = _SB_COUNTS_CACHE[key]
+        x3_stupid_backoff(spark, self.SF)
+        assert _SB_COUNTS_CACHE[key] is tables  # one trained model/session
+
     def test_pq_best_frame_full_table_memo(self, spark):
         from swiftbulkuploader_spark.operators.similarity import (
             _pq_best_frame,
