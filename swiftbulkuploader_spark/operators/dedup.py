@@ -1539,7 +1539,48 @@ def x1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gram8_per_doc(docs: DataFrame) -> DataFrame:
+# r13-opt session-4: the gram-POSITION substrate of the whole literal
+# span family. Four query paths build the identical compute-dense 8-gram
+# zip_with shingling per bench pass: x1_dup_span_removal references its
+# posting twice in-plan (duplicated-gram aggregation + join probe side),
+# x1_longest_shared_span self-joins it (two more executions), and
+# _gram8_per_doc's (gram, doc) aggregate is the same explode without the
+# position. One persisted (doc_id, p0, gram) frame, memoized per
+# (appId, sf_dir) — the _COPURCHASE_CACHE discipline — serves every
+# reference; downstream join strategies are untouched (the rule-12 merge
+# pins stay — the probe-measured OOM risk concerned join BUILD sides,
+# and the cache itself is spillable MEMORY_AND_DISK bounded by the
+# corpus gram count, the same class as the containment-pairs gg cache).
+_GRAM_POS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _gram_pos8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p0, gram): 0-based start positions of literal lowercased
+    word-8-grams, for documents with >= 8 tokens — one shingling pass per
+    session, persisted, shared by the span-signal family (see
+    _GRAM_POS_CACHE note above)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GRAM_POS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+    out = (
+        # spread(): the interpreted-HOF shingling is compute-dense and a
+        # small parquet file arrives as one partition
+        spread(docs)
+        .filter(F.size(toks) >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(shingles(F.col("text"), 8)).alias("p0", "gram"),
+        )
+        .persist()
+    )
+    _GRAM_POS_CACHE[key] = out
+    return out
+
+
+def _gram8_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(gram, doc_id, occ): literal word-8-gram occurrence counts per
     document — the shared substrate of the literal span-signal family,
     persist()ed (r13-opt, the shingle_base discipline). x1_repeated_passages
@@ -1549,21 +1590,15 @@ def _gram8_per_doc(docs: DataFrame) -> DataFrame:
     pass per call — and novelty's first-doc join re-executed it up to 4x
     inside one plan (4 parquet scans in the r13-opt before-plan). The
     cache manager keys on the logical plan, so both queries (and all bench
-    reps) read one InMemoryRelation."""
-    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
-    grams = (
-        # spread(): the interpreted-HOF shingling is compute-dense and a
-        # small parquet file arrives as one partition
-        spread(docs)
-        .select("doc_id", shingles(F.col("text"), 8).alias("grams"))
-        .filter(F.size(toks) >= 8)
-        .select("doc_id", F.explode("grams").alias("gram"))
-    )
+    reps) read one InMemoryRelation. Session-4: derives from the shared
+    _gram_pos8 positions cache (same gram multiset — posexplode of the
+    same shingle array — so the aggregate is row-identical), dropping this
+    substrate's own shingling pass."""
     # two-level aggregation instead of count(distinct): a mixed
     # countDistinct+count agg would Expand every row 2x before the shuffle;
     # pre-aggregating per (gram, doc) first shuffles each distinct
     # (gram, doc) once and the second level is count/sum/min only
-    return grams.groupBy("gram", "doc_id").agg(
+    return _gram_pos8(spark, sf_dir).groupBy("gram", "doc_id").agg(
         F.count(F.lit(1)).alias("occ")
     ).persist()
 
@@ -1589,8 +1624,7 @@ def x1_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation shuffling 8-byte xxhash64 keys instead of ~50-byte gram
     strings, verified against THIS form's results via key-invariant stats.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = _gram8_per_doc(docs)  # shared persisted substrate (r13-opt)
+    per_doc = _gram8_per_doc(spark, sf_dir)  # shared persisted substrate (r13-opt)
     return (
         per_doc.groupBy("gram")
         .agg(
@@ -1695,22 +1729,29 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks_col = F.split(F.lower(normalize_ws(F.col("text"))), " ")
     # spread(): the shingling explode is compute-dense and the parquet file
-    # would otherwise arrive as a single partition
-    base = spread(docs).select("doc_id", toks_col.alias("toks"))
+    # would otherwise arrive as a single partition. persist(): `base` feeds
+    # TWO plan branches below (the word lattice and the final n_tokens
+    # select) — without it each branch re-scans and re-splits the corpus
+    # (the entry-11 in-query-persist class; the plan-keyed CacheManager
+    # dedups the deterministic parquet-rooted frame across calls).
+    base = spread(docs).select("doc_id", toks_col.alias("toks")).persist()
 
     # gram occurrences with their 1-based start position (posexplode is
-    # 0-based; +1 aligns with the oracle's 1-based list indexing)
-    occ = (
-        base.filter(F.size("toks") >= 8)
-        .select("doc_id", F.posexplode(_toks_shingles(F.col("toks"), 8)).alias("p0", "gram"))
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("start"),
-            # hash BEFORE the shuffle: the gram string never leaves the
-            # scan stage; every downstream exchange carries 8-byte keys
-            F.xxhash64("gram").alias("gh"),
-            (F.col("doc_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
-        )
+    # 0-based; +1 aligns with the oracle's 1-based list indexing).
+    # Session-4: rides the shared _gram_pos8 substrate — the shingling
+    # subtree previously executed TWICE in this plan (the duplicated-gram
+    # aggregation below and the join probe side read `occ` as separate
+    # branches); both references now project off one cached frame. The
+    # substrate's shingles(text, 8) builds byte-identical grams to the
+    # token-array form this query previously unrolled inline (same
+    # lowercased split, same zip_with fold), so `occ` is row-identical.
+    occ = _gram_pos8(spark, sf_dir).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("start"),
+        # hash AFTER the cached read: the literal gram never leaves this
+        # projection; every downstream exchange still carries 8-byte keys
+        F.xxhash64("gram").alias("gh"),
+        (F.col("doc_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
     )
     # duplicated grams (>= 2 occurrences corpus-wide, within-doc repeats
     # included) and the single occurrence each one keeps
@@ -1763,22 +1804,6 @@ def x1_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("retained_text"), F.lit("")).alias("retained_text"),
         )
     )
-
-
-def _toks_shingles(toks: Column, k: int) -> Column:
-    """Word k-shingles from an already-tokenized array — the same linear
-    zip_with construction as functions/text.py::shingles, reusing a token
-    column the caller has already computed (shingles() re-splits the text)."""
-    n = F.size(toks)
-    m = F.greatest(n - (k - 1), F.lit(1))
-    out = F.slice(toks, 1, m)
-    for j in range(1, k):
-        shifted = F.slice(toks, 1 + j, m)
-        out = F.zip_with(
-            out, shifted,
-            lambda acc, t: F.when(t.isNotNull(), F.concat(acc, F.lit(" "), t)).otherwise(acc),
-        )
-    return out
 
 
 QUERIES = {
@@ -2371,8 +2396,7 @@ def x1_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no corpus statistics in the reference
     (bulkupload.py is a counter-only uploader); §2.9 north-star extension
     alongside Lee et al. 2022's repeated-passage analysis."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = _gram8_per_doc(docs)  # shared persisted substrate (r13-opt)
+    per_doc = _gram8_per_doc(spark, sf_dir)  # shared persisted substrate (r13-opt)
     first = per_doc.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         per_doc.join(first, "gram")
@@ -3206,7 +3230,8 @@ ORACLES["x1_incremental_dedup"] = f"""
 LSS_K = 8  # the fixed gram width the variable-length runs are built from
 
 
-def longest_shared_spans(docs: DataFrame) -> DataFrame:
+def longest_shared_spans(docs: DataFrame,
+                         gram_pos: DataFrame | None = None) -> DataFrame:
     """Per candidate pair, the variable-length shared-substring profile
     from fixed-k gram matches: a shared token run of length L contains
     L-k+1 consecutive k-gram matches at a CONSTANT position offset
@@ -3215,18 +3240,28 @@ def longest_shared_spans(docs: DataFrame) -> DataFrame:
     runs and longest_span_tokens = max(run) + k - 1 — the
     suffix-automaton answer ("longest common substring, in tokens")
     recovered with joins and windows only. Factored from
-    x1_longest_shared_span so crafted-text tests pin the arithmetic."""
+    x1_longest_shared_span so crafted-text tests pin the arithmetic.
+
+    ``gram_pos`` (session-4): an optional precomputed (doc_id, p0, gram)
+    posting — the contract query passes the shared persisted _gram_pos8
+    substrate so the self-join's two sides read ONE cached frame instead
+    of executing the compute-dense shingling subtree twice; the
+    crafted-docs test path (gram_pos=None) builds the identical posting
+    inline."""
     from pyspark.sql.window import Window
 
-    toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
-    g = (
-        spread(docs)
-        .filter(F.size(toks) >= LSS_K)
-        .select(
-            "doc_id",
-            F.posexplode(shingles(F.col("text"), LSS_K)).alias("pos", "gram"),
+    if gram_pos is not None:
+        g = gram_pos.select("doc_id", F.col("p0").alias("pos"), "gram")
+    else:
+        toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+        g = (
+            spread(docs)
+            .filter(F.size(toks) >= LSS_K)
+            .select(
+                "doc_id",
+                F.posexplode(shingles(F.col("text"), LSS_K)).alias("pos", "gram"),
+            )
         )
-    )
     gx = g.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"),
                   "gram")
     gy = g.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"),
@@ -3282,7 +3317,12 @@ def x1_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (§2.9 span-dedup extension; Lee et al. 2022
     ExactSubstr's "longest duplicated substring" diagnostic)."""
-    return longest_shared_spans(load_table(spark, sf_dir, "documents"))
+    # the shared substrate is fixed at width 8 — valid only while LSS_K is
+    assert LSS_K == 8
+    return longest_shared_spans(
+        load_table(spark, sf_dir, "documents"),
+        gram_pos=_gram_pos8(spark, sf_dir),
+    )
 
 
 QUERIES["x1_longest_shared_span"] = x1_longest_shared_span
