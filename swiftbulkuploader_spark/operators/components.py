@@ -801,9 +801,11 @@ def x8_kcore(spark, sf_dir: str) -> DataFrame:
     (x8_triangle_count / x8_assortativity).
 
     Fixed-round unrolled semantics (the Lloyd/quality-train graduation
-    recipe): each round is one degree aggregate over the residual edge list
-    plus two anti-joins, the frame `localCheckpoint`ed per round (CLAUDE.md
-    rule 4 — deg and the anti-join both reference it). A node stranded
+    recipe): each round is one degree aggregate over the residual doubled
+    edge list plus two anti-joins; exactly two frames are materialized per
+    round (the degree-labeled alive set — peel and survivors are filters
+    over it — and the residual edge list, each multiply referenced,
+    CLAUDE.md rule 4). A node stranded
     edgeless by a peel is caught via the alive-set left join (coalesce(d,0)),
     not the degree table alone. The oracle replays the identical rounds as
     chained CTEs, so this is a full value oracle despite the iteration.
@@ -815,39 +817,48 @@ def x8_kcore(spark, sf_dir: str) -> DataFrame:
     from swiftbulkuploader_spark.operators.dedup import allpairs_prefix_pairs
 
     e = allpairs_prefix_pairs(spark, sf_dir, tau=0.5).select("a", "b")
-    cur = e.localCheckpoint(eager=True)
-    alive = (
-        cur.select(F.col("a").alias("node"))
-        .union(cur.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # r13-opt: the loop previously eager-checkpointed THREE frames per
+    # round (peel, alive, cur) plus two seeds — 14 driver-blocking jobs
+    # for ~0.2 s of actual execution. Restructured to TWO checkpoints
+    # per round: `labeled` carries every alive node with its coalesced
+    # residual degree, so peel (d < k) and the next alive set (d >= k)
+    # are filters over ONE materialized frame instead of separately
+    # checkpointed anti-joins, and the edge list is kept in its DOUBLED
+    # undirected form (removing rows with a peeled endpoint from `und`
+    # removes both directions at once — the same multiset as
+    # anti-joining the directed list and re-doubling, so every round's
+    # degree table and peel set are row-identical to the old loop).
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    # seed alive set: referenced once (round 1's labeled join) — lazy
+    alive = und.select(F.col("a").alias("node")).distinct()
     peeled = []
     for r in range(1, KCORE_ROUNDS + 1):
-        und = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
             F.col("a").alias("node"), "d"
         )
-        peel = (
+        labeled = (
             alive.join(deg, "node", "left")
-            .where(F.coalesce("d", F.lit(0)) < KCORE_K)
-            .select("node")
-            .localCheckpoint(eager=True)  # read 4x: two anti-joins, alive, output
+            .select("node", F.coalesce("d", F.lit(0)).alias("d"))
+            .localCheckpoint(eager=True)  # peel filter read 3x, alive 1x
         )
+        peel = labeled.where(F.col("d") < KCORE_K).select("node")
         peeled.append(
             peel.select("node", F.lit(r).cast("int").alias("peel_round"))
         )
-        alive = alive.join(peel, "node", "left_anti").localCheckpoint(eager=True)
-        cur = (
-            cur.join(peel.withColumnRenamed("node", "a"), "a", "left_anti")
+        alive = labeled.where(F.col("d") >= KCORE_K).select("node")
+        und = (
+            und.join(peel.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(peel.withColumnRenamed("node", "b"), "b", "left_anti")
-            # USING-join moves the key column first -> (b, a); restore the
-            # (a, b) order or the positional union() above flips directions
+            # USING-join moves the key column first -> (b, a); restore
+            # the (a, b) order so the degree key stays column `a`
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
-    undf = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    degf = undf.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        if r < KCORE_ROUNDS:
+            # final round's residual list is read once (degf) — lazy
+            und = und.localCheckpoint(eager=True)
+    degf = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("a").alias("node"), "d"
     )
     out = alive.join(degf, "node", "left").select(
