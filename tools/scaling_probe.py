@@ -997,6 +997,63 @@ def shape_span_removal(df):
     )
 
 
+def shape_span_removal_shared(df):
+    """x1_dup_span_removal's r13-opt (change-26) form: the gram POSITIONS
+    posting is a PERSISTED shared substrate (literal ~50 B gram strings —
+    in the shared frame the string survives to the cache instead of being
+    hashed away in the scan stage; the _gram_pos8 trade), and `occ`
+    projects the 8-byte xxhash64 key off the cached read. Downstream is
+    byte-identical to shape_span_removal, merge pins included. The probe
+    question (CLAUDE.md rule 12): at the 10M stress point (gram load
+    factor 1.6), does persisting the corpus-wide literal posting keep the
+    plan inside memory-and-disk bounds with no join-strategy flip and no
+    blow-up vs the inline form? The harness clearCache()s after each
+    timed run, so reps don't stack substrate copies."""
+    posting = df.select(
+        "event_id", F.posexplode(_gram_array()).alias("p0", "gram")
+    ).persist()
+    occ = posting.select(
+        "event_id",
+        (F.col("p0") + 1).alias("start"),
+        F.xxhash64("gram").alias("gh"),
+        (F.col("event_id") * 1_000_000 + F.col("p0") + 1).alias("occ_key"),
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("occ_key").alias("keep_key"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gh", "keep_key")
+    )
+    covered = (
+        occ.join(dup.hint("merge"), "gh")
+        .filter(F.col("occ_key") != F.col("keep_key"))
+        .select(
+            "event_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(7))).alias("pos"),
+        )
+        .distinct()
+    )
+    wordarr = F.array(*[
+        (F.abs(F.xxhash64("event_id", F.lit(100 + i))) % 90_000).cast("string")
+        for i in range(15)
+    ])
+    words = (
+        df.select("event_id", F.posexplode(wordarr).alias("p0", "w"))
+        .select("event_id", (F.col("p0") + 1).alias("pos"), "w")
+    )
+    kept = words.join(covered.hint("merge"), ["event_id", "pos"], "left_anti")
+    return kept.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("retained_text"),
+    )
+
+
 def shape_kcenter_greedy(df):
     """x2_kcenter_select's full skeleton (similarity.py): k=8 greedy
     farthest-point rounds over n synthesized 64-dim vectors. Each round
@@ -1563,6 +1620,7 @@ SHAPES = {
     "pca_power_2round": shape_pca_power,
     "link_prediction": shape_link_prediction,
     "span_removal": shape_span_removal,
+    "span_removal_shared": shape_span_removal_shared,
     "span_islands": shape_span_islands,
     "triangle_count": shape_triangle_count,
     "bpe_train_3round": shape_bpe_train,
@@ -1762,6 +1820,10 @@ def main() -> None:
                     t0 = time.time()
                     shape(_events(spark, n)).write.format("noop").mode("overwrite").save()
                     best = min(best, time.time() - t0)
+                    # drop any substrate a shape persisted INSIDE the timed
+                    # region (span_removal_shared) so reps/sizes don't stack
+                    # storage blocks; a no-op for the persist-free shapes
+                    spark.catalog.clearCache()
                     if rep == 1 and b0 is not None:
                         b1 = _shuffle_write_bytes(spark)
                         if b1 is not None:
