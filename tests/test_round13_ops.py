@@ -542,6 +542,63 @@ class TestR13OptSubstrates:
         x3_stupid_backoff(spark, self.SF)
         assert _SB_COUNTS_CACHE[key] is tables  # one trained model/session
 
+    def test_gram_pos_memo_and_positions(self, spark):
+        from pyspark.sql import functions as F
+
+        from swiftbulkuploader_spark.catalog import load_table
+        from swiftbulkuploader_spark.functions.text import normalize_ws
+        from swiftbulkuploader_spark.operators.dedup import _gram_pos8
+
+        g1 = _gram_pos8(spark, self.SF)
+        assert _gram_pos8(spark, self.SF) is g1  # memo hit, not a rebuild
+        # positional contract the span family relies on: one 0-based start
+        # per k-gram, exactly n_tokens - 7 grams per qualifying doc, and
+        # every gram is 8 space-joined tokens of the lowercased split
+        toks = F.split(F.lower(normalize_ws(F.col("text"))), " ")
+        expect = {
+            r["doc_id"]: r["n"]
+            for r in load_table(spark, self.SF, "documents")
+            .select("doc_id", (F.size(toks) - 7).alias("n"))
+            .filter(F.col("n") >= 1)
+            .collect()
+        }
+        got = {
+            r["doc_id"]: (r["n"], r["pmin"], r["pmax"], r["npos"])
+            for r in g1.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("p0").alias("pmin"),
+                F.max("p0").alias("pmax"),
+                F.countDistinct("p0").alias("npos"),
+            ).collect()
+        }
+        assert set(got) == set(expect)
+        for d, (n, pmin, pmax, npos) in got.items():
+            assert n == expect[d] and npos == n
+            assert pmin == 0 and pmax == n - 1  # dense 0-based positions
+        eight = g1.select(F.size(F.split("gram", " ")).alias("w")) \
+            .agg(F.min("w"), F.max("w")).collect()[0]
+        assert eight[0] == 8 and eight[1] == 8
+
+    def test_reindex_repaired_memo(self, spark):
+        from swiftbulkuploader_spark.operators.ann_index import (
+            _REPAIRED_CACHE,
+            x2_reindex_partial,
+        )
+
+        x2_reindex_partial(spark, self.SF)
+        key = (spark.sparkContext.applicationId, self.SF)
+        f = _REPAIRED_CACHE[key]
+        out2 = x2_reindex_partial(spark, self.SF)
+        assert _REPAIRED_CACHE[key] is f  # one means/flag subtree/session
+        # the memoized frame still drives a correct per-call serve: one
+        # output row per cluster, unflagged rows keep their population
+        rows = out2.collect()
+        assert len(rows) == f.count()
+        for r in rows:
+            if not r["flagged"]:
+                assert r["n_after"] == r["n_before"]
+                assert r["cos_old_new"] == 1.0
+
     def test_pq_best_frame_full_table_memo(self, spark):
         from swiftbulkuploader_spark.operators.similarity import (
             _pq_best_frame,
