@@ -4,8 +4,13 @@ Prints ONE compact JSON line (the LAST line of stdout, < 2 KB — the driver
 captures only a 2000-byte stdout tail, which truncated and unparsed the
 round-5 per-query summary):
   {"metric": "total_query_sec", "value": N, "min_total": N, "spread": S,
-   "unit": "sec", "queries": {family: sec, ...}, "uploads_per_sec": R,
-   "n_queries": K, "sf": ..., "detail": "BENCH_LOCAL.json"}
+   "unit": "sec", "queries": {family: sec, ...},
+   "queries_n": {family: count, ...}, "uploads_per_sec": R,
+   "n_queries": K, "cpus": C, "sf": ..., "detail": "BENCH_LOCAL.json"}
+`queries_n` + `cpus` (round 14): per-family query counts so unequal-set
+round-over-round comparisons are detectable from the artifact (the r13
+family table was composition-poisoned by 44 new queries), and the actual
+scheduler width so the local[$SPARK_GRAFT_CPUS] contract is auditable.
 `min_total`/`spread` are the artifact's built-in error bar (sum of
 per-query min-of-reps vs median-of-reps): read round-over-round ratios
 against this spread AND the ~1.35x same-code machine envelope
@@ -338,6 +343,25 @@ HEADLINE = [
 
 PIPE_N_FILES = 20000
 
+# Queries whose builder RETURNS a session-memoized persisted frame — the
+# frame IS the query result, so after rep-1 the noop sink measures an
+# InMemoryTableScan readback, not computation (r13 verdict "What's wrong"
+# #2 / ask #4). For THESE queries the reported per-query number is the
+# FIRST rep (memo build + execute), so the artifact reflects computation
+# at least once per session; the warm readback medians stay in
+# BENCH_LOCAL.json under `queries_warm` so the cache-serving view is
+# still visible. Membership is the mechanical `memoized-output` flag in
+# tools/plan_inventory.py (steady-state plan = Project/Filter over
+# InMemoryTableScan only); regenerate PLANS.md after adding a memo and
+# mirror any new flag here.
+MEMOIZED_OUTPUT = {
+    "x1_simhash_exact",
+    "x1_minhash_neardup",
+    "x1_minhash_exact",
+    "x1_dup_clusters_star",
+    "x8_local_bridges",
+}
+
 
 def _bench_pipeline(spark, n_files: int = PIPE_N_FILES,
                     reps: int = 3) -> dict:
@@ -522,6 +546,7 @@ def main() -> None:
     timings_build: dict[str, float] = {}
     timings_exec: dict[str, float] = {}
     timings_reps: dict[str, list[float]] = {}
+    timings_warm: dict[str, float] = {}
     for name in HEADLINE:
         samples = sorted(per_samples[name])
         b_samples = sorted(per_build[name])
@@ -531,6 +556,13 @@ def main() -> None:
         timings_build[name] = round(b_samples[len(b_samples) // 2], 3)
         timings_exec[name] = round(e_samples[len(e_samples) // 2], 3)
         timings_reps[name] = [round(s, 3) for s in per_samples[name]]
+        if name in MEMOIZED_OUTPUT:
+            # rep-1 (chronological first sample) is the only rep that
+            # computes; report it, keep the warm readback median visible
+            timings_warm[name] = timings[name]
+            cold = round(per_samples[name][0], 3)
+            timings[name] = cold
+            timings_min[name] = cold
 
     timings["pipeline_upload_20k_files"] = pipe_sec
     timings_min["pipeline_upload_20k_files"] = pipe_min
@@ -566,6 +598,8 @@ def main() -> None:
             "queries_exec": timings_exec,
             "queries_reps": timings_reps,
             "queries_rep_t0": per_t0,
+            "queries_warm": timings_warm,
+            "memoized_output": sorted(MEMOIZED_OUTPUT),
             "rep_windows": rep_windows,
             "rep_order": "round_robin",
             "uploads_per_sec": pipe_rate,
@@ -574,13 +608,23 @@ def main() -> None:
             "pipeline": pipe,
             "reps": reps,
             "sf": sf_val,
+            "cpus": spark.sparkContext.defaultParallelism,
         }, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
+    # per-family subtotals AND per-family query counts (r13 verdict ask
+    # #1): the suite grew 221 -> 265 inside the same family keys in r13
+    # and the driver's family-ratio comparison was composition-poisoned
+    # (x5 read 0.23x while its pre-existing queries were flat) — the
+    # counts let a consumer normalize or reject unequal-set comparisons,
+    # and `cpus` (the actual scheduler width, from local[$SPARK_GRAFT_CPUS])
+    # makes the core contract auditable from the artifact itself.
     families: dict[str, float] = {}
+    families_n: dict[str, int] = {}
     for name, sec in timings.items():
         fam = _family(name)
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
+        families_n[fam] = families_n.get(fam, 0) + 1
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
@@ -588,9 +632,11 @@ def main() -> None:
         "spread": spread,
         "unit": "sec",
         "queries": families,
+        "queries_n": families_n,
         "uploads_per_sec": pipe_rate,
         "uploads_spread": pipe["rate_spread"],
         "n_queries": len(timings),
+        "cpus": spark.sparkContext.defaultParallelism,
         "sf": sf_val,
         "detail": "BENCH_LOCAL.json",
     }, separators=(",", ":")))

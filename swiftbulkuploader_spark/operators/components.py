@@ -2308,7 +2308,43 @@ def bridge_fragments_from_edges(
     already-computed local_bridges_from_edges(edges) frame (the memoized
     _dup_graph_bridges view) — it is referenced twice below (kept-edge
     filter + bridge counts), so an unmaterialized input re-executes the
-    wedge join per reference (r13-opt)."""
+    wedge join per reference (r13-opt).
+
+    r14-opt (delta closure, r13 verdict ask #5): the after-cut closure
+    runs ONLY over kept edges of components that actually contain a
+    bridge — a component with no bridge loses no edge, so its single
+    fragment is itself (fragment := component, exactly the min-node
+    label the full closure assigned it; fragment labels only feed a
+    per-component GROUP BY, and they are value-identical anyway). The
+    former full re-closure re-labeled the ENTIRE kept graph per call —
+    the O(log n) convergence rounds (eager checkpoints + checksum jobs)
+    over the whole corpus graph were this query's dominant cost. Nodes
+    of affected components stranded without a kept edge still coalesce
+    to themselves (pure-bridge components shatter to singletons);
+    cross-component kept edges cannot exist (components are closed under
+    the FULL edge set), so restricting the closure input preserves every
+    fragment's membership and min-node label bit-for-bit (pinned on the
+    crafted path-plus-triangle graph in tests/test_round13_ops.py plus a
+    mixed-graph equivalence pin in tests/test_round14_opt.py).
+
+    Overhead shape, measured (the first cut of the delta closure A/B'd
+    WORSE, 3.28 -> 6.39 s: at sf0.1 the dup graph's kept set is 33 edges
+    and kept_aff is EMPTY, so both closures were pure fixed job overhead
+    and the delta form's extra aff/unaff union + anti-join + per-
+    reference nb re-execution added 6 jobs x 131 cached-frame-scan
+    tasks). The shipped form therefore does the labeling in ONE pass
+    over comp1 — a left join of the persisted bridge-count table plus
+    (only when the affected kept-edge set is non-empty) a left join of
+    the pruned closure's labels; fragment := coalesce(frag0, node if
+    bridged else component), and n_bridges rides the groupBy keys so no
+    final join is needed. kept_aff is eagerly localCheckpoint'ed
+    (per-call working state, the kcenter-round class): the one
+    materialization job serves the emptiness probe (a bounded scalar
+    decision, free on the materialized RDD) AND the closure input, so
+    the empty case — any clique-dominated dup graph, at every SF —
+    skips the star closure's fixed overhead (2 entry checkpoints +
+    per-round checkpoint + checksum jobs) entirely. Both branches
+    pinned on crafted graphs in tests/test_round14_opt.py."""
     if bridges is None:
         bridges = local_bridges_from_edges(edges)
     br = bridges.select(
@@ -2318,39 +2354,63 @@ def bridge_fragments_from_edges(
     kept = br.filter(~F.col("is_local_bridge")).select("a", "b")
     if comp1 is None:
         comp1 = connected_components_star(edges)
-    comp2 = connected_components_star(kept).select(
-        "node", F.col("component").alias("frag0")
+    ca = comp1.select(F.col("node").alias("a"), "component")
+    bridged = br.filter("is_local_bridge").join(ca, "a")
+    # persisted: read by the kept_aff prune and the comp1 labeling pass —
+    # unpersisted it re-runs the bridge-count groupBy per reference.
+    # Bounded by the component count; deterministic lineage over the
+    # memoized bridge/component substrates, so the CacheManager dedups
+    # the entry across calls (in-query persist class, r13-opt). No
+    # broadcast hint: the frame is DATA-DEPENDENT (rule 12 — corpus-sized
+    # on a bridge-heavy graph); AQE sizes the joins at runtime.
+    nb = bridged.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bridges")
+    ).persist()
+    bridge_comps = nb.select("component")
+    # per-call working state, materialized once (one job): probe + closure
+    # input share it, and the closure's own entry checkpoint reads the
+    # materialized RDD instead of re-executing the 3-way join
+    kept_aff = (
+        kept.join(ca, "a").join(bridge_comps, "component").select("a", "b")
+        .localCheckpoint(eager=True)
     )
-    after = (
-        comp1.join(comp2, "node", "left")
-        .select(
-            "node", "component",
-            F.coalesce(F.col("frag0"), F.col("node")).alias("fragment"),
+    labeled = comp1.join(nb, "component", "left")
+    if kept_aff.isEmpty():
+        # no affected component kept any edge: every bridged node is its
+        # own fragment — exactly what coalesce(frag0 -> node) yields when
+        # the closure output is empty, with the (empty) join elided
+        frag = F.when(
+            F.col("n_bridges").isNotNull(), F.col("node")
+        ).otherwise(F.col("component"))
+    else:
+        comp2 = connected_components_star(kept_aff).select(
+            "node", F.col("component").alias("frag0")
         )
+        labeled = labeled.join(comp2, "node", "left")
+        frag = F.coalesce(
+            F.col("frag0"),
+            F.when(
+                F.col("n_bridges").isNotNull(), F.col("node")
+            ).otherwise(F.col("component")),
+        )
+    after = labeled.select(
+        "node", "component",
+        F.coalesce(F.col("n_bridges"), F.lit(0)).cast("long")
+        .alias("n_bridges"),
+        frag.alias("fragment"),
     )
-    frag_sizes = after.groupBy("component", "fragment").agg(
+    frag_sizes = after.groupBy("component", "n_bridges", "fragment").agg(
         F.count(F.lit(1)).alias("fsz")
     )
-    per_comp = frag_sizes.groupBy("component").agg(
+    per_comp = frag_sizes.groupBy("component", "n_bridges").agg(
         F.sum("fsz").cast("long").alias("size_before"),
         F.count(F.lit(1)).cast("long").alias("n_fragments"),
         F.max("fsz").cast("long").alias("max_fragment"),
     )
-    nb = (
-        br.filter("is_local_bridge")
-        .join(comp1.select(F.col("node").alias("a"), "component"), "a")
-        .groupBy("component")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bridges"))
-    )
-    return (
-        per_comp.join(nb, "component", "left")
-        .select(
-            "component", "size_before",
-            F.coalesce(F.col("n_bridges"), F.lit(0)).cast("long")
-            .alias("n_bridges"),
-            "n_fragments", "max_fragment",
-            (F.col("n_fragments") > 1).alias("splits"),
-        )
+    return per_comp.select(
+        "component", "size_before", "n_bridges",
+        "n_fragments", "max_fragment",
+        (F.col("n_fragments") > 1).alias("splits"),
     )
 
 

@@ -3317,8 +3317,16 @@ def x1_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (§2.9 span-dedup extension; Lee et al. 2022
     ExactSubstr's "longest duplicated substring" diagnostic)."""
-    # the shared substrate is fixed at width 8 — valid only while LSS_K is
-    assert LSS_K == 8
+    # the shared substrate is fixed at width 8 — valid only while LSS_K
+    # is. An assert would be stripped under `python -O` and silently feed
+    # 8-gram positions into a k != 8 span computation (r13 advice #1), so
+    # the guard is a real exception.
+    if LSS_K != 8:
+        raise ValueError(
+            f"x1_longest_shared_span shares the fixed-width-8 gram-position "
+            f"substrate (_gram_pos8); LSS_K={LSS_K} requires parameterizing "
+            "_gram_pos8/_GRAM_POS_CACHE by gram width"
+        )
     return longest_shared_spans(
         load_table(spark, sf_dir, "documents"),
         gram_pos=_gram_pos8(spark, sf_dir),

