@@ -360,6 +360,18 @@ MEMOIZED_OUTPUT = {
     "x1_minhash_exact",
     "x1_dup_clusters_star",
     "x8_local_bridges",
+    # found by the fixed r14 plan lint (the first regex anchored the
+    # node id to the node name and missed qualified joins, so join-ful
+    # plans looked trivial; after the fix these 7 PRE-EXISTING queries
+    # genuinely return a session-memoized frame): their r13-and-earlier
+    # warm medians were cache readbacks too
+    "x1_allpairs_prefix",
+    "x1_ngram_jaccard",
+    "x1_winnowing_fingerprints",
+    "x2_pq_codes",
+    "x3_unigram_train",
+    "x8_label_propagation",
+    "x9_phash_dedup",
 }
 
 

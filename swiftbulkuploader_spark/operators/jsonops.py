@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.plans.layout import spread
 
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 
@@ -180,7 +181,14 @@ def x4_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths); DuckDB replays with json_keys + computed-path
     json_extract_string. Value min/max compare as strings on both
     engines (lexicographic, engine-identical); presence_rate is an
-    integer ratio against the 1-row broadcast total."""
+    integer ratio against the 1-row broadcast total.
+
+    spread() on the parse branch (r14-opt, the plans/layout doctrine):
+    the get_json_object + from_json double parse per row ran at the
+    parquet split parallelism — the 10x core-ratio probe measured it
+    serialized (10.0 s at 32 cores == 10.1 at 8, CORE_RATIO_r14.json);
+    only the four parsed columns are shuffled (guide §2.3 project-
+    early), and the 1-row count stays on the un-spread scan."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     vi = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
@@ -193,7 +201,9 @@ def x4_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).otherwise(F.lit("")),
         F.lit("}"),
     )
-    kv = events.select(
+    kv = spread(
+        events.select("props", "value", "event_type", "user_id")
+    ).select(
         F.explode(F.from_json(j, "map<string,string>")).alias("key", "val")
     )
     total = events.select(F.count(F.lit(1)).alias("n_rows"))  # 1-row bcast
@@ -291,8 +301,13 @@ def x4_json_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: one parse per row, fan-out = fixed array length, map-side
     combine to the bounded tag alphabet. DuckDB replays with computed
     json_extract paths over range(json_array_length) (CAST to BIGINT —
-    the UBIGINT-overload gap, CLAUDE.md round-8)."""
-    events = load_table(spark, sf_dir, "events")
+    the UBIGINT-overload gap, CLAUDE.md round-8).
+
+    spread() (r14-opt): get_json_object + from_json per row at scan
+    parallelism — the x4_json_schema_profile probe-measured
+    serialization class; only the three needed columns shuffle."""
+    events = spread(load_table(spark, sf_dir, "events")
+                    .select("props", "value", "event_type"))
     k = F.get_json_object("props", "$.k").cast("long")
     vi = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
     arr = F.concat(

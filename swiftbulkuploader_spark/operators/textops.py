@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.plans.layout import spread
 from swiftbulkuploader_spark.functions.text import (
     LANG_MARKERS,
     detect_lang,
@@ -514,8 +515,15 @@ def x3_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document length. Pairs are canonically ordered (min,
     max) so (a,b) and (b,a) pool; the shuffle is one map-side-combined
     (w1, w2) aggregate; unigram counts join back broadcast. Rare pairs
-    (< 5 occurrences) are cut on BOTH engines before scoring."""
-    docs = load_table(spark, sf_dir, "documents")
+    (< 5 occurrences) are cut on BOTH engines before scoring.
+
+    spread() (r14-opt, the plans/layout doctrine): the double tokenize
+    + shifted-zip explode is compute-dense per-row work that ran at the
+    parquet split parallelism (one task on the single-file contract
+    substrate) — same class as x3_feature_hashing's probe-measured
+    serialization."""
+    docs = spread(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"))
     norm = F.lower(normalize_ws(F.col("text")))
     toks = F.split(norm, " ")
     n = F.size(toks)
@@ -1355,8 +1363,17 @@ def x3_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on its gram — the same posting-table partitioning as
     tf-idf/bigram-LM — and scoring joins are keyed on those same grams,
     so count-build and probe co-partition; N rides a 1-row broadcast.
-    Nothing is quadratic and the driver sees only the final per-doc rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    Nothing is quadratic and the driver sees only the final per-doc rows.
+
+    spread() (r14-opt, the plans/layout doctrine): the persisted `toks`
+    frame inherited the parquet split layout — ONE cached partition on
+    the single-file contract substrate — so every per-call trigram
+    explode and scoring join ran single-task (10x core-ratio probe:
+    6.1 s at 32 cores ~= 5.6 at 8, CORE_RATIO_r14.json). Repartitioning
+    the raw (doc_id, text) before tokenize makes the cached layout
+    32-wide; counts/joins are partitioning-independent."""
+    docs = spread(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"))
     norm = F.lower(normalize_ws(F.col("text")))
     # persist: the tokenized frame feeds FOUR derivations (c3/c2/c1 over
     # the train half + the corpus-wide probe) — without it the
@@ -3679,8 +3696,18 @@ def x3_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay). Exact integers everywhere; the L2 norm is one sqrt over an
     exact integer sum, 6-dp rounded. Shape: explode -> (doc, bucket)
     count (map-side combined) -> per-doc aggregate; 100 TB cost is one
-    token-stream shuffle, same as x3_token_stats."""
-    docs = load_table(spark, sf_dir, "documents")
+    token-stream shuffle, same as x3_token_stats.
+
+    spread() (r14-opt, the plans/layout doctrine): the tokenize +
+    bigram zip + one-md5-PER-GRAM explode is the most compute-dense
+    scan stage in the x3 family (~200 md5s per doc), and it ran at the
+    parquet split parallelism — ONE task on the single-file contract
+    substrate at every SF. The 10x core-ratio probe caught it: 12.4 s
+    at 32 cores == 12.0 s at 8 (CORE_RATIO_r14.json, ratio 0.97 ==
+    serialized); per the layout rule (cost per row >> one shuffle of
+    the raw text) the round-robin repartition is amortized ~200x."""
+    docs = spread(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"))
     norm = F.lower(normalize_ws(F.col("text")))
     toks = F.split(norm, " ")
     n = F.size(toks)

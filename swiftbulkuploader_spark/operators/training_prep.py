@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from swiftbulkuploader_spark.catalog import load_table
+from swiftbulkuploader_spark.plans.layout import spread
 from swiftbulkuploader_spark.functions.text import normalize_ws, token_count
 from swiftbulkuploader_spark.operators.oracle_fragments import (
     QUALITY_SCORE_DUCK,
@@ -184,7 +185,17 @@ def x10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed projection; dedup one narrow shuffle on the fingerprint;
     decontamination the bounded-probe broadcast form (swap in the
     inverted-index form past broadcast scale); shard/pack one shuffle on
-    shard_id + per-shard sort."""
+    shard_id + per-shard sort.
+
+    spread() on the corpus (r14-opt, the plans/layout doctrine): BOTH
+    expensive branches — quality_score + fingerprint, and the shingling
+    + 8-probe array_intersect containment scan — are compute-dense
+    per-row work that ran at the parquet split parallelism (one task on
+    the single-file contract substrate; the 10x core-ratio probe
+    measured the whole query serialized, 14.4 s at 32 cores == 13.3 at
+    8, CORE_RATIO_r14.json). One round-robin repartition of the raw
+    documents feeds both branches; every downstream decision is a
+    partitioning-independent exact aggregate/window."""
     from swiftbulkuploader_spark.functions.text import (
         fingerprint,
         quality_score,
@@ -192,7 +203,7 @@ def x10_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") >= 8)
+    corpus = spread(docs.filter(F.col("doc_id") >= 8))
 
     # 1. quality floor (pretraining filter; threshold on the rounded score
     #    so both engines compare identical doubles)

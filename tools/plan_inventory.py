@@ -297,7 +297,14 @@ def _is_memoized_output(plan: str) -> bool:
         if "InMemoryRelation" in ln:
             saw_imr = True
             break
-        m = re.match(r"^[\s+:\-]*(?:\* )?([A-Za-z][A-Za-z0-9]*)\s*\(\d+\)", ln)
+        # node lines carry a "(n)" id but NOT necessarily right after the
+        # node name — "BroadcastHashJoin Inner BuildRight (293)" — so the
+        # name is the first token and the id may follow qualifiers (the
+        # first cut anchored the id to the name and silently missed every
+        # qualified join, flagging 13 join-ful plans as memoized-output)
+        m = re.match(
+            r"^[\s+:\-]*(?:\* )?([A-Za-z][A-Za-z0-9]*)\b[^(]*\(\d+\)", ln
+        )
         if m:
             outer_nodes.append(m.group(1))
     return (
