@@ -3439,6 +3439,11 @@ ORACLES["x2_mmd_drift"] = _mmd_oracle_sql()
 
 PROBE_SWEEP = (1, 2, 4, 8)
 
+# (appId, sf_dir) -> (scored, exact) persisted shared frames of the
+# probe sweep — substrate memo (every consumer filters/aggregates them
+# per call); skips the eager per-call re-analysis of their construction
+_SWEEP_BASE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
 
 def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF TUNING CURVE — recall@10 vs corpus fraction scanned as
@@ -3460,52 +3465,61 @@ def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine). All compared cosines are 6-dp-rounded with id tie-breaks
     (the ivf_search discipline); counts exact.
 
-    Plan-build profile (r10, after the SQL-text assign fast path cut
-    Py4J construction 3.65 -> ~0.5 s): the remaining ~2 s of pre-action
-    time is the EAGER materialization of the two shared frames (scored
-    corpus checkpoint ~0.6 s + exact-top-10 checkpoint ~0.5 s) plus the
-    4-point plan assembly ~0.4 s — real Spark jobs that would run
-    anyway, counted as "build" only because they execute before the
-    final action. Irreducible without dropping the score-once sharing
-    that makes the sweep 5x cheaper overall.
+    Plan-build profile (r14 re-profile, warm: load 0.07 / scored-plan
+    0.36 / exact-plan 0.17 / probe-pick memo-hit 0.00 / 4-point loop
+    assembly 0.83 / exec 0.71): the r10 note blamed eager
+    materialization, but the r13 lazy persists removed that — what
+    remains is PySpark's EAGER ANALYSIS of every DataFrame op (the
+    4-point loop is ~110 ops over a growing plan). r14 cuts it three
+    ways: the scored + exact frames are session-MEMOIZED (substrate
+    class — every consumer still filters/aggregates them per call), so
+    warm calls skip their construction; the per-point broadcast `total`
+    crossJoin is replaced by the already-memoized _emb_count scalar as
+    a literal (n_total IS the corpus count; integer-exact, so the
+    double quotient is bit-identical to the frame form's); the loop's
+    remaining ops are irreducible TakeOrdered sharing.
 
     Reference parity: none; §2.9 ANN-serve family."""
-    emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
     q = _query_vector(spark, sf_dir, 0)
-    qcol = _lit_vec(q)
-    scored = (
-        emb.withColumn(
-            "cluster",
-            assign_ivf_cluster(
-                "CAST(embedding AS ARRAY<DOUBLE>)", cents,
-                round_dp=6,
-            ),
-        )
-        .select(
-            "vec_id",
-            "cluster",
-            F.round(
-                cosine_similarity(
-                    F.col("embedding").cast("array<double>"), qcol
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SWEEP_BASE_CACHE.get(cache_key)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qcol = _lit_vec(q)
+        scored = (
+            emb.withColumn(
+                "cluster",
+                assign_ivf_cluster(
+                    "CAST(embedding AS ARRAY<DOUBLE>)", cents,
+                    round_dp=6,
                 ),
-                6,
-            ).alias("cos_sim"),
+            )
+            .select(
+                "vec_id",
+                "cluster",
+                F.round(
+                    cosine_similarity(
+                        F.col("embedding").cast("array<double>"), qcol
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+            # persist, not the former eager localCheckpoint: same
+            # share-across-the-4-sweep-points guarantee, but lazy (no
+            # per-call eager rebuild) and plan-keyed — repeated calls
+            # reuse ONE cache entry via the CacheManager (r13-opt);
+            # r14 additionally memoizes the PYTHON frame object so warm
+            # calls skip the eager re-analysis of its construction
+            .persist()
         )
-        # persist, not the former eager localCheckpoint: same
-        # share-across-the-4-sweep-points guarantee, but lazy (no
-        # per-call eager rebuild) and plan-keyed — repeated calls reuse
-        # ONE cache entry via the CacheManager (the shingle_base
-        # discipline; the SQL-text assign expression is deterministic,
-        # so the plan is structurally identical across calls) (r13-opt)
-        .persist()
-    )
-    exact = (
-        x2_cosine_topk(spark, sf_dir).select("vec_id").persist()
-    )
+        exact = x2_cosine_topk(spark, sf_dir).select("vec_id").persist()
+        cached = (scored, exact)
+        _SWEEP_BASE_CACHE[cache_key] = cached
+    scored, exact = cached
     # one ranked pick; each sweep point's probe set is a prefix of it
     ranking = _probe_pick(spark, cents, q, max(PROBE_SWEEP))
-    total = scored.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row bcast
+    n_total = _emb_count(spark, sf_dir)  # memoized scalar == count(scored)
     out = None
     for p in PROBE_SWEEP:
         probe = ranking[:p]
@@ -3520,12 +3534,12 @@ def x2_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hits")
         )
         row = (
-            scanned.crossJoin(hits).crossJoin(F.broadcast(total)).select(
+            scanned.crossJoin(hits).select(
                 F.lit(p).cast("int").alias("n_probe"),
                 F.col("n_scanned").cast("long").alias("n_scanned"),
                 (
                     F.col("n_scanned").cast("double")
-                    / F.col("n_total").cast("double")
+                    / F.lit(n_total).cast("double")
                 ).alias("scanned_frac"),
                 F.col("n_hits").cast("long").alias("n_hits"),
                 (F.col("n_hits") / F.lit(10.0)).alias("recall"),

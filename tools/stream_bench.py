@@ -35,12 +35,11 @@ WORK = tempfile.mkdtemp(prefix="stream_bench_")
 
 
 def _dirs(*names: str) -> list[str]:
-    out = []
-    for n in names:
-        p = os.path.join(WORK, f"{n}_{time.time_ns()}")
-        os.makedirs(p, exist_ok=True)
-        out.append(p)
-    return out
+    """Fresh UNCREATED paths: state_io.read_state_or_none gates on path
+    existence, so pre-creating an empty delta dir turns the first batch's
+    state read into UNABLE_TO_INFER_SCHEMA — writers create their own
+    directories."""
+    return [os.path.join(WORK, f"{n}_{time.time_ns()}") for n in names]
 
 
 def _write_batches(frames, src_dir: str) -> None:
@@ -70,7 +69,14 @@ def _start_noop(sdf, cp: str):
 
 
 def _events_batches(spark, sf_dir: str, n: int):
-    ev = load_table(spark, sf_dir, "events").drop("props").orderBy("ts")
+    # ts cast: the catalog loads parquet timestamps as TIMESTAMP_NTZ
+    # (UTC-pinned session), but event-time watermarks/state timeouts
+    # require TIMESTAMP
+    ev = (
+        load_table(spark, sf_dir, "events").drop("props")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("ts")
+    )
     b1 = ev.limit(n)
     b2 = ev.orderBy(F.col("ts").desc()).limit(n)  # strictly later times
     return b1, b2
@@ -399,8 +405,20 @@ def main() -> None:
     results: dict[str, dict] = {}
     print(f"{'twin':24s} {'n_small':>8s} {'walls_s':>16s} "
           f"{'n_big':>8s} {'walls_s':>16s} {'ratio':>6s}")
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
     for name, (runner, sn, bn) in TWINS.items():
         row = {}
+        if name == "running_profile" and not have_protobuf:
+            # same gate as tests/test_stateful_v2.py: transformWithState's
+            # Python worker needs protobuf, absent in this container
+            row["skipped"] = "transformWithStateInPandas needs protobuf"
+            print(f"{name:24s} SKIPPED (needs python protobuf)")
+            results[name] = row
+            continue
         try:
             for tag, n in (("small", sn), ("big", bn)):
                 walls = runner(spark, sf_dir, n)
